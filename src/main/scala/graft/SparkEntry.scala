@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` is one operator from the SURVEY §2 inventory
+  * (key prefix = the §2 id: a=aggregation, j=join, w=window, p=pivot,
+  * t=taxonomy, f=scalar-function family, g=GLAMR pipeline, d=dedup,
+  * x=similarity, tx=text-analysis, s=source reader, st=streaming).
+  * `oracleSql` holds the DuckDB-equivalent SQL for every
+  * SQL-expressible entry; the rest get the driver's rows-only check and
+  * a golden ScalaTest spec instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The TPM pipeline (reference `code/postgres_scripts/tpm.R:18-35`) —
+    * ingest, 2-hop broadcast join, per-sample window normalization. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ops.Abundance.tpm(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ops.Relational.queries ++
+      ops.Windows.queries ++
+      ops.Pivots.queries ++
+      ops.Abundance.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    ops.Relational.oracle ++
+      ops.Windows.oracle ++
+      ops.Pivots.oracle ++
+      ops.Abundance.oracle
 }

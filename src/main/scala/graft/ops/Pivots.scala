@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Pivot / unpivot / set ops P1-P3 (SURVEY §2.7).
+  *
+  * Scale note: `pivot` with an EXPLICIT value list avoids the extra
+  * distinct-collect job Spark otherwise runs to discover pivot columns —
+  * at 100 TB that discovery pass is a full scan, so the engine always
+  * pins the value list (the reference's pivots are over
+  * fixed, known domains too: samples / read directions).
+  */
+object Pivots {
+
+  /** P1 pivot_wider long→wide with fill 0 (reference bracken abundance
+    * matrix `merge_bracken.R:68-78`). Explicit value list + coalesce(0)
+    * reproduces `values_fill = 0`. */
+  private def p1PivotWide(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum("l_quantity"), 2))
+      .na.fill(0.0)
+      .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
+
+  /** P1 variant as conditional aggregation — the shuffle-free-est
+    * formulation (single hash aggregate, no pivot machinery). */
+  private def p1ConditionalAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
+
+  /** P2 pivot_longer wide→long (reference fwd/rev read counts →
+    * (direction,count) `postgres.Rmd:271`): part's numeric columns to
+    * (metric, value) rows via stack(). */
+  private def p2Unpivot(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").selectExpr(
+      "p_partkey",
+      """stack(2,
+           'size', cast(p_size as double),
+           'retailprice', p_retailprice) as (metric, value)""")
+
+  /** P3 union-all with schema alignment (reference gtdb+refseq taxonomy
+    * `merge_kraken_tax.R:57`; `unionByName(allowMissingColumns)` covers
+    * drift). */
+  private def p3Union(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer").select(
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+      lit("customer").as("kind"))
+    val sup = t(s, d, "supplier").select(
+      col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+      lit("supplier").as("kind"))
+    c.unionByName(sup)
+  }
+
+  /** P3 drift variant: columns missing on one side appear as nulls
+    * (reference refseq extra column `merge_kraken_tax.R:45-51`). */
+  private def p3UnionDrift(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer").select(
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+      col("c_mktsegment").as("segment"))
+    val sup = t(s, d, "supplier").select(
+      col("s_name").as("name"), col("s_acctbal").as("acctbal"))
+    c.unionByName(sup.withColumn("segment", lit(null).cast("string")),
+        allowMissingColumns = true)
+      .groupBy("segment").agg(count(lit(1)).as("n"),
+        round(sum("acctbal"), 2).as("total_bal"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_pivot_wide" -> p1PivotWide _,
+    "p1_conditional_agg" -> p1ConditionalAgg _,
+    "p2_unpivot" -> p2Unpivot _,
+    "p3_union" -> p3Union _,
+    "p3_union_drift" -> p3UnionDrift _)
+
+  val oracle: Map[String, String] = Map(
+    "p1_pivot_wide" ->
+      """SELECT l_returnflag,
+         coalesce(round(sum(CASE WHEN l_linestatus='F' THEN l_quantity END),2),0)
+           AS qty_f,
+         coalesce(round(sum(CASE WHEN l_linestatus='O' THEN l_quantity END),2),0)
+           AS qty_o
+         FROM lineitem GROUP BY l_returnflag""",
+    "p1_conditional_agg" ->
+      """SELECT o_orderpriority,
+         count(CASE WHEN o_orderstatus='F' THEN 1 END) AS n_f,
+         count(CASE WHEN o_orderstatus='O' THEN 1 END) AS n_o,
+         count(CASE WHEN o_orderstatus='P' THEN 1 END) AS n_p
+         FROM orders GROUP BY o_orderpriority""",
+    "p2_unpivot" ->
+      """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+         FROM part
+         UNION ALL
+         SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+         FROM part""",
+    "p3_union" ->
+      """SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind
+         FROM customer
+         UNION ALL
+         SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind
+         FROM supplier""",
+    "p3_union_drift" ->
+      """SELECT segment, count(*) AS n, round(sum(acctbal),2) AS total_bal
+         FROM (
+           SELECT c_name AS name, c_acctbal AS acctbal,
+                  c_mktsegment AS segment FROM customer
+           UNION ALL
+           SELECT s_name, s_acctbal, NULL FROM supplier) x
+         GROUP BY segment""")
+}

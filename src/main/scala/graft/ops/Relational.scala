@@ -1,0 +1,388 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Core relational operators: projection/filter/distinct (SURVEY §2.3),
+  * joins J1-J8 (§2.4), aggregations A1/A3/A5/A6/A9/A10 (§2.5), and the
+  * scalar-function families of §2.9.
+  *
+  * Design notes (100 TB posture):
+  *  - Filters are plain `Column` predicates so Catalyst pushes them into
+  *    the parquet scan (verify: `PushedFilters` in explain).
+  *  - Dimension joins (`nation`, `region`, `part`, `supplier`) carry an
+  *    explicit `broadcast()` hint — at cluster scale these stay
+  *    broadcast-hash joins with zero shuffle of the fact side.
+  *  - Fact-fact joins (lineitem ⨝ orders) shuffle on the join key once;
+  *    AQE handles skew.  All aggregates are partial-aggregated map-side
+  *    (Spark's default hash aggregate), so the shuffle carries combiner
+  *    output, not raw rows.
+  */
+object Relational {
+
+  /** A1 grouped sum — the `group_by %>% summarize(sum)` family
+    * (reference `code/tax_abund_from_contigs.R:67-69`). TPC-H Q1 shape:
+    * filter pushdown + 6-way aggregate over 2 grouping keys. */
+  private def a1GroupedSum(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** Filter-pushdown scan (§2.3 compound predicates; TPC-H Q6 shape).
+    * The whole predicate reaches the parquet reader. */
+  private def filterPushdown(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
+  /** A3 count per group (reference `standardize_bins.R:104-112`). */
+  private def a3Count(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").groupBy("event_type").agg(count(lit(1)).as("n"))
+
+  /** A4 median / quartiles per group — exact `percentile`, matching the
+    * reference's per-model medians (`summarize_hmmscan.R:64-71`,
+    * `hmm_summarize.py:240-285`). At 100 TB swap for
+    * `percentile_approx` (sketch-mergeable, single pass); exact kept here
+    * because the oracle (quantile_cont) interpolates identically. */
+  private def a4Quartiles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").groupBy("event_type").agg(
+      round(expr("percentile(value, 0.25)"), 4).as("q1"),
+      round(expr("percentile(value, 0.5)"), 4).as("median"),
+      round(expr("percentile(value, 0.75)"), 4).as("q3"))
+
+  /** A5 weighted mean per group: sum(x*w)/sum(w)
+    * (reference `ampliconTrunc.R:172-180` per-cycle quality). */
+  private def a5WeightedMean(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").groupBy("l_returnflag").agg(
+      round(sum(col("l_extendedprice") * col("l_quantity")) /
+        sum(col("l_quantity")), 4).as("weighted_avg_price"))
+
+  /** A6 derived completeness metric: found/possible*100 against a global
+    * denominator (reference `AnnotateContigs.pl:516-538`). The global
+    * total is a 1-row aggregate — crossJoin of a singleton is a
+    * broadcast-nested-loop of one row, shuffle-free. */
+  private def a6Completeness(s: SparkSession, d: String): DataFrame = {
+    val total = t(s, d, "customer").agg(count(lit(1)).as("possible"))
+    t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("found"))
+      .crossJoin(broadcast(total))
+      .select(col("o_orderpriority"), col("found"),
+        round(col("found") * lit(100.0) / col("possible"), 4)
+          .as("pct_complete"))
+  }
+
+  /** A9 collect-to-list per group, made deterministic by sorting and
+    * string-joining (reference lineage lists `AnnotateContigs.pl:654-692`). */
+  private def a9CollectList(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").groupBy("o_orderpriority").agg(
+      concat_ws(";", sort_array(collect_set(col("o_orderstatus"))))
+        .as("statuses"),
+      count(lit(1)).as("n"))
+
+  /** A10 distinct + distinct count (`tax_abund_from_contigs.R:63-65`).
+    * On a dictionary-encoded parquet column this is a near-metadata scan;
+    * replaces the reference's recursive-CTE skip-scan hack
+    * (`postgres.Rmd:22-37`). */
+  private def a10Distinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").groupBy("l_returnflag").agg(
+      countDistinct("l_partkey").as("n_parts"),
+      countDistinct("l_suppkey").as("n_supps"))
+
+  /** J1 equi left join fact ⟕ broadcast dim
+    * (reference `merge_bracken.R:61` bracken ⟕ taxonomy). */
+  private def j1LeftJoin(s: SparkSession, d: String): DataFrame =
+    t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation")),
+        col("s_nationkey") === col("n_nationkey"), "left")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+
+  /** J2 multi-way star join (reference `bin_summary` view
+    * `postgres.Rmd:116-163`): fact ⨝ bridge ⨝ dim ⨝ dim ⨝ dim.
+    * lineitem⨝orders shuffles once on orderkey; everything downstream is
+    * broadcast. TPC-H Q5 shape. */
+  private def j2StarJoin(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        2).as("revenue"))
+
+  /** J3 join through a bridge (2-hop), the TPM-join shape of
+    * `postgres_scripts/tpm.R:22`: fact → bridge(orders) → dim(customer). */
+  private def j3TwoHop(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** J4 semi join (reference `ampliconTrunc.R:86`): orders having ≥1
+    * high-discount line. Spark left_semi ≡ SQL EXISTS. */
+  private def j4Semi(s: SparkSession, d: String): DataFrame = {
+    val hot = t(s, d, "lineitem").filter(col("l_discount") > 0.08)
+      .select(col("l_orderkey"))
+    t(s, d, "orders")
+      .join(hot, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** J5 anti join — THE canonical incremental-ingest operator of the
+    * reference (`anti_join(existing)` `postgres.Rmd:1972,2132,2213`):
+    * customers not yet "loaded" (here: with no order in status P — the
+    * filtered right side keeps the result non-empty at every SF). */
+  private def j5Anti(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders").filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+  /** J6 join on a derived / regex-extracted key (reference eukcc bin-name
+    * strip `postgres.Rmd:2425-2431`; bin_summary key regex
+    * `postgres.Rmd:132-134`): recover custkey from 'Customer#000000042'. */
+  private def j6DerivedKey(s: SparkSession, d: String): DataFrame = {
+    val derived = t(s, d, "customer")
+      .withColumn("key_from_name",
+        regexp_extract(col("c_name"), "Customer#(\\d+)", 1).cast("long"))
+    derived
+      .join(t(s, d, "orders"), col("key_from_name") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total"))
+  }
+
+  /** J8 cross/expand grid (reference `expand.grid(binner × sample)`
+    * `make_das_and_drep_inputs.R:68`) — tiny × tiny only. */
+  private def j8CrossGrid(s: SparkSession, d: String): DataFrame =
+    t(s, d, "region").select(col("r_name"))
+      .crossJoin(t(s, d, "orders").select(col("o_orderstatus")).distinct())
+
+  /** §2.3 conditional columns — when/otherwise quality tiers (reference
+    * MAG quality `make_das_and_drep_inputs.R:36-38`). */
+  private def caseWhenTiers(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .withColumn("tier",
+        when(col("c_acctbal") > 7500, "high")
+          .when(col("c_acctbal") > 0, "mid")
+          .otherwise("neg"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 4).as("avg_bal"))
+
+  /** §2.9 regex extract + count (reference `str_extract` sample ids
+    * `postgres.Rmd:2117`, prodigal header parse `postgres.Rmd:1194-1197`). */
+  private def regexExtract(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .withColumn("first_word", regexp_extract(col("p_name"), "^(\\w+)", 1))
+      .groupBy("first_word").agg(count(lit(1)).as("n"),
+        round(avg("p_retailprice"), 4).as("avg_price"))
+
+  /** §2.9 date parts (reference collection-date handling
+    * `postgres.Rmd:74-82`). */
+  private def dateParts(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total"))
+
+  /** §2.9 JSON field access (reference runinfo lookups
+    * `pypelib/raw_reads.py:101-133`): pull props.k out of the events
+    * payload. */
+  private def jsonExtract(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(round(avg("k"), 4).as("avg_k"), max("k").as("max_k"))
+
+  /** §2.9 math family: log1p / sqrt / abs (reference log1p job-size
+    * `pypelib/benchmark.py:140`, RPKM/TPM arithmetic `tpm.R:25-30`). */
+  private def mathFuncs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").groupBy("o_orderstatus").agg(
+      round(avg(log1p(col("o_totalprice"))), 6).as("avg_log1p_price"),
+      round(sum(sqrt(abs(col("o_totalprice")))), 4).as("sum_sqrt_price"))
+
+  /** §2.9 string family: upper/trim/concat/length (reference `uc($_)`
+    * `AnnotateContigs.pl:230`, `str_glue` ids `postgres.Rmd:1199`). */
+  private def stringFuncs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation")
+      .join(broadcast(t(s, d, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("n_nationkey"),
+        upper(col("n_name")).as("nation_uc"),
+        concat_ws("/", col("r_name"), col("n_name")).as("path"),
+        length(col("n_name")).as("name_len"))
+
+  /** §2.3 NA normalization (reference `%in% c("NA","NF") → NA`
+    * `postgres.Rmd:83`): sentinel values to null, then na.fill. */
+  private def naNormalize(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .withColumn("prio",
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+          col("o_orderpriority")).otherwise(lit(null)))
+      .na.fill(Map("prio" -> "OTHER"))
+      .groupBy("prio").agg(count(lit(1)).as("n"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_grouped_sum" -> a1GroupedSum _,
+    "f_filter_pushdown" -> filterPushdown _,
+    "a3_count_per_group" -> a3Count _,
+    "a4_quartiles" -> a4Quartiles _,
+    "a5_weighted_mean" -> a5WeightedMean _,
+    "a6_completeness" -> a6Completeness _,
+    "a9_collect_list" -> a9CollectList _,
+    "a10_distinct_count" -> a10Distinct _,
+    "j1_left_join" -> j1LeftJoin _,
+    "j2_star_join" -> j2StarJoin _,
+    "j3_two_hop_join" -> j3TwoHop _,
+    "j4_semi_join" -> j4Semi _,
+    "j5_anti_join" -> j5Anti _,
+    "j6_derived_key_join" -> j6DerivedKey _,
+    "j8_cross_grid" -> j8CrossGrid _,
+    "f_case_when_tiers" -> caseWhenTiers _,
+    "f_regex_extract" -> regexExtract _,
+    "f_date_parts" -> dateParts _,
+    "f_json_extract" -> jsonExtract _,
+    "f_math_funcs" -> mathFuncs _,
+    "f_string_funcs" -> stringFuncs _,
+    "f_na_normalize" -> naNormalize _)
+
+  val oracle: Map[String, String] = Map(
+    "a1_grouped_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+         round(avg(l_quantity),4) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "f_filter_pushdown" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+         FROM lineitem
+         WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "a3_count_per_group" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    "a4_quartiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.25),4) AS q1,
+         round(quantile_cont(value, 0.5),4) AS median,
+         round(quantile_cont(value, 0.75),4) AS q3
+         FROM events GROUP BY event_type""",
+    "a5_weighted_mean" ->
+      """SELECT l_returnflag,
+         round(sum(l_extendedprice*l_quantity)/sum(l_quantity),4)
+           AS weighted_avg_price
+         FROM lineitem GROUP BY l_returnflag""",
+    "a6_completeness" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS found,
+         round(count(DISTINCT o_custkey)*100.0 /
+           (SELECT count(*) FROM customer),4) AS pct_complete
+         FROM orders GROUP BY o_orderpriority""",
+    "a9_collect_list" ->
+      """SELECT o_orderpriority,
+         array_to_string(list_sort(list(DISTINCT o_orderstatus)),';')
+           AS statuses,
+         count(*) AS n
+         FROM orders GROUP BY o_orderpriority""",
+    "a10_distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag""",
+    "j1_left_join" ->
+      """SELECT s_suppkey, s_name, n_name FROM supplier
+         LEFT JOIN nation ON s_nationkey = n_nationkey""",
+    "j2_star_join" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "j3_two_hop_join" ->
+      """SELECT c_mktsegment,
+         round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+         count(*) AS n_lines
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "j4_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+         GROUP BY o_orderpriority""",
+    "j5_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""",
+    "j6_derived_key_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         round(sum(o_totalprice),2) AS total
+         FROM customer
+         JOIN orders
+           ON CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT)
+              = o_custkey
+         GROUP BY c_mktsegment""",
+    "j8_cross_grid" ->
+      """SELECT r_name, o_orderstatus FROM region
+         CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) x""",
+    "f_case_when_tiers" ->
+      """SELECT CASE WHEN c_acctbal > 7500 THEN 'high'
+                     WHEN c_acctbal > 0 THEN 'mid'
+                     ELSE 'neg' END AS tier,
+         count(*) AS n, round(avg(c_acctbal),4) AS avg_bal
+         FROM customer GROUP BY 1""",
+    "f_regex_extract" ->
+      """SELECT regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+         count(*) AS n, round(avg(p_retailprice),4) AS avg_price
+         FROM part GROUP BY 1""",
+    "f_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(month(o_orderdate) AS INT) AS mo,
+         count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+         FROM orders GROUP BY 1, 2""",
+    "f_json_extract" ->
+      """SELECT event_type,
+         round(avg(CAST(json_extract_string(props,'$.k') AS INT)),4) AS avg_k,
+         max(CAST(json_extract_string(props,'$.k') AS INT)) AS max_k
+         FROM events GROUP BY event_type""",
+    "f_math_funcs" ->
+      """SELECT o_orderstatus,
+         round(avg(ln(1+o_totalprice)),6) AS avg_log1p_price,
+         round(sum(sqrt(abs(o_totalprice))),4) AS sum_sqrt_price
+         FROM orders GROUP BY o_orderstatus""",
+    "f_string_funcs" ->
+      """SELECT n_nationkey, upper(n_name) AS nation_uc,
+         r_name || '/' || n_name AS path,
+         CAST(length(n_name) AS INT) AS name_len
+         FROM nation JOIN region ON n_regionkey = r_regionkey""",
+    "f_na_normalize" ->
+      """SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN o_orderpriority ELSE 'OTHER' END AS prio,
+         count(*) AS n
+         FROM orders GROUP BY 1""")
+}

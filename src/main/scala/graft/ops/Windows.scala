@@ -1,0 +1,244 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Window operators W1-W7 (SURVEY §2.6) plus N50 (A7).
+  *
+  * All windows here partition by a natural key of the fact table
+  * (orderkey / suppkey / user_id). At cluster scale that means exactly one
+  * shuffle on the partition key, then sort-within-partition — and when the
+  * fact table is already bucketed/partitioned by that key the shuffle is
+  * elided entirely (`Exchange` reuse shows in explain). Chained windows
+  * over the SAME partition key (the anvio cascade) reuse one exchange.
+  */
+object Windows {
+
+  /** W1 lag over ordered partition — the read-retention funnel shape
+    * (reference `postgres.Rmd:269-284`: percent_retained =
+    * count/lag(count) per (sample,direction) ordered by read_state).
+    * Here: per-user event-value delta ordered by time. */
+  private def w1Lag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, d, "events")
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select(col("event_id"), col("user_id"),
+        round(col("value") - col("prev_value"), 4).as("delta"))
+  }
+
+  /** W1 applied as the GLAMR read-count funnel (reference
+    * `postgres.Rmd:253-291`): ordered pipeline states, each state's count
+    * divided by the previous state's → percent retained. Events types act
+    * as the ordered `read_state` factor (signup→view→click→purchase),
+    * encoded exactly like the reference's ordered factor: an explicit
+    * rank map (`postgres.Rmd:272-273`). */
+  private def w1Funnel(s: SparkSession, d: String): DataFrame = {
+    val stateRank = when(col("event_type") === "signup", 0)
+      .when(col("event_type") === "view", 1)
+      .when(col("event_type") === "click", 2)
+      .when(col("event_type") === "purchase", 3)
+    val w = Window.orderBy("state_rank")
+    t(s, d, "events")
+      .withColumn("state_rank", stateRank)
+      .filter(col("state_rank").isNotNull)
+      .groupBy("state_rank", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pct_of_prev",
+        round(col("n") * lit(100.0) / lag(col("n"), 1).over(w), 4))
+      .select("state_rank", "event_type", "n", "pct_of_prev")
+  }
+
+  /** W2 grouped argmin/argmax, single winner (reference `slice_min(evalue)`
+    * diamond tophits `postgres.Rmd:351-354`, with_ties=FALSE
+    * `summarize_hmmscan.R:59-62`): deterministic tie-break cascade →
+    * row_number. */
+  private def w2Top1(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+    t(s, d, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_extendedprice"))
+  }
+
+  /** W3 the anvio-heuristic cascade — the reference's most complex single
+    * query (`postgres.Rmd:1420-1432` dplyr → `1455-1532` generated SQL):
+    * rank-with-ties → count-over → sig rescue filter → rank → row_number.
+    * Translated onto lineitem: gene≈(l_orderkey,l_partkey), ko≈line,
+    * score≈l_extendedprice, sig≈(l_returnflag='R').
+    * All five window stages share partition key l_orderkey (or its
+    * superset) → one shuffle, chained sorts. */
+  private def w3AnvioCascade(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "lineitem").filter(col("l_tax") < 0.07)
+    val wGP = Window.partitionBy("l_orderkey", "l_partkey")
+      .orderBy(col("l_extendedprice").desc)
+    val wG = Window.partitionBy("l_orderkey")
+    val wGScore = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_extendedprice").desc)
+    val wGQty = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_quantity").desc, col("l_linenumber").asc)
+    base
+      .withColumn("r1", rank().over(wGP)).filter(col("r1") === 1).drop("r1")
+      .withColumn("n_in_group", count(lit(1)).over(wG))
+      .filter(col("n_in_group") === 1 || col("l_returnflag") === "R")
+      .withColumn("r2", rank().over(wGScore)).filter(col("r2") === 1)
+      .drop("r2")
+      .withColumn("rn", row_number().over(wGQty)).filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        col("l_quantity"))
+  }
+
+  /** W4 grouped argmax with tie-DISCARD (reference `pick_winning_model`
+    * drops reads whose top score is tied, `hmm_summarize.py:125-153`):
+    * max + count-at-max, keep only unique winners. */
+  private def w4TieDiscard(s: SparkSession, d: String): DataFrame = {
+    val wG = Window.partitionBy("l_orderkey")
+    t(s, d, "lineitem")
+      .withColumn("max_qty", max(col("l_quantity")).over(wG))
+      .filter(col("l_quantity") === col("max_qty"))
+      .groupBy("l_orderkey", "max_qty")
+      .agg(count(lit(1)).as("n_at_max"))
+      .filter(col("n_at_max") === 1)
+      .select(col("l_orderkey"), col("max_qty").as("winning_qty"))
+  }
+
+  /** W5 top-score-margin retention (reference keep hits with
+    * score ≥ top×0.9 per gene, `AnnotateContigs.pl:384-396`). */
+  private def w5MarginKeep(s: SparkSession, d: String): DataFrame = {
+    val wG = Window.partitionBy("l_orderkey")
+    t(s, d, "lineitem")
+      .withColumn("max_price", max(col("l_extendedprice")).over(wG))
+      .filter(col("l_extendedprice") >= col("max_price") * 0.9)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+  }
+
+  /** W6 row_number as id over a global ordering (reference bin numbering
+    * `standardize_bins.R:94-97`). Global window = single partition — only
+    * valid on dimension-sized inputs; facts get `zipWithIndex`-style
+    * monotonically_increasing_id instead. */
+  private def w6RowNumberId(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation")
+      .withColumn("nation_id",
+        row_number().over(Window.orderBy(col("n_name").asc)))
+      .select(col("nation_id"), col("n_name"))
+
+  /** W7 cumulative sum (reference N50 prep `AnnotateContigs.pl:594-601`):
+    * running spend per customer over order history. */
+  private def w7Cumsum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "orders")
+      .withColumn("running_spend", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_orderkey"), col("o_custkey"), col("running_spend"))
+  }
+
+  /** A7 N50 — order-dependent aggregate (reference
+    * `AnnotateContigs.pl:594-601`: sort desc, cumsum, first value where
+    * cumsum ≥ total/2). Pure window formulation, no UDAF. */
+  private def a7N50(s: SparkSession, d: String): DataFrame = {
+    val wCum = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_quantity").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("l_suppkey")
+    t(s, d, "lineitem")
+      .withColumn("cum", sum(col("l_quantity")).over(wCum))
+      .withColumn("total", sum(col("l_quantity")).over(wTot))
+      .filter(col("cum") >= col("total") / 2)
+      .groupBy("l_suppkey")
+      .agg(round(max(col("l_quantity")), 2).as("n50"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w1_lag_delta" -> w1Lag _,
+    "w1_funnel" -> w1Funnel _,
+    "w2_top1_per_group" -> w2Top1 _,
+    "w3_anvio_cascade" -> w3AnvioCascade _,
+    "w4_tie_discard" -> w4TieDiscard _,
+    "w5_margin_keep" -> w5MarginKeep _,
+    "w6_row_number_id" -> w6RowNumberId _,
+    "w7_cumsum" -> w7Cumsum _,
+    "a7_n50" -> a7N50 _)
+
+  val oracle: Map[String, String] = Map(
+    "w1_lag_delta" ->
+      """SELECT event_id, user_id,
+         round(value - lag(value) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+         FROM events""",
+    "w1_funnel" ->
+      """WITH staged AS (
+           SELECT CASE event_type WHEN 'signup' THEN 0 WHEN 'view' THEN 1
+             WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 END AS state_rank,
+             event_type
+           FROM events
+           WHERE event_type IN ('signup','view','click','purchase')),
+         counts AS (
+           SELECT state_rank, event_type, count(*) AS n FROM staged
+           GROUP BY state_rank, event_type)
+         SELECT state_rank, event_type, n,
+           round(n * 100.0 / lag(n) OVER (ORDER BY state_rank), 4)
+             AS pct_of_prev
+         FROM counts""",
+    "w2_top1_per_group" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+         FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+           ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+           FROM lineitem) x WHERE rn = 1""",
+    "w3_anvio_cascade" ->
+      """WITH s0 AS (SELECT * FROM lineitem WHERE l_tax < 0.07),
+         s1 AS (SELECT * FROM (SELECT *, rank() OVER
+             (PARTITION BY l_orderkey, l_partkey
+              ORDER BY l_extendedprice DESC) AS r1 FROM s0) a WHERE r1 = 1),
+         s2 AS (SELECT *, count(*) OVER (PARTITION BY l_orderkey)
+             AS n_in_group FROM s1),
+         s3 AS (SELECT * FROM s2
+             WHERE n_in_group = 1 OR l_returnflag = 'R'),
+         s4 AS (SELECT * FROM (SELECT *, rank() OVER
+             (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC) AS r2
+             FROM s3) b WHERE r2 = 1),
+         s5 AS (SELECT * FROM (SELECT *, row_number() OVER
+             (PARTITION BY l_orderkey
+              ORDER BY l_quantity DESC, l_linenumber ASC) AS rn
+             FROM s4) c WHERE rn = 1)
+         SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM s5""",
+    "w4_tie_discard" ->
+      """SELECT l_orderkey, max_qty AS winning_qty
+         FROM (SELECT l_orderkey, max_qty, count(*) AS n_at_max
+           FROM (SELECT l_orderkey, l_quantity,
+             max(l_quantity) OVER (PARTITION BY l_orderkey) AS max_qty
+             FROM lineitem) a
+           WHERE l_quantity = max_qty
+           GROUP BY l_orderkey, max_qty) b
+         WHERE n_at_max = 1""",
+    "w5_margin_keep" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+         FROM (SELECT *, max(l_extendedprice) OVER
+           (PARTITION BY l_orderkey) AS max_price FROM lineitem) x
+         WHERE l_extendedprice >= max_price * 0.9""",
+    "w6_row_number_id" ->
+      """SELECT row_number() OVER (ORDER BY n_name ASC) AS nation_id, n_name
+         FROM nation""",
+    "w7_cumsum" ->
+      """SELECT o_orderkey, o_custkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_spend
+         FROM orders""",
+    "a7_n50" ->
+      """SELECT l_suppkey, round(max(l_quantity),2) AS n50
+         FROM (SELECT l_suppkey, l_quantity,
+           sum(l_quantity) OVER (PARTITION BY l_suppkey
+             ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(l_quantity) OVER (PARTITION BY l_suppkey) AS total
+           FROM lineitem) x
+         WHERE cum >= total / 2
+         GROUP BY l_suppkey""")
+}
