@@ -25,7 +25,11 @@ object SparkEntry {
     ops.Relational.queries ++
       ops.Windows.queries ++
       ops.Pivots.queries ++
-      ops.Abundance.queries
+      ops.Abundance.queries ++
+      tax.Lineage.queries ++
+      text.TextOps.queries ++
+      dedup.Dedup.queries ++
+      sim.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +37,9 @@ object SparkEntry {
     ops.Relational.oracle ++
       ops.Windows.oracle ++
       ops.Pivots.oracle ++
-      ops.Abundance.oracle
+      ops.Abundance.oracle ++
+      tax.Lineage.oracle ++
+      text.TextOps.oracle ++
+      dedup.Dedup.oracle ++
+      sim.Similarity.oracle
 }

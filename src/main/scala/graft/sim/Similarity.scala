@@ -1,0 +1,164 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`): brute-force cosine top-k as the correctness
+  * baseline, and a random-hyperplane LSH-bucketed variant as the scale
+  * path.
+  *
+  * Scale design: brute force is O(queries × corpus) — valid only when
+  * one side is broadcast-small (here: the query set). The LSH variant
+  * buckets the corpus with `tables` independent 4-bit sign-sketches;
+  * the join fans each query out to its buckets only, turning the
+  * cross-join into a bucket-local join. Recall is tuned by
+  * (tables × bitsPerTable); exactness is recovered by re-ranking
+  * candidates with the true cosine. All hyperplanes are generated from
+  * a fixed seed → fully deterministic, resumable, and identical across
+  * executors without shipping state.
+  */
+object Similarity {
+
+  /** Element-wise double-cast (floats widen BEFORE multiply so the
+    * arithmetic matches engines that compute in double). */
+  private def asDouble(a: Column): Column =
+    transform(a, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(asDouble(a), x => x * x),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force cosine top-k: every query against the full corpus.
+    * The query side must be broadcast-small. Ranking uses the cosine
+    * rounded to 6 decimals with vec_id tie-break, so the result is
+    * stable against last-ulp float noise. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb")))
+    val c = corpus.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"))
+    val scored = c.crossJoin(q)
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").as("rank"), col("n_id"),
+        round(col("sim"), 4).as("cos_sim"))
+  }
+
+  /** Deterministic random hyperplanes: `tables` tables × `bits` planes,
+    * each plane a 64-dim gaussian vector from a fixed seed. */
+  def hyperplanes(tables: Int, bits: Int, dim: Int,
+      seed: Long = 42L): Seq[Seq[Array[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)(rng.nextGaussian())))
+  }
+
+  /** Sign-sketch bucket id of an embedding under one table's planes. */
+  private def bucketOf(emb: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, b) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(emb, planeCol) > 0, 1 << b).otherwise(0)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: candidates = corpus vectors sharing ≥1 table
+    * bucket with the query; re-rank candidates by exact cosine. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      tables: Int = 4, bits: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(tables, bits, dim)
+    def withBuckets(df: DataFrame, idName: String,
+        embName: String): DataFrame =
+      df.select(col("vec_id").as(idName), col("embedding").as(embName),
+        posexplode(array(planes.map(p =>
+          bucketOf(col("embedding"), p)): _*)).as(Seq("table", "bucket")))
+    val qb = broadcast(withBuckets(queries, "q_id", "q_emb"))
+    val cb = withBuckets(corpus, "n_id", "n_emb")
+    val cand = cb.join(qb, Seq("table", "bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select("q_id", "q_emb", "n_id", "n_emb").distinct()
+    val scored = cand.withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").as("rank"), col("n_id"),
+        round(col("sim"), 4).as("cos_sim"))
+  }
+
+  // ---- gate queries ----
+
+  private def queriesSide(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").filter(col("vec_id") < 10)
+
+  /** Brute-force cosine top-3 for the first 10 vectors. */
+  private def xAnnBrute(s: SparkSession, d: String): DataFrame =
+    bruteForceTopK(queriesSide(s, d), t(s, d, "embeddings"), 3)
+
+  /** LSH variant (engine-specific hashing of plane seeds → rows-only;
+    * recall vs brute force asserted in ScalaTest). */
+  private def xAnnLsh(s: SparkSession, d: String): DataFrame =
+    lshTopK(queriesSide(s, d), t(s, d, "embeddings"), 3)
+
+  /** kNN label vote: majority label of the 5 nearest neighbors,
+    * ties → smallest label (deterministic). */
+  private def xKnnLabel(s: SparkSession, d: String): DataFrame = {
+    val top5 = bruteForceTopK(queriesSide(s, d), t(s, d, "embeddings"), 5)
+      .join(t(s, d, "embeddings").select(col("vec_id").as("n_id"),
+        col("label")), Seq("n_id"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("votes").desc, col("label").asc)
+    top5.groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_ann_brute" -> xAnnBrute _,
+    "x_ann_lsh" -> xAnnLsh _,
+    "x_knn_label" -> xKnnLabel _)
+
+  val oracle: Map[String, String] = Map(
+    "x_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+           FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.q_id, c.vec_id AS n_id,
+             list_cosine_similarity(q.q_emb, c.embedding) AS sim
+           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.q_id)
+         SELECT q_id, CAST(rn AS INT) AS rank, n_id,
+           round(sim, 4) AS cos_sim
+         FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+           ORDER BY round(sim, 6) DESC, n_id ASC) AS rn FROM scored) x
+         WHERE rn <= 3""",
+    "x_knn_label" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+           FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.q_id, c.vec_id AS n_id, c.label,
+             list_cosine_similarity(q.q_emb, c.embedding) AS sim
+           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+         top5 AS (
+           SELECT q_id, label FROM (SELECT *, row_number() OVER
+             (PARTITION BY q_id ORDER BY round(sim, 6) DESC, n_id ASC)
+             AS rn FROM scored) x WHERE rn <= 5),
+         votes AS (
+           SELECT q_id, label, count(*) AS votes FROM top5
+           GROUP BY q_id, label)
+         SELECT q_id, label AS pred_label, votes
+         FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+           ORDER BY votes DESC, label ASC) AS rn FROM votes) y
+         WHERE rn = 1""")
+}

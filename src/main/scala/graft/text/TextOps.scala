@@ -1,0 +1,134 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language ID, document
+  * fingerprinting. All are pure per-row column expressions — narrow,
+  * codegen'd, no shuffle until the final (optional) aggregate, so at
+  * 100 TB they run at scan speed.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (the BPE-ish regex split family). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Canonical normalization for fingerprinting: lowercase, strip
+    * non-alphanumerics, collapse whitespace. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Deterministic document fingerprint (rolling-hash stand-in: md5 of
+    * the normalized text — stable across engines and partitionings). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Stopword sets per language — tiny profiles for the heuristic
+    * language ID. Public common-word lists. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is", "it", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "les", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不"))
+
+  private val qualityStopwords =
+    Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** tx token stats: token count, distinct-token count, char count. */
+  private def txTokenStats(s: SparkSession, d: String): DataFrame = {
+    val tok = tokens(col("text"))
+    t(s, d, "documents").select(
+      col("doc_id"),
+      size(tok).as("n_tokens"),
+      size(array_distinct(tok)).as("n_distinct_tokens"),
+      length(col("text")).cast("int").as("n_chars"))
+  }
+
+  /** tx quality score: length/stopword/word-shape heuristics (the
+    * C4/Gopher-style quality-signal family). Deterministic closed-form
+    * so it is oracle-checkable. */
+  private def txQuality(s: SparkSession, d: String): DataFrame = {
+    val tok = tokens(col("text"))
+    val nTok = size(tok).cast("double")
+    val stopHits = size(filter(tok,
+      tk => tk.isin(qualityStopwords.map(x => x: Any): _*)))
+    val charsNoWs = length(regexp_replace(col("text"), "\\s+", ""))
+    t(s, d, "documents").select(
+      col("doc_id"),
+      size(tok).as("n_tokens"),
+      round(stopHits / nTok, 4).as("stop_ratio"),
+      round(charsNoWs / nTok, 4).as("avg_word_len"),
+      round(least(lit(1.0), nTok / 100.0) * (lit(1.0) - stopHits / nTok), 4)
+        .as("quality"))
+  }
+
+  /** tx language ID: score each language's stopword profile against the
+    * document's tokens, argmax with alphabetical tie-break. Heuristic →
+    * no SQL oracle; golden-tested on hand-built texts. */
+  private def txLangid(s: SparkSession, d: String): DataFrame = {
+    val tok = tokens(lower(col("text")))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(filter(tok, tk => tk.isin(words.map(x => x: Any): _*)))
+          .as("hits"),
+        lit(lang).as("lang"))
+    }
+    // greatest() on structs orders by (hits, lang); alphabetical
+    // DEscending would win ties by last lang, so invert: take max hits,
+    // then first lang attaining it via array sort.
+    val arr = array(scored: _*)
+    val maxHits = array_max(transform(arr, st => st.getField("hits")))
+    val winner = array_min(transform(
+      filter(arr, st => st.getField("hits") === maxHits),
+      st => st.getField("lang")))
+    t(s, d, "documents").select(
+      col("doc_id"), winner.as("lang_pred"), maxHits.as("profile_hits"))
+  }
+
+  /** tx fingerprint: normalized-text digest per document. */
+  private def txFingerprint(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_token_stats" -> txTokenStats _,
+    "tx_quality" -> txQuality _,
+    "tx_langid" -> txLangid _,
+    "tx_fingerprint" -> txFingerprint _)
+
+  val oracle: Map[String, String] = Map(
+    "tx_token_stats" ->
+      """SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+           AS n_tokens,
+         CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+           AS INT) AS n_distinct_tokens,
+         CAST(length(text) AS INT) AS n_chars
+         FROM documents""",
+    "tx_quality" ->
+      """WITH toks AS (
+           SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS tok
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(tok) AS INT) AS n_tokens,
+           round(len(list_filter(tok, x -> x IN
+             ('the','a','of','and','in','to','is'))) * 1.0 / len(tok), 4)
+             AS stop_ratio,
+           round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 /
+             len(tok), 4) AS avg_word_len,
+           round(least(1.0, len(tok) / 100.0) *
+             (1.0 - len(list_filter(tok, x -> x IN
+               ('the','a','of','and','in','to','is'))) * 1.0 / len(tok)),
+             4) AS quality
+         FROM toks""",
+    "tx_fingerprint" ->
+      """SELECT doc_id,
+         md5(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+           '\s+', ' ', 'g'))) AS fp
+         FROM documents""")
+}
