@@ -29,7 +29,10 @@ object SparkEntry {
       tax.Lineage.queries ++
       text.TextOps.queries ++
       dedup.Dedup.queries ++
-      sim.Similarity.queries
+      sim.Similarity.queries ++
+      io.SourceQueries.queries ++
+      streaming.Streams.queries ++
+      multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +44,8 @@ object SparkEntry {
       tax.Lineage.oracle ++
       text.TextOps.oracle ++
       dedup.Dedup.oracle ++
-      sim.Similarity.oracle
+      sim.Similarity.oracle ++
+      io.SourceQueries.oracle ++
+      streaming.Streams.oracle ++
+      multimodal.Multimodal.oracle
 }

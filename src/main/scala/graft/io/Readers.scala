@@ -1,0 +1,181 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source readers S1-S15 (SURVEY §2.1) — the ~15 tabular/semistructured
+  * formats the reference's loaders parse.
+  *
+  * Text-record formats (FASTA/FASTQ/tblout) are implemented as
+  * column-expression parsers over `Dataset[String]` lines wherever the
+  * record is line-delimited, falling back to RDD zipWithIndex only for
+  * FASTQ's positional 4-line records (the documented mapPartitions-last
+  * resort, SURVEY §2.10). All parsers work identically on
+  * `spark.read.textFile(path)` input (distributed) and on embedded
+  * fixture datasets (tests / gate queries).
+  */
+object Readers {
+
+  // ---- S1: schema'd TSV (the reference's read_tsv(col_names=...)) ----
+
+  def tsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = false, comment: Char = '#'): DataFrame =
+    spark.read
+      .option("sep", "\t")
+      .option("header", header.toString)
+      .option("comment", comment.toString) // S4/S5 comment-skip
+      .schema(schema)
+      .csv(path)
+
+  /** blast-m8 13-column schema (reference `postgres.Rmd:309-313`). */
+  val m8Schema: StructType = StructType(Seq(
+    StructField("qseqid", StringType), StructField("qlen", IntegerType),
+    StructField("sseqid", StringType), StructField("slen", IntegerType),
+    StructField("qstart", IntegerType), StructField("qend", IntegerType),
+    StructField("sstart", IntegerType), StructField("send", IntegerType),
+    StructField("evalue", DoubleType), StructField("pident", FloatType),
+    StructField("mismatch", IntegerType),
+    StructField("qcovhsp", FloatType), StructField("scovhsp", FloatType)))
+
+  /** Parse m8 lines (tab-separated, no header) from any string Dataset. */
+  def parseM8(lines: Dataset[String]): DataFrame = {
+    val cols = m8Schema.fields.zipWithIndex.map { case (f, i) =>
+      element_at(split(col("value"), "\t"), i + 1)
+        .cast(f.dataType).as(f.name)
+    }
+    lines.toDF("value").filter(length(trim(col("value"))) > 0)
+      .select(cols.toSeq: _*)
+  }
+
+  /** mmseqs tophit report 9 cols (reference `postgres.Rmd:386-391`). */
+  val tophitSchema: StructType = StructType(Seq(
+    StructField("target", StringType),
+    StructField("num_seqs_aligned", IntegerType),
+    StructField("unique_coverage_of_target", DoubleType),
+    StructField("target_coverage", DoubleType),
+    StructField("average_seq_identity", DoubleType),
+    StructField("taxonomy", IntegerType),
+    StructField("rank", StringType),
+    StructField("tax_name", StringType),
+    StructField("lineage", StringType)))
+
+  // ---- S6: whitespace-aligned HMMER tblout ----
+
+  /** nhmmscan tblout field names (positional; reference
+    * `pypelib/amplicon/alignment.py:103-113`). The final `description`
+    * field is the line remainder (multi-word), exactly the Python
+    * split-N semantics SURVEY §7.4 picks over the R fixed-column
+    * variant. */
+  private val tbloutFields = Seq(
+    "target_name", "target_accession", "query_name", "query_accession",
+    "hmmfrom", "hmm_to", "alifrom", "ali_to", "envfrom", "env_to",
+    "sq_len", "strand", "evalue", "score", "bias")
+
+  def parseTblout(lines: Dataset[String]): DataFrame = {
+    val nFixed = tbloutFields.length
+    val parts = split(trim(col("value")), "\\s+", nFixed + 1)
+    val typed = tbloutFields.zipWithIndex.map { case (name, i) =>
+      val c = element_at(parts, i + 1)
+      name match {
+        case "hmmfrom" | "hmm_to" | "alifrom" | "ali_to" | "envfrom" |
+            "env_to" | "sq_len" => c.cast("int").as(name)
+        case "evalue" | "score" | "bias" => c.cast("double").as(name)
+        case _ => c.as(name)
+      }
+    } :+ element_at(parts, nFixed + 1).as("description")
+    lines.toDF("value")
+      .filter(!col("value").startsWith("#") &&
+        length(trim(col("value"))) > 0)
+      .select(typed: _*)
+  }
+
+  // ---- S11: FASTA ----
+
+  /** GC% of a sequence (reference `AnnotateContigs.pl:235-239`):
+    * G+C over sequence length, case-insensitive. */
+  def gcPct(seq: Column): Column =
+    round(length(regexp_replace(upper(seq), "[^GC]", ""))
+      .cast("double") * 100.0 / length(seq), 4)
+
+  /** Parse FASTA from whole-file text: records split on `>`, header =
+    * first line (id + optional description), sequence = remaining lines
+    * joined. Works on `spark.read.option("wholetext", true).text(dir)`
+    * — one task per file, which is the right parallelism for the
+    * reference's many-small-FASTA layout (per-sample files). */
+  def parseFastaText(fileText: Dataset[String]): DataFrame = {
+    fileText.toDF("value")
+      .select(explode(split(col("value"), "(?m)^>|\n>")).as("rec"))
+      .filter(length(trim(col("rec"))) > 0)
+      .select(
+        regexp_extract(col("rec"), "^(\\S+)", 1).as("id"),
+        trim(regexp_extract(col("rec"), "^\\S+[ \t]*([^\n]*)", 1))
+          .as("desc"),
+        regexp_replace(
+          regexp_replace(col("rec"), "^[^\n]*\n?", ""), "\\s", "")
+          .as("seq"))
+      .filter(length(col("seq")) > 0)
+      .withColumn("length", length(col("seq")).cast("int"))
+      .withColumn("gc_pct", gcPct(col("seq")))
+  }
+
+  def readFasta(spark: SparkSession, path: String): DataFrame =
+    parseFastaText(
+      spark.read.option("wholetext", "true").textFile(path))
+
+  // ---- S12: FASTQ (4-line records) ----
+
+  /** FASTQ via RDD zipWithIndex — the one genuinely positional format
+    * ('@' can open quality lines, so no delimiter split is safe). The
+    * global index groups lines into records of 4; this is the
+    * mapPartitions last-resort case of SURVEY §2.10. */
+  def parseFastq(lines: Dataset[String]): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.rdd.zipWithIndex()
+      .map { case (line, idx) => (idx / 4, idx % 4, line) }
+      .toDF("rec", "pos", "line")
+      .groupBy("rec")
+      .agg(
+        max(when(col("pos") === 0,
+          regexp_replace(col("line"), "^@", ""))).as("id"),
+        max(when(col("pos") === 1, col("line"))).as("seq"),
+        max(when(col("pos") === 3, col("line"))).as("qual"))
+      .withColumn("length", length(col("seq")).cast("int"))
+      .drop("rec")
+  }
+
+  /** Interleave-structure validation (reference
+    * `pypelib/raw_reads.py:271-338`): consecutive records must pair as
+    * (x/1, x/2) or identical ids. Returns offending record pairs. */
+  def checkInterleave(fastq: DataFrame): DataFrame = {
+    val base = fastq.withColumn("base_id",
+      regexp_replace(col("id"), "/[12]$", ""))
+      .withColumn("rec_idx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(monotonically_increasing_id())) - 1)
+    val pairs = base.withColumn("pair_idx", col("rec_idx") / 2)
+    pairs.groupBy((col("rec_idx") / 2).cast("long").as("pair"))
+      .agg(countDistinct("base_id").as("n_ids"),
+        count(lit(1)).as("n_reads"))
+      .filter(col("n_ids") =!= 1 || col("n_reads") =!= 2)
+  }
+
+  // ---- S15: filesystem catalog as a table ----
+
+  /** File listing → DataFrame (reference `Sys.glob + unglue_data`
+    * `postgres.Rmd:240-243`): driver-side listing (it is control
+    * metadata, bounded by file count), table name recovered from the
+    * path by regex exactly like unglue. */
+  def fileCatalog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.isFile).map(_.getName).toSeq.sorted
+    files.toDF("file_name")
+      .select(
+        col("file_name"),
+        regexp_extract(col("file_name"), "^(.+)\\.parquet$", 1)
+          .as("table_name"),
+        col("file_name").endsWith(".parquet").as("is_parquet"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gate queries for the source readers (SURVEY §2.1). The driver's
+  * sfDir holds only parquet, so the text-format readers run over the
+  * embedded fixtures — the parse logic is identical to reading
+  * `spark.read.textFile(path)`. No SQL oracle (DuckDB has no
+  * FASTA/tblout reader) → rows-only check + ScalaTest goldens. */
+object SourceQueries {
+
+  private def lines(s: SparkSession, text: String): Dataset[String] = {
+    import s.implicits._
+    s.createDataset(text.split("\n").toSeq)
+  }
+
+  private def whole(s: SparkSession, text: String): Dataset[String] = {
+    import s.implicits._
+    s.createDataset(Seq(text))
+  }
+
+  /** S6: HMMER tblout parse (comment skip + split-N + multiword
+    * description). */
+  private def s6Tblout(s: SparkSession, d: String): DataFrame =
+    Readers.parseTblout(lines(s, Fixtures.tblout))
+
+  /** S11: FASTA parse with length + GC%. */
+  private def s11Fasta(s: SparkSession, d: String): DataFrame =
+    Readers.parseFastaText(whole(s, Fixtures.fasta))
+
+  /** S12: FASTQ 4-line record parse. */
+  private def s12Fastq(s: SparkSession, d: String): DataFrame =
+    Readers.parseFastq(lines(s, Fixtures.fastq))
+
+  /** S1+W2 composed: blast-m8 ingest then diamond tophit selection
+    * (reference `postgres.Rmd:297-354`: read m8, `slice_min(evalue)`
+    * per gene with deterministic tie-break). */
+  private def s1M8Tophit(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("qseqid")
+      .orderBy(col("evalue").asc, col("sseqid").asc)
+    Readers.parseM8(lines(s, Fixtures.m8))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("qseqid", "sseqid", "evalue", "pident")
+  }
+
+  /** S15: filesystem catalog of the sfDir as a table. */
+  private def s15Catalog(s: SparkSession, d: String): DataFrame =
+    Readers.fileCatalog(s, d).filter(col("is_parquet"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s6_tblout_parse" -> s6Tblout _,
+    "s11_fasta_parse" -> s11Fasta _,
+    "s12_fastq_parse" -> s12Fastq _,
+    "s1_m8_tophit" -> s1M8Tophit _,
+    "s15_file_catalog" -> s15Catalog _)
+
+  val oracle: Map[String, String] = Map.empty
+}

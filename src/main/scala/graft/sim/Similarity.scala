@@ -75,9 +75,13 @@ object Similarity {
     }.reduce(_ + _)
 
   /** LSH-bucketed ANN: candidates = corpus vectors sharing ≥1 table
-    * bucket with the query; re-rank candidates by exact cosine. */
+    * bucket with the query; re-rank candidates by exact cosine.
+    * A pair colliding in several tables is scored per collision and
+    * collapsed with max() afterwards — cheaper than deduplicating on
+    * the embedding arrays before scoring (the 64-flop cosine is far
+    * lighter than a shuffle keyed by a 64-float array). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      tables: Int = 4, bits: Int = 4, dim: Int = 64): DataFrame = {
+      tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(tables, bits, dim)
     def withBuckets(df: DataFrame, idName: String,
         embName: String): DataFrame =
@@ -86,10 +90,10 @@ object Similarity {
           bucketOf(col("embedding"), p)): _*)).as(Seq("table", "bucket")))
     val qb = broadcast(withBuckets(queries, "q_id", "q_emb"))
     val cb = withBuckets(corpus, "n_id", "n_emb")
-    val cand = cb.join(qb, Seq("table", "bucket"))
+    val scored = cb.join(qb, Seq("table", "bucket"))
       .filter(col("n_id") =!= col("q_id"))
-      .select("q_id", "q_emb", "n_id", "n_emb").distinct()
-    val scored = cand.withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .groupBy("q_id", "n_id").agg(max(col("sim")).as("sim"))
     val w = Window.partitionBy("q_id")
       .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
     scored.withColumn("rn", row_number().over(w))

@@ -1,0 +1,90 @@
+package graft.dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Dedup operators against planted duplicates — the fixtures the
+  * synthetic documents table lacks (its 500 texts are all distinct). */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest to find food and water for the night"
+
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base), // exact dup of 0
+    (2L, base.replace("quick", "QUICK") + "  "), // fingerprint dup
+    (3L, base.replace("brown fox", "red wolf")), // near-dup
+    (4L, "completely different text about spark query engines and " +
+      "distributed columnar execution with whole stage codegen"),
+    (5L, "yet another unrelated document mentioning minhash lsh bands " +
+      "and jaccard similarity estimation at scale")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
+    assert(out.count() == 5)
+    assert(out.filter(col("n") === 2).select("keep")
+      .as[Long].head() == 0L)
+  }
+
+  test("fingerprint dedup catches case/whitespace variants") {
+    val out = docs.groupBy(
+      graft.text.TextOps.fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n"))
+    // 0,1,2 collapse; 3,4,5 distinct
+    assert(out.count() == 4)
+    assert(out.filter(col("n") === 3).count() == 1)
+  }
+
+  test("minhash LSH finds the planted near-dup pair, skips unrelated") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_jaccard")))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L))) // exact dup: all bands collide
+    assert(keys.contains((0L, 2L)) || keys.contains((1L, 2L)))
+    // near-dup 3 should surface against one of 0/1/2
+    assert(keys.exists(p => p._2 == 3L))
+    // unrelated docs never pair with the base cluster
+    assert(!keys.exists(p => (p._1 <= 3L) && (p._2 >= 4L)))
+    // exact dup estimated jaccard = 1
+    assert(pairs.find(p => (p._1, p._2) == ((0L, 1L))).get._3 == 1.0)
+  }
+
+  private def hamming(a: Long, b: Long): Int =
+    java.lang.Long.bitCount(a ^ b)
+
+  test("simhash: near-dups within small hamming distance, " +
+    "unrelated docs far") {
+    val sh = docs.select(col("doc_id"),
+      Dedup.simhash(graft.text.TextOps.tokens(lower(col("text"))))
+        .as("sh")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sh")).toMap
+    assert(sh(0L) == sh(1L))
+    assert(hamming(sh(0L), sh(3L)) <= 16)
+    assert(hamming(sh(0L), sh(4L)) > 16)
+  }
+
+  test("ngram jaccard: dup pair ≈ 1, near-dup high, unrelated ≈ 0") {
+    val grams = docs.select(col("doc_id"),
+      Dedup.tokenNgrams(graft.text.TextOps.tokens(lower(col("text"))), 3)
+        .as("g"))
+    val a = grams.select(col("doc_id").as("ia"), col("g").as("ga"))
+    val b = grams.select(col("doc_id").as("ib"), col("g").as("gb"))
+    val j = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        Dedup.jaccard(col("ga"), col("gb")).as("j"))
+      .collect()
+      .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib")) ->
+        r.getAs[Double]("j")).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((0L, 3L)) > 0.5)
+    assert(j((0L, 4L)) == 0.0)
+  }
+}

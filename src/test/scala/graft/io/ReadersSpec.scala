@@ -1,0 +1,82 @@
+package graft.io
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Golden tests for the text-format readers over the embedded fixtures
+  * (FIXTURES.md F2/F10/F11) — hand-computed expected values. */
+class ReadersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("FASTA: 5 records, wrapped+lowercase sequences, GC% correct") {
+    val out = Readers.parseFastaText(
+      spark.createDataset(Seq(Fixtures.fasta)))
+    val rows = out.orderBy("id").collect()
+    assert(rows.length == 5)
+    val byId = rows.map(r => r.getAs[String]("id") ->
+      (r.getAs[String]("seq"), r.getAs[Int]("length"),
+        r.getAs[Double]("gc_pct"))).toMap
+    // ACGTACGTGGCC: 8 G/C of 12 → 66.6667
+    assert(byId("k141_1") == (("ACGTACGTGGCC", 12, 66.6667)))
+    // wrapped + lowercase: acgtacgt (4 GC) + GGCCGGCC (8) → 12/16 = 75
+    assert(byId("k141_2")._2 == 16)
+    assert(byId("k141_2")._3 == 75.0)
+    assert(byId("NODE_2_length_8_cov_1.0") == (("GGGGCCCC", 8, 100.0)))
+    assert(byId("plain_contig")._3 == 0.0)
+    // description preserved (megahit header fields)
+    val desc = rows.find(_.getAs[String]("id") == "k141_1").get
+      .getAs[String]("desc")
+    assert(desc == "flag=1 multi=2.0000 len=12")
+  }
+
+  test("FASTQ: 4 records incl. quality line starting with '@'") {
+    val out = Readers.parseFastq(
+      spark.createDataset(Fixtures.fastq.split("\n").toSeq))
+    val rows = out.orderBy("id").collect()
+    assert(rows.length == 4)
+    val r12 = rows.find(_.getAs[String]("id") == "TEST1/2").get
+    assert(r12.getAs[String]("seq") == "TGCATGCA")
+    assert(r12.getAs[String]("qual") == "@IIIIIII")
+    assert(r12.getAs[Int]("length") == 8)
+  }
+
+  test("tblout: comments skipped, types cast, multiword description") {
+    val out = Readers.parseTblout(
+      spark.createDataset(Fixtures.tblout.split("\n").toSeq))
+    assert(out.count() == 6)
+    val r1 = out.filter(col("target_name") === "16S_rRNA" &&
+      col("query_name") === "read_001").head
+    assert(r1.getAs[Int]("hmmfrom") == 1)
+    assert(r1.getAs[Int]("hmm_to") == 120)
+    assert(r1.getAs[String]("strand") == "+")
+    assert(math.abs(r1.getAs[Double]("score") - 95.5) < 1e-9)
+    assert(r1.getAs[String]("description") == "best hit forward")
+    assert(out.filter(col("strand") === "-").count() == 1)
+  }
+
+  test("m8 tophit: best e-value wins, tie broken by sseqid") {
+    val out = graft.SparkEntry.queries("s1_m8_tophit")(spark, "")
+      .collect().map(r => r.getAs[String]("qseqid") ->
+        r.getAs[String]("sseqid")).toMap
+    assert(out == Map(
+      "gene_1" -> "UniRef100_A1",
+      "gene_2" -> "UniRef100_B1", // tie 2.0e-30: B1 < B2
+      "gene_3" -> "UniRef100_C1"))
+  }
+
+  test("fastq interleave checker flags broken pairs") {
+    val broken = Fixtures.fastq.split("\n").toSeq ++ Seq(
+      "@TEST3/1", "ACGT", "+", "IIII",
+      "@TEST4/2", "TGCA", "+", "IIII") // mismatched pair
+    val fq = Readers.parseFastq(spark.createDataset(broken))
+    assert(Readers.checkInterleave(fq).count() == 1)
+  }
+
+  test("file catalog recovers table names from paths") {
+    val cat = Readers.fileCatalog(spark, TestSpark.sf0001)
+    assert(cat.filter(col("is_parquet")).count() == 10)
+    assert(cat.filter(col("table_name") === "lineitem").count() == 1)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.sim
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.Tables.t
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine on hand vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 0.0f), Array(1.0f, 1.0f), 1.0 / math.sqrt(2)),
+      (Array(1.0f, 2.0f), Array(-1.0f, -2.0f), -1.0)
+    ).toDF("a", "b", "want")
+    val bad = df.select(
+      abs(Similarity.cosine(col("a"), col("b")) - col("want")).as("err"))
+      .filter(col("err") > 1e-12).count()
+    assert(bad == 0)
+  }
+
+  test("brute-force top-k is symmetric-sane and self-excluded") {
+    val out = graft.SparkEntry.queries("x_ann_brute")(
+      spark, TestSpark.sf0001)
+    val rows = out.collect()
+    assert(rows.length == 30) // 10 queries × 3
+    assert(!rows.exists(r =>
+      r.getAs[Long]("q_id") == r.getAs[Long]("n_id")))
+    // ranks are 1..3 per query
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.forall(_._2.map(_.getAs[Int]("rank")).sorted.toSeq ==
+      Seq(1, 2, 3)))
+  }
+
+  test("LSH recall@3 vs brute force ≥ 0.5 on sf0.001") {
+    val brute = graft.SparkEntry.queries("x_ann_brute")(
+      spark, TestSpark.sf0001)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val lsh = graft.SparkEntry.queries("x_ann_lsh")(
+      spark, TestSpark.sf0001)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall@3 too low: $recall")
+  }
+
+  test("kNN vote label comes from the embedding table's label domain") {
+    val labels = t(spark, TestSpark.sf0001, "embeddings")
+      .select("label").distinct().as[Int].collect().toSet
+    val preds = graft.SparkEntry.queries("x_knn_label")(
+      spark, TestSpark.sf0001)
+      .select("pred_label").as[Int].collect()
+    assert(preds.forall(labels.contains))
+  }
+}
