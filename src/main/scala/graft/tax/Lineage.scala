@@ -28,11 +28,17 @@ object Lineage {
       concat(lit("sz"), col("p_size")))
 
   /** All ancestor prefixes of a `;`-lineage, shallowest first:
-    * "a;b;c" → ["a", "a;b", "a;b;c"]. */
+    * "a;b;c" → ["a", "a;b", "a;b;c"]. Prefer `prefixesOfParts` over a
+    * materialized split column in hot paths — this convenience form
+    * re-splits per prefix. */
   def ancestorPrefixes(lineage: Column): Column =
+    prefixesOfParts(split(lineage, ";"))
+
+  /** Prefix list from an already-split token array column. */
+  def prefixesOfParts(parts: Column): Column =
     transform(
-      sequence(lit(1), size(split(lineage, ";"))),
-      i => array_join(slice(split(lineage, ";"), lit(1), i), ";"))
+      sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, lit(1), i), ";"))
 
   /** T1 lineage split to rank columns (reference
     * `separate(taxonomy, Domain…Species, ";")` `merge_kraken_tax.R:36-51`). */
@@ -67,8 +73,9 @@ object Lineage {
         col("l_partkey") === col("p_partkey"))
       .select(col("lineage"), col("l_quantity"))
     facts
+      .withColumn("parts", split(col("lineage"), ";"))
       .select(col("l_quantity"), col("lineage"),
-        posexplode(ancestorPrefixes(col("lineage")))
+        posexplode(prefixesOfParts(col("parts")))
           .as(Seq("depth", "node")))
       .groupBy("node")
       .agg(
