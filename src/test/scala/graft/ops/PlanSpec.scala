@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Physical-plan quality gates (SURVEY §4): these are the properties
+  * that make the engine viable at 100 TB, asserted so a refactor that
+  * silently loses pushdown/broadcast/pruning fails CI, not production.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sf001
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, d)
+      .queryExecution.executedPlan.toString
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("predicate pushdown reaches the parquet scan") {
+    val p = plan("f_filter_pushdown")
+    // (the PushedFilters list is elided with "..." in toString — assert
+    // on the visible prefix)
+    assert(p.contains("PushedFilters: [IsNotNull(l_discount)"),
+      p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_discount"))
+  }
+
+  test("column pruning: a1 scan reads only the 6 needed lineitem cols") {
+    val p = plan("a1_grouped_sum")
+    assert(!p.contains("l_partkey"))
+    assert(!p.contains("l_suppkey"))
+    assert(p.contains("l_returnflag"))
+  }
+
+  test("dimension joins are broadcast-hash, not shuffle") {
+    assert(plan("j1_left_join").contains("BroadcastHashJoin"))
+    val star = plan("j2_star_join")
+    // customer/nation/region all broadcast; only lineitem⨝orders may
+    // shuffle.
+    assert(countOf(star, "BroadcastHashJoin") >= 3)
+  }
+
+  test("semi/anti joins planned as such") {
+    assert(plan("j4_semi_join").contains("LeftSemi"))
+    assert(plan("j5_anti_join").contains("LeftAnti"))
+  }
+
+  test("tpm pipeline: ≤2 hash-partition shuffles + broadcast dim") {
+    val p = plan("g_tpm")
+    assert(p.contains("BroadcastExchange"), "part dim must broadcast")
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      s"unexpected extra shuffles:\n${p.take(3000)}")
+  }
+
+  test("whole-stage codegen covers the scan→aggregate path") {
+    // Under AQE the unexecuted adaptive plan reports no codegen
+    // subtrees — toggle AQE off for the inspection only.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cg = graft.SparkEntry.queries("a1_grouped_sum")(spark, d)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.CodegenMode)
+      assert(cg.contains("WholeStageCodegen subtrees"), cg.take(500))
+      assert(!cg.contains("Found 0 WholeStageCodegen"), cg.take(500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("anvio cascade reuses one partitioning for its window stack") {
+    // All five window stages partition by l_orderkey (or a superset
+    // that starts with it) — at most 2 hash shuffles may appear
+    // (orderkey+partkey stage, then orderkey stages).
+    val p = plan("w3_anvio_cascade")
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      s"window stack re-shuffles:\n${p.take(3000)}")
+  }
+}
