@@ -57,6 +57,14 @@ object Fixtures {
       |18S_rRNA             RF01960    read_004             -                1    100       1    100       1    100     100      +   1.0e-20   70.0   0.0  tied top score b
       |""".stripMargin
 
+  /** F12: runinfo JSON (reference `Snakefile:166-183`,
+    * `raw_reads.py:101-133`) — one JSON object per line, PAIRED and
+    * SINGLE layouts plus a row with a missing optional field. */
+  val runinfoJson: Seq[String] = Seq(
+    """{"run": "SRR000001", "library_layout": "PAIRED", "spots": 1500, "bases": 450000}""",
+    """{"run": "SRR000002", "library_layout": "SINGLE", "spots": 800, "bases": 120000}""",
+    """{"run": "SRR000003", "library_layout": "PAIRED", "spots": 2000}""")
+
   /** F2: blast-m8 13-col — tied e-values, margin-straddling scores,
     * single- vs multi-lineage genes. */
   val m8: String = Seq(

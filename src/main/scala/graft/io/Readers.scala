@@ -38,11 +38,12 @@ object Readers {
     StructField("mismatch", IntegerType),
     StructField("qcovhsp", FloatType), StructField("scovhsp", FloatType)))
 
-  /** Parse m8 lines (tab-separated, no header) from any string Dataset. */
+  /** Parse m8 lines (tab-separated, no header) from any string Dataset.
+    * try-variants keep malformed lines as nulls under ANSI mode. */
   def parseM8(lines: Dataset[String]): DataFrame = {
     val cols = m8Schema.fields.zipWithIndex.map { case (f, i) =>
-      element_at(split(col("value"), "\t"), i + 1)
-        .cast(f.dataType).as(f.name)
+      try_element_at(split(col("value"), "\t"), lit(i + 1))
+        .try_cast(f.dataType.sql).as(f.name)
     }
     lines.toDF("value").filter(length(trim(col("value"))) > 0)
       .select(cols.toSeq: _*)
@@ -75,15 +76,17 @@ object Readers {
   def parseTblout(lines: Dataset[String]): DataFrame = {
     val nFixed = tbloutFields.length
     val parts = split(trim(col("value")), "\\s+", nFixed + 1)
+    // try_element_at + try-casts: under Spark 4's ANSI mode a short or
+    // malformed line must yield nulls, not abort a 100 TB ingest job.
     val typed = tbloutFields.zipWithIndex.map { case (name, i) =>
-      val c = element_at(parts, i + 1)
+      val c = try_element_at(parts, lit(i + 1))
       name match {
         case "hmmfrom" | "hmm_to" | "alifrom" | "ali_to" | "envfrom" |
-            "env_to" | "sq_len" => c.cast("int").as(name)
-        case "evalue" | "score" | "bias" => c.cast("double").as(name)
+            "env_to" | "sq_len" => c.try_cast("int").as(name)
+        case "evalue" | "score" | "bias" => c.try_cast("double").as(name)
         case _ => c.as(name)
       }
-    } :+ element_at(parts, nFixed + 1).as("description")
+    } :+ try_element_at(parts, lit(nFixed + 1)).as("description")
     lines.toDF("value")
       .filter(!col("value").startsWith("#") &&
         length(trim(col("value"))) > 0)

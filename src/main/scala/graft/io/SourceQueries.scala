@@ -50,12 +50,35 @@ object SourceQueries {
   private def s15Catalog(s: SparkSession, d: String): DataFrame =
     Readers.fileCatalog(s, d).filter(col("is_parquet"))
 
+  /** S8: JSON ingest (runinfo; layout PAIRED/SINGLE detection feeds the
+    * reference's dynamic fan-out, `Snakefile:150-164`). */
+  private def s8Json(s: SparkSession, d: String): DataFrame =
+    s.read.json(lines(s, Fixtures.runinfoJson.mkString("\n")))
+      .select(col("run"), col("library_layout"),
+        col("spots").cast("long").as("spots"),
+        col("bases").cast("long").as("bases"),
+        (col("library_layout") === "PAIRED").as("is_paired"))
+
+  /** J9: file-existence as a join (reference `is_cluster_rep =
+    * fs::file_exists(...)` `postgres.Rmd:1027`): expected table list ⟕
+    * the filesystem catalog → presence flag. */
+  private def j9FileJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val expected = graft.Tables.names.toDF("table_name")
+    expected.join(
+        Readers.fileCatalog(s, d).filter(col("is_parquet")),
+        Seq("table_name"), "left")
+      .select(col("table_name"), col("file_name").isNotNull.as("present"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s6_tblout_parse" -> s6Tblout _,
     "s11_fasta_parse" -> s11Fasta _,
     "s12_fastq_parse" -> s12Fastq _,
     "s1_m8_tophit" -> s1M8Tophit _,
-    "s15_file_catalog" -> s15Catalog _)
+    "s15_file_catalog" -> s15Catalog _,
+    "s8_json_parse" -> s8Json _,
+    "j9_file_exists_join" -> j9FileJoin _)
 
   val oracle: Map[String, String] = Map.empty
 }

@@ -1,0 +1,79 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sinks K1-K9 (SURVEY §2.2) — the reference's output surface.
+  *
+  * Scale notes: TSV/FASTA sinks take a `singleFile` flag because the
+  * reference writes one file per table/sample (`write_tsv`); at cluster
+  * scale you keep the default (one file per partition) and let the
+  * consumer glob. Parquet appends are partitioned by the sample-like
+  * key so per-key reads prune; "materialized view with unique index"
+  * becomes materialize + a groupBy uniqueness assertion (Spark has no
+  * secondary indexes to maintain — SURVEY §4 K6).
+  */
+object Writers {
+
+  /** K1: TSV out (reference `write_tsv` everywhere). */
+  def writeTsv(df: DataFrame, path: String,
+      singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode(SaveMode.Overwrite)
+      .option("sep", "\t").option("header", "true").csv(path)
+  }
+
+  /** K2: append with first-load schema (reference
+    * `dbWriteTable(append=TRUE)` idiom). */
+  def appendTable(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  /** K3: overwrite dimension table. */
+  def overwriteTable(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** K4: view (reference `CREATE VIEW bin_summary`). */
+  def createView(df: DataFrame, name: String): Unit =
+    df.createOrReplaceTempView(name)
+
+  /** K5: materialized view + unique-index semantics (reference
+    * `postgres.Rmd:1455-1547`): materialize to parquet, then assert key
+    * uniqueness the way the unique index would have. Throws on
+    * violation, returns the row count otherwise. */
+  def materializeUnique(df: DataFrame, path: String,
+      keyCols: Seq[String]): Long = {
+    overwriteTable(df, path)
+    val back = df.sparkSession.read.parquet(path)
+    val dupes = back.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    require(dupes == 0,
+      s"unique constraint on (${keyCols.mkString(",")}) violated: " +
+        s"$dupes duplicate keys")
+    back.count()
+  }
+
+  /** K7: FASTA out (reference `AnnotateContigs.pl:587-593`). Expects
+    * (id, seq) columns. */
+  def writeFasta(df: DataFrame, path: String,
+      singleFile: Boolean = false): Unit = {
+    val rec = df.select(
+      concat(lit(">"), col("id"), lit("\n"), col("seq")).as("value"))
+    val out = if (singleFile) rec.coalesce(1) else rec
+    out.write.mode(SaveMode.Overwrite).text(path)
+  }
+
+  /** K8: JSON out. */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** K9 + P4: per-group split into many outputs (reference per-sample
+    * TPM exports `write_TPM_files.R:39-51`) — partitioned write, one
+    * directory per key value. */
+  def writePartitioned(df: DataFrame, path: String,
+      keys: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(path)
+}

@@ -244,7 +244,30 @@ object Relational {
       .na.fill(Map("prio" -> "OTHER"))
       .groupBy("prio").agg(count(lit(1)).as("n"))
 
+  /** §2.9 multi-format date-parse cascade (reference `ym → ymd →
+    * ymd_hms → ymd_hm` fallback `postgres.Rmd:74-82`): three date
+    * renderings keyed off the orderkey, recovered with a try_to_date
+    * coalesce. ANSI mode is on in Spark 4, so try_* variants (not
+    * bare to_date) are the scale-safe form — malformed rows yield
+    * null, not a job abort. */
+  private def dateParseMulti(s: SparkSession, d: String): DataFrame = {
+    val m = pmod(col("o_orderkey"), lit(3))
+    val fmted = t(s, d, "orders").withColumn("ds",
+      when(m === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .when(m === 1, date_format(col("o_orderdate"), "MM/dd/yyyy"))
+        .otherwise(date_format(col("o_orderdate"), "yyyyMMdd")))
+    fmted
+      .withColumn("parsed", coalesce(
+        expr("try_to_date(ds, 'yyyy-MM-dd')"),
+        expr("try_to_date(ds, 'MM/dd/yyyy')"),
+        expr("try_to_date(ds, 'yyyyMMdd')")))
+      .groupBy(year(col("parsed")).as("yr"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("parsed").isNull, 1)).as("n_unparsed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_date_parse_multi" -> dateParseMulti _,
     "a1_grouped_sum" -> a1GroupedSum _,
     "f_filter_pushdown" -> filterPushdown _,
     "a3_count_per_group" -> a3Count _,
@@ -269,6 +292,21 @@ object Relational {
     "f_na_normalize" -> naNormalize _)
 
   val oracle: Map[String, String] = Map(
+    "f_date_parse_multi" ->
+      """WITH f AS (
+           SELECT CASE CAST(o_orderkey % 3 AS INT)
+             WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+             WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+             ELSE strftime(o_orderdate, '%Y%m%d') END AS ds
+           FROM orders),
+         p AS (
+           SELECT coalesce(try_strptime(ds, '%Y-%m-%d'),
+             try_strptime(ds, '%m/%d/%Y'),
+             try_strptime(ds, '%Y%m%d')) AS parsed
+           FROM f)
+         SELECT CAST(year(parsed) AS INT) AS yr, count(*) AS n,
+           count(CASE WHEN parsed IS NULL THEN 1 END) AS n_unparsed
+         FROM p GROUP BY 1""",
     "a1_grouped_sum" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),2) AS sum_qty,

@@ -66,6 +66,32 @@ class ReadersSpec extends AnyFunSuite {
       "gene_3" -> "UniRef100_C1"))
   }
 
+  test("malformed tblout/m8 lines yield nulls, not ANSI aborts") {
+    val badTblout = Seq(
+      "short line",
+      "16S_rRNA RF00177 read_x - 1 notanint 5 124 1 130 150 + 1.2e-30 95.5 0.1 desc here")
+    val t = Readers.parseTblout(spark.createDataset(badTblout)).collect()
+    assert(t.length == 2) // no abort
+    assert(t.forall(_.getAs[String]("target_name") != null))
+    // short line: numeric fields null; bad int → null, neighbors parse
+    assert(t.exists(r => r.getAs[Any]("hmm_to") == null))
+    val badM8 = Seq("gene_x\tnotanint\tS1")
+    val m = Readers.parseM8(spark.createDataset(badM8)).collect()
+    assert(m.length == 1)
+    assert(m.head.getAs[Any]("qlen") == null) // bad int
+    assert(m.head.getAs[Any]("evalue") == null) // missing col
+    assert(m.head.getAs[String]("qseqid") == "gene_x")
+  }
+
+  test("json runinfo parse: layouts + missing optional field") {
+    val out = graft.SparkEntry.queries("s8_json_parse")(spark, "")
+      .collect().map(r => r.getAs[String]("run") ->
+        (r.getAs[Boolean]("is_paired"), r.getAs[Any]("bases"))).toMap
+    assert(out("SRR000001") == ((true, 450000L)))
+    assert(out("SRR000002") == ((false, 120000L)))
+    assert(out("SRR000003")._2 == null) // missing optional field
+  }
+
   test("fastq interleave checker flags broken pairs") {
     val broken = Fixtures.fastq.split("\n").toSeq ++ Seq(
       "@TEST3/1", "ACGT", "+", "IIII",

@@ -1,0 +1,64 @@
+package graft.io
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import java.nio.file.Files
+
+class WritersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_w").toString
+
+  test("K1 tsv roundtrip") {
+    val p = s"${tmp()}/t"
+    val df = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    Writers.writeTsv(df, p, singleFile = true)
+    val back = spark.read.option("sep", "\t").option("header", "true")
+      .option("inferSchema", "true").csv(p)
+    assert(back.as[(String, Int)].collect().toSet == Set(("a", 1), ("b", 2)))
+  }
+
+  test("K5 materializeUnique enforces the unique-index semantics") {
+    val ok = Seq(("g1", 1.0), ("g2", 2.0)).toDF("gene", "score")
+    assert(Writers.materializeUnique(ok, s"${tmp()}/mv", Seq("gene")) == 2)
+    val dup = Seq(("g1", 1.0), ("g1", 2.0)).toDF("gene", "score")
+    intercept[IllegalArgumentException] {
+      Writers.materializeUnique(dup, s"${tmp()}/mv2", Seq("gene"))
+    }
+  }
+
+  test("K7 fasta roundtrip through the fasta reader") {
+    val p = s"${tmp()}/f"
+    val df = Seq(("c1", "ACGT"), ("c2", "GGCC")).toDF("id", "seq")
+    Writers.writeFasta(df, p, singleFile = true)
+    val back = Readers.readFasta(spark, p)
+    assert(back.select("id", "seq").as[(String, String)].collect().toSet ==
+      Set(("c1", "ACGT"), ("c2", "GGCC")))
+    assert(back.filter(col("id") === "c2").select("gc_pct")
+      .as[Double].head() == 100.0)
+  }
+
+  test("K9/P4 partitioned write creates one dir per key") {
+    val p = s"${tmp()}/part"
+    val df = Seq(("s1", 1), ("s1", 2), ("s2", 3)).toDF("sample", "v")
+    Writers.writePartitioned(df, p, Seq("sample"))
+    val dirs = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("sample=")).map(_.getName).toSet
+    assert(dirs == Set("sample=s1", "sample=s2"))
+    // partition pruning: reading one key touches one dir
+    assert(spark.read.parquet(p).filter(col("sample") === "s1")
+      .count() == 2)
+  }
+
+  test("K4 view + K8 json") {
+    val df = Seq(("x", 1)).toDF("k", "v")
+    Writers.createView(df, "w_test_view")
+    assert(spark.sql("SELECT v FROM w_test_view").as[Int].head() == 1)
+    val p = s"${tmp()}/j"
+    Writers.writeJson(df, p)
+    assert(spark.read.json(p).count() == 1)
+  }
+}
