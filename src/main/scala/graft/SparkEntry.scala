@@ -26,6 +26,7 @@ object SparkEntry {
       ops.Windows.queries ++
       ops.Pivots.queries ++
       ops.Abundance.queries ++
+      ops.Amplicon.queries ++
       tax.Lineage.queries ++
       text.TextOps.queries ++
       dedup.Dedup.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       ops.Windows.oracle ++
       ops.Pivots.oracle ++
       ops.Abundance.oracle ++
+      ops.Amplicon.oracle ++
       tax.Lineage.oracle ++
       text.TextOps.oracle ++
       dedup.Dedup.oracle ++

@@ -55,18 +55,106 @@ object Streams {
   def streamingHourlyAgg(spark: SparkSession, dir: String): DataFrame =
     hourlyAgg(eventStream(spark, dir).withWatermark("ts", "2 hours"))
 
-  // ---- gate query (batch semantics of the same code path) ----
+  // ---- sessionization: batch (lag + cumsum) and stateful stream ----
+
+  /** Batch sessionization: a session breaks when the gap to the
+    * previous event exceeds `gapMinutes` — lag + running sum of breaks
+    * (the classic window formulation; one shuffle by user). */
+  def sessionizeBatch(events: DataFrame,
+      gapMinutes: Int = 30): DataFrame = {
+    val wUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = wUser.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    events
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) -
+          unix_timestamp(lag(col("ts"), 1).over(wUser)))
+      .withColumn("brk",
+        when(col("gap_s").isNull || col("gap_s") > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  // NOTE: must be public — Spark's generated encoder projections cannot
+  // access private nested classes.
+  case class Ev(user_id: Long, event_id: Long, tsMicros: Long)
+  case class SessionRow(user_id: Long, session_id: Long, n_events: Long)
+
+  /** Stateful sessionization via flatMapGroupsWithState — the
+    * `KeyValueGroupedDataset` custom-state path (SURVEY §1.4 Spark
+    * mapping). Under Trigger.AvailableNow each batch carries the whole
+    * backlog, so the function sorts the group, splits on gaps, emits
+    * every session, and clears state; a continuous deployment would
+    * instead hold the open session in `GroupState` with a processing-
+    * time timeout. */
+  def sessionizeStream(events: DataFrame,
+      gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("tsMicros")).as[Ev]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, SessionRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[Long]) =>
+          val evs = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          val gapMicros = gapMinutes * 60L * 1000000L
+          val sessions = scala.collection.mutable.ArrayBuffer
+            .empty[SessionRow]
+          var sid = 0L
+          var n = 0L
+          var lastTs = Long.MinValue
+          evs.foreach { e =>
+            if (lastTs == Long.MinValue || e.tsMicros - lastTs > gapMicros) {
+              if (n > 0) sessions += SessionRow(user, sid, n)
+              sid += 1; n = 0
+            }
+            n += 1; lastTs = e.tsMicros
+          }
+          if (n > 0) sessions += SessionRow(user, sid, n)
+          sessions.iterator
+      }.toDF()
+  }
+
+  // ---- gate queries (batch semantics of the same code paths) ----
 
   private def stWindowAgg(s: SparkSession, d: String): DataFrame =
     hourlyAgg(t(s, d, "events"))
 
+  private def stSessionize(s: SparkSession, d: String): DataFrame =
+    sessionizeBatch(t(s, d, "events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st_window_agg" -> stWindowAgg _)
+    "st_window_agg" -> stWindowAgg _,
+    "st_sessionize" -> stSessionize _)
 
   val oracle: Map[String, String] = Map(
     "st_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
            AS window_start,
          event_type, count(*) AS n, round(sum(value),2) AS total_value
-         FROM events GROUP BY 1, 2""")
+         FROM events GROUP BY 1, 2""",
+    "st_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id,
+             epoch(ts) - epoch(lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+           FROM events),
+         b AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END
+               AS brk
+           FROM g),
+         s AS (
+           SELECT user_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+           FROM b)
+         SELECT user_id, session_id, count(*) AS n_events
+         FROM s GROUP BY user_id, session_id""")
 }

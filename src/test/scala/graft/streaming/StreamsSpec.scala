@@ -41,6 +41,33 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stateful stream sessionization == batch lag/cumsum sessionization") {
+    val d = TestSpark.sf0001
+    val batchSessions = Streams.sessionizeBatch(
+      graft.Tables.t(spark, d, "events"))
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_sessions"),
+        org.apache.spark.sql.functions.sum("n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+    val q = Streams.sessionizeStream(
+      Streams.eventStream(spark, stagedEventsDir()))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st_sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamSessions = spark.table("st_sess_out")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_sessions"),
+        org.apache.spark.sql.functions.sum("n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(streamSessions == batchSessions)
+  }
+
   test("watermarked append-mode stream runs to completion") {
     val q = Streams.streamingHourlyAgg(spark, stagedEventsDir())
       .writeStream

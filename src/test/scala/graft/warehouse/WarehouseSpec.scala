@@ -1,0 +1,47 @@
+package graft.warehouse
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The bucketed-warehouse claim, verified on the plan: co-bucketed
+  * fact tables join with ZERO shuffle exchanges. */
+class WarehouseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("co-bucketed fact join plans without Exchange") {
+    Warehouse.buildFactTables(spark, TestSpark.sf0001, numBuckets = 4)
+    // At test scale the orders side is broadcast-small, which would
+    // bypass the bucketing path entirely — force the sort-merge plan
+    // the join takes at warehouse scale.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined = Warehouse.bucketedFactJoin(spark)
+    val plan =
+      try joined.queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        "10485760")
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    // exactly ONE exchange may remain: the final tiny aggregate by
+    // o_orderpriority. The join itself must read co-bucketed files.
+    val exchanges = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(exchanges == 1,
+      s"bucketed join still shuffles ($exchanges exchanges):\n" +
+        plan.take(3000))
+    assert(plan.contains("SelectedBucketsCount"),
+      s"bucket pruning metadata missing:\n${plan.take(3000)}")
+    // and the result matches the plain (shuffling) join
+    val plain = {
+      import org.apache.spark.sql.functions._
+      graft.Tables.t(spark, TestSpark.sf0001, "lineitem")
+        .join(graft.Tables.t(spark, TestSpark.sf0001, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+    }
+    assert(joined.collect().map(_.toSeq).toSet ==
+      plain.collect().map(_.toSeq).toSet)
+    spark.sql("DROP TABLE IF EXISTS w_lineitem")
+    spark.sql("DROP TABLE IF EXISTS w_orders")
+  }
+}
