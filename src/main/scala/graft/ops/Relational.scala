@@ -266,7 +266,19 @@ object Relational {
         count(when(col("parsed").isNull, 1)).as("n_unparsed"))
   }
 
+  /** §2.10 native codegen'd Expression: gc_content registered as a SQL
+    * function (the Expression > UDF preference; see
+    * `graft.functions.GcContent`). */
+  private def gcContentExpr(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GcContent.register(s)
+    t(s, d, "part")
+      .groupBy("p_brand")
+      .agg(round(avg(expr("gc_content(p_name)")), 4).as("avg_gc"),
+        count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_gc_content_expr" -> gcContentExpr _,
     "f_date_parse_multi" -> dateParseMulti _,
     "a1_grouped_sum" -> a1GroupedSum _,
     "f_filter_pushdown" -> filterPushdown _,
@@ -292,6 +304,12 @@ object Relational {
     "f_na_normalize" -> naNormalize _)
 
   val oracle: Map[String, String] = Map(
+    "f_gc_content_expr" ->
+      """SELECT p_brand,
+         round(avg(length(regexp_replace(lower(p_name), '[^gc]', '', 'g'))
+           * 100.0 / length(p_name)), 4) AS avg_gc,
+         count(*) AS n
+         FROM part GROUP BY p_brand""",
     "f_date_parse_multi" ->
       """WITH f AS (
            SELECT CASE CAST(o_orderkey % 3 AS INT)
