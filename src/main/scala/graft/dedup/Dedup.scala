@@ -57,15 +57,18 @@ object Dedup {
     * Σ_tokens (±1 by bit b of xxhash64(token)) > 0. One pass over the
     * token array: the accumulator is the 64-wide bit-sum vector. */
   def simhash(tokenCol: Column): Column = {
-    def tokenBits(tk: Column): Column =
+    // hash each token ONCE up front; the per-bit lambda then touches
+    // only the cheap lambda variable (referencing xxhash64(tk) inside
+    // the bit lambda would recompute the hash 64× per token).
+    val hashes = transform(tokenCol, tk => xxhash64(tk))
+    def hashBits(h: Column): Column =
       array((0 until 64).map { b =>
-        when(shiftright(xxhash64(tk), b).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)
+        when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)
       }: _*)
     aggregate(
-      tokenCol,
+      hashes,
       array_repeat(lit(0), 64),
-      (acc, tk) => zip_with(acc, tokenBits(tk), (a, v) => a + v),
+      (acc, h) => zip_with(acc, hashBits(h), (a, v) => a + v),
       accArr => (0 until 64).map { b =>
         when(element_at(accArr, b + 1) > 0, lit(1L << b)).otherwise(0L)
       }.reduce(_ + _))

@@ -66,26 +66,35 @@ object TextOps {
   }
 
   /** tx language ID: score each language's stopword profile against the
-    * document's tokens, argmax with alphabetical tie-break. Heuristic →
-    * no SQL oracle; golden-tested on hand-built texts. */
+    * document's tokens, argmax with alphabetical tie-break (zero-hit
+    * docs fall to the alphabetically-first profile). Heuristic → no SQL
+    * oracle; golden-tested on hand-built texts.
+    *
+    * Relational form: explode tokens, broadcast-join the (lang, word)
+    * profile table, count hits per (doc, lang), window argmax — scales
+    * as one scan + one broadcast join, where the per-row
+    * filter-per-language HOF form paid 5 interpreted array passes per
+    * document. */
   private def txLangid(s: SparkSession, d: String): DataFrame = {
-    val tok = tokens(lower(col("text")))
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(
-        size(filter(tok, tk => tk.isin(words.map(x => x: Any): _*)))
-          .as("hits"),
-        lit(lang).as("lang"))
-    }
-    // greatest() on structs orders by (hits, lang); alphabetical
-    // DEscending would win ties by last lang, so invert: take max hits,
-    // then first lang attaining it via array sort.
-    val arr = array(scored: _*)
-    val maxHits = array_max(transform(arr, st => st.getField("hits")))
-    val winner = array_min(transform(
-      filter(arr, st => st.getField("hits") === maxHits),
-      st => st.getField("lang")))
-    t(s, d, "documents").select(
-      col("doc_id"), winner.as("lang_pred"), maxHits.as("profile_hits"))
+    import s.implicits._
+    val profile = broadcast(stopwords.toSeq
+      .flatMap { case (lang, ws) => ws.map(w => (lang, w)) }
+      .toDF("lang", "word"))
+    val docs = t(s, d, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("word"))
+    val hits = toks.join(profile, Seq("word"))
+      .groupBy("doc_id", "lang").agg(count(lit(1)).as("hits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("hits").desc, col("lang").asc)
+    val winners = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val fallbackLang = stopwords.keys.min
+    docs.select(col("doc_id"))
+      .join(winners, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lang"), lit(fallbackLang)).as("lang_pred"),
+        coalesce(col("hits"), lit(0L)).cast("int").as("profile_hits"))
   }
 
   /** tx fingerprint: normalized-text digest per document. */
