@@ -46,8 +46,30 @@ object Amplicon {
         get_json_object(col("props"), "$.k").cast("int").as("w")),
       win = 5)
 
+  /** Read-tracking funnel table (reference `ampliconTrunc.R:330-342`):
+    * a per-entity wide table built by CHAINED LEFT JOINS of per-stage
+    * counts, with final-over-initial retention. Stage tables are
+    * filtered aggregates of one scan; the joins key on the entity and
+    * broadcast when stages are small. */
+  private def gReadTracking(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    def stage(et: String, name: String): DataFrame =
+      ev.filter(col("event_type") === et)
+        .groupBy("user_id").agg(count(lit(1)).as(name))
+    val wide = stage("signup", "n_signup")
+      .join(stage("view", "n_view"), Seq("user_id"), "left")
+      .join(stage("click", "n_click"), Seq("user_id"), "left")
+      .join(stage("purchase", "n_purchase"), Seq("user_id"), "left")
+      .na.fill(0L, Seq("n_view", "n_click", "n_purchase"))
+    wide.select(col("user_id"), col("n_signup"), col("n_view"),
+      col("n_click"), col("n_purchase"),
+      round(col("n_purchase") * lit(100.0) / col("n_signup"), 4)
+        .as("pct_converted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "g_trunc_search" -> gTruncSearch _)
+    "g_trunc_search" -> gTruncSearch _,
+    "g_read_tracking" -> gReadTracking _)
 
   val oracle: Map[String, String] = Map(
     "g_trunc_search" ->
@@ -66,5 +88,24 @@ object Amplicon {
          FROM (SELECT *, row_number() OVER (PARTITION BY grp
            ORDER BY round(slide_q, 6) DESC, cycle ASC) AS rn
            FROM smoothed) x
-         WHERE rn = 1""")
+         WHERE rn = 1""",
+    "g_read_tracking" ->
+      """WITH su AS (SELECT user_id, count(*) AS n_signup FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+         vw AS (SELECT user_id, count(*) AS n_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         ck AS (SELECT user_id, count(*) AS n_click FROM events
+           WHERE event_type = 'click' GROUP BY user_id),
+         pu AS (SELECT user_id, count(*) AS n_purchase FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id)
+         SELECT su.user_id, su.n_signup,
+           coalesce(vw.n_view, 0) AS n_view,
+           coalesce(ck.n_click, 0) AS n_click,
+           coalesce(pu.n_purchase, 0) AS n_purchase,
+           round(coalesce(pu.n_purchase, 0) * 100.0 / su.n_signup, 4)
+             AS pct_converted
+         FROM su
+         LEFT JOIN vw USING(user_id)
+         LEFT JOIN ck USING(user_id)
+         LEFT JOIN pu USING(user_id)""")
 }

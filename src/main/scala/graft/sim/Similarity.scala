@@ -159,10 +159,33 @@ object Similarity {
       .select(col("q_id"), col("label").as("pred_label"), col("votes"))
   }
 
+  /** Vector aggregation: per-label centroid (element-wise mean) via the
+    * relational explode form — posexplode evaluates each embedding once,
+    * the (label, dim) aggregate is one shuffle, and the centroid norm
+    * reduces per label. Scales as rows×dim, the same shape a 100 TB
+    * embedding table needs (a collect-based centroid would not). */
+  private def xCentroid(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val exploded = e.select(col("label"),
+      posexplode(asDouble(col("embedding"))).as(Seq("dim", "v")))
+    val perDim = exploded.groupBy("label", "dim")
+      .agg(avg(col("v")).as("m"))
+    val centroid = perDim.groupBy("label")
+      .agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"))
+    val norms = e.select(col("label"),
+        sqrt(dotD(asDouble(col("embedding")), asDouble(col("embedding"))))
+          .as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), round(avg("nrm"), 4).as("avg_norm"))
+    norms.join(centroid, Seq("label"))
+      .select("label", "n_vecs", "avg_norm", "centroid_norm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_ann_brute" -> xAnnBrute _,
     "x_ann_lsh" -> xAnnLsh _,
-    "x_knn_label" -> xKnnLabel _)
+    "x_knn_label" -> xKnnLabel _,
+    "x_centroid" -> xCentroid _)
 
   val oracle: Map[String, String] = Map(
     "x_ann_brute" ->
@@ -194,5 +217,22 @@ object Similarity {
          SELECT q_id, label AS pred_label, votes
          FROM (SELECT *, row_number() OVER (PARTITION BY q_id
            ORDER BY votes DESC, label ASC) AS rn FROM votes) y
-         WHERE rn = 1""")
+         WHERE rn = 1""",
+    "x_centroid" ->
+      """WITH ex AS (
+           SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM embeddings, range(1, 65) t(i)),
+         per_dim AS (
+           SELECT label, i, avg(v) AS m FROM ex GROUP BY label, i),
+         centroid AS (
+           SELECT label, round(sqrt(sum(m*m)), 4) AS centroid_norm
+           FROM per_dim GROUP BY label),
+         norms AS (
+           SELECT label, count(*) AS n_vecs,
+             round(avg(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+               AS avg_norm
+           FROM embeddings GROUP BY label)
+         SELECT n.label, n.n_vecs, n.avg_norm, c.centroid_norm
+         FROM norms n JOIN centroid c USING(label)""")
 }
