@@ -52,6 +52,17 @@ class InvariantsSpec extends AnyFunSuite {
     assert(math.abs(rootSum - leafSum) < 1.0)
   }
 
+  test("approx_count_distinct tracks exact within 5% (the A10 scale path)") {
+    val both = graft.Tables.t(spark, d, "lineitem")
+      .agg(countDistinct("l_partkey").as("exact"),
+        approx_count_distinct("l_partkey").as("approx"))
+      .head()
+    val exact = both.getLong(0).toDouble
+    val approx = both.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"exact=$exact approx=$approx")
+  }
+
   test("N50 is a quantity present in the group and ≥ median mass point") {
     val n50 = graft.SparkEntry.queries("a7_n50")(spark, d)
     assert(n50.count() > 0)
