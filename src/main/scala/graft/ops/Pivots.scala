@@ -72,7 +72,29 @@ object Pivots {
         round(sum("acctbal"), 2).as("total_bal"))
   }
 
+  /** Cohort-retention matrix — the OLAP composite of P1 + first-touch
+    * attribution: cohort = user's first activity week, columns = week
+    * offsets, cells = distinct active users. Conditional aggregation
+    * (fixed offset domain) keeps it one hash aggregate after the
+    * first-touch join. */
+  private def p1CohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+    val first = ev.groupBy("user_id").agg(min("week").as("cohort"))
+    val joined = ev.join(first, Seq("user_id"))
+      .withColumn("offset",
+        (datediff(col("week"), col("cohort")) / 7).cast("int"))
+    joined.groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"))
+      .agg(
+        countDistinct(when(col("offset") === 0, col("user_id"))).as("w0"),
+        countDistinct(when(col("offset") === 1, col("user_id"))).as("w1"),
+        countDistinct(when(col("offset") === 2, col("user_id"))).as("w2"),
+        countDistinct(when(col("offset") === 3, col("user_id"))).as("w3"),
+        countDistinct(when(col("offset") === 4, col("user_id"))).as("w4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_cohort_retention" -> p1CohortRetention _,
     "p1_pivot_wide" -> p1PivotWide _,
     "p1_conditional_agg" -> p1ConditionalAgg _,
     "p2_unpivot" -> p2Unpivot _,
@@ -80,6 +102,23 @@ object Pivots {
     "p3_union_drift" -> p3UnionDrift _)
 
   val oracle: Map[String, String] = Map(
+    "p1_cohort_retention" ->
+      """WITH ev AS (
+           SELECT user_id, date_trunc('week', ts) AS week FROM events),
+         first AS (
+           SELECT user_id, min(week) AS cohort FROM ev GROUP BY user_id),
+         j AS (
+           SELECT e.user_id,
+             CAST(datediff('day', f.cohort, e.week) / 7 AS INT) AS off,
+             f.cohort
+           FROM ev e JOIN first f USING(user_id))
+         SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+           count(DISTINCT CASE WHEN off = 0 THEN user_id END) AS w0,
+           count(DISTINCT CASE WHEN off = 1 THEN user_id END) AS w1,
+           count(DISTINCT CASE WHEN off = 2 THEN user_id END) AS w2,
+           count(DISTINCT CASE WHEN off = 3 THEN user_id END) AS w3,
+           count(DISTINCT CASE WHEN off = 4 THEN user_id END) AS w4
+         FROM j GROUP BY cohort""",
     "p1_pivot_wide" ->
       """SELECT l_returnflag,
          coalesce(round(sum(CASE WHEN l_linestatus='F' THEN l_quantity END),2),0)
