@@ -27,6 +27,7 @@ object SparkEntry {
       ops.Pivots.queries ++
       ops.Abundance.queries ++
       ops.Amplicon.queries ++
+      ops.Bins.queries ++
       tax.Lineage.queries ++
       text.TextOps.queries ++
       dedup.Dedup.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
       ops.Pivots.oracle ++
       ops.Abundance.oracle ++
       ops.Amplicon.oracle ++
+      ops.Bins.oracle ++
       tax.Lineage.oracle ++
       text.TextOps.oracle ++
       dedup.Dedup.oracle ++
