@@ -189,11 +189,13 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "x_ann_brute" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+      """WITH q AS (SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
            FROM embeddings WHERE vec_id < 10),
          scored AS (
            SELECT q.q_id, c.vec_id AS n_id,
-             list_cosine_similarity(q.q_emb, c.embedding) AS sim
+             list_cosine_similarity(q.q_emb,
+               list_transform(c.embedding, x -> CAST(x AS DOUBLE))) AS sim
            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.q_id)
          SELECT q_id, CAST(rn AS INT) AS rank, n_id,
            round(sim, 4) AS cos_sim
@@ -201,11 +203,13 @@ object Similarity {
            ORDER BY round(sim, 6) DESC, n_id ASC) AS rn FROM scored) x
          WHERE rn <= 3""",
     "x_knn_label" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+      """WITH q AS (SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
            FROM embeddings WHERE vec_id < 10),
          scored AS (
            SELECT q.q_id, c.vec_id AS n_id, c.label,
-             list_cosine_similarity(q.q_emb, c.embedding) AS sim
+             list_cosine_similarity(q.q_emb,
+               list_transform(c.embedding, x -> CAST(x AS DOUBLE))) AS sim
            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.q_id),
          top5 AS (
            SELECT q_id, label FROM (SELECT *, row_number() OVER

@@ -12,17 +12,18 @@ import json, math, sys, glob, os
 import duckdb
 
 def canon(rows, colnames):
+    # EXACT string compare (no tolerance): every oracled query is built
+    # to match DuckDB bit-for-bit — identical rounding applied on both
+    # sides, count-ratio metrics where engine summation order differs,
+    # double-cast list math. A tolerance here would hide regressions.
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = []
     for r in rows:
         rr = []
         for i in order:
             v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 6)
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
             rr.append(str(v))
         out.append(tuple(rr))
     out.sort()
