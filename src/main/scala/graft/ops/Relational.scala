@@ -277,7 +277,22 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  /** §2.9 map/struct family (reference dict-of-dicts flatten
+    * `tabulate_targets.py:140-149`): parse the JSON payload into a
+    * typed map, explode it to (key, value) rows, aggregate per key. */
+  private def mapExplode(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_type"),
+        explode(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType)))
+          .as(Seq("key", "value")))
+      .groupBy("event_type", "key")
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_map_explode" -> mapExplode _,
     "f_gc_content_expr" -> gcContentExpr _,
     "f_date_parse_multi" -> dateParseMulti _,
     "a1_grouped_sum" -> a1GroupedSum _,
@@ -304,6 +319,14 @@ object Relational {
     "f_na_normalize" -> naNormalize _)
 
   val oracle: Map[String, String] = Map(
+    "f_map_explode" ->
+      """WITH kv AS (
+           SELECT event_type, unnest(json_keys(props)) AS key, props
+           FROM events)
+         SELECT event_type, key, count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.' || key) AS INT))
+             AS total
+         FROM kv GROUP BY event_type, key""",
     "f_gc_content_expr" ->
       """SELECT p_brand,
          round(avg(length(regexp_replace(lower(p_name), '[^gc]', '', 'g'))
