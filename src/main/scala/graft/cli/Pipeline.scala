@@ -41,6 +41,28 @@ object Pipeline {
       spark, facts, s"$whDir/lineitem_inc", "sample")
     println(s"[pipeline] ingest: $appended new rows")
 
+    // 1b. regenerate the dispatch-assignments table, preserving manual
+    //     edits and SKIPs (Overrides semantics)
+    val assignPath = s"$whDir/assignments"
+    val proposed = facts.select(col("sample").cast("string").as("key"))
+      .distinct().withColumn("assignment", lit("DEFAULT"))
+    val existing =
+      if (new java.io.File(assignPath).exists())
+        spark.read.parquet(assignPath)
+      else proposed.limit(0)
+    val merged = graft.ingest.Overrides.mergeAssignments(existing, proposed)
+    // write via temp then swap is the production move; overwrite is
+    // fine in the single-writer pipeline
+    val mergedRows = merged.collect()
+    import spark.implicits._
+    mergedRows.map(r => (r.getString(0), r.getString(1)))
+      .toSeq.toDF("key", "assignment")
+      .write.mode("overwrite").parquet(assignPath)
+    val nEff = graft.ingest.Overrides.effective(
+      spark.read.parquet(assignPath)).count()
+    println(s"[pipeline] assignments: ${mergedRows.length} total, " +
+      s"$nEff effective")
+
     // 2. dims as views (broadcast-sized)
     Seq("part", "supplier", "customer", "nation", "region")
       .foreach { n =>
