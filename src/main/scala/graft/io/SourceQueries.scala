@@ -71,7 +71,19 @@ object SourceQueries {
       .select(col("table_name"), col("file_name").isNotNull.as("present"))
   }
 
+  /** S15b: path-template parse via input_file_name — the unglue analog
+    * (reference `unglue_data("data/omics/{sample_type}/{sample}/…")`
+    * `postgres.Rmd:242`): recover the table name from the file path of
+    * each scanned row. */
+  private def s15bInputFile(s: SparkSession, d: String): DataFrame =
+    graft.Tables.t(s, d, "lineitem")
+      .select(regexp_extract(input_file_name(), "([a-z]+)\\.parquet", 1)
+        .as("table_from_path"))
+      .groupBy("table_from_path")
+      .agg(count(lit(1)).as("n_rows"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15b_input_file_name" -> s15bInputFile _,
     "s6_tblout_parse" -> s6Tblout _,
     "s11_fasta_parse" -> s11Fasta _,
     "s12_fastq_parse" -> s12Fastq _,

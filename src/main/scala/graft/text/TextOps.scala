@@ -102,13 +102,35 @@ object TextOps {
     t(s, d, "documents").select(
       col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** tx BPE-ish token counting: word-vs-punctuation segmentation via
+    * `\w+|[^\w\s]` (the builder brief's "BPE-ish regex" family) next to
+    * the whitespace count — regexp_count keeps it a single scan. */
+  private def txBpeTokens(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      col("doc_id"),
+      regexp_count(col("text"), lit("\\w+|[^\\w\\s]")).cast("int")
+        .as("n_bpe_tokens"),
+      size(tokens(col("text"))).as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[^\\w\\s]")).cast("int")
+        .as("n_punct"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_bpe_tokens" -> txBpeTokens _,
     "tx_token_stats" -> txTokenStats _,
     "tx_quality" -> txQuality _,
     "tx_langid" -> txLangid _,
     "tx_fingerprint" -> txFingerprint _)
 
   val oracle: Map[String, String] = Map(
+    "tx_bpe_tokens" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT)
+           AS n_bpe_tokens,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+           AS n_ws_tokens,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS INT)
+           AS n_punct
+         FROM documents""",
     "tx_token_stats" ->
       """SELECT doc_id,
          CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
