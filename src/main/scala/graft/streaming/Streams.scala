@@ -120,6 +120,16 @@ object Streams {
       }.toDF()
   }
 
+  /** Streaming dedup: drop re-delivered events by key. With a
+    * watermark the state is bounded (keys older than the horizon are
+    * forgotten — late duplicates beyond it would pass, the standard
+    * trade-off); the test covers the duplicate-file re-delivery case
+    * the reference's rescan model makes common. */
+  def dedupedStream(spark: SparkSession, dir: String): DataFrame =
+    eventStream(spark, dir)
+      .withWatermark("ts", "24 hours")
+      .dropDuplicates("event_id")
+
   // ---- gate queries (batch semantics of the same code paths) ----
 
   private def stWindowAgg(s: SparkSession, d: String): DataFrame =

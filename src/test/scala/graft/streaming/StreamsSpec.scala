@@ -104,6 +104,26 @@ class StreamsSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() == 2 * nPerFile)
   }
 
+  test("streaming dedup collapses a re-delivered file to unique events") {
+    import java.nio.file.{Files, Paths}
+    val inDir = Files.createTempDirectory("graft_dedup_stream")
+    val src = Paths.get(s"${TestSpark.sf0001}/events.parquet")
+    // same file delivered twice under different names
+    Files.copy(src, inDir.resolve("a.parquet"))
+    Files.copy(src, inDir.resolve("b.parquet"))
+    val n = spark.read.parquet(src.toString).count()
+
+    val q = Streams.dedupedStream(spark, inDir.toString)
+      .select("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st_dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("st_dedup_out")
+    assert(out.count() == n) // not 2n: duplicates dropped
+    assert(out.distinct().count() == n)
+  }
+
   test("watermarked append-mode stream runs to completion") {
     val q = Streams.streamingHourlyAgg(spark, stagedEventsDir())
       .writeStream
