@@ -28,6 +28,7 @@ object SparkEntry {
       ops.Abundance.queries ++
       ops.Amplicon.queries ++
       ops.Bins.queries ++
+      ops.Glamr.queries ++
       tax.Lineage.queries ++
       text.TextOps.queries ++
       dedup.Dedup.queries ++

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference-shaped pipelines over the reference's own schemas
+  * (FIXTURES F1/F4/F7) — the §5 domain goldens: read-count funnel,
+  * coverM ingest with rename maps, bracken merge + abundance matrix.
+  * TESTDATA has no files of these shapes, so the gate queries run on
+  * embedded fixtures; the functions take any DataFrame of the right
+  * shape (a real deployment points them at `Readers.tsv` output).
+  */
+object Glamr {
+
+  /** F1: read-count funnel (reference `postgres.Rmd:253-291`).
+    * Input: (sample, read_state, fwd_read_count, rev_read_count) with
+    * the ordered read_state factor. Unpivot direction → ordered lag →
+    * percent retained/removed per (sample, direction). */
+  val readStateOrder: Seq[String] = Seq(
+    "raw_reads", "deduped_reads", "filt_and_trimmed_reads", "decon_reads")
+
+  private def stateRank(c: Column): Column =
+    readStateOrder.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(c === s, i).otherwise(acc)
+    }
+
+  def readCountFunnel(readCounts: DataFrame): DataFrame = {
+    val long = readCounts.selectExpr("sample", "read_state",
+      """stack(2, 'fwd', fwd_read_count, 'rev', rev_read_count)
+         as (direction, count)""")
+      .withColumn("state_rank", stateRank(col("read_state")))
+    val w = Window.partitionBy("sample", "direction")
+      .orderBy("state_rank")
+    long
+      .withColumn("prev", lag(col("count"), 1).over(w))
+      .withColumn("percent_retained",
+        round(col("count") * lit(100.0) / col("prev"), 4))
+      .withColumn("percent_removed",
+        round(lit(100.0) - col("percent_retained"), 4))
+      .select("sample", "direction", "read_state", "state_rank",
+        "count", "percent_retained", "percent_removed")
+  }
+
+  /** F4: coverM contig output rename map (reference
+    * `postgres.Rmd:1682-1696`): tool column headers → warehouse names. */
+  val covermRenames: Map[String, String] = Map(
+    "Sample" -> "sample", "Contig" -> "contig", "Mean" -> "mean_cov",
+    "Trimmed Mean" -> "trimmed_mean", "Covered Bases" -> "covered_bases",
+    "Variance" -> "variance", "Length" -> "length",
+    "Read Count" -> "read_count", "Reads per base" -> "reads_per_base",
+    "RPKM" -> "rpkm", "TPM" -> "tpm")
+
+  def renameCoverm(raw: DataFrame): DataFrame =
+    covermRenames.foldLeft(raw) { case (df, (from, to)) =>
+      if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
+    }
+
+  // ---- fixture-backed gate queries (no files of these shapes exist
+  // in the driver's sfDir; DuckDB cannot see embedded fixtures →
+  // rows-only check + the GlamrSpec goldens) ----
+
+  private def fixtureReadCounts(s: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import s.implicits._
+    Seq(
+      ("samp_1", "raw_reads", 1000L, 1000L),
+      ("samp_1", "deduped_reads", 800L, 790L),
+      ("samp_1", "filt_and_trimmed_reads", 400L, 395L),
+      ("samp_1", "decon_reads", 100L, 99L),
+      ("samp_2", "raw_reads", 500L, 500L),
+      ("samp_2", "deduped_reads", 250L, 250L),
+      ("samp_2", "filt_and_trimmed_reads", 125L, 125L),
+      ("samp_2", "decon_reads", 25L, 20L)
+    ).toDF("sample", "read_state", "fwd_read_count", "rev_read_count")
+  }
+
+  private def fixtureBracken(s: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import s.implicits._
+    Seq(
+      ("s1", "gtdb", 100, "g__Alpha", 60L),
+      ("s1", "gtdb", 200, "g__Beta", 40L),
+      ("s2", "gtdb", 100, "g__Alpha", 10L),
+      ("s1", "refseq", 2, "d__Bacteria", 999L),
+      ("s2", "refseq", 300, "g__Gamma", 90L)
+    ).toDF("sample", "db", "taxonomy_id", "name", "new_est_reads")
+  }
+
+  val queries: Map[String,
+      (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "g_funnel_fastp" -> ((s, _) => readCountFunnel(fixtureReadCounts(s))),
+    "g_bracken_matrix" -> ((s, _) =>
+      brackenMerge(fixtureBracken(s), Seq("s1", "s2"))._2))
+
+  val oracle: Map[String, String] = Map.empty
+
+  /** F7: bracken merge (reference `merge_bracken.R:53-78`): per-sample
+    * bracken tables tagged with (sample, db) → drop the refseq
+    * domain-level rows → wide counts matrix (taxa × samples, fill 0)
+    * and relative-abundance matrix. `samples` pins the pivot columns
+    * (explicit value list — no discovery scan). */
+  def brackenMerge(tagged: DataFrame, samples: Seq[String])
+      : (DataFrame, DataFrame) = {
+    val filtered = tagged.filter(
+      !(col("db") === "refseq" && col("name").startsWith("d__")))
+      .withColumn("taxon", concat_ws("_", col("db"),
+        col("taxonomy_id").cast("string")))
+    val counts = filtered.groupBy("taxon", "name")
+      .pivot("sample", samples)
+      .agg(first(col("new_est_reads")))
+      .na.fill(0)
+    val wSample = Window.partitionBy("sample")
+    val rel = filtered
+      .withColumn("rel_abund", round(col("new_est_reads") /
+        sum(col("new_est_reads")).over(wSample), 6))
+      .groupBy("taxon", "name")
+      .pivot("sample", samples)
+      .agg(first(col("rel_abund")))
+      .na.fill(0.0)
+    (counts, rel)
+  }
+}
