@@ -38,9 +38,15 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
-  /** Dot product of two already-double arrays (no per-element cast). */
-  private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product via the native codegen'd expression
+    * (`graft.functions.DotProduct`) — the HOF
+    * aggregate(zip_with(...)) form walks the interpreted eval path per
+    * element, which dominates O(queries × corpus × dim) ANN scoring. */
+  private def dotD(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
 
   /** Brute-force cosine top-k: every query against the full corpus.
     * The query side must be broadcast-small. Norms are precomputed per
