@@ -54,24 +54,13 @@ object Dedup {
   }
 
   /** SimHash: 64-bit sign-sketch of the token multiset. Bit b is 1 iff
-    * Σ_tokens (±1 by bit b of xxhash64(token)) > 0. One pass over the
-    * token array: the accumulator is the 64-wide bit-sum vector. */
+    * Σ_tokens (±1 by bit b of xxhash64(token)) > 0. Delegates to the
+    * native `graft.functions.SimHash64` expression — one JVM loop per
+    * row instead of an interpreted lambda per (token × bit). */
   def simhash(tokenCol: Column): Column = {
-    // hash each token ONCE up front; the per-bit lambda then touches
-    // only the cheap lambda variable (referencing xxhash64(tk) inside
-    // the bit lambda would recompute the hash 64× per token).
-    val hashes = transform(tokenCol, tk => xxhash64(tk))
-    def hashBits(h: Column): Column =
-      array((0 until 64).map { b =>
-        when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)
-      }: _*)
-    aggregate(
-      hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, hashBits(h), (a, v) => a + v),
-      accArr => (0 until 64).map { b =>
-        when(element_at(accArr, b + 1) > 0, lit(1L << b)).otherwise(0L)
-      }.reduce(_ + _))
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.SimHash64(
+      GraftColumnBridge.expression(tokenCol)))
   }
 
   /** Token n-grams ("a b c") for Jaccard similarity. */
@@ -86,13 +75,24 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** Per-row MinHash signatures via the native expression — no explode,
+    * no shuffle (see `graft.functions.MinHashSig`). */
+  def minhashSignaturesNative(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 16, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    docs
+      .withColumn("norm_text", TextOps.normalize(col(textCol)))
+      .select(col(idCol).as("id"),
+        GraftColumnBridge.column(graft.functions.MinHashSig(
+          GraftColumnBridge.expression(col("norm_text")), n, k)).as("sig"))
+  }
+
   /** Relational MinHash signatures: explode shingle positions
     * (Generate evaluates the normalized text once per doc), substring +
     * murmur3 per shingle row, then ONE hash aggregate with n `min`s.
-    * Fully codegen'd, one shuffle keyed by doc id — the formulation
-    * that survives 100 TB. The HOF `minhashSignature` is kept for
-    * in-array use, but CollapseProject re-evaluates lambda-captured
-    * expressions per element, so the exploded form wins on real data.
+    * Fully codegen'd but pays the rows×length explode and an aggregate
+    * shuffle — kept as the formulation for pre-exploded shingle tables;
+    * per-document use goes through `minhashSignaturesNative`.
     * Output: (id, sig array<long>[n]). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 16, k: Int = 5): DataFrame = {
@@ -123,7 +123,7 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4,
       maxBucketSize: Int = 1000): DataFrame = {
     val rows = numHashes / bands
-    val sigd = minhashSignatures(docs, idCol, textCol, numHashes)
+    val sigd = minhashSignaturesNative(docs, idCol, textCol, numHashes)
     val banded = sigd.select(
       col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -168,7 +168,7 @@ object Dedup {
   /** MinHash signatures per document (the LSH input; engine-specific
     * hashing → rows-only check + ScalaTest goldens). */
   private def dMinhashSig(s: SparkSession, d: String): DataFrame =
-    minhashSignatures(t(s, d, "documents"), "doc_id", "text")
+    minhashSignaturesNative(t(s, d, "documents"), "doc_id", "text")
       .select(col("id").as("doc_id"),
         concat_ws(",", col("sig").cast("array<string>")).as("signature"))
 
