@@ -30,6 +30,7 @@ object SparkEntry {
       ops.Bins.queries ++
       ops.Glamr.queries ++
       tax.Lineage.queries ++
+      tax.TaxAbund.queries ++
       text.TextOps.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++

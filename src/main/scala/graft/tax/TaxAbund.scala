@@ -1,0 +1,78 @@
+package graft.tax
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The `tax_abund_from_contigs` pipeline (reference
+  * `code/tax_abund_from_contigs.R:54-94`, §3 lifecycle): per-contig LCA
+  * assignments ⟕ per-contig abundance → per-taxon abundance twice over:
+  * `abund_direct` (contigs assigned exactly to the node) and
+  * `abund_w_subtax` (node + all descendants).
+  *
+  * The reference enumerates descendants by shelling out to `taxonkit
+  * list` per tax_id; here the rollup is the ancestor-prefix explode of
+  * the contig's lineage — one distributed pass, no per-node queries
+  * (SURVEY §2.8 T3). The reference's own sanity check — the two
+  * measures must differ somewhere or the rollup is broken
+  * (`tax_abund_from_contigs.R:90-92`) — is exposed as `assertRollup`.
+  */
+object TaxAbund {
+
+  /** contigLca: (contig, lineage) — F3's `_contig_lca.tsv` essence;
+    * contigAbund: (contig, tpm) — F4's coverM essence.
+    * Returns (node, abund_w_subtax, abund_direct). */
+  def taxAbundFromContigs(contigLca: DataFrame,
+      contigAbund: DataFrame): DataFrame = {
+    val joined = contigLca.join(contigAbund, Seq("contig"))
+      .withColumn("parts", split(col("lineage"), ";"))
+    joined
+      .select(col("tpm"), col("lineage"),
+        posexplode(Lineage.prefixesOfParts(col("parts")))
+          .as(Seq("depth", "node")))
+      .groupBy("node")
+      .agg(
+        round(sum("tpm"), 6).as("abund_w_subtax"),
+        round(sum(when(col("node") === col("lineage"), col("tpm"))
+          .otherwise(0.0)), 6).as("abund_direct"))
+  }
+
+  /** The reference's embedded invariant: abort when the rollup is a
+    * no-op (every node's w_subtax equals its direct abundance). */
+  def assertRollup(abund: DataFrame): Unit = {
+    val differing = abund
+      .filter(col("abund_w_subtax") =!= col("abund_direct")).count()
+    require(differing > 0,
+      "rollup produced no internal-node aggregation — " +
+        "abund_w_subtax == abund_direct everywhere " +
+        "(tax_abund_from_contigs.R:90-92 invariant)")
+  }
+
+  // fixture-backed gate query (F3/F6 shapes; embedded → rows-only)
+  private def fixtureLca(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("c1", "Bacteria;Proteobacteria;Ecoli"),
+      ("c2", "Bacteria;Proteobacteria"),
+      ("c3", "Bacteria;Firmicutes;Bacillus"),
+      ("c4", "Archaea;Euryarchaeota"),
+      ("c5", "Bacteria")
+    ).toDF("contig", "lineage")
+  }
+
+  private def fixtureAbund(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("c1", 10.0), ("c2", 20.0), ("c3", 5.0), ("c4", 2.5),
+      ("c5", 1.0)).toDF("contig", "tpm")
+  }
+
+  private def gTaxAbund(s: SparkSession, d: String): DataFrame = {
+    val out = taxAbundFromContigs(fixtureLca(s), fixtureAbund(s))
+    assertRollup(out)
+    out
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_tax_abund_contigs" -> gTaxAbund _)
+
+  val oracle: Map[String, String] = Map.empty
+}
