@@ -63,12 +63,13 @@ object Dedup {
       GraftColumnBridge.expression(tokenCol)))
   }
 
-  /** Token n-grams ("a b c") for Jaccard similarity. */
-  def tokenNgrams(tokenCol: Column, n: Int = 3): Column =
-    array_distinct(transform(
-      sequence(lit(0), greatest(lit(0), size(tokenCol) - n)),
-      i => concat_ws(" ",
-        (0 until n).map(j => element_at(tokenCol, i + j + 1)): _*)))
+  /** Distinct token n-grams ("a b c") for Jaccard similarity — native
+    * expression (see `graft.functions.TokenNgrams`). */
+  def tokenNgrams(tokenCol: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.TokenNgrams(
+      GraftColumnBridge.expression(tokenCol), n))
+  }
 
   /** Jaccard over two pre-deduplicated arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -188,27 +189,16 @@ object Dedup {
     * |A|+|B|−|A∩B|. (At 100 TB one would additionally drop
     * ultra-frequent grams before the join — the standard df-cap.) */
   private def dNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    // Relational n-gram construction: posexplode evaluates the token
-    // split ONCE per row (Generate), then lead() windows stitch
-    // consecutive tokens into trigrams. The HOF form (tokenNgrams)
-    // looks equivalent but CollapseProject inlines the split into the
-    // lambda, re-tokenizing the text per element_at — measured 90×
-    // slower on 300-char docs.
-    val tok = t(s, d, "documents")
+    // Native n-gram construction (one JVM loop per row, no shuffles);
+    // a UnaryExpression child is evaluated once per row, so the token
+    // split cannot be re-evaluated per element the way HOF lambdas are.
+    val grams = t(s, d, "documents")
       .select(col("lang"), col("source"), col("doc_id"),
-        posexplode(TextOps.tokens(lower(col("text"))))
-          .as(Seq("pos", "tk")))
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val e = tok
-      .withColumn("t1", lead("tk", 1).over(wDoc))
-      .withColumn("t2", lead("tk", 2).over(wDoc))
-      .filter(col("t2").isNotNull)
-      .select(col("lang"), col("source"), col("doc_id"),
-        concat_ws(" ", col("tk"), col("t1"), col("t2")).as("gram"))
-      .distinct()
-      .withColumn("n_grams", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+        tokenNgrams(TextOps.tokens(lower(col("text"))), 3).as("grams"))
+      .withColumn("n_grams", size(col("grams")))
+    val e = grams
+      .select(col("lang"), col("source"), col("doc_id"), col("n_grams"),
+        explode(col("grams")).as("gram"))
     val a = e.select(col("lang"), col("source"), col("gram"),
       col("doc_id").as("doc_a"), col("n_grams").as("na"))
     val b = e.select(col("lang"), col("source"), col("gram"),
