@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions installer — the standard wiring for the
+  * engine's native expressions:
+  *
+  * ```
+  * spark.sql.extensions=graft.GraftExtensions
+  * ```
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  *
+  * Injected functions: gc_content, dot_product, simhash64,
+  * minhash_sig, token_ngrams. (The LCA Aggregator registers per
+  * session via `tax.Lca.register` — UDAFs go through the UDF registry,
+  * not the extension function injector.)
+  *
+  * No planner rules or strategies are injected by design: SURVEY §4's
+  * finding is that Catalyst's built-in optimizations cover the
+  * reference's entire operator inventory — the engine extends the
+  * EXPRESSION layer only, which keeps every plan inspectable and AQE
+  * compatible.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "",
+      "", "built-in")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("gc_content"),
+      info("gc_content", "gc_content(seq) - GC% of a sequence"),
+      (exprs: Seq[Expression]) => functions.GcContent(exprs.head)))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - numeric-array dot product"),
+      (exprs: Seq[Expression]) =>
+        functions.DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash sketch"),
+      (exprs: Seq[Expression]) => functions.SimHash64(exprs.head)))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(norm_text) - 16-permutation MinHash signature"),
+      (exprs: Seq[Expression]) => functions.MinHashSig(exprs.head, 16, 5)))
+    e.injectFunction((FunctionIdentifier("token_ngrams"),
+      info("token_ngrams",
+        "token_ngrams(tokens) - distinct token trigrams"),
+      (exprs: Seq[Expression]) => functions.TokenNgrams(exprs.head, 3)))
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions installer, wired the way a deployment wires it:
+  * `spark.sql.extensions=graft.GraftExtensions` (set in TestSpark).
+  * Every native function must resolve in plain SQL with no per-session
+  * register calls. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("all native functions resolve through spark.sql.extensions") {
+    assert(spark.sql("SELECT gc_content('GGCC') AS g")
+      .head.getDouble(0) == 100.0)
+    assert(spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head.getDouble(0) == 11.0)
+    assert(!spark.sql("SELECT simhash64(array('a','b')) AS s")
+      .head.isNullAt(0))
+    assert(spark.sql("SELECT size(minhash_sig('hello world')) AS n")
+      .head.getInt(0) == 16)
+    assert(spark.sql(
+      "SELECT token_ngrams(array('a','b','c','d')) AS g")
+      .head.getSeq[String](0) == Seq("a b c", "b c d"))
+  }
+
+  test("DESCRIBE FUNCTION shows the injected usage text") {
+    val desc = spark.sql("DESCRIBE FUNCTION gc_content")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("gc_content"))
+  }
+}
