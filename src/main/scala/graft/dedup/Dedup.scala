@@ -150,6 +150,44 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash near-dup candidate pairs: band the 64-bit sketch into four
+    * 16-bit chunks; docs sharing ANY chunk are candidates (guaranteed to
+    * include every pair within hamming distance 3, since 4 chunks can't
+    * all differ); verify with the true hamming distance via
+    * bit_count(xor). One bucket join, no O(n²). */
+  def simhashCandidatePairs(docs: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int = 8): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      simhash(TextOps.tokens(lower(col(textCol)))).as("sh"))
+    val chunked = sh.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map { i =>
+        shiftrightunsigned(col("sh"), 16 * i).bitwiseAND(0xFFFFL)
+      }: _*)).as(Seq("chunk_idx", "chunk")))
+    val a = chunked.select(col("chunk_idx"), col("chunk"),
+      col("id").as("doc_a"), col("sh").as("sh_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"),
+      col("id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup dedup: hyperplane-LSH bucket SELF-join
+    * (no broadcast side — both sides are the full corpus, so this is
+    * the all-pairs-capable shape, unlike lshTopK's broadcast-query
+    * form), exact-cosine verification, pairs with cosine ≥ `minCos`
+    * collapsed to (keep = smaller id, dup = larger). The embedding twin
+    * of fingerprint dedup. */
+  def embeddingNearDups(embeddings: DataFrame, minCos: Double = 0.95,
+      tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame =
+    graft.sim.Similarity.selfBucketPairs(embeddings, tables, bits, dim)
+      .filter(col("cos_sim") >= minCos)
+      .select(col("id_a").as("keep_id"), col("id_b").as("dup_id"),
+        col("cos_sim"))
+
   // ---- gate queries ----
 
   /** Exact dedup: hash-groupBy on the raw text digest, keep the lowest

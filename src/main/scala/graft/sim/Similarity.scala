@@ -138,6 +138,33 @@ object Similarity {
         round(col("sim"), 4).as("cos_sim"))
   }
 
+  /** All-pairs candidate scoring via LSH bucket SELF-join: every pair
+    * of corpus vectors sharing ≥1 table bucket, scored with the exact
+    * cosine and collapsed per pair. Neither side broadcasts — this is
+    * the shape for corpus-wide near-dup detection, where lshTopK's
+    * broadcast-query form would ship the whole corpus. */
+  def selfBucketPairs(corpus: DataFrame, tables: Int = 8, bits: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(tables, bits, dim)
+    val prepared = corpus
+      .select(col("vec_id").as("id"),
+        asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", sqrt(dotD(col("emb"), col("emb"))))
+    val bucketed = prepared.select(col("*"),
+      posexplode(bucketsOf(col("emb"), planes))
+        .as(Seq("table", "bucket")))
+    val a = bucketed.select(col("table"), col("bucket"),
+      col("id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = bucketed.select(col("table"), col("bucket"),
+      col("id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        dotD(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .groupBy("id_a", "id_b")
+      .agg(round(max(col("sim")), 6).as("cos_sim"))
+  }
+
   // ---- gate queries ----
 
   private def queriesSide(s: SparkSession, d: String): DataFrame =

@@ -60,6 +60,34 @@ class DedupSpec extends AnyFunSuite {
   private def hamming(a: Long, b: Long): Int =
     java.lang.Long.bitCount(a ^ b)
 
+  test("simhash candidate pairs surface near-dups, skip unrelated") {
+    val pairs = Dedup.simhashCandidatePairs(docs, "doc_id", "text",
+      maxHamming = 16)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        -> r.getAs[Int]("hamming")).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) == 0)
+    assert(pairs.keys.exists(p => p._1 <= 2L && p._2 == 3L)) // near-dup
+    assert(!pairs.contains((0L, 4L))) // unrelated beyond threshold
+  }
+
+  test("embedding near-dup dedup finds the planted duplicate vector") {
+    val rng = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = vec()
+    val nearDup = base.zipWithIndex.map { case (v, i) =>
+      if (i == 0) v + 0.01f else v } // tiny perturbation
+    val emb = (Seq((0L, base), (1L, base), (2L, nearDup)) ++
+      (3L until 40L).map(i => (i, vec())))
+      .toDF("vec_id", "embedding")
+    val dups = Dedup.embeddingNearDups(emb, minCos = 0.95)
+      .collect().map(r => (r.getAs[Long]("keep_id"),
+        r.getAs[Long]("dup_id"))).toSet
+    assert(dups.contains((0L, 1L))) // exact copy
+    assert(dups.contains((0L, 2L)) || dups.contains((1L, 2L)))
+    // random 64-d vectors almost surely below 0.95 cosine
+    assert(dups.forall(p => p._1 <= 2L && p._2 <= 2L))
+  }
+
   test("simhash: near-dups within small hamming distance, " +
     "unrelated docs far") {
     val sh = docs.select(col("doc_id"),
