@@ -151,12 +151,18 @@ object Dedup {
   }
 
   /** SimHash near-dup candidate pairs: band the 64-bit sketch into four
-    * 16-bit chunks; docs sharing ANY chunk are candidates (guaranteed to
-    * include every pair within hamming distance 3, since 4 chunks can't
-    * all differ); verify with the true hamming distance via
-    * bit_count(xor). One bucket join, no O(n²). */
+    * 16-bit chunks; docs sharing ANY chunk are candidates, verified with
+    * the true hamming distance via bit_count(xor). One bucket join, no
+    * O(n²).
+    *
+    * RECALL BOUND: 4 chunks guarantee every pair within hamming ≤ 3
+    * (pigeonhole — 4 differing bits can hit all 4 chunks). The default
+    * maxHamming matches that guarantee; passing a larger threshold
+    * widens the verification filter but pairs beyond distance 3 are
+    * found only best-effort (when their differing bits cluster into ≤3
+    * chunks). More chunks/tables raise the guarantee. */
   def simhashCandidatePairs(docs: DataFrame, idCol: String,
-      textCol: String, maxHamming: Int = 8): DataFrame = {
+      textCol: String, maxHamming: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       simhash(TextOps.tokens(lower(col(textCol)))).as("sh"))
     val chunked = sh.select(col("id"), col("sh"),

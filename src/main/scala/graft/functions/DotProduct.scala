@@ -51,6 +51,9 @@ case class DotProduct(left: Expression, right: Expression)
     var i = 0
     val n = a.numElements()
     while (i < n) {
+      // null element → null result, matching the HOF formulation
+      // (zip_with's x*y is null, poisoning the aggregate sum)
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (rightIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -80,11 +83,20 @@ case class DotProduct(left: Expression, right: Expression)
          |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    ${ev.isNull} = true;
+         |    break;
+         |  }
          |  $acc += ($getA) * ($getB);
          |}
-         |${ev.value} = $acc;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $acc;
+         |}
        """.stripMargin
     })
+
+  // a null ELEMENT nulls the result even when both arrays are non-null
+  override def nullable: Boolean = true
 
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): DotProduct = copy(left = l, right = r)

@@ -29,9 +29,13 @@ case class GcContent(child: Expression) extends UnaryExpression {
         .TypeCheckFailure(s"gc_content needs STRING, got ${child.dataType}")
 
   override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val s = v.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
     if (bytes.isEmpty) null
     else {
+      // counting over BYTES is safe (G/C/g/c never occur inside UTF-8
+      // multi-byte sequences) but the denominator must be CHARACTERS to
+      // match the documented semantics and the length()-based oracle.
       var gc = 0
       var i = 0
       while (i < bytes.length) {
@@ -39,7 +43,7 @@ case class GcContent(child: Expression) extends UnaryExpression {
         if (b == 'G' || b == 'C' || b == 'g' || b == 'c') gc += 1
         i += 1
       }
-      gc * 100.0 / bytes.length
+      gc * 100.0 / s.numChars()
     }
   }
 
@@ -59,7 +63,7 @@ case class GcContent(child: Expression) extends UnaryExpression {
          |    byte b = $bytes[$i];
          |    if (b == 'G' || b == 'C' || b == 'g' || b == 'c') $gc++;
          |  }
-         |  ${ev.value} = $gc * 100.0 / $bytes.length;
+         |  ${ev.value} = $gc * 100.0 / $seq.numChars();
          |}
        """.stripMargin
     })

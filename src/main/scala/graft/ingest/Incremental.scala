@@ -16,11 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Incremental {
 
-  /** Keys already present in the warehouse table (empty if absent). */
+  /** Keys already present in the warehouse table (empty if absent).
+    * Existence goes through the Hadoop FileSystem API, not
+    * java.io.File — a local-only check would silently treat every
+    * hdfs://, s3a://, or defaultFS-relative table as absent and
+    * re-ingest the full input on each run. */
   def loadedKeys(spark: SparkSession, tablePath: String,
       key: String): DataFrame = {
-    val path = new java.io.File(tablePath)
-    if (!path.exists()) {
+    val hPath = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hPath.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath)) {
       import org.apache.spark.sql.types._
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -36,15 +42,20 @@ object Incremental {
       Seq(key), "left_anti")
 
   /** Full cycle: discover → anti-join → append, partitioned by key.
-    * Returns the number of rows appended. */
+    * Returns the number of rows appended. The fresh set is cached so
+    * count + write execute the discovery/anti-join plan once (and see
+    * one consistent snapshot). */
   def appendIncremental(spark: SparkSession, incoming: DataFrame,
       tablePath: String, key: String): Long = {
     val fresh = newRows(incoming, loadedKeys(spark, tablePath, key), key)
-    val n = fresh.count()
-    if (n > 0)
-      fresh.write.mode(SaveMode.Append)
-        .partitionBy(key).parquet(tablePath)
-    n
+      .persist()
+    try {
+      val n = fresh.count()
+      if (n > 0)
+        fresh.write.mode(SaveMode.Append)
+          .partitionBy(key).parquet(tablePath)
+      n
+    } finally fresh.unpersist()
   }
 
   /** High-watermark variant for monotonically keyed sources (file

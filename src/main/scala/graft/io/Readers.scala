@@ -145,24 +145,23 @@ object Readers {
         max(when(col("pos") === 1, col("line"))).as("seq"),
         max(when(col("pos") === 3, col("line"))).as("qual"))
       .withColumn("length", length(col("seq")).cast("int"))
-      .drop("rec")
+      // `rec` is the FILE-ORDER record index — downstream pairing logic
+      // (checkInterleave) depends on it; row order after the groupBy
+      // shuffle is arbitrary, so the index must travel as data.
   }
 
   /** Interleave-structure validation (reference
     * `pypelib/raw_reads.py:271-338`): consecutive records must pair as
-    * (x/1, x/2) or identical ids. Returns offending record pairs. */
-  def checkInterleave(fastq: DataFrame): DataFrame = {
-    val base = fastq.withColumn("base_id",
-      regexp_replace(col("id"), "/[12]$", ""))
-      .withColumn("rec_idx",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(monotonically_increasing_id())) - 1)
-    val pairs = base.withColumn("pair_idx", col("rec_idx") / 2)
-    pairs.groupBy((col("rec_idx") / 2).cast("long").as("pair"))
+    * (x/1, x/2) or identical ids. Pairs by the `rec` file-order index
+    * (NOT by row order, which is shuffle-dependent). Returns offending
+    * record pairs. */
+  def checkInterleave(fastq: DataFrame): DataFrame =
+    fastq
+      .withColumn("base_id", regexp_replace(col("id"), "/[12]$", ""))
+      .groupBy((col("rec") / 2).cast("long").as("pair"))
       .agg(countDistinct("base_id").as("n_ids"),
         count(lit(1)).as("n_reads"))
       .filter(col("n_ids") =!= 1 || col("n_reads") =!= 2)
-  }
 
   // ---- S15: filesystem catalog as a table ----
 

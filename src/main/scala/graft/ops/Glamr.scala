@@ -79,12 +79,14 @@ object Glamr {
       : DataFrame = {
     import s.implicits._
     Seq(
-      ("s1", "gtdb", 100, "g__Alpha", 60L),
-      ("s1", "gtdb", 200, "g__Beta", 40L),
-      ("s2", "gtdb", 100, "g__Alpha", 10L),
-      ("s1", "refseq", 2, "d__Bacteria", 999L),
-      ("s2", "refseq", 300, "g__Gamma", 90L)
-    ).toDF("sample", "db", "taxonomy_id", "name", "new_est_reads")
+      ("s1", "gtdb", 100, "g__Alpha", "d__Bacteria;g__Alpha", 60L),
+      ("s1", "gtdb", 200, "g__Beta", "d__Bacteria;g__Beta", 40L),
+      ("s2", "gtdb", 100, "g__Alpha", "d__Bacteria;g__Alpha", 10L),
+      ("s1", "refseq", 2, "d__Bacteria", "d__Bacteria", 999L),
+      ("s1", "refseq", 400, "g__Delta", "d__Bacteria;g__Delta", 50L),
+      ("s2", "refseq", 300, "g__Gamma", "d__Viruses;g__Gamma", 90L)
+    ).toDF("sample", "db", "taxonomy_id", "name", "taxonomy",
+      "new_est_reads")
   }
 
   val queries: Map[String,
@@ -96,14 +98,23 @@ object Glamr {
   val oracle: Map[String, String] = Map.empty
 
   /** F7: bracken merge (reference `merge_bracken.R:53-78`): per-sample
-    * bracken tables tagged with (sample, db) → drop the refseq
-    * domain-level rows → wide counts matrix (taxa × samples, fill 0)
+    * bracken tables tagged with (sample, db) → drop EVERY refseq row
+    * whose taxonomy contains d__Bacteria or d__Archaea at any rank
+    * (`merge_bracken.R:62-63` — those kingdoms come from the gtdb
+    * database instead; a name-prefix filter would only catch the
+    * domain-level rows) → wide counts matrix (taxa × samples, fill 0)
     * and relative-abundance matrix. `samples` pins the pivot columns
-    * (explicit value list — no discovery scan). */
+    * (explicit value list — no discovery scan). Input needs a
+    * `taxonomy` lineage column; rows lacking one fall back to `name`. */
   def brackenMerge(tagged: DataFrame, samples: Seq[String])
       : (DataFrame, DataFrame) = {
+    val taxCol =
+      if (tagged.columns.contains("taxonomy"))
+        coalesce(col("taxonomy"), col("name"))
+      else col("name")
     val filtered = tagged.filter(
-      !(col("db") === "refseq" && col("name").startsWith("d__")))
+      !(col("db") === "refseq" &&
+        (taxCol.contains("d__Bacteria") || taxCol.contains("d__Archaea"))))
       .withColumn("taxon", concat_ws("_", col("db"),
         col("taxonomy_id").cast("string")))
     val counts = filtered.groupBy("taxon", "name")

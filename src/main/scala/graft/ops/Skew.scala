@@ -21,9 +21,19 @@ object Skew {
 
   /** Equi-join `big ⨝ small` on `key`, fanning `small` out `salt`-ways
     * so a hot key's rows spread over `salt` reducers. Exact same result
-    * multiset as the plain join. */
+    * multiset as the plain join FOR THE SUPPORTED JOIN TYPES: inner and
+    * big-side-preserving (left/left_semi/left_anti). Right/full outer
+    * would emit each unmatched small-side row once per salt copy, so
+    * they are rejected. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salt: Int = 8, joinType: String = "inner"): DataFrame = {
+    val supported =
+      Set("inner", "left", "left_outer", "leftouter", "left_semi",
+        "leftsemi", "left_anti", "leftanti")
+    require(supported.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left-side join types, got $joinType " +
+        "(right/full outer would duplicate unmatched small-side rows " +
+        "once per salt copy)")
     val salted = big.withColumn("__salt", saltCol(salt))
     val fanned = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))

@@ -67,11 +67,15 @@ object Streams {
     val wRun = wUser.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     events
-      .withColumn("gap_s",
-        unix_timestamp(col("ts")) -
-          unix_timestamp(lag(col("ts"), 1).over(wUser)))
+      // microsecond gap arithmetic — unix_timestamp() truncates to
+      // seconds, which splits sessions differently from the stateful
+      // stream path (it compares micros) near the gap boundary
+      .withColumn("gap_us",
+        unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(wUser)))
       .withColumn("brk",
-        when(col("gap_s").isNull || col("gap_s") > gapMinutes * 60L, 1L)
+        when(col("gap_us").isNull ||
+          col("gap_us") > gapMinutes * 60L * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("brk")).over(wRun))
       .groupBy("user_id", "session_id")
@@ -151,13 +155,13 @@ object Streams {
     "st_sessionize" ->
       """WITH g AS (
            SELECT user_id, ts, event_id,
-             epoch(ts) - epoch(lag(ts) OVER
-               (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+             epoch_us(ts) - epoch_us(lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
            FROM events),
          b AS (
            SELECT user_id, ts, event_id,
-             CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END
-               AS brk
+             CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+               THEN 1 ELSE 0 END AS brk
            FROM g),
          s AS (
            SELECT user_id,

@@ -45,11 +45,15 @@ object Lineage {
   private def t1Split(s: SparkSession, d: String): DataFrame =
     t(s, d, "part")
       .withColumn("lineage", lineageCol)
+      // one split, referenced three times: a non-cheap expression with
+      // multiple references stays materialized (CollapseProject only
+      // inlines cheap or single-use expressions)
+      .withColumn("parts", split(col("lineage"), ";"))
       .select(
         col("p_partkey"), col("lineage"),
-        element_at(split(col("lineage"), ";"), 1).as("l_brand"),
-        element_at(split(col("lineage"), ";"), 2).as("l_type"),
-        element_at(split(col("lineage"), ";"), 3).as("l_size"))
+        element_at(col("parts"), 1).as("l_brand"),
+        element_at(col("parts"), 2).as("l_type"),
+        element_at(col("parts"), 3).as("l_size"))
 
   /** T2 LCA per group via the custom Aggregator (reference `MakeLCA`
     * `AnnotateContigs.pl:996-1032`): collapse each brand's lineages to

@@ -49,6 +49,11 @@ class DotProductSpec extends AnyFunSuite {
       .toDF("a", "b")
     assert(withNull.selectExpr("dot_product(a, b) as d")
       .collect().head.isNullAt(0))
+    // null ELEMENT → null result (matches the HOF formulation)
+    val nullElem = Seq((Seq(Some(1.0), None), Seq(Some(2.0), Some(3.0))))
+      .toDF("a", "b")
+    assert(nullElem.selectExpr("dot_product(a, b) as d")
+      .collect().head.isNullAt(0))
   }
 
   test("stays inside whole-stage codegen") {

@@ -28,6 +28,10 @@ class GcContentSpec extends AnyFunSuite {
     val n = Seq(Option.empty[String]).toDF("seq")
       .selectExpr("gc_content(seq) as gc").collect()
     assert(n.head.isNullAt(0))
+    // multi-byte characters: denominator is CHARACTERS, not bytes
+    val mb = Seq("GC\u00e9").toDF("seq")
+      .selectExpr("gc_content(seq) as gc").collect()
+    assert(math.abs(mb.head.getDouble(0) - 200.0 / 3) < 1e-9)
   }
 
   test("gc_content equals the regexp formulation on real sequences") {

@@ -98,6 +98,12 @@ class ReadersSpec extends AnyFunSuite {
       "@TEST4/2", "TGCA", "+", "IIII") // mismatched pair
     val fq = Readers.parseFastq(spark.createDataset(broken))
     assert(Readers.checkInterleave(fq).count() == 1)
+    // pairing must key on the rec index, not row order: a scrambled
+    // row order (repartition) must not change the verdict
+    assert(Readers.checkInterleave(fq.repartition(7)).count() == 1)
+    val valid = Readers.parseFastq(
+      spark.createDataset(Fixtures.fastq.split("\n").toSeq))
+    assert(Readers.checkInterleave(valid.repartition(5)).count() == 0)
   }
 
   test("file catalog recovers table names from paths") {

@@ -51,15 +51,22 @@ class GlamrSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
-  test("F7 bracken merge: refseq domain row dropped, matrices fill 0") {
+  test("F7 bracken merge: refseq bacterial rows dropped at EVERY rank, " +
+    "matrices fill 0") {
     val tagged = Seq(
-      // sample, db, taxonomy_id, name, new_est_reads
-      ("s1", "gtdb", 100, "g__Alpha", 60L),
-      ("s1", "gtdb", 200, "g__Beta", 40L),
-      ("s2", "gtdb", 100, "g__Alpha", 10L),
-      ("s1", "refseq", 2, "d__Bacteria", 999L), // must be filtered
-      ("s2", "refseq", 300, "g__Gamma", 90L)
-    ).toDF("sample", "db", "taxonomy_id", "name", "new_est_reads")
+      // sample, db, taxonomy_id, name, taxonomy, new_est_reads
+      ("s1", "gtdb", 100, "g__Alpha", "d__Bacteria;g__Alpha", 60L),
+      ("s1", "gtdb", 200, "g__Beta", "d__Bacteria;g__Beta", 40L),
+      ("s2", "gtdb", 100, "g__Alpha", "d__Bacteria;g__Alpha", 10L),
+      // domain-level refseq row: filtered
+      ("s1", "refseq", 2, "d__Bacteria", "d__Bacteria", 999L),
+      // genus-level refseq row under d__Bacteria: ALSO filtered
+      // (merge_bracken.R:62-63 matches the full taxonomy, not the name)
+      ("s1", "refseq", 400, "g__Delta", "d__Bacteria;g__Delta", 50L),
+      // refseq outside Bacteria/Archaea: kept
+      ("s2", "refseq", 300, "g__Gamma", "d__Viruses;g__Gamma", 90L)
+    ).toDF("sample", "db", "taxonomy_id", "name", "taxonomy",
+      "new_est_reads")
     val (counts, rel) = Glamr.brackenMerge(tagged, Seq("s1", "s2"))
     val c = counts.orderBy("taxon").collect()
       .map(r => (r.getAs[String]("taxon"), r.getAs[Long]("s1"),

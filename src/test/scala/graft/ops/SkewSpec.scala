@@ -37,6 +37,15 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("outer join types that would duplicate small-side rows are rejected") {
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, "k", salt = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, "k", salt = 4, joinType = "full_outer")
+    }
+  }
+
   test("salt actually spreads the hot key (even identical rows)") {
     val saltDist = big.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(4L)).cast("int"))

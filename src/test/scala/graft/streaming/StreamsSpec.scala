@@ -104,6 +104,26 @@ class StreamsSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() == 2 * nPerFile)
   }
 
+  test("sessionization gap compares at microsecond precision") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // gaps of 1800.000001s (break) and 1799.999999s (no break):
+    // second-truncated arithmetic would get both wrong ways
+    val base = 1700000000000000L // µs
+    val events = Seq(
+      (1L, 1L, base),
+      (2L, 1L, base + 1800000001L), // 1800.000001s later → new session
+      (3L, 2L, base),
+      (4L, 2L, base + 1799999999L) // 1799.999999s later → same session
+    ).toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Streams.sessionizeBatch(events)
+      .groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == 2L) // two sessions
+    assert(out(2L) == 1L) // one session
+  }
+
   test("streaming dedup collapses a re-delivered file to unique events") {
     import java.nio.file.{Files, Paths}
     val inDir = Files.createTempDirectory("graft_dedup_stream")
