@@ -29,24 +29,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "",
       "", "built-in")
 
+  /** Arity guard: a wrong argument count must fail analysis with a
+    * clear message — not IndexOutOfBounds (too few) or silently ignored
+    * arguments producing plausible wrong results (too many). */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> n.toString,
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> ""))
+    build(exprs)
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("gc_content"),
       info("gc_content", "gc_content(seq) - GC% of a sequence"),
-      (exprs: Seq[Expression]) => functions.GcContent(exprs.head)))
+      arity("gc_content", 1)(exprs => functions.GcContent(exprs.head))))
     e.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - numeric-array dot product"),
-      (exprs: Seq[Expression]) =>
-        functions.DotProduct(exprs(0), exprs(1))))
+      arity("dot_product", 2)(exprs =>
+        functions.DotProduct(exprs(0), exprs(1)))))
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash sketch"),
-      (exprs: Seq[Expression]) => functions.SimHash64(exprs.head)))
+      arity("simhash64", 1)(exprs => functions.SimHash64(exprs.head))))
     e.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig",
         "minhash_sig(norm_text) - 16-permutation MinHash signature"),
-      (exprs: Seq[Expression]) => functions.MinHashSig(exprs.head, 16, 5)))
+      arity("minhash_sig", 1)(exprs =>
+        functions.MinHashSig(exprs.head, 16, 5))))
     e.injectFunction((FunctionIdentifier("token_ngrams"),
       info("token_ngrams",
         "token_ngrams(tokens) - distinct token trigrams"),
-      (exprs: Seq[Expression]) => functions.TokenNgrams(exprs.head, 3)))
+      arity("token_ngrams", 1)(exprs =>
+        functions.TokenNgrams(exprs.head, 3))))
   }
 }

@@ -46,8 +46,10 @@ object Pipeline {
     val assignPath = s"$whDir/assignments"
     val proposed = facts.select(col("sample").cast("string").as("key"))
       .distinct().withColumn("assignment", lit("DEFAULT"))
+    // Hadoop-FS existence check — a java.io.File check would treat any
+    // non-local warehouse as absent and destroy manual edits on rerun
     val existing =
-      if (new java.io.File(assignPath).exists())
+      if (graft.ingest.Incremental.pathExists(spark, assignPath))
         spark.read.parquet(assignPath)
       else proposed.limit(0)
     val merged = graft.ingest.Overrides.mergeAssignments(existing, proposed)

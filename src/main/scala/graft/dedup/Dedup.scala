@@ -123,6 +123,10 @@ object Dedup {
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4,
       maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — the " +
+        "trailing hashes would silently drop out of every band, " +
+        "weakening recall while est_jaccard still divides by numHashes")
     val rows = numHashes / bands
     val sigd = minhashSignaturesNative(docs, idCol, textCol, numHashes)
     val banded = sigd.select(

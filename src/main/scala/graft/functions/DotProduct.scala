@@ -106,5 +106,7 @@ object DotProduct {
   /** SQL registration: `SELECT dot_product(a, b)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      "dot_product",
+      exprs => { Arity.check("dot_product", 2, exprs)
+        DotProduct(exprs(0), exprs(1)) }, "built-in")
 }

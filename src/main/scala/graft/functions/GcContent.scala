@@ -81,5 +81,7 @@ object GcContent {
     * without touching classic internals. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "gc_content", exprs => GcContent(exprs.head), "built-in")
+      "gc_content",
+      exprs => { Arity.check("gc_content", 1, exprs)
+        GcContent(exprs.head) }, "built-in")
 }

@@ -67,6 +67,7 @@ object MinHashSig {
   def register(spark: SparkSession, numHashes: Int = 16,
       k: Int = 5): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSig(exprs.head, numHashes, k),
-      "built-in")
+      "minhash_sig",
+      exprs => { Arity.check("minhash_sig", 1, exprs)
+        MinHashSig(exprs.head, numHashes, k) }, "built-in")
 }

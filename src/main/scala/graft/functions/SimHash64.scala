@@ -61,5 +61,7 @@ case class SimHash64(child: Expression) extends UnaryExpression
 object SimHash64 {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+      "simhash64",
+      exprs => { Arity.check("simhash64", 1, exprs)
+        SimHash64(exprs.head) }, "built-in")
 }

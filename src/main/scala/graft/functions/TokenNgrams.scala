@@ -55,5 +55,7 @@ case class TokenNgrams(child: Expression, n: Int)
 object TokenNgrams {
   def register(spark: SparkSession, n: Int = 3): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "token_ngrams", exprs => TokenNgrams(exprs.head, n), "built-in")
+      "token_ngrams",
+      exprs => { Arity.check("token_ngrams", 1, exprs)
+        TokenNgrams(exprs.head, n) }, "built-in")
 }

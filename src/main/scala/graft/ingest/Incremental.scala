@@ -23,10 +23,7 @@ object Incremental {
     * re-ingest the full input on each run. */
   def loadedKeys(spark: SparkSession, tablePath: String,
       key: String): DataFrame = {
-    val hPath = new org.apache.hadoop.fs.Path(tablePath)
-    val fs = hPath.getFileSystem(
-      spark.sessionState.newHadoopConf())
-    if (!fs.exists(hPath)) {
+    if (!pathExists(spark, tablePath)) {
       import org.apache.spark.sql.types._
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -35,11 +32,17 @@ object Incremental {
   }
 
   /** Rows of `incoming` whose key is not yet loaded — the canonical
-    * incremental filter. */
+    * incremental filter. NULL-SAFE on the key: a plain equi-anti-join
+    * never matches null = null, so null-keyed rows would be
+    * re-classified as fresh and re-appended on every run (dplyr's
+    * anti_join matches NAs; `<=>` reproduces that). */
   def newRows(incoming: DataFrame, existingKeys: DataFrame,
-      key: String): DataFrame =
-    incoming.join(broadcast(existingKeys.select(key).distinct()),
-      Seq(key), "left_anti")
+      key: String): DataFrame = {
+    val keys = broadcast(existingKeys.select(col(key).as("__graft_key"))
+      .distinct())
+    incoming.join(keys, incoming(key) <=> keys("__graft_key"),
+      "left_anti")
+  }
 
   /** Full cycle: discover → anti-join → append, partitioned by key.
     * Returns the number of rows appended. The fresh set is cached so
@@ -60,12 +63,21 @@ object Incremental {
 
   /** High-watermark variant for monotonically keyed sources (file
     * mtimes / import timestamps, reference `check_import_status.R:30-33`):
-    * only rows above the stored max. */
+    * only rows above the stored max. The working column is namespaced
+    * and guarded against collision with user data. */
   def aboveWatermark(incoming: DataFrame, existing: DataFrame,
       tsCol: String): DataFrame = {
-    val wm = existing.agg(max(col(tsCol)).as("wm"))
+    require(!incoming.columns.contains("__graft_wm"),
+      "incoming already has a __graft_wm column")
+    val wm = existing.agg(max(col(tsCol)).as("__graft_wm"))
     incoming.crossJoin(broadcast(wm))
-      .filter(col("wm").isNull || col(tsCol) > col("wm"))
-      .drop("wm")
+      .filter(col("__graft_wm").isNull || col(tsCol) > col("__graft_wm"))
+      .drop("__graft_wm")
+  }
+
+  /** Filesystem-agnostic path existence (Hadoop FS, not java.io). */
+  def pathExists(spark: SparkSession, path: String): Boolean = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    hPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(hPath)
   }
 }

@@ -26,7 +26,12 @@ object Overrides {
     * Returns the regenerated table. */
   def mergeAssignments(existing: DataFrame,
       proposed: DataFrame): DataFrame = {
-    val manual = existing.filter(!col("assignment").startsWith(AutoPrefix))
+    // null assignments count as MANUAL (a blank hand-edited cell must
+    // survive, not be silently dropped by a null predicate and then
+    // overwritten by a machine row)
+    val manual = existing.filter(
+      col("assignment").isNull ||
+        !col("assignment").startsWith(AutoPrefix))
     val machine = proposed
       .join(manual.select("key"), Seq("key"), "left_anti")
       .select(col("key"),
@@ -35,10 +40,10 @@ object Overrides {
   }
 
   /** Downstream view: effective assignments — prefix stripped, SKIP
-    * rows removed. */
+    * and null (unassigned) rows removed. */
   def effective(table: DataFrame): DataFrame =
     table
       .withColumn("assignment",
         regexp_replace(col("assignment"), s"^$AutoPrefix", ""))
-      .filter(col("assignment") =!= Skip)
+      .filter(col("assignment").isNotNull && col("assignment") =!= Skip)
 }

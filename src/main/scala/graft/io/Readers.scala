@@ -171,7 +171,10 @@ object Readers {
     * path by regex exactly like unglue. */
   def fileCatalog(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val files = new java.io.File(dir).listFiles()
+    // listFiles() returns null for missing/non-directory paths —
+    // surface an empty catalog, not an NPE
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
       .filter(_.isFile).map(_.getName).toSeq.sorted
     files.toDF("file_name")
       .select(

@@ -30,6 +30,9 @@ object Glamr {
       """stack(2, 'fwd', fwd_read_count, 'rev', rev_read_count)
          as (direction, count)""")
       .withColumn("state_rank", stateRank(col("read_state")))
+      // unknown states are dropped, not ranked -1 — a stray state would
+      // otherwise sort before raw_reads and corrupt its percent_retained
+      .filter(col("state_rank") >= 0)
     val w = Window.partitionBy("sample", "direction")
       .orderBy("state_rank")
     long

@@ -34,6 +34,9 @@ object Skew {
       s"saltedJoin supports inner/left-side join types, got $joinType " +
         "(right/full outer would duplicate unmatched small-side rows " +
         "once per salt copy)")
+    require(!big.columns.contains("__salt") &&
+      !small.columns.contains("__salt"),
+      "an input already has a __salt column — rename it first")
     val salted = big.withColumn("__salt", saltCol(salt))
     val fanned = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))

@@ -124,15 +124,17 @@ object Streams {
       }.toDF()
   }
 
-  /** Streaming dedup: drop re-delivered events by key. With a
-    * watermark the state is bounded (keys older than the horizon are
-    * forgotten — late duplicates beyond it would pass, the standard
-    * trade-off); the test covers the duplicate-file re-delivery case
-    * the reference's rescan model makes common. */
+  /** Streaming dedup: drop re-delivered events by key.
+    * `dropDuplicatesWithinWatermark` is the state-BOUNDED variant —
+    * plain dropDuplicates(key) keeps one state entry per key forever
+    * unless the event-time column is part of the subset, so a
+    * long-running feed would grow the state store without bound. Keys
+    * older than the watermark horizon are evicted; duplicates arriving
+    * later than that pass through (the standard trade-off). */
   def dedupedStream(spark: SparkSession, dir: String): DataFrame =
     eventStream(spark, dir)
       .withWatermark("ts", "24 hours")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   // ---- gate queries (batch semantics of the same code paths) ----
 

@@ -20,10 +20,13 @@ object TaxAbund {
 
   /** contigLca: (contig, lineage) — F3's `_contig_lca.tsv` essence;
     * contigAbund: (contig, tpm) — F4's coverM essence.
-    * Returns (node, abund_w_subtax, abund_direct). */
+    * Returns (node, abund_w_subtax, abund_direct). LEFT join, matching
+    * the reference (`tax_abund_from_contigs.R:59-60`): a contig with an
+    * LCA assignment but no abundance row still surfaces its taxon nodes
+    * (with null abundance) instead of vanishing. */
   def taxAbundFromContigs(contigLca: DataFrame,
       contigAbund: DataFrame): DataFrame = {
-    val joined = contigLca.join(contigAbund, Seq("contig"))
+    val joined = contigLca.join(contigAbund, Seq("contig"), "left")
       .withColumn("parts", split(col("lineage"), ";"))
     joined
       .select(col("tpm"), col("lineage"),

@@ -24,6 +24,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head.getSeq[String](0) == Seq("a b c", "b c d"))
   }
 
+  test("wrong arity fails analysis with a clear error") {
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_product(array(1.0d))").collect()
+    }
+    assert(e1.getMessage.contains("dot_product"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT gc_content('A', 'B')").collect()
+    }
+    assert(e2.getMessage.contains("gc_content"))
+  }
+
   test("DESCRIBE FUNCTION shows the injected usage text") {
     val desc = spark.sql("DESCRIBE FUNCTION gc_content")
       .collect().map(_.getString(0)).mkString("\n")

@@ -38,6 +38,18 @@ class IncrementalSpec extends AnyFunSuite {
       "sample") == 0)
   }
 
+  test("null keys are not re-ingested on rerun (null-safe anti-join)") {
+    val dir = Files.createTempDirectory("graft_inc_null").toFile
+    val table = new java.io.File(dir, "wh").getAbsolutePath
+    val batch = Seq((Option("s1"), 1), (Option.empty[String], 2))
+      .toDF("sample", "v")
+    assert(Incremental.appendIncremental(spark, batch, table,
+      "sample") == 2)
+    // rerun with the same data: the null-keyed row must NOT re-append
+    assert(Incremental.appendIncremental(spark, batch, table,
+      "sample") == 0)
+  }
+
   test("high-watermark variant keeps only rows above max(ts)") {
     val existing = Seq(("a", 100L), ("b", 200L)).toDF("k", "ts")
     val incoming = Seq(("c", 150L), ("d", 200L), ("e", 250L))

@@ -37,6 +37,22 @@ class OverridesSpec extends AnyFunSuite {
     assert(eff == Map("s1" -> "23S", "s2" -> "18S", "s5" -> "16S"))
   }
 
+  test("null (blank) assignments are manual and survive regeneration") {
+    val existing = Seq(("k9", Option.empty[String]),
+      ("k1", Option("__AUTO__x"))).toDF("key", "assignment")
+    val proposed = Seq(("k9", "fresh"), ("k1", "y"))
+      .toDF("key", "assignment")
+    val merged = Overrides.mergeAssignments(existing, proposed)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(merged("k9").isEmpty)            // blank edit preserved
+    assert(merged("k1") == Some("__AUTO__y")) // machine refreshed
+    // effective view drops the unassigned row
+    assert(Overrides.effective(
+      Overrides.mergeAssignments(existing, proposed))
+      .filter(org.apache.spark.sql.functions.col("key") === "k9")
+      .count() == 0)
+  }
+
   test("merge is idempotent when nothing changes") {
     val t1 = Seq(("a", "__AUTO__x"), ("b", "manual")).toDF("key", "assignment")
     val prop = Seq(("a", "x")).toDF("key", "assignment")

@@ -35,6 +35,20 @@ class GlamrSpec extends AnyFunSuite {
     assert(rev2.toSeq == Seq(None, Some(50.0), Some(50.0), Some(84.0)))
   }
 
+  test("unknown read states are dropped, not ranked below raw_reads") {
+    val rc = Seq(
+      ("samp_1", "qc_reads", 900L, 900L), // stray state
+      ("samp_1", "raw_reads", 1000L, 1000L),
+      ("samp_1", "deduped_reads", 800L, 800L)
+    ).toDF("sample", "read_state", "fwd_read_count", "rev_read_count")
+    val out = Glamr.readCountFunnel(rc)
+    assert(out.filter(col("read_state") === "qc_reads").count() == 0)
+    // raw_reads stays the baseline: its percent_retained is null
+    val raw = out.filter(col("read_state") === "raw_reads" &&
+      col("direction") === "fwd").head
+    assert(raw.getAs[Any]("percent_retained") == null)
+  }
+
   test("F4 coverM rename map + TPM self-consistency") {
     val raw = Seq(
       ("s1", "c1", 2.0, 1.9, 900L, 0.1, 1000L, 100L, 0.1, 5.0, 400000.0),

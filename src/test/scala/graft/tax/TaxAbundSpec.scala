@@ -39,6 +39,15 @@ class TaxAbundSpec extends AnyFunSuite {
     TaxAbund.assertRollup(TaxAbund.taxAbundFromContigs(lca, abund))
   }
 
+  test("contigs without abundance still surface their taxon nodes") {
+    val lca = Seq(("c1", "Bacteria;Proteo"), ("c6", "Bacteria;Plancto"))
+      .toDF("contig", "lineage")
+    val abund = Seq(("c1", 10.0)).toDF("contig", "tpm") // c6 missing
+    val nodes = TaxAbund.taxAbundFromContigs(lca, abund)
+      .select("node").as[String].collect().toSet
+    assert(nodes.contains("Bacteria;Plancto")) // left join keeps it
+  }
+
   test("degenerate flat taxonomy trips the invariant") {
     val lca = Seq(("c1", "A"), ("c2", "B")).toDF("contig", "lineage")
     val abund = Seq(("c1", 1.0), ("c2", 2.0)).toDF("contig", "tpm")
