@@ -144,9 +144,38 @@ object Streams {
   private def stSessionize(s: SparkSession, d: String): DataFrame =
     sessionizeBatch(t(s, d, "events"))
 
+  /** Sliding (hopping) windows: 1-hour windows every 30 minutes — each
+    * event lands in two windows. Epoch-aligned starts make the DuckDB
+    * oracle a union of the two half-hour-shifted assignments. */
+  private def stSlidingWindow(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Native session windows (`session_window`, the Spark-native form of
+    * the sessionization the lag/cumsum query computes): a session
+    * extends while the gap to the next event is < 30 minutes —
+    * breaks at gap ≥ 30min exactly, which the oracle mirrors. */
+  private def stSessionWindow(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("user_id"), col("n_events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_agg" -> stWindowAgg _,
-    "st_sessionize" -> stSessionize _)
+    "st_sessionize" -> stSessionize _,
+    "st_sliding_window" -> stSlidingWindow _,
+    "st_session_window" -> stSessionWindow _)
 
   val oracle: Map[String, String] = Map(
     "st_window_agg" ->
@@ -172,5 +201,34 @@ object Streams {
                AS session_id
            FROM b)
          SELECT user_id, session_id, count(*) AS n_events
-         FROM s GROUP BY user_id, session_id""")
+         FROM s GROUP BY user_id, session_id""",
+    "st_sliding_window" ->
+      """WITH assigned AS (
+           SELECT to_timestamp((epoch_us(ts) // 1800000000) * 1800)
+             AS ws, event_type, value FROM events
+           UNION ALL
+           SELECT to_timestamp((epoch_us(ts) // 1800000000) * 1800)
+             - INTERVAL '30 minutes', event_type, value FROM events)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+         FROM assigned GROUP BY ws, event_type""",
+    "st_session_window" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+           FROM events),
+         b AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
+               THEN 1 ELSE 0 END AS brk
+           FROM g),
+         s AS (
+           SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM b)
+         SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           user_id, count(*) AS n_events
+         FROM s GROUP BY user_id, sid""")
 }
