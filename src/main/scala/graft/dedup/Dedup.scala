@@ -164,18 +164,29 @@ object Dedup {
     * maxHamming matches that guarantee; passing a larger threshold
     * widens the verification filter but pairs beyond distance 3 are
     * found only best-effort (when their differing bits cluster into ≤3
-    * chunks). More chunks/tables raise the guarantee. */
+    * chunks). More chunks/tables raise the guarantee.
+    *
+    * `maxBucketSize` drops degenerate chunk buckets — short/empty docs
+    * whose tokens all hash a chunk region to the same value would
+    * otherwise make the chunk self-join quadratic at scale (the same
+    * skew guard as `minhashCandidatePairs`). */
   def simhashCandidatePairs(docs: DataFrame, idCol: String,
-      textCol: String, maxHamming: Int = 3): DataFrame = {
+      textCol: String, maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       simhash(TextOps.tokens(lower(col(textCol)))).as("sh"))
     val chunked = sh.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map { i =>
         shiftrightunsigned(col("sh"), 16 * i).bitwiseAND(0xFFFFL)
       }: _*)).as(Seq("chunk_idx", "chunk")))
-    val a = chunked.select(col("chunk_idx"), col("chunk"),
+    val pruned = chunked
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("chunk_idx", "chunk")))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val a = pruned.select(col("chunk_idx"), col("chunk"),
       col("id").as("doc_a"), col("sh").as("sh_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk"),
+    val b = pruned.select(col("chunk_idx"), col("chunk"),
       col("id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk_idx", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
@@ -183,6 +194,61 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram Jaccard candidate pairs within blocks: explode the gram
+    * sets and equi-join on (block..., gram), so |A∩B| is a count per
+    * pair and zero-overlap pairs are never materialized — the quadratic
+    * per-pair array-intersect of the naive form becomes a shuffle keyed
+    * by gram. |A∪B| recovers as |A|+|B|−|A∩B|.
+    *
+    * `maxGramDf` is the document-frequency cap: grams appearing in more
+    * than `maxGramDf` documents within a block are dropped BEFORE the
+    * pair join. Without it, ultra-frequent grams ("of the …") pair
+    * everything with everything and dominate the shuffle at scale.
+    * Jaccard is then over the df-FILTERED gram sets (sizes recomputed
+    * post-filter), the standard near-dup practice. Uncapped
+    * (`Int.MaxValue`, the default) keeps exact Jaccard semantics and a
+    * window-free plan. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String] = Nil, n: Int = 3,
+      maxGramDf: Int = Int.MaxValue): DataFrame = {
+    val bc = blockCols.map(col)
+    val grams = docs.select(bc :+ col(idCol).as("doc_id") :+
+      tokenNgrams(TextOps.tokens(lower(col(textCol))), n).as("grams"): _*)
+    val sized =
+      if (maxGramDf == Int.MaxValue)
+        grams.withColumn("n_grams", size(col("grams")))
+          .select(bc :+ col("doc_id") :+ col("n_grams") :+
+            explode(col("grams")).as("gram"): _*)
+      else {
+        val exploded = grams.select(bc :+ col("doc_id") :+
+          explode(col("grams")).as("gram"): _*)
+        // grams are distinct per doc, so count per (block, gram) IS the
+        // document frequency
+        exploded
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy((blockCols :+ "gram").map(col): _*)))
+          .filter(col("df") <= maxGramDf)
+          .withColumn("n_grams", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy((blockCols :+ "doc_id").map(col): _*)))
+          .select(bc :+ col("doc_id") :+ col("n_grams") :+
+            col("gram"): _*)
+      }
+    val a = sized.select(bc ++ Seq(col("gram"), col("doc_id").as("doc_a"),
+      col("n_grams").as("na")): _*)
+    val b = sized.select(bc ++ Seq(col("gram"), col("doc_id").as("doc_b"),
+      col("n_grams").as("nb")): _*)
+    a.join(b, blockCols :+ "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy((blockCols ++ Seq("doc_a", "doc_b", "na", "nb"))
+        .map(col): _*)
+      .agg(count(lit(1)).as("inter"))
+      .select(bc ++ Seq(col("doc_a"), col("doc_b"),
+        round(col("inter") /
+          (col("na") + col("nb") - col("inter")), 6).as("jac")): _*)
   }
 
   /** Embedding-cosine near-dup dedup: hyperplane-LSH bucket SELF-join
@@ -229,35 +295,15 @@ object Dedup {
 
   /** n-gram Jaccard near-dup scoring, blocked by (lang, source) — the
     * top OVERLAPPING pair per block. DuckDB-expressible → full oracle.
-    *
-    * Scale formulation: explode the gram sets and equi-join on
-    * (block, gram), so |A∩B| is a count per pair and zero-overlap pairs
-    * are never materialized — the quadratic per-pair array-intersect of
-    * the naive form becomes a shuffle keyed by gram. |A∪B| recovers as
-    * |A|+|B|−|A∩B|. (At 100 TB one would additionally drop
-    * ultra-frequent grams before the join — the standard df-cap.) */
+    * Gate query runs `ngramJaccardPairs` uncapped (exact Jaccard); the
+    * df-cap path is exercised in DedupSpec with a stopword-heavy
+    * corpus. (Native n-gram construction — one JVM loop per row, no
+    * shuffles; a UnaryExpression child is evaluated once per row, so
+    * the token split cannot be re-evaluated per element the way HOF
+    * lambdas are.) */
   private def dNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    // Native n-gram construction (one JVM loop per row, no shuffles);
-    // a UnaryExpression child is evaluated once per row, so the token
-    // split cannot be re-evaluated per element the way HOF lambdas are.
-    val grams = t(s, d, "documents")
-      .select(col("lang"), col("source"), col("doc_id"),
-        tokenNgrams(TextOps.tokens(lower(col("text"))), 3).as("grams"))
-      .withColumn("n_grams", size(col("grams")))
-    val e = grams
-      .select(col("lang"), col("source"), col("doc_id"), col("n_grams"),
-        explode(col("grams")).as("gram"))
-    val a = e.select(col("lang"), col("source"), col("gram"),
-      col("doc_id").as("doc_a"), col("n_grams").as("na"))
-    val b = e.select(col("lang"), col("source"), col("gram"),
-      col("doc_id").as("doc_b"), col("n_grams").as("nb"))
-    val pairs = a.join(b, Seq("lang", "source", "gram"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("lang", "source", "doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("inter"))
-      .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
-        round(col("inter") /
-          (col("na") + col("nb") - col("inter")), 6).as("jac"))
+    val pairs = ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+      blockCols = Seq("lang", "source"), n = 3)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang", "source")
       .orderBy(col("jac").desc, col("doc_a").asc, col("doc_b").asc)

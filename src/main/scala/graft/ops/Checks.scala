@@ -34,7 +34,10 @@ object Checks {
   def pairedModelDisagreements(winners: DataFrame): DataFrame =
     winners.groupBy("sample")
       .agg(
-        countDistinct("model").as("n_models"),
+        // a side with no winning model is itself a pairing failure —
+        // countDistinct skips NULLs, so coalesce to a sentinel first
+        countDistinct(coalesce(col("model"), lit("__NONE__")))
+          .as("n_models"),
         countDistinct("direction").as("n_dirs"),
         concat_ws(",", sort_array(collect_set(col("model"))))
           .as("models"))

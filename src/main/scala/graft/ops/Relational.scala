@@ -324,8 +324,8 @@ object Relational {
            SELECT event_type, unnest(json_keys(props)) AS key, props
            FROM events)
          SELECT event_type, key, count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.' || key) AS INT))
-             AS total
+           CAST(sum(CAST(json_extract_string(props, '$.' || key) AS INT))
+             AS BIGINT) AS total
          FROM kv GROUP BY event_type, key""",
     "f_gc_content_expr" ->
       """SELECT p_brand,

@@ -222,7 +222,8 @@ object Windows {
            (PARTITION BY l_orderkey) AS max_price FROM lineitem) x
          WHERE l_extendedprice >= max_price * 0.9""",
     "w6_row_number_id" ->
-      """SELECT row_number() OVER (ORDER BY n_name ASC) AS nation_id, n_name
+      """SELECT CAST(row_number() OVER (ORDER BY n_name ASC) AS INT)
+           AS nation_id, n_name
          FROM nation""",
     "w7_cumsum" ->
       """SELECT o_orderkey, o_custkey,

@@ -196,9 +196,9 @@ object Streams {
            FROM g),
          s AS (
            SELECT user_id,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+               AS BIGINT) AS session_id
            FROM b)
          SELECT user_id, session_id, count(*) AS n_events
          FROM s GROUP BY user_id, session_id""",

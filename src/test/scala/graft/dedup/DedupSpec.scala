@@ -99,6 +99,53 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(sh(0L), sh(4L)) > 16)
   }
 
+  test("simhash pair join: maxBucketSize prunes degenerate buckets, " +
+    "pair count stays linear") {
+    // 200 near-empty docs all sketch to the same chunks — without the
+    // cap the chunk self-join is quadratic (~19900 pairs)
+    val degenerate = (0L until 200L).map(i => (i, "aaa aaa aaa"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.simhashCandidatePairs(degenerate, "doc_id",
+      "text", maxHamming = 3, maxBucketSize = 100)
+    assert(capped.count() == 0) // every bucket over cap → dropped
+    // real near-dups in NON-degenerate buckets still surface with the
+    // cap on
+    val mixed = docs.union(degenerate.filter(col("doc_id") >= 100L))
+    val pairs = Dedup.simhashCandidatePairs(mixed, "doc_id", "text",
+      maxHamming = 16, maxBucketSize = 50)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 >= 100L && p._2 >= 100L))
+  }
+
+  test("ngram df-cap drops stopword grams before the pair join") {
+    // every doc shares the ultra-frequent boilerplate opener; only
+    // 0 and 1 are genuinely similar
+    val boiler = "this document is provided as is without warranty "
+    val corpus = Seq(
+      (0L, boiler + "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, boiler + "alpha beta gamma delta epsilon zeta eta iota"),
+      (2L, boiler + "one two three four five six seven eight"),
+      (3L, boiler + "red orange yellow green blue indigo violet pink"),
+      (4L, boiler + "north south east west up down left right")
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        -> r.getAs[Double]("jac")).toMap
+    // boilerplate links ALL pairs: 5 choose 2 = 10
+    assert(uncapped.size == 10)
+    val capped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      maxGramDf = 2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        -> r.getAs[Double]("jac")).toMap
+    // grams in >2 docs (the boilerplate) dropped → only the genuine
+    // near-dup pair survives the join, still scoring high over the
+    // filtered sets
+    assert(capped.keySet == Set((0L, 1L)))
+    assert(capped((0L, 1L)) > 0.5)
+  }
+
   test("ngram jaccard: dup pair ≈ 1, near-dup high, unrelated ≈ 0") {
     val grams = docs.select(col("doc_id"),
       Dedup.tokenNgrams(graft.text.TextOps.tokens(lower(col("text"))), 3)

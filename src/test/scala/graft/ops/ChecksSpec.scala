@@ -28,12 +28,14 @@ class ChecksSpec extends AnyFunSuite {
     val winners = Seq(
       ("s1", "fwd", "16S"), ("s1", "rev", "16S"), // ok
       ("s2", "fwd", "16S"), ("s2", "rev", "18S"), // disagree
-      ("s3", "fwd", "16S")                        // missing rev
+      ("s3", "fwd", "16S"),                       // missing rev
+      ("s4", "fwd", "16S"),
+      ("s4", "rev", null.asInstanceOf[String])    // side with no model
     ).toDF("sample", "direction", "model")
     val bad = Checks.pairedModelDisagreements(winners)
       .collect().map(r => r.getAs[String]("sample") ->
         r.getAs[String]("models")).toMap
-    assert(bad.keySet == Set("s2", "s3"))
+    assert(bad.keySet == Set("s2", "s3", "s4"))
     assert(bad("s2") == "16S,18S")
   }
 }

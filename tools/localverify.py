@@ -54,6 +54,15 @@ def main():
         if sorted(c.lower() for c in gcols) != sorted(c.lower() for c in wcols):
             results[name] = f"SCHEMA_MISMATCH got={sorted(gcols)} want={sorted(wcols)}"
             continue
+        # the driver's hash is TYPE-sensitive (r1: DuckDB HUGEINT vs
+        # Spark BIGINT failed despite value-exact rows) — compare dtypes
+        gtypes = {c.lower(): str(t) for c, t in zip(gcols, got.types)}
+        wtypes = {c.lower(): str(t) for c, t in zip(wcols, want.types)}
+        if gtypes != wtypes:
+            bad = {c: (gtypes[c], wtypes[c])
+                   for c in gtypes if gtypes[c] != wtypes[c]}
+            results[name] = f"TYPE_MISMATCH (spark, oracle)={bad}"
+            continue
         if len(grows) != len(wrows):
             results[name] = f"ROWCOUNT got={len(grows)} want={len(wrows)}"
             continue
