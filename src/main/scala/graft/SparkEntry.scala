@@ -47,7 +47,9 @@ object SparkEntry {
       ops.Abundance.oracle ++
       ops.Amplicon.oracle ++
       ops.Bins.oracle ++
+      ops.Glamr.oracle ++
       tax.Lineage.oracle ++
+      tax.TaxAbund.oracle ++
       text.TextOps.oracle ++
       dedup.Dedup.oracle ++
       sim.Similarity.oracle ++

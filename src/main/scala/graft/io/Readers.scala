@@ -165,22 +165,35 @@ object Readers {
 
   // ---- S15: filesystem catalog as a table ----
 
-  /** File listing → DataFrame (reference `Sys.glob + unglue_data`
-    * `postgres.Rmd:240-243`): driver-side listing (it is control
-    * metadata, bounded by file count), table name recovered from the
-    * path by regex exactly like unglue. */
+  /** File listing → DataFrame (reference `Sys.glob + unglue_data +
+    * file.info` `postgres.Rmd:240-243,2114-2126`): driver-side listing
+    * (it is control metadata, bounded by file count), table name
+    * recovered from the path by regex exactly like unglue, with the
+    * `file.info` stat columns (size, mtime) the reference's
+    * `benchmarks` table and staleness flows need.
+    *
+    * Listed through Hadoop FileSystem, not java.io.File — the same
+    * rationale as `Incremental.pathExists`: works unchanged against
+    * hdfs:// and s3a:// warehouses, where a local-File listing would
+    * silently return an empty catalog. */
   def fileCatalog(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // listFiles() returns null for missing/non-directory paths —
-    // surface an empty catalog, not an NPE
-    val files = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.isFile).map(_.getName).toSeq.sorted
-    files.toDF("file_name")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries =
+      if (fs.exists(path))
+        fs.listStatus(path).toSeq.filter(_.isFile)
+          .map(st =>
+            (st.getPath.getName, st.getLen, st.getModificationTime))
+          .sortBy(_._1)
+      else Seq.empty[(String, Long, Long)]
+    entries.toDF("file_name", "size_bytes", "mtime_ms")
       .select(
         col("file_name"),
         regexp_extract(col("file_name"), "^(.+)\\.parquet$", 1)
           .as("table_name"),
-        col("file_name").endsWith(".parquet").as("is_parquet"))
+        col("file_name").endsWith(".parquet").as("is_parquet"),
+        col("size_bytes"),
+        timestamp_millis(col("mtime_ms")).as("mtime"))
   }
 }

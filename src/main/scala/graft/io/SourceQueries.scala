@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** Gate queries for the source readers (SURVEY §2.1). The driver's
   * sfDir holds only parquet, so the text-format readers run over the
-  * embedded fixtures — the parse logic is identical to reading
-  * `spark.read.textFile(path)`. No SQL oracle (DuckDB has no
-  * FASTA/tblout reader) → rows-only check + ScalaTest goldens. */
+  * embedded fixtures. Each query's DuckDB oracle embeds the SAME raw
+  * fixture text as a VALUES CTE (generated from the one Scala constant)
+  * and re-derives the parse in SQL — an independent check of the parse
+  * semantics, not just a row count. The two filesystem queries (S15,
+  * J9) are oracled through DuckDB's glob(); `__SFDIR__` is substituted
+  * with the run's data dir by graft.Verify at dump time. */
 object SourceQueries {
 
   private def lines(s: SparkSession, text: String): Dataset[String] = {
@@ -20,6 +23,10 @@ object SourceQueries {
     import s.implicits._
     s.createDataset(Seq(text))
   }
+
+  /** SQL single-quoted string literal (embedded fixture text may
+    * contain newlines/tabs — legal inside DuckDB string literals). */
+  private def lit1(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** S6: HMMER tblout parse (comment skip + split-N + multiword
     * description). */
@@ -46,9 +53,18 @@ object SourceQueries {
       .select("qseqid", "sseqid", "evalue", "pident")
   }
 
-  /** S15: filesystem catalog of the sfDir as a table. */
+  /** S15: filesystem catalog of the sfDir as a table (name columns —
+    * the subset DuckDB's glob() can independently re-derive). */
   private def s15Catalog(s: SparkSession, d: String): DataFrame =
     Readers.fileCatalog(s, d).filter(col("is_parquet"))
+      .select("file_name", "table_name")
+
+  /** S15c: catalog mtime/size — the reference's `file.info` idiom
+    * (staleness flows, `postgres.Rmd:2114-2126`). DuckDB's glob() has
+    * no stat columns → rows-only + ReadersSpec sanity assertions. */
+  private def s15cCatalogMtime(s: SparkSession, d: String): DataFrame =
+    Readers.fileCatalog(s, d).filter(col("is_parquet"))
+      .select("table_name", "size_bytes", "mtime")
 
   /** S8: JSON ingest (runinfo; layout PAIRED/SINGLE detection feeds the
     * reference's dynamic fan-out, `Snakefile:150-164`). */
@@ -84,6 +100,7 @@ object SourceQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s15b_input_file_name" -> s15bInputFile _,
+    "s15c_catalog_mtime" -> s15cCatalogMtime _,
     "s6_tblout_parse" -> s6Tblout _,
     "s11_fasta_parse" -> s11Fasta _,
     "s12_fastq_parse" -> s12Fastq _,
@@ -92,5 +109,121 @@ object SourceQueries {
     "s8_json_parse" -> s8Json _,
     "j9_file_exists_join" -> j9FileJoin _)
 
-  val oracle: Map[String, String] = Map.empty
+  // ---- DuckDB oracles ----
+
+  private def m8Oracle: String = {
+    val vals = Fixtures.m8.split("\n").map(lit1)
+      .map(l => s"($l)").mkString(", ")
+    s"""WITH raw(line) AS (VALUES $vals),
+     p AS (SELECT string_split(line, chr(9)) AS f FROM raw
+           WHERE length(trim(line)) > 0),
+     t AS (SELECT f[1] AS qseqid, f[3] AS sseqid,
+             CAST(f[9] AS DOUBLE) AS evalue,
+             CAST(f[10] AS REAL) AS pident FROM p),
+     r AS (SELECT *, row_number() OVER (PARTITION BY qseqid
+             ORDER BY evalue ASC, sseqid ASC) AS rn FROM t)
+     SELECT qseqid, sseqid, evalue, pident FROM r WHERE rn = 1"""
+  }
+
+  private def tbloutOracle: String = {
+    val vals = Fixtures.tblout.split("\n").map(lit1)
+      .map(l => s"($l)").mkString(", ")
+    // 15 \S+ fields then the line remainder — the Python split-N
+    // semantics of Readers.parseTblout (SURVEY §7.4 risk 3)
+    val pat = "^" + Seq.fill(15)("(\\S+)").mkString("\\s+") +
+      "\\s+(.*)$"
+    val fields = Seq(
+      "target_name" -> "VARCHAR", "target_accession" -> "VARCHAR",
+      "query_name" -> "VARCHAR", "query_accession" -> "VARCHAR",
+      "hmmfrom" -> "INT", "hmm_to" -> "INT", "alifrom" -> "INT",
+      "ali_to" -> "INT", "envfrom" -> "INT", "env_to" -> "INT",
+      "sq_len" -> "INT", "strand" -> "VARCHAR", "evalue" -> "DOUBLE",
+      "score" -> "DOUBLE", "bias" -> "DOUBLE",
+      "description" -> "VARCHAR")
+    // DuckDB's numbered-group regexp_extract caps at group 9; the
+    // named-group (struct) variant has no such cap
+    val names = fields.map { case (n, _) => s"'$n'" }.mkString(", ")
+    val cols = fields.map { case (name, typ) =>
+      if (typ == "VARCHAR") s"g.$name AS $name"
+      else s"CAST(g.$name AS $typ) AS $name"
+    }.mkString(", ")
+    s"""WITH raw(line) AS (VALUES $vals),
+     p AS (SELECT regexp_extract(trim(line), '$pat', [$names]) AS g
+           FROM raw
+           WHERE NOT starts_with(line, '#')
+             AND length(trim(line)) > 0)
+     SELECT $cols FROM p"""
+  }
+
+  private def jsonOracle: String = {
+    val vals = Fixtures.runinfoJson.map(lit1).map(l => s"($l)")
+      .mkString(", ")
+    s"""WITH raw(j) AS (VALUES $vals)
+     SELECT json_extract_string(j, '$$.run') AS run,
+       json_extract_string(j, '$$.library_layout') AS library_layout,
+       CAST(json_extract(j, '$$.spots') AS BIGINT) AS spots,
+       CAST(json_extract(j, '$$.bases') AS BIGINT) AS bases,
+       (json_extract_string(j, '$$.library_layout') = 'PAIRED')
+         AS is_paired
+     FROM raw"""
+  }
+
+  private def fastaOracle: String =
+    s"""WITH raw(value) AS (VALUES (${lit1(Fixtures.fasta)})),
+     rec AS (SELECT unnest(string_split_regex(value, '(?m)^>|\\n>'))
+               AS rec FROM raw),
+     f AS (SELECT rec FROM rec WHERE length(trim(rec)) > 0),
+     p AS (SELECT
+         regexp_extract(rec, '^(\\S+)', 1) AS id,
+         trim(regexp_extract(rec, '^\\S+[ \\t]*([^\\n]*)', 1)) AS "desc",
+         regexp_replace(regexp_replace(rec, '^[^\\n]*\\n?', ''),
+           '\\s', '', 'g') AS seq
+       FROM f)
+     SELECT id, "desc", seq, CAST(length(seq) AS INT) AS length,
+       round(length(regexp_replace(upper(seq), '[^GC]', '', 'g')) *
+         CAST(100.0 AS DOUBLE) / length(seq), 4) AS gc_pct
+     FROM p WHERE length(seq) > 0"""
+
+  private def fastqOracle: String = {
+    val vals = Fixtures.fastq.split("\n").zipWithIndex
+      .map { case (l, i) => s"(CAST($i AS BIGINT), ${lit1(l)})" }
+      .mkString(", ")
+    s"""WITH raw(idx, line) AS (VALUES $vals),
+     g AS (SELECT idx // 4 AS rec, idx % 4 AS pos, line FROM raw)
+     SELECT rec,
+       max(CASE WHEN pos = 0
+         THEN regexp_replace(line, '^@', '') END) AS id,
+       max(CASE WHEN pos = 1 THEN line END) AS seq,
+       max(CASE WHEN pos = 3 THEN line END) AS qual,
+       CAST(length(max(CASE WHEN pos = 1 THEN line END)) AS INT)
+         AS length
+     FROM g GROUP BY rec"""
+  }
+
+  private val catalogOracle: String =
+    """SELECT parse_filename(file) AS file_name,
+       regexp_extract(parse_filename(file), '^(.+)\.parquet$', 1)
+         AS table_name
+     FROM glob('__SFDIR__/*.parquet')"""
+
+  private def fileJoinOracle: String = {
+    val vals = graft.Tables.names.map(n => s"('$n')").mkString(", ")
+    s"""WITH expected(table_name) AS (VALUES $vals),
+     cat AS (SELECT regexp_extract(parse_filename(file),
+               '^(.+)\\.parquet$$', 1) AS table_name
+             FROM glob('__SFDIR__/*.parquet'))
+     SELECT e.table_name, (c.table_name IS NOT NULL) AS present
+     FROM expected e LEFT JOIN cat c ON e.table_name = c.table_name"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "s1_m8_tophit" -> m8Oracle,
+    "s6_tblout_parse" -> tbloutOracle,
+    "s8_json_parse" -> jsonOracle,
+    "s11_fasta_parse" -> fastaOracle,
+    "s12_fastq_parse" -> fastqOracle,
+    "s15_file_catalog" -> catalogOracle,
+    "s15b_input_file_name" ->
+      "SELECT 'lineitem' AS table_from_path, count(*) AS n_rows FROM lineitem",
+    "j9_file_exists_join" -> fileJoinOracle)
 }

@@ -63,32 +63,36 @@ object Glamr {
   // in the driver's sfDir; DuckDB cannot see embedded fixtures →
   // rows-only check + the GlamrSpec goldens) ----
 
+  private val readCountRows: Seq[(String, String, Long, Long)] = Seq(
+    ("samp_1", "raw_reads", 1000L, 1000L),
+    ("samp_1", "deduped_reads", 800L, 790L),
+    ("samp_1", "filt_and_trimmed_reads", 400L, 395L),
+    ("samp_1", "decon_reads", 100L, 99L),
+    ("samp_2", "raw_reads", 500L, 500L),
+    ("samp_2", "deduped_reads", 250L, 250L),
+    ("samp_2", "filt_and_trimmed_reads", 125L, 125L),
+    ("samp_2", "decon_reads", 25L, 20L))
+
+  private val brackenRows
+      : Seq[(String, String, Int, String, String, Long)] = Seq(
+    ("s1", "gtdb", 100, "g__Alpha", "d__Bacteria;g__Alpha", 60L),
+    ("s1", "gtdb", 200, "g__Beta", "d__Bacteria;g__Beta", 40L),
+    ("s2", "gtdb", 100, "g__Alpha", "d__Bacteria;g__Alpha", 10L),
+    ("s1", "refseq", 2, "d__Bacteria", "d__Bacteria", 999L),
+    ("s1", "refseq", 400, "g__Delta", "d__Bacteria;g__Delta", 50L),
+    ("s2", "refseq", 300, "g__Gamma", "d__Viruses;g__Gamma", 90L))
+
   private def fixtureReadCounts(s: org.apache.spark.sql.SparkSession)
       : DataFrame = {
     import s.implicits._
-    Seq(
-      ("samp_1", "raw_reads", 1000L, 1000L),
-      ("samp_1", "deduped_reads", 800L, 790L),
-      ("samp_1", "filt_and_trimmed_reads", 400L, 395L),
-      ("samp_1", "decon_reads", 100L, 99L),
-      ("samp_2", "raw_reads", 500L, 500L),
-      ("samp_2", "deduped_reads", 250L, 250L),
-      ("samp_2", "filt_and_trimmed_reads", 125L, 125L),
-      ("samp_2", "decon_reads", 25L, 20L)
-    ).toDF("sample", "read_state", "fwd_read_count", "rev_read_count")
+    readCountRows
+      .toDF("sample", "read_state", "fwd_read_count", "rev_read_count")
   }
 
   private def fixtureBracken(s: org.apache.spark.sql.SparkSession)
       : DataFrame = {
     import s.implicits._
-    Seq(
-      ("s1", "gtdb", 100, "g__Alpha", "d__Bacteria;g__Alpha", 60L),
-      ("s1", "gtdb", 200, "g__Beta", "d__Bacteria;g__Beta", 40L),
-      ("s2", "gtdb", 100, "g__Alpha", "d__Bacteria;g__Alpha", 10L),
-      ("s1", "refseq", 2, "d__Bacteria", "d__Bacteria", 999L),
-      ("s1", "refseq", 400, "g__Delta", "d__Bacteria;g__Delta", 50L),
-      ("s2", "refseq", 300, "g__Gamma", "d__Viruses;g__Gamma", 90L)
-    ).toDF("sample", "db", "taxonomy_id", "name", "taxonomy",
+    brackenRows.toDF("sample", "db", "taxonomy_id", "name", "taxonomy",
       "new_est_reads")
   }
 
@@ -98,7 +102,67 @@ object Glamr {
     "g_bracken_matrix" -> ((s, _) =>
       brackenMerge(fixtureBracken(s), Seq("s1", "s2"))._2))
 
-  val oracle: Map[String, String] = Map.empty
+  // ---- DuckDB oracles: the fixture rows are embedded as a VALUES CTE
+  // (generated from the SAME Scala constants the Spark side reads), so
+  // the oracle re-derives the result from raw input independently ----
+
+  private def funnelOracle: String = {
+    val vals = readCountRows.map { case (sa, st, f, r) =>
+      s"('$sa', '$st', CAST($f AS BIGINT), CAST($r AS BIGINT))"
+    }.mkString(", ")
+    val rankCase = readStateOrder.zipWithIndex
+      .map { case (st, i) => s"WHEN '$st' THEN $i" }.mkString(" ")
+    s"""WITH rc(sample, read_state, fwd_read_count, rev_read_count) AS
+       (VALUES $vals),
+     long AS (
+       SELECT sample, read_state, 'fwd' AS direction,
+              fwd_read_count AS "count" FROM rc
+       UNION ALL
+       SELECT sample, read_state, 'rev' AS direction,
+              rev_read_count AS "count" FROM rc),
+     ranked AS (
+       SELECT *, CASE read_state $rankCase ELSE -1 END AS state_rank
+       FROM long),
+     lagged AS (
+       SELECT *, lag("count") OVER (PARTITION BY sample, direction
+         ORDER BY state_rank) AS prev
+       FROM ranked WHERE state_rank >= 0)
+     SELECT sample, direction, read_state, state_rank, "count",
+       round("count" * CAST(100.0 AS DOUBLE) / prev, 4)
+         AS percent_retained,
+       round(CAST(100.0 AS DOUBLE) -
+         round("count" * CAST(100.0 AS DOUBLE) / prev, 4), 4)
+         AS percent_removed
+     FROM lagged"""
+  }
+
+  private def brackenOracle: String = {
+    val vals = brackenRows.map { case (sa, db, tid, nm, tax, n) =>
+      s"('$sa', '$db', $tid, '$nm', '$tax', CAST($n AS BIGINT))"
+    }.mkString(", ")
+    s"""WITH br(sample, db, taxonomy_id, name, taxonomy, new_est_reads)
+       AS (VALUES $vals),
+     f AS (
+       SELECT *, db || '_' || CAST(taxonomy_id AS VARCHAR) AS taxon
+       FROM br
+       WHERE NOT (db = 'refseq' AND
+         (contains(coalesce(taxonomy, name), 'd__Bacteria') OR
+          contains(coalesce(taxonomy, name), 'd__Archaea')))),
+     r AS (
+       SELECT *, round(new_est_reads /
+         sum(new_est_reads) OVER (PARTITION BY sample), 6) AS rel_abund
+       FROM f)
+     SELECT taxon, name,
+       coalesce(max(CASE WHEN sample = 's1' THEN rel_abund END),
+         CAST(0.0 AS DOUBLE)) AS s1,
+       coalesce(max(CASE WHEN sample = 's2' THEN rel_abund END),
+         CAST(0.0 AS DOUBLE)) AS s2
+     FROM r GROUP BY taxon, name"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "g_funnel_fastp" -> funnelOracle,
+    "g_bracken_matrix" -> brackenOracle)
 
   /** F7: bracken merge (reference `merge_bracken.R:53-78`): per-sample
     * bracken tables tagged with (sample, db) → drop EVERY refseq row

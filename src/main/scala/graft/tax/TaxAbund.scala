@@ -50,22 +50,27 @@ object TaxAbund {
         "(tax_abund_from_contigs.R:90-92 invariant)")
   }
 
-  // fixture-backed gate query (F3/F6 shapes; embedded → rows-only)
+  // fixture-backed gate query (F3/F6 shapes); the DuckDB oracle embeds
+  // the same rows as a VALUES CTE and re-derives the ancestor-prefix
+  // rollup independently (unnest(generate_series) + list_slice)
+  private val lcaRows: Seq[(String, String)] = Seq(
+    ("c1", "Bacteria;Proteobacteria;Ecoli"),
+    ("c2", "Bacteria;Proteobacteria"),
+    ("c3", "Bacteria;Firmicutes;Bacillus"),
+    ("c4", "Archaea;Euryarchaeota"),
+    ("c5", "Bacteria"))
+
+  private val abundRows: Seq[(String, Double)] = Seq(
+    ("c1", 10.0), ("c2", 20.0), ("c3", 5.0), ("c4", 2.5), ("c5", 1.0))
+
   private def fixtureLca(s: SparkSession): DataFrame = {
     import s.implicits._
-    Seq(
-      ("c1", "Bacteria;Proteobacteria;Ecoli"),
-      ("c2", "Bacteria;Proteobacteria"),
-      ("c3", "Bacteria;Firmicutes;Bacillus"),
-      ("c4", "Archaea;Euryarchaeota"),
-      ("c5", "Bacteria")
-    ).toDF("contig", "lineage")
+    lcaRows.toDF("contig", "lineage")
   }
 
   private def fixtureAbund(s: SparkSession): DataFrame = {
     import s.implicits._
-    Seq(("c1", 10.0), ("c2", 20.0), ("c3", 5.0), ("c4", 2.5),
-      ("c5", 1.0)).toDF("contig", "tpm")
+    abundRows.toDF("contig", "tpm")
   }
 
   private def gTaxAbund(s: SparkSession, d: String): DataFrame = {
@@ -74,8 +79,31 @@ object TaxAbund {
     out
   }
 
+  private def taxAbundOracle: String = {
+    val lcaVals = lcaRows.map { case (c, l) => s"('$c', '$l')" }
+      .mkString(", ")
+    val abVals = abundRows
+      .map { case (c, t) => s"('$c', CAST($t AS DOUBLE))" }.mkString(", ")
+    s"""WITH lca(contig, lineage) AS (VALUES $lcaVals),
+     ab(contig, tpm) AS (VALUES $abVals),
+     j AS (SELECT l.lineage, a.tpm
+           FROM lca l LEFT JOIN ab a USING (contig)),
+     e AS (SELECT tpm, lineage,
+             array_to_string(list_slice(parts, 1, d), ';') AS node
+           FROM (SELECT tpm, lineage,
+                   string_split(lineage, ';') AS parts,
+                   unnest(generate_series(1,
+                     len(string_split(lineage, ';')))) AS d
+                 FROM j))
+     SELECT node, round(sum(tpm), 6) AS abund_w_subtax,
+       round(sum(CASE WHEN node = lineage THEN tpm
+         ELSE CAST(0.0 AS DOUBLE) END), 6) AS abund_direct
+     FROM e GROUP BY node"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_tax_abund_contigs" -> gTaxAbund _)
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "g_tax_abund_contigs" -> taxAbundOracle)
 }

@@ -67,8 +67,9 @@ object TextOps {
 
   /** tx language ID: score each language's stopword profile against the
     * document's tokens, argmax with alphabetical tie-break (zero-hit
-    * docs fall to the alphabetically-first profile). Heuristic → no SQL
-    * oracle; golden-tested on hand-built texts.
+    * docs fall to the alphabetically-first profile). Oracled: the
+    * profile table is embedded in the SQL as a VALUES CTE and the
+    * explode-join-argmax re-derived over the same `documents` table.
     *
     * Relational form: explode tokens, broadcast-join the (lang, word)
     * profile table, count hits per (doc, lang), window argmax — scales
@@ -121,7 +122,33 @@ object TextOps {
     "tx_langid" -> txLangid _,
     "tx_fingerprint" -> txFingerprint _)
 
+  private def langidOracle: String = {
+    val vals = stopwords.toSeq.sortBy(_._1)
+      .flatMap { case (lang, ws) => ws.map(w => s"('$lang', '$w')") }
+      .mkString(", ")
+    val fallback = stopwords.keys.min
+    s"""WITH profile(lang, word) AS (VALUES $vals),
+     toks AS (
+       SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+       FROM documents),
+     hits AS (
+       SELECT doc_id, lang, count(*) AS hits
+       FROM toks JOIN profile USING (word)
+       GROUP BY doc_id, lang),
+     w AS (
+       SELECT doc_id, lang, hits, row_number() OVER (PARTITION BY doc_id
+         ORDER BY hits DESC, lang ASC) AS rn
+       FROM hits)
+     SELECT d.doc_id,
+       coalesce(w.lang, '$fallback') AS lang_pred,
+       CAST(coalesce(w.hits, 0) AS INT) AS profile_hits
+     FROM documents d
+     LEFT JOIN (SELECT * FROM w WHERE rn = 1) w USING (doc_id)"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "tx_langid" -> langidOracle,
     "tx_bpe_tokens" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT)

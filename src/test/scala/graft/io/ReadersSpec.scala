@@ -110,5 +110,11 @@ class ReadersSpec extends AnyFunSuite {
     val cat = Readers.fileCatalog(spark, TestSpark.sf0001)
     assert(cat.filter(col("is_parquet")).count() == 10)
     assert(cat.filter(col("table_name") === "lineitem").count() == 1)
+    // file.info stat columns (postgres.Rmd:2114-2126 idiom): every
+    // listed file has a positive size and a non-null mtime
+    assert(cat.filter(col("size_bytes") <= 0).count() == 0)
+    assert(cat.filter(col("mtime").isNull).count() == 0)
+    // missing dir → empty catalog, not an error
+    assert(Readers.fileCatalog(spark, "/no/such/dir").count() == 0)
   }
 }
