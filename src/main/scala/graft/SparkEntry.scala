@@ -28,6 +28,7 @@ object SparkEntry {
       ops.Abundance.queries ++
       ops.Amplicon.queries ++
       ops.Bins.queries ++
+      ops.Checks.queries ++
       ops.Glamr.queries ++
       tax.Lineage.queries ++
       tax.TaxAbund.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       ops.Abundance.oracle ++
       ops.Amplicon.oracle ++
       ops.Bins.oracle ++
+      ops.Checks.oracle ++
       ops.Glamr.oracle ++
       tax.Lineage.oracle ++
       tax.TaxAbund.oracle ++

@@ -38,4 +38,74 @@ class ChecksSpec extends AnyFunSuite {
     assert(bad.keySet == Set("s2", "s3", "s4"))
     assert(bad("s2") == "16S,18S")
   }
+
+  test("pairing codes E1-E17: one fixture sample per code path") {
+    val out = Checks.pairingCodes(
+        Checks.fixtureSummaries(spark), Checks.fixtureFiles(spark))
+      .as[(String, String, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toSeq).toMap
+    val expected = Map(
+      "samp02_e1" -> Seq("E1"),
+      "samp03_e2" -> Seq("E2"),
+      "samp04_e3" -> Seq("E3"),
+      "samp05_e4" -> Seq("E4"),
+      "samp06_e5" -> Seq("E5"),
+      "samp07_e6" -> Seq("E6"),
+      "samp08_e7" -> Seq("E7"),
+      "samp09_e8" -> Seq("E8"),
+      "samp10_e9" -> Seq("E9"),
+      "samp11_e10" -> Seq("E10"),
+      "samp14_se3" -> Seq("E3"),
+      "samp15_se9" -> Seq("E9"),
+      "samp16_noaln" -> Seq("E9"),
+      // file-level errors abort the summary checks entirely —
+      // samp17's E1-worthy ratio must NOT surface
+      "samp17_e15" -> Seq("E15"),
+      "samp18_e16" -> Seq("E16"),
+      "samp19_e17" -> Seq("E17"),
+      "samp20_multi" -> Seq("E1", "E5", "E7"))
+    assert(out == expected)
+    // clean, swapped-but-consistent, and clean-single samples are absent
+    assert(!out.contains("samp01_ok"))
+    assert(!out.contains("samp12_swap"))
+    assert(!out.contains("samp13_sok"))
+  }
+
+  test("pairing codes: E4 model mismatch still runs primer checks") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    // models disagree AND fwd primer count is low → E4 + E5 together
+    // (check_paired appends E4 and continues, guess_target.py:341-344)
+    val summ = spark.createDataFrame(Seq(
+      Row("sX", "fwd", "16S", 900L, 1000L, "fwd", "f27", null, 50L,
+        null, 5.0, null),
+      Row("sX", "rev", "18S", 950L, 1000L, "rev", null, "r338", null,
+        400L, null, -3.0)).asJava, Checks.pairingSummarySchema)
+    val files = spark.createDataFrame(Seq(
+      Row("sX", 2, Integer.valueOf(2), java.lang.Boolean.TRUE)).asJava,
+      Checks.pairingFilesSchema)
+    val codes = Checks.pairingCodes(summ, files)
+      .select("code").as[String].collect().sorted.toSeq
+    assert(codes == Seq("E4", "E5"))
+  }
+
+  test("pairing codes: blocked side suppresses pair checks, other side still collects") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    // rev side has no alignments (E9-insufficient, blocks the pair
+    // check) while fwd side has a bad ratio → E1(fwd) + E9(rev), but
+    // no primer-level codes even though fwd_count is low
+    val summ = spark.createDataFrame(Seq(
+      Row("sY", "fwd", "16S", 100L, 1000L, "fwd", "f27", null, 10L,
+        null, 5.0, null),
+      Row("sY", "rev", "16S", null, null, "rev", null, "r338", null,
+        400L, null, -3.0)).asJava, Checks.pairingSummarySchema)
+    val files = spark.createDataFrame(Seq(
+      Row("sY", 2, Integer.valueOf(2), java.lang.Boolean.TRUE)).asJava,
+      Checks.pairingFilesSchema)
+    val codes = Checks.pairingCodes(summ, files)
+      .select("code").as[String].collect().sorted.toSeq
+    assert(codes == Seq("E1", "E9"))
+  }
 }
