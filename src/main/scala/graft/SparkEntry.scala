@@ -35,6 +35,7 @@ object SparkEntry {
       text.TextOps.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
+      ingest.Overrides.queries ++
       io.SourceQueries.queries ++
       streaming.Streams.queries ++
       multimodal.Multimodal.queries
@@ -55,6 +56,7 @@ object SparkEntry {
       text.TextOps.oracle ++
       dedup.Dedup.oracle ++
       sim.Similarity.oracle ++
+      ingest.Overrides.oracle ++
       io.SourceQueries.oracle ++
       streaming.Streams.oracle ++
       multimodal.Multimodal.oracle

@@ -42,10 +42,33 @@ object Pipeline {
     println(s"[pipeline] ingest: $appended new rows")
 
     // 1b. regenerate the dispatch-assignments table, preserving manual
-    //     edits and SKIPs (Overrides semantics)
+    //     edits and SKIPs (Overrides semantics). The machine proposal
+    //     is the dispatch flow (dispatch.py:159-193): guess a target
+    //     per sample (dominant returnflag = the detected model), flag
+    //     low-coverage samples as errors -> UNKNOWN, then apply the
+    //     single-target-mode >=80% override before merging.
     val assignPath = s"$whDir/assignments"
-    val proposed = facts.select(col("sample").cast("string").as("key"))
-      .distinct().withColumn("assignment", lit("DEFAULT"))
+    import org.apache.spark.sql.expressions.Window
+    val perMode = facts.groupBy("sample", "l_returnflag")
+      .agg(count(lit(1)).as("n"))
+    val wTop = Window.partitionBy("sample")
+      .orderBy(col("n").desc, col("l_returnflag").asc)
+    val guessed = perMode
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("sample").cast("string").as("sample"),
+        col("l_returnflag").as("model_name"),
+        lit(null: String).as("fwd_primer"),
+        lit(null: String).as("rev_primer"))
+    // detection "errors": samples with too few rows to call a target
+    val errors = facts.groupBy(col("sample").cast("string").as("sample"))
+      .agg(count(lit(1)).as("n")).filter(col("n") < 3)
+    val assigned = graft.ingest.Overrides.singleModeOverride(
+      graft.ingest.Overrides.assignTargets(guessed, errors)
+        .withColumn("override", lit("")))
+    val proposed = graft.ingest.Overrides.effectiveTarget(assigned)
+      .select(col("sample").as("key"),
+        col("effective_target").as("assignment"))
     // Hadoop-FS existence check — a java.io.File check would treat any
     // non-local warehouse as absent and destroy manual edits on rerun
     val existing =
@@ -53,16 +76,12 @@ object Pipeline {
         spark.read.parquet(assignPath)
       else proposed.limit(0)
     val merged = graft.ingest.Overrides.mergeAssignments(existing, proposed)
-    // write via temp then swap is the production move; overwrite is
-    // fine in the single-writer pipeline
-    val mergedRows = merged.collect()
-    import spark.implicits._
-    mergedRows.map(r => (r.getString(0), r.getString(1)))
-      .toSeq.toDF("key", "assignment")
-      .write.mode("overwrite").parquet(assignPath)
-    val nEff = graft.ingest.Overrides.effective(
-      spark.read.parquet(assignPath)).count()
-    println(s"[pipeline] assignments: ${mergedRows.length} total, " +
+    // staged write + rename: breaks the read-overwrite cycle without
+    // collecting the table through the driver
+    graft.io.Writers.overwriteStaged(merged, assignPath)
+    val back = spark.read.parquet(assignPath)
+    val nEff = graft.ingest.Overrides.effective(back).count()
+    println(s"[pipeline] assignments: ${back.count()} total, " +
       s"$nEff effective")
 
     // 2. dims as views (broadcast-sized)

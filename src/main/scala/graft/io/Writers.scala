@@ -36,6 +36,24 @@ object Writers {
   def overwriteTable(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** K3b: overwrite a table that is DERIVED FROM ITS OWN previous
+    * contents (the assignments regeneration cycle): stage to a sibling
+    * directory, then swap via rename. Breaks the read-overwrite cycle
+    * without collecting to the driver, and narrows the
+    * no-table-on-disk window to the delete+rename (the reference's
+    * NamedTemporaryFile + copy idiom, dispatch.py:196-210). */
+  def overwriteStaged(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val fs = target.getFileSystem(hconf)
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    require(fs.rename(staging, target),
+      s"staged overwrite: rename $staging -> $target failed")
+  }
+
   /** K4: view (reference `CREATE VIEW bin_summary`). */
   def createView(df: DataFrame, name: String): Unit =
     df.createOrReplaceTempView(name)

@@ -60,4 +60,49 @@ class OverridesSpec extends AnyFunSuite {
     val twice = Overrides.mergeAssignments(once, prop)
     assert(once.collect().toSet == twice.collect().toSet)
   }
+
+  test("single-mode override: 9/10 majority flips the stray, manual untouched") {
+    val assigned = ((1 to 9).map(i => (s"m$i", "16S.f27.r338", "")) :+
+      ("stray", "UNKNOWN", "") :+ ("skipme", "UNKNOWN", "SKIP"))
+      .toDF("sample", "target", "override")
+    // 9 known + 2 UNKNOWN = 11 rows, 9/11 = 0.818 >= 0.8 → fires
+    val out = Overrides.singleModeOverride(assigned)
+      .as[(String, String, String)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out("stray") == "__AUTO__16S.f27.r338")
+    assert(out("skipme") == "SKIP") // manual override untouched
+    assert(out("m1") == "")         // known rows untouched
+  }
+
+  test("single-mode override: below threshold or >2 targets → no override") {
+    val below = ((1 to 7).map(i => (s"m$i", "16S.f27.r338", "")) ++
+      (1 to 3).map(i => (s"u$i", "UNKNOWN", "")))
+      .toDF("sample", "target", "override")
+    assert(Overrides.singleModeOverride(below) // 7/10 < 0.8
+      .filter($"override" =!= "").count() == 0)
+
+    val threeTargets = (Seq(("a", "16S.f27.r338", ""),
+      ("b", "18S.f1.r2", "")) ++
+      (1 to 20).map(i => (s"m$i", "16S.f27.r338", "")) :+
+      ("u", "UNKNOWN", "")).toDF("sample", "target", "override")
+    assert(Overrides.singleModeOverride(threeTargets)
+      .filter($"override" =!= "").count() == 0)
+  }
+
+  test("dispatch composes: assignTargets + single-mode + effectiveTarget") {
+    val guessed = ((1 to 9).map(i => (s"m$i", "16S", "f27", "r338")) :+
+      ("bad", "16S", "f27", "r338"))
+      .toDF("sample", "model_name", "fwd_primer", "rev_primer")
+    val errors = Seq(("bad", "E5", "too few")).toDF("sample", "code", "msg")
+    val out = Overrides.effectiveTarget(
+      Overrides.singleModeOverride(
+        Overrides.assignTargets(guessed, errors)
+          .withColumn(
+            "override", org.apache.spark.sql.functions.lit(""))))
+      .select("sample", "effective_target")
+      .as[(String, String)].collect().toMap
+    // the errored sample is UNKNOWN → auto-overridden to the majority
+    assert(out("bad") == "16S.f27.r338")
+    assert(out("m1") == "16S.f27.r338")
+  }
 }
