@@ -75,4 +75,53 @@ object Fixtures {
     "gene_2\t210\tUniRef100_B2\t225\t1\t208\t3\t211\t2.0e-30\t91.0\t8\t94.0\t91.0",
     "gene_3\t150\tUniRef100_C1\t160\t1\t150\t1\t150\t3.0e-10\t75.0\t30\t88.0\t85.0"
   ).mkString("\n")
+
+  /** S7: `seqkit stats -a -T` output (reference `pypelib/utils.py:52-95`
+    * load_stats): header row, TEXT_COLS file/format/type, everything
+    * else numeric with the int-or-float mix. */
+  val seqkitStats: String = Seq(
+    "file\tformat\ttype\tnum_seqs\tsum_len\tmin_len\tavg_len\tmax_len\t" +
+      "Q1\tQ2\tQ3\tsum_gap\tN50\tQ20(%)\tQ30(%)\tAvgQual\tGC(%)",
+    "samp_1_fwd.fastq\tFASTQ\tDNA\t1000\t150000\t140\t150.0\t160\t" +
+      "145\t150\t155\t0\t150\t98.52\t95.21\t35.8\t51.25",
+    "samp_1_rev.fastq\tFASTQ\tDNA\t1000\t149000\t138\t149.0\t160\t" +
+      "144\t149\t154\t0\t149\t97.93\t94.12\t35.1\t50.87",
+    "samp_2.fastq\tFASTQ\tDNA\t500\t60000\t100\t120.0\t150\t" +
+      "110\t121\t130\t0\t122\t99.01\t96.44\t36.2\t48.6"
+  ).mkString("\n")
+
+  /** S13: samtools/Rsamtools idxstats shape (reference
+    * `summarize_marker_gene_read_mapping.R:43-52`): per-sequence
+    * (seqnames, seqlength, mapped, unmapped), '*' = unmapped bucket,
+    * names carrying the `;`-suffix and `-` the reference strips. */
+  val idxstats: String = Seq(
+    "marker-A;extra_info\t1500\t120\t3",
+    "marker-B\t900\t80\t1",
+    "marker-C\t2000\t0\t0",
+    "*\t0\t0\t55"
+  ).mkString("\n")
+
+  /** S4: BBMap `.rpkm` file (reference `postgres.Rmd:1189-1203`
+    * read_gene_abundance): 4 metadata lines to skip, then a
+    * '#Name'-headed TSV whose Name column is a prodigal gene header
+    * (` # `-separated fields, `;`-separated key=value tail). */
+  val rpkm: String = Seq(
+    "#File\tsamp_9.fq",
+    "#Reads\t1000",
+    "#Mapped\t900",
+    "#RefSequences\t4",
+    "#Name\tLength\tBases\tCoverage\tReads\tRPKM\tFrags\tFPKM",
+    "gene_one # 1 # 500 # 1 # ID=1_1;partial=00;start_type=ATG;" +
+      "rbs_motif=None;rbs_spacer=5-10bp;gc_cont=0.550\t500\t4000\t" +
+      "8.00\t40\t80.5\t20\t40.25",
+    "gene_two # 501 # 1200 # -1 # ID=1_2;partial=01;start_type=GTG;" +
+      "rbs_motif=AGGAG;rbs_spacer=3bp;gc_cont=0.612\t700\t2100\t" +
+      "3.00\t21\t30.0\t10\t15.00",
+    "gene_three # 10 # 400 # 1 # ID=2_1;partial=00;start_type=ATG;" +
+      "rbs_motif=None;rbs_spacer=None;gc_cont=0.480\t390\t780\t" +
+      "2.00\t8\t20.5\t4\t10.25",
+    "gene_four # 450 # 900 # 1 # ID=2_2;partial=10;start_type=TTG;" +
+      "rbs_motif=GGA/GAG/AGG;rbs_spacer=5-10bp;gc_cont=0.525\t450\t" +
+      "900\t2.00\t9\t22.0\t5\t11.00"
+  ).mkString("\n")
 }

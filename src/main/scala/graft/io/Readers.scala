@@ -17,16 +17,52 @@ import org.apache.spark.sql.types._
   */
 object Readers {
 
-  // ---- S1: schema'd TSV (the reference's read_tsv(col_names=...)) ----
+  // ---- S1/S3: schema'd separated text (the reference's
+  //      read_tsv/read_csv(col_names=...)) ----
 
   def tsv(spark: SparkSession, path: String, schema: StructType,
-      header: Boolean = false, comment: Char = '#'): DataFrame =
+      header: Boolean = false, comment: Char = '#',
+      sep: String = "\t"): DataFrame =
     spark.read
-      .option("sep", "\t")
+      .option("sep", sep)
       .option("header", header.toString)
       .option("comment", comment.toString) // S4/S5 comment-skip
       .schema(schema)
       .csv(path)
+
+  /** S3: comma-separated variant (reference `read_csv`/`write_csv`,
+    * e.g. `make_das_and_drep_inputs.R:115` genome_info.csv). */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    tsv(spark, path, schema, header, sep = ",")
+
+  /** S4: skip the first `n` FILE-ORDER lines (the reference's
+    * `read_tsv(skip = n)`, `postgres.Rmd:1191,1283`). Spark's CSV
+    * reader has no skip option, so this works at the line layer —
+    * zipWithIndex preserves file order the same way parseFastq's
+    * record grouping does. Skip-N files are headers-above-a-table,
+    * read per file. */
+  def skipLines(lines: Dataset[String], n: Long): Dataset[String] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.rdd.zipWithIndex()
+      .filter { case (_, idx) => idx >= n }
+      .map(_._1).toDS()
+  }
+
+  /** Parse separator-delimited lines against a schema with try-casts
+    * (malformed values → null, never an ANSI abort). The Dataset-line
+    * twin of `tsv` for embedded fixtures and post-skipLines input. */
+  def parseSeparated(lines: Dataset[String], schema: StructType,
+      sep: String = "\t"): DataFrame = {
+    val parts = split(col("value"), java.util.regex.Pattern.quote(sep))
+    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+      try_element_at(parts, lit(i + 1)).try_cast(f.dataType.sql)
+        .as(f.name)
+    }
+    lines.toDF("value").filter(length(trim(col("value"))) > 0)
+      .select(cols.toSeq: _*)
+  }
 
   /** blast-m8 13-column schema (reference `postgres.Rmd:309-313`). */
   val m8Schema: StructType = StructType(Seq(
@@ -60,6 +96,61 @@ object Readers {
     StructField("rank", StringType),
     StructField("tax_name", StringType),
     StructField("lineage", StringType)))
+
+  // ---- S7: seqkit stats -a -T ----
+
+  /** `seqkit stats -a -T` columns (reference `pypelib/utils.py:52-95`
+    * load_stats: TEXT_COLS = file/format/type, the rest numeric with
+    * int-or-float fallback → integral counts as BIGINT, the
+    * fractional stats as DOUBLE). Output names are snake_cased
+    * (Q20(%) → q20_pct …) — the reference's own rename-map idiom (S2),
+    * and parquet-safe. */
+  val seqkitStatsSchema: StructType = StructType(Seq(
+    StructField("file", StringType), StructField("format", StringType),
+    StructField("type", StringType),
+    StructField("num_seqs", LongType), StructField("sum_len", LongType),
+    StructField("min_len", LongType), StructField("avg_len", DoubleType),
+    StructField("max_len", LongType), StructField("q1", DoubleType),
+    StructField("q2", DoubleType), StructField("q3", DoubleType),
+    StructField("sum_gap", LongType), StructField("n50", LongType),
+    StructField("q20_pct", DoubleType), StructField("q30_pct", DoubleType),
+    StructField("avg_qual", DoubleType), StructField("gc_pct", DoubleType)))
+
+  /** Parse seqkit-stats lines (tab-separated WITH header; the header
+    * row is recognized by its `file` first field, not by position —
+    * order-safe after any shuffle). */
+  def parseSeqkitStats(lines: Dataset[String]): DataFrame =
+    parseSeparated(lines, seqkitStatsSchema)
+      .filter(col("file") =!= "file")
+
+  def readSeqkitStats(spark: SparkSession, path: String): DataFrame =
+    parseSeqkitStats(spark.read.textFile(path))
+
+  // ---- S13: samtools idxstats ----
+
+  /** idxstats columns (reference `Rsamtools::idxstatsBam`,
+    * `summarize_marker_gene_read_mapping.R:43`): headerless 4-col TSV;
+    * `*` row = unmapped bucket. */
+  val idxstatsSchema: StructType = StructType(Seq(
+    StructField("seqnames", StringType),
+    StructField("seqlength", LongType),
+    StructField("mapped", LongType),
+    StructField("unmapped", LongType)))
+
+  /** Parse idxstats lines, applying the reference's name cleanup
+    * (`str_remove(";.*") + str_replace_all("-", "_")`, R lines 50-52)
+    * and dropping the `*` bucket when `dropUnmapped`. */
+  def parseIdxstats(lines: Dataset[String],
+      dropUnmapped: Boolean = true): DataFrame = {
+    val parsed = parseSeparated(lines, idxstatsSchema)
+      .withColumn("seqnames",
+        regexp_replace(regexp_extract(col("seqnames"), "^([^;]*)", 1),
+          "-", "_"))
+    if (dropUnmapped) parsed.filter(col("seqnames") =!= "*") else parsed
+  }
+
+  def readIdxstats(spark: SparkSession, path: String): DataFrame =
+    parseIdxstats(spark.read.textFile(path))
 
   // ---- S6: whitespace-aligned HMMER tblout ----
 

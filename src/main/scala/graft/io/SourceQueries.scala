@@ -53,6 +53,56 @@ object SourceQueries {
       .select("qseqid", "sseqid", "evalue", "pident")
   }
 
+  /** S7: seqkit stats -a -T parse (load_stats semantics: header
+    * recognized, text cols verbatim, numerics typed). */
+  private def s7Seqkit(s: SparkSession, d: String): DataFrame =
+    Readers.parseSeqkitStats(lines(s, Fixtures.seqkitStats))
+
+  /** S13 + Markers: idxstats parse (name cleanup, '*' bucket dropped)
+    * into per-marker RPM/RPKM against the sample read total
+    * (`summarize_marker_gene_read_mapping.R:43-52`). */
+  private def s13Idxstats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val totals = Seq(("samp_9", 1000L)).toDF("sample", "total_reads")
+    graft.ops.Markers.markerMetrics(
+      Readers.parseIdxstats(lines(s, Fixtures.idxstats)), totals,
+      "samp_9")
+  }
+
+  /** S4 + scalars: BBMap .rpkm ingest — skip 4 metadata lines, parse
+    * the '#Name'-headed table, split the prodigal gene header
+    * (` # `-fields, `;`-separated key=value tail, `^.*=` strip), and
+    * per-file TPM from FPKM (`postgres.Rmd:1189-1203`
+    * read_gene_abundance). */
+  private def s4RpkmSkip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("gene_header", StringType),
+      StructField("length", LongType), StructField("bases", LongType),
+      StructField("coverage", DoubleType),
+      StructField("reads", LongType), StructField("rpkm", DoubleType),
+      StructField("frags", LongType), StructField("fpkm", DoubleType)))
+    val body = Readers.parseSeparated(
+        Readers.skipLines(lines(s, Fixtures.rpkm), 4), schema)
+      .filter(col("gene_header") =!= "#Name")
+    val p = split(col("gene_header"), " # ")
+    val kv = split(element_at(p, 5), ";")
+    def stripKey(i: Int) =
+      regexp_replace(element_at(kv, i), "^.*=", "")
+    body.select(
+        element_at(p, 1).as("gene"),
+        stripKey(1).as("id"),
+        stripKey(2).as("partial"),
+        stripKey(3).as("start_type"),
+        stripKey(6).try_cast("double").as("gc_content"),
+        col("fpkm"))
+      .withColumn("contig",
+        concat(lit("samp_9_"), split(col("id"), "_").getItem(0)))
+      .withColumn("tpm",
+        col("fpkm") * lit(1e6) /
+          sum(col("fpkm")).over(Window.partitionBy()))
+  }
+
   /** S15: filesystem catalog of the sfDir as a table (name columns —
     * the subset DuckDB's glob() can independently re-derive). */
   private def s15Catalog(s: SparkSession, d: String): DataFrame =
@@ -101,6 +151,9 @@ object SourceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s15b_input_file_name" -> s15bInputFile _,
     "s15c_catalog_mtime" -> s15cCatalogMtime _,
+    "s4_rpkm_skip" -> s4RpkmSkip _,
+    "s7_seqkit_stats" -> s7Seqkit _,
+    "s13_idxstats_rpkm" -> s13Idxstats _,
     "s6_tblout_parse" -> s6Tblout _,
     "s11_fasta_parse" -> s11Fasta _,
     "s12_fastq_parse" -> s12Fastq _,
@@ -200,6 +253,71 @@ object SourceQueries {
      FROM g GROUP BY rec"""
   }
 
+  private def seqkitOracle: String = {
+    val vals = Fixtures.seqkitStats.split("\n").map(lit1)
+      .map(l => s"($l)").mkString(", ")
+    s"""WITH raw(line) AS (VALUES $vals),
+     p AS (SELECT string_split(line, chr(9)) AS f FROM raw
+           WHERE length(trim(line)) > 0)
+     SELECT f[1] AS "file", f[2] AS format, f[3] AS "type",
+       CAST(f[4] AS BIGINT) AS num_seqs, CAST(f[5] AS BIGINT) AS sum_len,
+       CAST(f[6] AS BIGINT) AS min_len, CAST(f[7] AS DOUBLE) AS avg_len,
+       CAST(f[8] AS BIGINT) AS max_len, CAST(f[9] AS DOUBLE) AS q1,
+       CAST(f[10] AS DOUBLE) AS q2, CAST(f[11] AS DOUBLE) AS q3,
+       CAST(f[12] AS BIGINT) AS sum_gap, CAST(f[13] AS BIGINT) AS n50,
+       CAST(f[14] AS DOUBLE) AS q20_pct, CAST(f[15] AS DOUBLE) AS q30_pct,
+       CAST(f[16] AS DOUBLE) AS avg_qual, CAST(f[17] AS DOUBLE) AS gc_pct
+     FROM p WHERE f[1] <> 'file'"""
+  }
+
+  private def idxstatsOracle: String = {
+    val vals = Fixtures.idxstats.split("\n").map(lit1)
+      .map(l => s"($l)").mkString(", ")
+    s"""WITH raw(line) AS (VALUES $vals),
+     p AS (SELECT string_split(line, chr(9)) AS f FROM raw
+           WHERE length(trim(line)) > 0),
+     t AS (SELECT
+         replace(string_split(f[1], ';')[1], '-', '_') AS seqnames,
+         CAST(f[2] AS BIGINT) AS seqlength,
+         CAST(f[3] AS BIGINT) AS mapped,
+         CAST(f[4] AS BIGINT) AS unmapped
+       FROM p),
+     m AS (SELECT 'samp_9' AS sample, *,
+         CAST(1000 AS BIGINT) AS total_reads,
+         (mapped * 1000000.0) / 1000 AS rpm
+       FROM t WHERE seqnames <> '*')
+     SELECT sample, seqnames, seqlength, mapped, unmapped, total_reads,
+       rpm, (rpm * 1000.0) / seqlength AS rpkm
+     FROM m"""
+  }
+
+  private def rpkmOracle: String = {
+    val vals = Fixtures.rpkm.split("\n").zipWithIndex
+      .map { case (l, i) => s"(CAST($i AS BIGINT), ${lit1(l)})" }
+      .mkString(", ")
+    s"""WITH raw(idx, line) AS (VALUES $vals),
+     body AS (SELECT line FROM raw WHERE idx >= 4
+              AND length(trim(line)) > 0),
+     p AS (SELECT string_split(line, chr(9)) AS f FROM body),
+     t AS (SELECT f[1] AS gene_header, CAST(f[8] AS DOUBLE) AS fpkm
+           FROM p WHERE f[1] <> '#Name'),
+     g AS (SELECT string_split(gene_header, ' # ') AS gp, fpkm FROM t),
+     k AS (SELECT gp[1] AS gene, string_split(gp[5], ';') AS kv, fpkm
+           FROM g),
+     cols AS (SELECT gene,
+         regexp_replace(kv[1], '^.*=', '') AS id,
+         regexp_replace(kv[2], '^.*=', '') AS partial,
+         regexp_replace(kv[3], '^.*=', '') AS start_type,
+         CAST(regexp_replace(kv[6], '^.*=', '') AS DOUBLE)
+           AS gc_content,
+         fpkm
+       FROM k)
+     SELECT *,
+       'samp_9_' || string_split(id, '_')[1] AS contig,
+       fpkm * 1000000.0 / sum(fpkm) OVER () AS tpm
+     FROM cols"""
+  }
+
   private val catalogOracle: String =
     """SELECT parse_filename(file) AS file_name,
        regexp_extract(parse_filename(file), '^(.+)\.parquet$', 1)
@@ -217,6 +335,9 @@ object SourceQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "s4_rpkm_skip" -> rpkmOracle,
+    "s7_seqkit_stats" -> seqkitOracle,
+    "s13_idxstats_rpkm" -> idxstatsOracle,
     "s1_m8_tophit" -> m8Oracle,
     "s6_tblout_parse" -> tbloutOracle,
     "s8_json_parse" -> jsonOracle,

@@ -117,4 +117,54 @@ class ReadersSpec extends AnyFunSuite {
     // missing dir → empty catalog, not an error
     assert(Readers.fileCatalog(spark, "/no/such/dir").count() == 0)
   }
+
+  test("S4 skipLines drops exactly the first N file-order lines") {
+    val in = spark.createDataset(Fixtures.rpkm.split("\n").toSeq)
+    val body = Readers.skipLines(in, 4).collect()
+    assert(body.length == 5)
+    assert(body.head.startsWith("#Name")) // the table header survives
+    assert(body.last.startsWith("gene_four"))
+  }
+
+  test("S7 seqkit stats: header recognized, text cols verbatim, numerics typed") {
+    val out = Readers.parseSeqkitStats(
+      spark.createDataset(Fixtures.seqkitStats.split("\n").toSeq))
+    assert(out.count() == 3) // header row excluded
+    val r = out.filter(col("file") === "samp_1_fwd.fastq").collect()(0)
+    assert(r.getAs[String]("format") == "FASTQ")
+    assert(r.getAs[Long]("num_seqs") == 1000L)
+    assert(r.getAs[Double]("avg_len") == 150.0)
+    assert(r.getAs[Double]("q2") == 150.0)   // guess_target's median
+    assert(r.getAs[Double]("gc_pct") == 51.25)
+  }
+
+  test("S13 idxstats: name cleanup, '*' bucket dropped unless kept") {
+    val in = spark.createDataset(Fixtures.idxstats.split("\n").toSeq)
+    val out = Readers.parseIdxstats(in).collect()
+    assert(out.length == 3)
+    val names = out.map(_.getAs[String]("seqnames")).toSet
+    // ;-suffix stripped and '-' → '_' (R lines 50-52)
+    assert(names == Set("marker_A", "marker_B", "marker_C"))
+    assert(out.find(_.getAs[String]("seqnames") == "marker_A").get
+      .getAs[Long]("mapped") == 120L)
+    // unmapped bucket retained on request
+    assert(Readers.parseIdxstats(in, dropUnmapped = false)
+      .count() == 4)
+  }
+
+  test("S3 csv reader honors the comma separator") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    val f = dir.resolve("genome_info.csv")
+    java.nio.file.Files.writeString(f,
+      "genome,completeness,contamination\nbin_1.fa,98.5,1.2\nbin_2.fa,77.0,4.5\n")
+    val schema = StructType(Seq(
+      StructField("genome", StringType),
+      StructField("completeness", DoubleType),
+      StructField("contamination", DoubleType)))
+    val out = Readers.csv(spark, f.toString, schema)
+    assert(out.count() == 2)
+    assert(out.filter(col("genome") === "bin_1.fa").collect()(0)
+      .getAs[Double]("completeness") == 98.5)
+  }
 }
