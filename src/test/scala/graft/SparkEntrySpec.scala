@@ -13,9 +13,11 @@ class SparkEntrySpec extends AnyFunSuite {
     ops.Relational.queries.size, ops.Windows.queries.size,
     ops.Pivots.queries.size, ops.Abundance.queries.size,
     ops.Amplicon.queries.size, ops.Bins.queries.size,
-    ops.Glamr.queries.size, tax.Lineage.queries.size,
+    ops.Checks.queries.size, ops.Glamr.queries.size,
+    tax.Lineage.queries.size,
     tax.TaxAbund.queries.size, text.TextOps.queries.size,
     dedup.Dedup.queries.size, sim.Similarity.queries.size,
+    ingest.Overrides.queries.size,
     io.SourceQueries.queries.size, streaming.Streams.queries.size,
     multimodal.Multimodal.queries.size)
 
