@@ -30,6 +30,7 @@ object SparkEntry {
       ops.Bins.queries ++
       ops.Checks.queries ++
       ops.Glamr.queries ++
+      ops.Primers.queries ++
       tax.Lineage.queries ++
       tax.TaxAbund.queries ++
       text.TextOps.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
       ops.Bins.oracle ++
       ops.Checks.oracle ++
       ops.Glamr.oracle ++
+      ops.Primers.oracle ++
       tax.Lineage.oracle ++
       tax.TaxAbund.oracle ++
       text.TextOps.oracle ++

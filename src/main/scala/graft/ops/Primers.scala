@@ -1,0 +1,352 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Primer-match scoring (reference `pypelib/amplicon/alignment.py:
+  * 122-172` PrimerMatch + `hmm_summarize.py:156-280` get_mode) — the
+  * last custom-code surface of SURVEY §2.10: score each read's
+  * alignment against its model's primers, pick the best forward match
+  * and the best reverse match to the right of it, then aggregate the
+  * per-sample mode (top primer pair, model majority, clean-majority
+  * flags, median scores).
+  *
+  * Relational formulation: the primer table is tiny (broadcast); the
+  * per-side best match is a window argmin over (abs(score),
+  * primer_idx) — primer_idx reproduces the reference's stable-sort
+  * tie-break on primer list order. Everything downstream is counts +
+  * windows; nothing leaves the executors.
+  *
+  * Documented divergences from the reference (bug-class, cited):
+  *  - `hmm_summarize.py:186` counts the top primer BEFORE re-assigning
+  *    it from the winning pair and line 196 assigns `rev_count =
+  *    fwd_count` (a typo); here both counts are the occurrence counts
+  *    of the winning pair's own primers.
+  *  - score medians use percentile_cont interpolation (Spark
+  *    `percentile` = DuckDB `quantile_cont`), not Python's
+  *    exclusive-method `statistics.quantiles`.
+  */
+object Primers {
+
+  /** Alignment direction (`alignment.py:27-34`): '+' with envfrom <
+    * envto → fwd; '-' with envto < envfrom → rev; anything else is
+    * unclear → null (the reference raises; a 100 TB ingest quarantines
+    * instead). */
+  def withDirection(aln: DataFrame): DataFrame =
+    aln.withColumn("direction",
+      when(col("strand") === "+" && col("envfrom") < col("envto"),
+        "fwd")
+        .when(col("strand") === "-" && col("envto") < col("envfrom"),
+          "rev"))
+
+  /** Per-alignment best fwd and rev primer matches.
+    * aln: (qname, model, hmmfrom, hmmto, strand, envfrom, envto,
+    * score) — one row per read (call after winner selection, e.g. the
+    * W4 tie-discard).
+    * primers: (hmm_name, primer_name, pdirection 'forward'|'reverse',
+    * pstart, pend, pidx).
+    * Scores per `alignment.py:131-158`: ahead/trailing = clean; fwd
+    * score anchors hmmfrom to the primer, rev score anchors hmmto. */
+  def scoreMatches(aln: DataFrame, primers: DataFrame): DataFrame = {
+    val a = withDirection(aln)
+    val base = a.select("qname", "model", "hmmfrom", "hmmto")
+    val isAhead = col("pend") < col("hmmfrom")
+    val isTrailing = col("hmmto") < col("pstart")
+
+    val fwdP = primers.filter(col("pdirection") === "forward")
+    val wF = Window.partitionBy("qname")
+      .orderBy(abs(col("fscore")).asc, col("pidx").asc)
+    val fwdSel = base
+      .join(broadcast(fwdP), col("model") === col("hmm_name"))
+      .withColumn("fscore",
+        when(isAhead, col("hmmfrom") - col("pend") - 1)
+          .when(isTrailing, col("hmmfrom") - col("pstart"))
+          .otherwise(col("hmmfrom") - col("pstart")))
+      .withColumn("fclean", isAhead || isTrailing)
+      .withColumn("rn", row_number().over(wF)).filter(col("rn") === 1)
+      .select(col("qname"), col("primer_name").as("fwd_primer"),
+        col("fscore").as("fwd_score"), col("fclean").as("fwd_clean"),
+        col("pend").as("fwd_pend"))
+
+    // rev: highest-scoring rev primer to the RIGHT of the fwd match
+    // (alignment.py:56-72); with no fwd match, any rev primer competes
+    val revP = primers.filter(col("pdirection") === "reverse")
+    val wR = Window.partitionBy("qname")
+      .orderBy(abs(col("rscore")).asc, col("pidx").asc)
+    val revSel = base
+      .join(broadcast(revP), col("model") === col("hmm_name"))
+      .join(fwdSel.select("qname", "fwd_pend"), Seq("qname"), "left")
+      .filter(col("fwd_pend").isNull || col("fwd_pend") < col("pstart"))
+      .withColumn("rscore",
+        when(isAhead, col("hmmto") - col("pend"))
+          .when(isTrailing, col("hmmto") - col("pstart") + 1)
+          .otherwise(col("hmmto") - col("pend")))
+      .withColumn("rclean", isAhead || isTrailing)
+      .withColumn("rn", row_number().over(wR)).filter(col("rn") === 1)
+      .select(col("qname"), col("primer_name").as("rev_primer"),
+        col("rscore").as("rev_score"), col("rclean").as("rev_clean"))
+
+    a.join(fwdSel.drop("fwd_pend"), Seq("qname"), "left")
+      .join(revSel, Seq("qname"), "left")
+  }
+
+  /** Per-sample primer mode (`hmm_summarize.py:156-280` get_mode):
+    * winning (fwd, rev, direction) pair by (pair count, fwd count,
+    * rev count) with name tie-breaks, model majority among the pair's
+    * alignments, clean-majority flag and median score per side.
+    * matched: scoreMatches output plus a `sample` column. */
+  def primerMode(matched: DataFrame): DataFrame = {
+    val fc = matched.groupBy("sample", "fwd_primer")
+      .agg(count(lit(1)).as("fc"))
+    val rc = matched.groupBy("sample", "rev_primer")
+      .agg(count(lit(1)).as("rc"))
+    val wPair = Window.partitionBy("sample")
+      .orderBy(col("pn").desc, col("fc").desc, col("rc").desc,
+        col("fwd_primer").asc_nulls_last,
+        col("rev_primer").asc_nulls_last,
+        col("direction").asc_nulls_last)
+    val top = matched
+      .groupBy("sample", "fwd_primer", "rev_primer", "direction")
+      .agg(count(lit(1)).as("pn"))
+      .join(fc, Seq("sample", "fwd_primer"), "left")
+      .join(rc, Seq("sample", "rev_primer"), "left")
+      .withColumn("rn", row_number().over(wPair))
+      .filter(col("rn") === 1)
+      .select(col("sample"), col("fwd_primer").as("top_fwd"),
+        col("rev_primer").as("top_rev"),
+        col("direction").as("top_dir"),
+        col("fc").as("fwd_count"), col("rc").as("rev_count"))
+
+    // model majority among the winning pair's alignments
+    // (hmm_summarize.py:222-227)
+    val wModel = Window.partitionBy("sample")
+      .orderBy(col("mn").desc, col("model").asc)
+    val model = matched.join(top, Seq("sample"))
+      .filter(col("fwd_primer") <=> col("top_fwd") &&
+        col("rev_primer") <=> col("top_rev") &&
+        col("direction") <=> col("top_dir"))
+      .groupBy("sample", "model").agg(count(lit(1)).as("mn"))
+      .withColumn("rn", row_number().over(wModel))
+      .filter(col("rn") === 1).select("sample", "model")
+
+    // clean-majority flag + median score of the majority subset
+    // (hmm_summarize.py:233-280), per side
+    def sideStats(primerCol: String, topCol: String, scoreCol: String,
+        cleanCol: String, outPrefix: String): DataFrame =
+      matched.join(top.select("sample", topCol), Seq("sample"))
+        .filter(col(primerCol) <=> col(topCol) &&
+          col(primerCol).isNotNull)
+        .groupBy("sample")
+        .agg(
+          sum(when(col(cleanCol), 1).otherwise(0)).as("ncl"),
+          sum(when(!col(cleanCol), 1).otherwise(0)).as("ndt"),
+          percentile(when(col(cleanCol), col(scoreCol)), lit(0.5))
+            .as("medcl"),
+          percentile(when(!col(cleanCol), col(scoreCol)), lit(0.5))
+            .as("meddt"))
+        .select(col("sample"),
+          (col("ncl") > col("ndt")).as(s"${outPrefix}_clean"),
+          when(col("ncl") > col("ndt"), col("medcl"))
+            .otherwise(col("meddt")).as(s"${outPrefix}_med_score"))
+
+    top.join(model, Seq("sample"), "left")
+      .join(sideStats("fwd_primer", "top_fwd", "fwd_score",
+        "fwd_clean", "fwd"), Seq("sample"), "left")
+      .join(sideStats("rev_primer", "top_rev", "rev_score",
+        "rev_clean", "rev"), Seq("sample"), "left")
+      .select(col("sample"), col("model"),
+        col("top_dir").as("direction"),
+        col("top_fwd").as("fwd_primer"), col("fwd_count"),
+        col("top_rev").as("rev_primer"), col("rev_count"),
+        col("fwd_clean"), col("fwd_med_score"),
+        col("rev_clean"), col("rev_med_score"))
+  }
+
+  // ---- gate fixture: one 16S sample, two primer pairs, clean and
+  // dirty matches on both sides, one reverse-direction read on the
+  // second pair ----
+
+  // (hmm_name, primer_name, pdirection, pstart, pend, pidx)
+  private[ops] val primerRows: Seq[(String, String, String, Int, Int,
+      Int)] = Seq(
+    ("16S", "f27", "forward", 8, 27, 0),
+    ("16S", "f515", "forward", 515, 533, 1),
+    ("16S", "r338", "reverse", 338, 355, 0),
+    ("16S", "r806", "reverse", 787, 806, 1))
+
+  // (qname, model, hmmfrom, hmmto, strand, envfrom, envto, score)
+  private[ops] val alnRows: Seq[(String, String, Int, Int, String, Int,
+      Int, Double)] = Seq(
+    ("r1", "16S", 28, 337, "+", 1, 310, 95.0),
+    ("r2", "16S", 30, 340, "+", 1, 311, 88.0),
+    ("r3", "16S", 25, 335, "+", 2, 300, 76.0),
+    ("r4", "16S", 516, 800, "-", 900, 30, 60.0),
+    ("r5", "16S", 29, 336, "+", 1, 305, 91.0),
+    ("r6", "16S", 27, 339, "+", 3, 320, 82.0))
+
+  private def fixtureAln(s: SparkSession): DataFrame = {
+    import s.implicits._
+    alnRows.toDF("qname", "model", "hmmfrom", "hmmto", "strand",
+      "envfrom", "envto", "score")
+  }
+
+  private def fixturePrimers(s: SparkSession): DataFrame = {
+    import s.implicits._
+    primerRows.toDF("hmm_name", "primer_name", "pdirection", "pstart",
+      "pend", "pidx")
+  }
+
+  private def gMatch(s: SparkSession, d: String): DataFrame =
+    scoreMatches(fixtureAln(s), fixturePrimers(s))
+      .select("qname", "direction", "fwd_primer", "fwd_score",
+        "fwd_clean", "rev_primer", "rev_score", "rev_clean")
+
+  private def gMode(s: SparkSession, d: String): DataFrame =
+    primerMode(
+      scoreMatches(fixtureAln(s), fixturePrimers(s))
+        .withColumn("sample", lit("samp_9")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_primer_match" -> gMatch _,
+    "g_primer_mode" -> gMode _)
+
+  // ---- DuckDB oracles: same fixture rows as VALUES, logic re-derived
+  // step by step in SQL ----
+
+  private def primerVals: String = primerRows.map { case (h, n, d2, s1,
+      e, i) =>
+    s"('$h', '$n', '$d2', CAST($s1 AS INT), CAST($e AS INT), " +
+      s"CAST($i AS INT))"
+  }.mkString(", ")
+
+  private def alnVals: String = alnRows.map { case (q, m, hf, ht, st,
+      ef, et, sc) =>
+    s"('$q', '$m', CAST($hf AS INT), CAST($ht AS INT), '$st', " +
+      s"CAST($ef AS INT), CAST($et AS INT), CAST($sc AS DOUBLE))"
+  }.mkString(", ")
+
+  private val matchCte: String =
+    s"""aln(qname, model, hmmfrom, hmmto, strand, envfrom, envto,
+       score) AS (VALUES $alnVals),
+     primers(hmm_name, primer_name, pdirection, pstart, pend, pidx)
+       AS (VALUES $primerVals),
+     a AS (SELECT *, CASE
+         WHEN strand = '+' AND envfrom < envto THEN 'fwd'
+         WHEN strand = '-' AND envto < envfrom THEN 'rev' END
+         AS direction FROM aln),
+     fj AS (SELECT a.qname, p.primer_name, p.pend, p.pidx,
+         CASE WHEN p.pend < a.hmmfrom THEN a.hmmfrom - p.pend - 1
+           ELSE a.hmmfrom - p.pstart END AS fscore,
+         (p.pend < a.hmmfrom OR a.hmmto < p.pstart) AS fclean
+       FROM a JOIN primers p ON a.model = p.hmm_name
+       WHERE p.pdirection = 'forward'),
+     fsel AS (SELECT qname, primer_name AS fwd_primer,
+         fscore AS fwd_score, fclean AS fwd_clean, pend AS fwd_pend
+       FROM (SELECT *, row_number() OVER (PARTITION BY qname
+           ORDER BY abs(fscore) ASC, pidx ASC) AS rn FROM fj)
+       WHERE rn = 1),
+     rj AS (SELECT a.qname, p.primer_name, p.pidx,
+         CASE WHEN p.pend < a.hmmfrom THEN a.hmmto - p.pend
+           WHEN a.hmmto < p.pstart THEN a.hmmto - p.pstart + 1
+           ELSE a.hmmto - p.pend END AS rscore,
+         (p.pend < a.hmmfrom OR a.hmmto < p.pstart) AS rclean
+       FROM a JOIN primers p ON a.model = p.hmm_name
+       LEFT JOIN fsel f ON a.qname = f.qname
+       WHERE p.pdirection = 'reverse'
+         AND (f.fwd_pend IS NULL OR f.fwd_pend < p.pstart)),
+     rsel AS (SELECT qname, primer_name AS rev_primer,
+         rscore AS rev_score, rclean AS rev_clean
+       FROM (SELECT *, row_number() OVER (PARTITION BY qname
+           ORDER BY abs(rscore) ASC, pidx ASC) AS rn FROM rj)
+       WHERE rn = 1),
+     matched AS (SELECT a.qname, a.model, a.direction,
+         f.fwd_primer, f.fwd_score, f.fwd_clean,
+         r.rev_primer, r.rev_score, r.rev_clean
+       FROM a LEFT JOIN fsel f ON a.qname = f.qname
+       LEFT JOIN rsel r ON a.qname = r.qname)"""
+
+  private def matchOracle: String =
+    s"""WITH $matchCte
+     SELECT qname, direction, fwd_primer, fwd_score, fwd_clean,
+       rev_primer, rev_score, rev_clean
+     FROM matched"""
+
+  private def modeOracle: String =
+    s"""WITH $matchCte,
+     m AS (SELECT 'samp_9' AS sample, * FROM matched),
+     fc AS (SELECT sample, fwd_primer, count(*) AS fc FROM m
+            GROUP BY sample, fwd_primer),
+     rc AS (SELECT sample, rev_primer, count(*) AS rc FROM m
+            GROUP BY sample, rev_primer),
+     pairs AS (SELECT m.sample, m.fwd_primer, m.rev_primer,
+         m.direction, count(*) AS pn
+       FROM m GROUP BY m.sample, m.fwd_primer, m.rev_primer,
+         m.direction),
+     top AS (SELECT sample, fwd_primer AS top_fwd,
+         rev_primer AS top_rev, direction AS top_dir,
+         fc AS fwd_count, rc AS rev_count
+       FROM (SELECT p.*, fc.fc, rc.rc, row_number() OVER (
+             PARTITION BY p.sample ORDER BY p.pn DESC, fc.fc DESC,
+             rc.rc DESC, p.fwd_primer ASC NULLS LAST,
+             p.rev_primer ASC NULLS LAST,
+             p.direction ASC NULLS LAST) AS rn
+           FROM pairs p
+           LEFT JOIN fc ON p.sample = fc.sample AND
+             p.fwd_primer IS NOT DISTINCT FROM fc.fwd_primer
+           LEFT JOIN rc ON p.sample = rc.sample AND
+             p.rev_primer IS NOT DISTINCT FROM rc.rev_primer)
+       WHERE rn = 1),
+     mdl AS (SELECT sample, model
+       FROM (SELECT m.sample, m.model, count(*) AS mn,
+             row_number() OVER (PARTITION BY m.sample
+               ORDER BY count(*) DESC, m.model ASC) AS rn
+           FROM m JOIN top t ON m.sample = t.sample
+           WHERE m.fwd_primer IS NOT DISTINCT FROM t.top_fwd
+             AND m.rev_primer IS NOT DISTINCT FROM t.top_rev
+             AND m.direction IS NOT DISTINCT FROM t.top_dir
+           GROUP BY m.sample, m.model)
+       WHERE rn = 1),
+     fstat AS (SELECT m.sample,
+         (sum(CASE WHEN m.fwd_clean THEN 1 ELSE 0 END) >
+          sum(CASE WHEN NOT m.fwd_clean THEN 1 ELSE 0 END))
+           AS fwd_clean,
+         CASE WHEN sum(CASE WHEN m.fwd_clean THEN 1 ELSE 0 END) >
+             sum(CASE WHEN NOT m.fwd_clean THEN 1 ELSE 0 END)
+           THEN quantile_cont(CASE WHEN m.fwd_clean
+             THEN CAST(m.fwd_score AS DOUBLE) END, 0.5)
+           ELSE quantile_cont(CASE WHEN NOT m.fwd_clean
+             THEN CAST(m.fwd_score AS DOUBLE) END, 0.5) END
+           AS fwd_med_score
+       FROM m JOIN top t ON m.sample = t.sample
+       WHERE m.fwd_primer IS NOT DISTINCT FROM t.top_fwd
+         AND m.fwd_primer IS NOT NULL
+       GROUP BY m.sample),
+     rstat AS (SELECT m.sample,
+         (sum(CASE WHEN m.rev_clean THEN 1 ELSE 0 END) >
+          sum(CASE WHEN NOT m.rev_clean THEN 1 ELSE 0 END))
+           AS rev_clean,
+         CASE WHEN sum(CASE WHEN m.rev_clean THEN 1 ELSE 0 END) >
+             sum(CASE WHEN NOT m.rev_clean THEN 1 ELSE 0 END)
+           THEN quantile_cont(CASE WHEN m.rev_clean
+             THEN CAST(m.rev_score AS DOUBLE) END, 0.5)
+           ELSE quantile_cont(CASE WHEN NOT m.rev_clean
+             THEN CAST(m.rev_score AS DOUBLE) END, 0.5) END
+           AS rev_med_score
+       FROM m JOIN top t ON m.sample = t.sample
+       WHERE m.rev_primer IS NOT DISTINCT FROM t.top_rev
+         AND m.rev_primer IS NOT NULL
+       GROUP BY m.sample)
+     SELECT t.sample, mdl.model, t.top_dir AS direction,
+       t.top_fwd AS fwd_primer, t.fwd_count,
+       t.top_rev AS rev_primer, t.rev_count,
+       f.fwd_clean, f.fwd_med_score, r.rev_clean, r.rev_med_score
+     FROM top t
+     LEFT JOIN mdl ON t.sample = mdl.sample
+     LEFT JOIN fstat f ON t.sample = f.sample
+     LEFT JOIN rstat r ON t.sample = r.sample"""
+
+  val oracle: Map[String, String] = Map(
+    "g_primer_match" -> matchOracle,
+    "g_primer_mode" -> modeOracle)
+}

@@ -14,7 +14,7 @@ class SparkEntrySpec extends AnyFunSuite {
     ops.Pivots.queries.size, ops.Abundance.queries.size,
     ops.Amplicon.queries.size, ops.Bins.queries.size,
     ops.Checks.queries.size, ops.Glamr.queries.size,
-    tax.Lineage.queries.size,
+    ops.Primers.queries.size, tax.Lineage.queries.size,
     tax.TaxAbund.queries.size, text.TextOps.queries.size,
     dedup.Dedup.queries.size, sim.Similarity.queries.size,
     ingest.Overrides.queries.size,
