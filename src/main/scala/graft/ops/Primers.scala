@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -97,32 +97,49 @@ object Primers {
     * alignments, clean-majority flag and median score per side.
     * matched: scoreMatches output plus a `sample` column. */
   def primerMode(matched: DataFrame): DataFrame = {
-    val fc = matched.groupBy("sample", "fwd_primer")
+    // Catalyst does not CSE across DataFrame reuse, so the 2-window,
+    // 3-join scoreMatches subtree feeding `matched` would otherwise be
+    // re-planned and re-executed once per consumer (4×). Materialize
+    // it once; at scale this is one pass over the alignment table.
+    val m = matched.localCheckpoint()
+
+    // fc/rc joins are null-safe (<=>): reads with no primer match on a
+    // side carry a NULL primer, and the (NULL, NULL) pair must still
+    // pick up its own occurrence counts (oracle: IS NOT DISTINCT FROM).
+    val fc = m.groupBy("sample", "fwd_primer")
       .agg(count(lit(1)).as("fc"))
-    val rc = matched.groupBy("sample", "rev_primer")
+      .withColumnRenamed("sample", "fc_sample")
+      .withColumnRenamed("fwd_primer", "fc_fwd")
+    val rc = m.groupBy("sample", "rev_primer")
       .agg(count(lit(1)).as("rc"))
+      .withColumnRenamed("sample", "rc_sample")
+      .withColumnRenamed("rev_primer", "rc_rev")
     val wPair = Window.partitionBy("sample")
       .orderBy(col("pn").desc, col("fc").desc, col("rc").desc,
         col("fwd_primer").asc_nulls_last,
         col("rev_primer").asc_nulls_last,
         col("direction").asc_nulls_last)
-    val top = matched
+    // One row per sample; materialized once, broadcast to consumers.
+    val top = m
       .groupBy("sample", "fwd_primer", "rev_primer", "direction")
       .agg(count(lit(1)).as("pn"))
-      .join(fc, Seq("sample", "fwd_primer"), "left")
-      .join(rc, Seq("sample", "rev_primer"), "left")
+      .join(fc, col("sample") === col("fc_sample") &&
+        col("fwd_primer") <=> col("fc_fwd"), "left")
+      .join(rc, col("sample") === col("rc_sample") &&
+        col("rev_primer") <=> col("rc_rev"), "left")
       .withColumn("rn", row_number().over(wPair))
       .filter(col("rn") === 1)
       .select(col("sample"), col("fwd_primer").as("top_fwd"),
         col("rev_primer").as("top_rev"),
         col("direction").as("top_dir"),
         col("fc").as("fwd_count"), col("rc").as("rev_count"))
+      .localCheckpoint()
 
     // model majority among the winning pair's alignments
     // (hmm_summarize.py:222-227)
     val wModel = Window.partitionBy("sample")
       .orderBy(col("mn").desc, col("model").asc)
-    val model = matched.join(top, Seq("sample"))
+    val model = m.join(broadcast(top), Seq("sample"))
       .filter(col("fwd_primer") <=> col("top_fwd") &&
         col("rev_primer") <=> col("top_rev") &&
         col("direction") <=> col("top_dir"))
@@ -131,30 +148,39 @@ object Primers {
       .filter(col("rn") === 1).select("sample", "model")
 
     // clean-majority flag + median score of the majority subset
-    // (hmm_summarize.py:233-280), per side
-    def sideStats(primerCol: String, topCol: String, scoreCol: String,
-        cleanCol: String, outPrefix: String): DataFrame =
-      matched.join(top.select("sample", topCol), Seq("sample"))
-        .filter(col(primerCol) <=> col(topCol) &&
-          col(primerCol).isNotNull)
-        .groupBy("sample")
-        .agg(
-          sum(when(col(cleanCol), 1).otherwise(0)).as("ncl"),
-          sum(when(!col(cleanCol), 1).otherwise(0)).as("ndt"),
-          percentile(when(col(cleanCol), col(scoreCol)), lit(0.5))
-            .as("medcl"),
-          percentile(when(!col(cleanCol), col(scoreCol)), lit(0.5))
-            .as("meddt"))
-        .select(col("sample"),
-          (col("ncl") > col("ndt")).as(s"${outPrefix}_clean"),
-          when(col("ncl") > col("ndt"), col("medcl"))
-            .otherwise(col("meddt")).as(s"${outPrefix}_med_score"))
+    // (hmm_summarize.py:233-280): both sides fused into ONE grouped
+    // pass over `m` via conditional aggregates, instead of two
+    // join+filter+agg scans.
+    val fHit = col("fwd_primer") <=> col("top_fwd") &&
+      col("fwd_primer").isNotNull
+    val rHit = col("rev_primer") <=> col("top_rev") &&
+      col("rev_primer").isNotNull
+    def sideAggs(hit: Column, cleanCol: String, scoreCol: String,
+        p: String): Seq[Column] = Seq(
+      sum(when(hit && col(cleanCol), 1).otherwise(0)).as(s"${p}_ncl"),
+      sum(when(hit && !col(cleanCol), 1).otherwise(0)).as(s"${p}_ndt"),
+      percentile(when(hit && col(cleanCol), col(scoreCol)), lit(0.5))
+        .as(s"${p}_medcl"),
+      percentile(when(hit && !col(cleanCol), col(scoreCol)), lit(0.5))
+        .as(s"${p}_meddt"))
+    val aggs = sideAggs(fHit, "fwd_clean", "fwd_score", "fwd") ++
+      sideAggs(rHit, "rev_clean", "rev_score", "rev")
+    def sideOut(p: String): Seq[Column] = Seq(
+      // no matching rows on this side → NULL flag (the un-fused form
+      // produced no row and left-joined to NULL)
+      when(col(s"${p}_ncl") + col(s"${p}_ndt") > 0,
+        col(s"${p}_ncl") > col(s"${p}_ndt")).as(s"${p}_clean"),
+      when(col(s"${p}_ncl") > col(s"${p}_ndt"), col(s"${p}_medcl"))
+        .otherwise(col(s"${p}_meddt")).as(s"${p}_med_score"))
+    val stats = m
+      .join(broadcast(top.select("sample", "top_fwd", "top_rev")),
+        Seq("sample"))
+      .groupBy("sample")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("sample") +: (sideOut("fwd") ++ sideOut("rev")): _*)
 
     top.join(model, Seq("sample"), "left")
-      .join(sideStats("fwd_primer", "top_fwd", "fwd_score",
-        "fwd_clean", "fwd"), Seq("sample"), "left")
-      .join(sideStats("rev_primer", "top_rev", "rev_score",
-        "rev_clean", "rev"), Seq("sample"), "left")
+      .join(stats, Seq("sample"), "left")
       .select(col("sample"), col("model"),
         col("top_dir").as("direction"),
         col("top_fwd").as("fwd_primer"), col("fwd_count"),
@@ -183,7 +209,11 @@ object Primers {
     ("r3", "16S", 25, 335, "+", 2, 300, 76.0),
     ("r4", "16S", 516, 800, "-", 900, 30, 60.0),
     ("r5", "16S", 29, 336, "+", 1, 305, 91.0),
-    ("r6", "16S", 27, 339, "+", 3, 320, 82.0))
+    ("r6", "16S", 27, 339, "+", 3, 320, 82.0),
+    // 18S has no primers in the table → NULL fwd/rev primers; these
+    // exercise the null-safe (<=>) pair/count joins in primerMode
+    ("r7", "18S", 40, 400, "+", 5, 350, 70.0),
+    ("r8", "18S", 42, 402, "+", 6, 352, 71.0))
 
   private def fixtureAln(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -203,9 +233,15 @@ object Primers {
         "fwd_clean", "rev_primer", "rev_score", "rev_clean")
 
   private def gMode(s: SparkSession, d: String): DataFrame =
+    // 16S reads → samp_9 (real primer pair wins); 18S reads →
+    // samp_null, whose winning pair is (NULL, NULL, fwd) — the gate
+    // then checks the null-safe count joins against the oracle's
+    // IS NOT DISTINCT FROM semantics.
     primerMode(
       scoreMatches(fixtureAln(s), fixturePrimers(s))
-        .withColumn("sample", lit("samp_9")))
+        .withColumn("sample",
+          when(col("model") === "16S", "samp_9")
+            .otherwise("samp_null")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_primer_match" -> gMatch _,
@@ -274,7 +310,8 @@ object Primers {
 
   private def modeOracle: String =
     s"""WITH $matchCte,
-     m AS (SELECT 'samp_9' AS sample, * FROM matched),
+     m AS (SELECT CASE WHEN model = '16S' THEN 'samp_9'
+             ELSE 'samp_null' END AS sample, * FROM matched),
      fc AS (SELECT sample, fwd_primer, count(*) AS fc FROM m
             GROUP BY sample, fwd_primer),
      rc AS (SELECT sample, rev_primer, count(*) AS rc FROM m
