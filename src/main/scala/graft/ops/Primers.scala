@@ -95,62 +95,62 @@ object Primers {
     * winning (fwd, rev, direction) pair by (pair count, fwd count,
     * rev count) with name tie-breaks, model majority among the pair's
     * alignments, clean-majority flag and median score per side.
-    * matched: scoreMatches output plus a `sample` column. */
+    * matched: scoreMatches output plus a `sample` column.
+    *
+    * Scale shape: exactly TWO streaming passes over `matched`, both
+    * map-side partial aggregations. No persist/checkpoint — a lazy
+    * cache of the full match table would spill at 100 TB and an eager
+    * localCheckpoint runs jobs at plan-build time and pins executor
+    * blocks for the session lifetime; two passes that collapse to tiny
+    * aggregates are cheaper and side-effect-free. (Identical exchange
+    * subtrees between the two passes are additionally deduped by
+    * Spark's ReuseExchange where plans line up.) Callers that stage
+    * `matched` in the warehouse pay one pass. */
   def primerMode(matched: DataFrame): DataFrame = {
-    // Catalyst does not CSE across DataFrame reuse, so the 2-window,
-    // 3-join scoreMatches subtree feeding `matched` would otherwise be
-    // re-planned and re-executed once per consumer (4×). Materialize
-    // it once; at scale this is one pass over the alignment table.
-    val m = matched.localCheckpoint()
-
-    // fc/rc joins are null-safe (<=>): reads with no primer match on a
-    // side carry a NULL primer, and the (NULL, NULL) pair must still
-    // pick up its own occurrence counts (oracle: IS NOT DISTINCT FROM).
-    val fc = m.groupBy("sample", "fwd_primer")
-      .agg(count(lit(1)).as("fc"))
-      .withColumnRenamed("sample", "fc_sample")
-      .withColumnRenamed("fwd_primer", "fc_fwd")
-    val rc = m.groupBy("sample", "rev_primer")
-      .agg(count(lit(1)).as("rc"))
-      .withColumnRenamed("sample", "rc_sample")
-      .withColumnRenamed("rev_primer", "rc_rev")
-    val wPair = Window.partitionBy("sample")
+    // Pass 1: per-(sample, model, pair) cell counts; pair, per-side
+    // and per-model totals then derive from the tiny aggregate with
+    // windows. A window partition groups NULL keys together, which is
+    // exactly the oracle's IS NOT DISTINCT FROM count semantics for
+    // reads with no primer match on a side.
+    val cells = m0(matched)
+      .groupBy("sample", "model", "fwd_primer", "rev_primer",
+        "direction")
+      .agg(count(lit(1)).as("cn"))
+    def wS(cs: String*) =
+      Window.partitionBy(col("sample") +: cs.map(col): _*)
+    // One ranking pass picks the winning pair AND its majority model
+    // (hmm_summarize.py:222-227) together: pn/fc/rc and the name
+    // tie-breaks are constant within a pair, so rows of the winning
+    // pair sort first, and mn desc + model asc orders within it.
+    val wTop = Window.partitionBy("sample")
       .orderBy(col("pn").desc, col("fc").desc, col("rc").desc,
         col("fwd_primer").asc_nulls_last,
         col("rev_primer").asc_nulls_last,
-        col("direction").asc_nulls_last)
-    // One row per sample; materialized once, broadcast to consumers.
-    val top = m
-      .groupBy("sample", "fwd_primer", "rev_primer", "direction")
-      .agg(count(lit(1)).as("pn"))
-      .join(fc, col("sample") === col("fc_sample") &&
-        col("fwd_primer") <=> col("fc_fwd"), "left")
-      .join(rc, col("sample") === col("rc_sample") &&
-        col("rev_primer") <=> col("rc_rev"), "left")
-      .withColumn("rn", row_number().over(wPair))
+        col("direction").asc_nulls_last,
+        col("mn").desc, col("model").asc)
+    val top = cells
+      .withColumn("pn",
+        sum("cn").over(wS("fwd_primer", "rev_primer", "direction")))
+      .withColumn("fc", sum("cn").over(wS("fwd_primer")))
+      .withColumn("rc", sum("cn").over(wS("rev_primer")))
+      .withColumn("mn", sum("cn").over(
+        wS("fwd_primer", "rev_primer", "direction", "model")))
+      .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") === 1)
-      .select(col("sample"), col("fwd_primer").as("top_fwd"),
+      .select(col("sample"), col("model").as("top_model"),
+        col("fwd_primer").as("top_fwd"),
         col("rev_primer").as("top_rev"),
         col("direction").as("top_dir"),
         col("fc").as("fwd_count"), col("rc").as("rev_count"))
-      .localCheckpoint()
 
-    // model majority among the winning pair's alignments
-    // (hmm_summarize.py:222-227)
-    val wModel = Window.partitionBy("sample")
-      .orderBy(col("mn").desc, col("model").asc)
-    val model = m.join(broadcast(top), Seq("sample"))
-      .filter(col("fwd_primer") <=> col("top_fwd") &&
-        col("rev_primer") <=> col("top_rev") &&
-        col("direction") <=> col("top_dir"))
-      .groupBy("sample", "model").agg(count(lit(1)).as("mn"))
-      .withColumn("rn", row_number().over(wModel))
-      .filter(col("rn") === 1).select("sample", "model")
-
-    // clean-majority flag + median score of the majority subset
-    // (hmm_summarize.py:233-280): both sides fused into ONE grouped
-    // pass over `m` via conditional aggregates, instead of two
-    // join+filter+agg scans.
+    // Pass 2: clean-majority flag + median score of the majority
+    // subset (hmm_summarize.py:233-280), both sides fused into ONE
+    // grouped pass via conditional aggregates. `top` is one row per
+    // sample — AQE broadcasts it (no explicit hint: sample cardinality
+    // is caller-controlled, a forced broadcast could exceed the limit).
+    // Grouping by top's columns (functionally dependent on sample)
+    // threads them through so `top` has exactly one consumer and the
+    // match subtree is not re-planned a third time.
     val fHit = col("fwd_primer") <=> col("top_fwd") &&
       col("fwd_primer").isNotNull
     val rHit = col("rev_primer") <=> col("top_rev") &&
@@ -172,22 +172,23 @@ object Primers {
         col(s"${p}_ncl") > col(s"${p}_ndt")).as(s"${p}_clean"),
       when(col(s"${p}_ncl") > col(s"${p}_ndt"), col(s"${p}_medcl"))
         .otherwise(col(s"${p}_meddt")).as(s"${p}_med_score"))
-    val stats = m
-      .join(broadcast(top.select("sample", "top_fwd", "top_rev")),
-        Seq("sample"))
-      .groupBy("sample")
+    m0(matched)
+      .join(top, Seq("sample"))
+      .groupBy("sample", "top_model", "top_dir", "top_fwd",
+        "fwd_count", "top_rev", "rev_count")
       .agg(aggs.head, aggs.tail: _*)
-      .select(col("sample") +: (sideOut("fwd") ++ sideOut("rev")): _*)
-
-    top.join(model, Seq("sample"), "left")
-      .join(stats, Seq("sample"), "left")
-      .select(col("sample"), col("model"),
+      .select(Seq(col("sample"), col("top_model").as("model"),
         col("top_dir").as("direction"),
         col("top_fwd").as("fwd_primer"), col("fwd_count"),
-        col("top_rev").as("rev_primer"), col("rev_count"),
-        col("fwd_clean"), col("fwd_med_score"),
-        col("rev_clean"), col("rev_med_score"))
+        col("top_rev").as("rev_primer"), col("rev_count")) ++
+        sideOut("fwd") ++ sideOut("rev"): _*)
   }
+
+  /** The columns primerMode actually consumes — pruning here keeps the
+    * two passes' scan subtrees identical for exchange reuse. */
+  private def m0(matched: DataFrame): DataFrame =
+    matched.select("sample", "model", "fwd_primer", "fwd_score",
+      "fwd_clean", "rev_primer", "rev_score", "rev_clean", "direction")
 
   // ---- gate fixture: one 16S sample, two primer pairs, clean and
   // dirty matches on both sides, one reverse-direction read on the
