@@ -38,6 +38,7 @@ object SparkEntry {
       sim.Similarity.queries ++
       ingest.Overrides.queries ++
       io.SourceQueries.queries ++
+      io.WarehouseIngest.queries ++
       streaming.Streams.queries ++
       multimodal.Multimodal.queries
 
@@ -60,6 +61,7 @@ object SparkEntry {
       sim.Similarity.oracle ++
       ingest.Overrides.oracle ++
       io.SourceQueries.oracle ++
+      io.WarehouseIngest.oracle ++
       streaming.Streams.oracle ++
       multimodal.Multimodal.oracle
 }

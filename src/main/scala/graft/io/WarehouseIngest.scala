@@ -1,0 +1,372 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dedicated ingest schemas for the remaining §1.2 warehouse tables —
+  * kofam_scan, checkm2, eukcc, antismash counts/regions (reference
+  * `postgres.Rmd:889-977,1264-1360,2279-2468`). Each loader is the
+  * reference's read→rename→mutate→relocate recipe re-expressed as a
+  * declarative DataFrame transform; the per-file driver loop of the
+  * reference becomes a single distributed read (Spark's text/csv
+  * sources glob the same `data/omics/...` layouts in one scan).
+  *
+  * All parses use try-casts: a malformed line in one file must yield
+  * nulls, not abort a 100 TB ingest.
+  */
+object WarehouseIngest {
+
+  /** The reference's sample-name gate, applied by every loader before
+    * upload (`postgres.Rmd:901-902,946-947,1275-1276,2291-2292`). */
+  def isIngestSample(sample: Column): Column =
+    sample.rlike("^(samp_|coassembly_|GVHDsamp_)")
+
+  // ---- janitor::clean_names analog (checkm2 header drift,
+  //      postgres.Rmd:950,959) ----
+
+  /** Snake-case a tool header the way `janitor::clean_names` does:
+    * non-alphanumerics → `_`, collapse/trim, lowercase, digit-leading
+    * names prefixed with `x`. */
+  def cleanName(c: String): String = {
+    val s = c.replaceAll("[^A-Za-z0-9]+", "_")
+      .replaceAll("^_+|_+$", "").toLowerCase
+    if (s.headOption.exists(_.isDigit)) "x" + s else s
+  }
+
+  /** Apply cleanName to every column of a freshly-read tool table —
+    * the checkm2 loader's `janitor::clean_names()` step. Tool version
+    * drift (renamed/added headers) lands as new cleaned columns
+    * instead of breaking a positional schema. */
+  def cleanNamesDf(df: DataFrame): DataFrame =
+    df.columns.foldLeft(df) { (d, c) =>
+      val n = cleanName(c)
+      if (n == c) d else d.withColumnRenamed(c, n)
+    }
+
+  // ---- kofam_scan (postgres.Rmd:1279-1312): detail-tsv, skip 2
+  //      header lines, '*' significance flag, ko_def dropped ----
+
+  val kofamSchema: StructType = StructType(Seq(
+    StructField("sig", StringType), StructField("gene", StringType),
+    StructField("ko", StringType), StructField("thrshld", StringType),
+    StructField("score", DoubleType),
+    StructField("e_value", DoubleType),
+    StructField("ko_def", StringType)))
+
+  /** Parse kofam detail-tsv lines (post skip-2): sig `*` → boolean,
+    * ko_def dropped, sample tagged, gene/sample relocated first.
+    * `thrshld` is `-` for KOs with no adaptive threshold → null via
+    * try_cast (pg type numeric, Rmd:1294). */
+  def parseKofam(lines: Dataset[String], sample: String): DataFrame =
+    Readers.parseSeparated(Readers.skipLines(lines, 2), kofamSchema)
+      .select(
+        col("gene"), lit(sample).as("sample"),
+        (col("sig") === "*").as("sig"), col("ko"),
+        col("thrshld").try_cast("double").as("thrshld"),
+        col("score"), col("e_value"))
+
+  def readKofam(spark: SparkSession, path: String, sample: String)
+      : DataFrame =
+    parseKofam(spark.read.textFile(path), sample)
+
+  // ---- checkm2 (postgres.Rmd:949-963): header TSV, clean_names,
+  //      Name → bin, sample relocated first ----
+
+  /** Column types locked after clean_names — the reference's
+    * `as.col_spec(checkm_test)` idiom (Rmd:951): infer once from a
+    * known-good file, then force every subsequent read. */
+  val checkm2Types: Seq[(String, String)] = Seq(
+    "bin" -> "string", "completeness" -> "double",
+    "contamination" -> "double", "completeness_model_used" -> "string",
+    "translation_table_used" -> "int", "coding_density" -> "double",
+    "contig_n50" -> "bigint", "average_gene_length" -> "double",
+    "genome_size" -> "bigint", "gc_content" -> "double",
+    "total_coding_sequences" -> "bigint",
+    "additional_notes" -> "string")
+
+  /** Transform a header-read checkm2 quality_report (original tool
+    * headers) into the warehouse shape. */
+  def checkm2Ingest(raw: DataFrame, sample: String): DataFrame = {
+    val cleaned = cleanNamesDf(raw).withColumnRenamed("name", "bin")
+    val typed = checkm2Types.collect {
+      case (n, t) if cleaned.columns.contains(n) =>
+        col(n).try_cast(t).as(n)
+    }
+    cleaned.select(lit(sample).as("sample") +: typed: _*)
+  }
+
+  def readCheckm2(spark: SparkSession, path: String, sample: String)
+      : DataFrame =
+    checkm2Ingest(
+      spark.read.option("sep", "\t").option("header", "true").csv(path),
+      sample)
+
+  // ---- eukcc (postgres.Rmd:2421-2431): header TSV; bin extension
+  //      stripped, ncbi_tax = lineage tail, ncbi_lng renamed ----
+
+  val eukccSchema: StructType = StructType(Seq(
+    StructField("bin", StringType),
+    StructField("completeness", DoubleType),
+    StructField("contamination", DoubleType),
+    StructField("ncbi_lng", StringType)))
+
+  /** Deliberate divergence (bug-class, cited): the reference's
+    * `str_remove(bin, ".fa")` / `str_remove(ncbi_lng, ".*-")` use
+    * unescaped-dot first-occurrence regexes ("bin_fa1.fa" would lose
+    * `_fa`, not the extension); here the extension strip anchors at
+    * end-of-name and the tax id is the segment after the LAST dash —
+    * the intent both regexes encode for well-formed inputs. */
+  def eukccIngest(raw: DataFrame, sample: String): DataFrame =
+    raw.select(
+      lit(sample).as("sample"),
+      regexp_replace(col("bin"), "\\.fa$", "").as("bin"),
+      col("completeness"), col("contamination"),
+      col("ncbi_lng").as("ncbi_lineage"),
+      regexp_extract(col("ncbi_lng"), "([^-]*)$", 1).as("ncbi_tax"))
+
+  def readEukcc(spark: SparkSession, path: String, sample: String)
+      : DataFrame =
+    eukccIngest(
+      spark.read.option("sep", "\t").option("header", "true")
+        .schema(eukccSchema).csv(path),
+      sample)
+
+  // ---- antismash assembly summaries (postgres.Rmd:2297-2316
+  //      counts, 2347-2371 regions) ----
+
+  /** counts.tsv is wide (one column per BGC class); the reference
+    * pivots long and keeps only (sample, group, count). `unpivot` is
+    * Spark's native long-form operator — no per-column union. */
+  def antismashCountsIngest(raw: DataFrame, sample: String)
+      : DataFrame = {
+    val fixed = Set("record", "total_count", "description")
+    val groups = raw.columns.filterNot(fixed.contains)
+    raw.withColumn("sample", lit(sample))
+      .unpivot(
+        Array(col("sample")),
+        groups.map(col).toArray, "group", "count")
+      .select(col("sample"), col("group"),
+        col("count").try_cast("int").as("count"))
+  }
+
+  /** region_summary.tsv → warehouse shape: sample first, file and
+    * record_desc dropped, record_id renamed contig, pg column types
+    * (Rmd:2357-2366). */
+  def antismashRegionsIngest(raw: DataFrame, sample: String)
+      : DataFrame =
+    raw.select(
+      lit(sample).as("sample"),
+      col("record_id").as("contig"),
+      col("region").try_cast("int").as("region"),
+      col("start").try_cast("bigint").as("start"),
+      col("end").try_cast("bigint").as("end"),
+      col("contig_edge").try_cast("boolean").as("contig_edge"),
+      col("product"), col("KCB_hit"), col("KCB_acc"), col("KCB_sim"))
+
+  // ---- fixtures (raw tool-output text; the oracles re-derive every
+  //      parse from the same constants) ----
+
+  private[io] val kofamText: String =
+    Seq(
+      "# gene name\tKO\tthrshld\tscore\tE-value\tKO definition",
+      "#---------\t--\t-------\t-----\t-------\t-------------",
+      "*\tsamp_9_gene_1\tK00001\t223.17\t250.3\t1.2e-75\talcohol dehydrogenase [EC:1.1.1.1]",
+      "\tsamp_9_gene_2\tK00002\t150.0\t88.1\t3.4e-20\tAKR1A1; alcohol dehydrogenase (NADP+)",
+      "*\tsamp_9_gene_3\tK03088\t-\t45.7\t2.2e-09\tRNA polymerase sigma-70 factor",
+      "\tsamp_9_gene_4\tK00003\t75.5\t12.0\t0.15\thomoserine dehydrogenase"
+    ).mkString("\n")
+
+  private[io] val checkm2Header: Seq[String] = Seq(
+    "Name", "Completeness", "Contamination",
+    "Completeness_Model_Used", "Translation_Table_Used",
+    "Coding_Density", "Contig_N50", "Average_Gene_Length",
+    "Genome_Size", "GC_Content", "Total_Coding_Sequences",
+    "Additional_Notes")
+
+  private[io] val checkm2Rows: Seq[(String, Double, Double, String,
+      Int, Double, Long, Double, Long, Double, Long, String)] = Seq(
+    ("bin_1", 98.5, 1.2, "Neural Network (Specific Model)", 11, 0.89,
+      45210L, 320.5, 2150000L, 0.62, 2100L, "None"),
+    ("concoct_7", 54.0, 8.9, "Gradient Boost (General Model)", 11,
+      0.83, 9800L, 280.1, 1200000L, 0.41, 1500L, "None"),
+    ("maxbin_2", 77.25, 3.05, "Neural Network (Specific Model)", 4,
+      0.91, 22100L, 305.7, 3400000L, 0.55, 3050L, "None"))
+
+  private[io] val eukccRows: Seq[(String, Double, Double, String)] =
+    Seq(
+      ("bin_3.fa", 85.2, 2.1, "1-131567-2759-33154-4751"),
+      ("metabat_12.fa", 61.0, 5.5, "1-131567-2759"),
+      ("bin_9.fa", 92.75, 0.8, "1-131567-2759-33090-35493"))
+
+  private[io] val antismashCountGroups: Seq[String] =
+    Seq("NRPS", "T1PKS", "terpene")
+
+  private[io] val antismashCountRows
+      : Seq[(String, Long, Long, Long, Long, String)] = Seq(
+    ("samp9_contig_1", 3L, 1L, 1L, 1L, "rec one"),
+    ("samp9_contig_2", 2L, 0L, 2L, 0L, "rec two"),
+    ("samp9_contig_5", 1L, 1L, 0L, 0L, "rec five"))
+
+  private[io] val antismashRegionRows: Seq[(String, String, String,
+      Int, Long, Long, String, String, String, String, String)] = Seq(
+    ("c1.gbk", "samp9_c1", "desc one", 1, 100L, 5000L, "False",
+      "NRPS", "BGC0001", "acc1", "85%"),
+    ("c1.gbk", "samp9_c1", "desc one", 2, 7000L, 12000L, "True",
+      "terpene", "", "", ""),
+    ("c2.gbk", "samp9_c2", "desc two", 1, 50L, 900L, "True",
+      "T1PKS", "BGC0042", "acc42", "60%"))
+
+  // ---- gate queries ----
+
+  private def lines(s: SparkSession, text: String): Dataset[String] = {
+    import s.implicits._
+    s.createDataset(text.split("\n").toSeq)
+  }
+
+  private def sKofam(s: SparkSession, d: String): DataFrame =
+    parseKofam(lines(s, kofamText), "samp_9")
+
+  private def sCheckm2(s: SparkSession, d: String): DataFrame = {
+    // header travels as data: the raw text (tool headers) goes through
+    // the same csv reader a file would, then clean_names + typing
+    val raw = s.read.option("sep", "\t").option("header", "true")
+      .csv(lines(s, (checkm2Header.mkString("\t") +:
+        checkm2Rows.map(_.productIterator.mkString("\t")))
+        .mkString("\n")))
+    checkm2Ingest(raw, "samp_9")
+  }
+
+  private def sEukcc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    eukccIngest(eukccRows.toDF("bin", "completeness", "contamination",
+      "ncbi_lng"), "samp_9")
+  }
+
+  private def sAntismashCounts(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    antismashCountsIngest(
+      antismashCountRows.toDF(
+        "record" +: "total_count" +: antismashCountGroups :+
+          "description": _*),
+      "samp_9")
+  }
+
+  private def sAntismashRegions(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    antismashRegionsIngest(
+      antismashRegionRows.toDF("file", "record_id", "record_desc",
+        "region", "start", "end", "contig_edge", "product", "KCB_hit",
+        "KCB_acc", "KCB_sim"),
+      "samp_9")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_kofam" -> sKofam _,
+    "s_checkm2" -> sCheckm2 _,
+    "s_eukcc" -> sEukcc _,
+    "s_antismash_counts" -> sAntismashCounts _,
+    "s_antismash_regions" -> sAntismashRegions _)
+
+  // ---- DuckDB oracles (same constants, parse re-derived in SQL) ----
+
+  private def lit1(s: String): String =
+    "'" + s.replace("'", "''") + "'"
+
+  private def kofamOracle: String = {
+    val vals = kofamText.split("\n").zipWithIndex
+      .map { case (l, i) => s"(CAST($i AS BIGINT), ${lit1(l)})" }
+      .mkString(", ")
+    s"""WITH raw(idx, line) AS (VALUES $vals),
+     body AS (SELECT line FROM raw WHERE idx >= 2
+              AND length(trim(line)) > 0),
+     p AS (SELECT string_split(line, chr(9)) AS f FROM body)
+     SELECT f[2] AS gene, 'samp_9' AS sample, (f[1] = '*') AS sig,
+       f[3] AS ko, TRY_CAST(f[4] AS DOUBLE) AS thrshld,
+       TRY_CAST(f[5] AS DOUBLE) AS score,
+       TRY_CAST(f[6] AS DOUBLE) AS e_value
+     FROM p"""
+  }
+
+  private def checkm2Oracle: String = {
+    val vals = checkm2Rows.map { r =>
+      s"(${lit1(r._1)}, ${r._2}, ${r._3}, ${lit1(r._4)}, ${r._5}, " +
+        s"${r._6}, ${r._7}, ${r._8}, ${r._9}, ${r._10}, ${r._11}, " +
+        s"${lit1(r._12)})"
+    }.mkString(", ")
+    s"""WITH w(bin, completeness, contamination,
+       completeness_model_used, translation_table_used, coding_density,
+       contig_n50, average_gene_length, genome_size, gc_content,
+       total_coding_sequences, additional_notes) AS (VALUES $vals)
+     SELECT 'samp_9' AS sample, bin,
+       CAST(completeness AS DOUBLE) AS completeness,
+       CAST(contamination AS DOUBLE) AS contamination,
+       completeness_model_used,
+       CAST(translation_table_used AS INT) AS translation_table_used,
+       CAST(coding_density AS DOUBLE) AS coding_density,
+       CAST(contig_n50 AS BIGINT) AS contig_n50,
+       CAST(average_gene_length AS DOUBLE) AS average_gene_length,
+       CAST(genome_size AS BIGINT) AS genome_size,
+       CAST(gc_content AS DOUBLE) AS gc_content,
+       CAST(total_coding_sequences AS BIGINT)
+         AS total_coding_sequences,
+       additional_notes
+     FROM w"""
+  }
+
+  private def eukccOracle: String = {
+    val vals = eukccRows.map { case (b, cp, cn, l) =>
+      s"(${lit1(b)}, $cp, $cn, ${lit1(l)})"
+    }.mkString(", ")
+    s"""WITH w(bin, completeness, contamination, ncbi_lng)
+       AS (VALUES $vals)
+     SELECT 'samp_9' AS sample,
+       regexp_replace(bin, '\\.fa$$', '') AS bin,
+       CAST(completeness AS DOUBLE) AS completeness,
+       CAST(contamination AS DOUBLE) AS contamination,
+       ncbi_lng AS ncbi_lineage,
+       regexp_extract(ncbi_lng, '([^-]*)$$', 1) AS ncbi_tax
+     FROM w"""
+  }
+
+  private def antismashCountsOracle: String = {
+    val vals = antismashCountRows.map { case (r, t, a, b, c, d) =>
+      s"(${lit1(r)}, $t, $a, $b, $c, ${lit1(d)})"
+    }.mkString(", ")
+    val unions = antismashCountGroups.map { g =>
+      s"""SELECT 'samp_9' AS sample, '$g' AS "group",
+         CAST("$g" AS INT) AS "count" FROM w"""
+    }.mkString(" UNION ALL ")
+    s"""WITH w(record, total_count, ${antismashCountGroups
+      .map(g => s""""$g"""").mkString(", ")}, description)
+       AS (VALUES $vals)
+     $unions"""
+  }
+
+  private def antismashRegionsOracle: String = {
+    val vals = antismashRegionRows.map { r =>
+      s"(${lit1(r._1)}, ${lit1(r._2)}, ${lit1(r._3)}, ${r._4}, " +
+        s"${r._5}, ${r._6}, ${lit1(r._7)}, ${lit1(r._8)}, " +
+        s"${lit1(r._9)}, ${lit1(r._10)}, ${lit1(r._11)})"
+    }.mkString(", ")
+    s"""WITH w(file, record_id, record_desc, region, start, "end",
+       contig_edge, product, kcb_hit, kcb_acc, kcb_sim)
+       AS (VALUES $vals)
+     SELECT 'samp_9' AS sample, record_id AS contig,
+       CAST(region AS INT) AS region, CAST(start AS BIGINT) AS start,
+       CAST("end" AS BIGINT) AS "end",
+       CAST(contig_edge AS BOOLEAN) AS contig_edge, product,
+       kcb_hit AS "KCB_hit", kcb_acc AS "KCB_acc",
+       kcb_sim AS "KCB_sim"
+     FROM w"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "s_kofam" -> kofamOracle,
+    "s_checkm2" -> checkm2Oracle,
+    "s_eukcc" -> eukccOracle,
+    "s_antismash_counts" -> antismashCountsOracle,
+    "s_antismash_regions" -> antismashRegionsOracle)
+}

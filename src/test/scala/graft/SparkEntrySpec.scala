@@ -18,7 +18,8 @@ class SparkEntrySpec extends AnyFunSuite {
     tax.TaxAbund.queries.size, text.TextOps.queries.size,
     dedup.Dedup.queries.size, sim.Similarity.queries.size,
     ingest.Overrides.queries.size,
-    io.SourceQueries.queries.size, streaming.Streams.queries.size,
+    io.SourceQueries.queries.size, io.WarehouseIngest.queries.size,
+    streaming.Streams.queries.size,
     multimodal.Multimodal.queries.size)
 
   test("no query-key collisions across modules") {
