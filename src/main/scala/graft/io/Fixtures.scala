@@ -55,6 +55,8 @@ object Fixtures {
       |16S_rRNA             RF00177    read_003             -                1     50      10     60       5     65     120      +   2.0e-03    9.5   0.0  below score threshold
       |16S_rRNA             RF00177    read_004             -                1    100       1    100       1    100     100      +   1.0e-20   70.0   0.0  tied top score a
       |18S_rRNA             RF01960    read_004             -                1    100       1    100       1    100     100      +   1.0e-20   70.0   0.0  tied top score b
+      |ssu_18S_euk          RF01960    read_005             -                3     90      12     99      10    105     160      +   2.2e-15   55.0   0.0  eukaryotic hit
+      |ssu_18S_euk          RF01960    read_006             -                4     88      15    101      12    107     155      -   7.7e-12   55.5   0.1  second euk hit
       |""".stripMargin
 
   /** F12: runinfo JSON (reference `Snakefile:166-183`,

@@ -67,11 +67,119 @@ object Amplicon {
         .as("pct_converted"))
   }
 
+  /** amplicon_region_summary (reference `summarize_hmmscan.R:57-86`
+    * + loader `postgres.Rmd:1996-2010`): per-read best model by
+    * e-value, then per-model n_seqs + medians of the hmm/seq
+    * coordinates and e-value/score, tax_group and gene derived from
+    * the model name, sample/read_direction tagged by the loader.
+    *
+    * Deliberate divergence (cited): the reference's
+    * `slice_min(with_ties = FALSE)` breaks e-value ties arbitrarily
+    * (R comment says "pick one randomly"); here ties break on model
+    * name, which is deterministic and therefore oracle-checkable.
+    * R `median()` is linear interpolation = `percentile(0.5)`. */
+  def regionSummary(tblout: DataFrame, sample: String,
+      direction: String): DataFrame = {
+    val wBest = Window.partitionBy("query_name")
+      .orderBy(col("evalue").asc, col("target_name").asc)
+    val best = tblout
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+    val m = col("hmm_model")
+    best.groupBy(col("target_name").as("hmm_model"))
+      .agg(count(lit(1)).as("n_seqs"),
+        percentile(col("hmmfrom"), lit(0.5)).as("hmm_start_median"),
+        percentile(col("hmm_to"), lit(0.5)).as("hmm_end_median"),
+        percentile(col("evalue"), lit(0.5)).as("e_value_median"),
+        percentile(col("score"), lit(0.5)).as("score_median"),
+        percentile(col("alifrom"), lit(0.5)).as("seq_start_median"),
+        percentile(col("ali_to"), lit(0.5)).as("seq_end_median"))
+      .select(
+        lit(sample).as("sample"), lit(direction).as("read_direction"),
+        m, col("n_seqs"), col("hmm_start_median"),
+        col("hmm_end_median"), col("e_value_median"),
+        col("score_median"), col("seq_start_median"),
+        col("seq_end_median"),
+        when(m.contains("_bac"), "bacteria")
+          .when(m.contains("_arc"), "archaea")
+          .when(m.contains("_euk"), "eukaryote")
+          .when(m.contains("_mito"), "mitochondria")
+          .as("tax_group"),
+        when(m.contains("16S"), "16S_rRNA")
+          .when(m.contains("12S"), "12S_rRNA")
+          .when(m.contains("18S"), "18S_rRNA")
+          .when(m.contains("28S"), "28S_rRNA")
+          .when(m.contains("23S"), "23S_rRNA")
+          .when(m.contains("5S"), "5S_rRNA")
+          .when(m.contains("5_8S"), "5.8S_rRNA")
+          .as("gene"))
+  }
+
+  private def gRegionSummary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Amplicon.regionSummary(
+      graft.io.Readers.parseTblout(
+        s.createDataset(graft.io.Fixtures.tblout.split("\n").toSeq)),
+      "samp_100", "fwd")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_trunc_search" -> gTruncSearch _,
-    "g_read_tracking" -> gReadTracking _)
+    "g_read_tracking" -> gReadTracking _,
+    "g_region_summary" -> gRegionSummary _)
+
+  private def regionSummaryOracle: String = {
+    val vals = graft.io.Fixtures.tblout.split("\n")
+      .map(l => "('" + l.replace("'", "''") + "')").mkString(", ")
+    val pat = "^" + Seq.fill(15)("(\\S+)").mkString("\\s+") +
+      "\\s+(.*)$"
+    s"""WITH raw(line) AS (VALUES $vals),
+     p AS (SELECT regexp_extract(trim(line), '$pat',
+             ['target_name', 'target_accession', 'query_name',
+              'query_accession', 'hmmfrom', 'hmm_to', 'alifrom',
+              'ali_to', 'envfrom', 'env_to', 'sq_len', 'strand',
+              'evalue', 'score', 'bias', 'description']) AS g
+           FROM raw
+           WHERE NOT starts_with(line, '#')
+             AND length(trim(line)) > 0),
+     t AS (SELECT g.target_name, g.query_name,
+             CAST(g.hmmfrom AS DOUBLE) AS hmmfrom,
+             CAST(g.hmm_to AS DOUBLE) AS hmm_to,
+             CAST(g.alifrom AS DOUBLE) AS alifrom,
+             CAST(g.ali_to AS DOUBLE) AS ali_to,
+             CAST(g.evalue AS DOUBLE) AS evalue,
+             CAST(g.score AS DOUBLE) AS score
+           FROM p),
+     best AS (SELECT * FROM (SELECT *, row_number() OVER (
+               PARTITION BY query_name
+               ORDER BY evalue ASC, target_name ASC) AS rn FROM t)
+           WHERE rn = 1)
+     SELECT 'samp_100' AS sample, 'fwd' AS read_direction,
+       target_name AS hmm_model, count(*) AS n_seqs,
+       quantile_cont(hmmfrom, 0.5) AS hmm_start_median,
+       quantile_cont(hmm_to, 0.5) AS hmm_end_median,
+       quantile_cont(evalue, 0.5) AS e_value_median,
+       quantile_cont(score, 0.5) AS score_median,
+       quantile_cont(alifrom, 0.5) AS seq_start_median,
+       quantile_cont(ali_to, 0.5) AS seq_end_median,
+       CASE WHEN contains(target_name, '_bac') THEN 'bacteria'
+            WHEN contains(target_name, '_arc') THEN 'archaea'
+            WHEN contains(target_name, '_euk') THEN 'eukaryote'
+            WHEN contains(target_name, '_mito') THEN 'mitochondria'
+            END AS tax_group,
+       CASE WHEN contains(target_name, '16S') THEN '16S_rRNA'
+            WHEN contains(target_name, '12S') THEN '12S_rRNA'
+            WHEN contains(target_name, '18S') THEN '18S_rRNA'
+            WHEN contains(target_name, '28S') THEN '28S_rRNA'
+            WHEN contains(target_name, '23S') THEN '23S_rRNA'
+            WHEN contains(target_name, '5S') THEN '5S_rRNA'
+            WHEN contains(target_name, '5_8S') THEN '5.8S_rRNA'
+            END AS gene
+     FROM best GROUP BY target_name"""
+  }
 
   val oracle: Map[String, String] = Map(
+    "g_region_summary" -> regionSummaryOracle,
     "g_trunc_search" ->
       """WITH per_cycle AS (
            SELECT event_type AS grp,

@@ -45,7 +45,7 @@ class ReadersSpec extends AnyFunSuite {
   test("tblout: comments skipped, types cast, multiword description") {
     val out = Readers.parseTblout(
       spark.createDataset(Fixtures.tblout.split("\n").toSeq))
-    assert(out.count() == 6)
+    assert(out.count() == 8)
     val r1 = out.filter(col("target_name") === "16S_rRNA" &&
       col("query_name") === "read_001").head
     assert(r1.getAs[Int]("hmmfrom") == 1)
@@ -53,7 +53,7 @@ class ReadersSpec extends AnyFunSuite {
     assert(r1.getAs[String]("strand") == "+")
     assert(math.abs(r1.getAs[Double]("score") - 95.5) < 1e-9)
     assert(r1.getAs[String]("description") == "best hit forward")
-    assert(out.filter(col("strand") === "-").count() == 1)
+    assert(out.filter(col("strand") === "-").count() == 2)
   }
 
   test("m8 tophit: best e-value wins, tie broken by sseqid") {
