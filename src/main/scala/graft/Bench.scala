@@ -43,13 +43,16 @@ object Bench {
       try Tables.t(spark, sfDir, n).count()
       catch { case _: Throwable => () }
     }
-    runAll() // warmup pass, discarded
+    // cold pass: timed too, reported as one number — keeps the
+    // process-lifetime compilation cost visible across rounds next to
+    // the warm (steady-state) per-query numbers
+    val coldTotal = runAll().map(_._2).sum
 
     val results = runAll()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warm":true,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warm":true,"cold_total_s":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

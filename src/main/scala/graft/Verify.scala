@@ -34,11 +34,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // filesystem-catalog oracles (S15/J9) glob the data dir directly;
-    // the dir is only known here, so substitute the placeholder now
+    // filesystem-catalog oracles (S15/J9) glob the data dir directly,
+    // and the S15c mtime oracle reads the S15d catalog dump written
+    // above; both dirs are only known here, so substitute now
     val sfAbs = new java.io.File(sfDir).getAbsolutePath
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => (k, v.replace("__SFDIR__", sfAbs)) }
+      .map { case (k, v) => (k, v.replace("__SFDIR__", sfAbs)
+        .replace("__OUTDIR__", outAbs)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -111,10 +111,19 @@ object SourceQueries {
 
   /** S15c: catalog mtime/size — the reference's `file.info` idiom
     * (staleness flows, `postgres.Rmd:2114-2126`). DuckDB's glob() has
-    * no stat columns → rows-only + ReadersSpec sanity assertions. */
+    * no stat columns, so the oracle re-derives this result from the
+    * raw catalog dump S15d writes in the same Verify run (filter +
+    * projection re-applied in SQL over `__OUTDIR__`): two independent
+    * filesystem listings that must agree column-for-column. */
   private def s15cCatalogMtime(s: SparkSession, d: String): DataFrame =
     Readers.fileCatalog(s, d).filter(col("is_parquet"))
       .select("table_name", "size_bytes", "mtime")
+
+  /** S15d: the unfiltered catalog with stat columns, dumped so the
+    * S15c oracle has a DuckDB-readable stat source (rows-only itself —
+    * it IS the dump). */
+  private def s15dCatalogDump(s: SparkSession, d: String): DataFrame =
+    Readers.fileCatalog(s, d)
 
   /** S8: JSON ingest (runinfo; layout PAIRED/SINGLE detection feeds the
     * reference's dynamic fan-out, `Snakefile:150-164`). */
@@ -151,6 +160,7 @@ object SourceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s15b_input_file_name" -> s15bInputFile _,
     "s15c_catalog_mtime" -> s15cCatalogMtime _,
+    "s15d_catalog_dump" -> s15dCatalogDump _,
     "s4_rpkm_skip" -> s4RpkmSkip _,
     "s7_seqkit_stats" -> s7Seqkit _,
     "s13_idxstats_rpkm" -> s13Idxstats _,
@@ -344,6 +354,10 @@ object SourceQueries {
     "s11_fasta_parse" -> fastaOracle,
     "s12_fastq_parse" -> fastqOracle,
     "s15_file_catalog" -> catalogOracle,
+    "s15c_catalog_mtime" ->
+      """SELECT table_name, size_bytes, mtime
+       FROM '__OUTDIR__/s15d_catalog_dump/*.parquet'
+       WHERE is_parquet""",
     "s15b_input_file_name" ->
       "SELECT 'lineitem' AS table_from_path, count(*) AS n_rows FROM lineitem",
     "j9_file_exists_join" -> fileJoinOracle)
