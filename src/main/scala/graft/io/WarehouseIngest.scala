@@ -164,8 +164,46 @@ object WarehouseIngest {
       col("contig_edge").try_cast("boolean").as("contig_edge"),
       col("product"), col("KCB_hit"), col("KCB_acc"), col("KCB_sim"))
 
+  // ---- gtdb_to_ncbi majority-vote taxonomy (T6; produced by
+  //      `Snakefile:3181-3203` / gtdb_to_ncbi_majority_vote.py:395-396:
+  //      header "Genome ID / GTDB classification / Majority vote NCBI
+  //      classification") ----
+
+  /** Ingest the translated-taxonomy TSV: spaced tool headers cleaned,
+    * Genome ID → bin (the warehouse's bin key, as in the GTDB classify
+    * loader), the majority-vote column shortened to
+    * ncbi_classification, sample tagged first. */
+  def gtdbToNcbiIngest(raw: DataFrame, sample: String): DataFrame =
+    cleanNamesDf(raw).select(
+      lit(sample).as("sample"),
+      col("genome_id").as("bin"),
+      col("gtdb_classification"),
+      col("majority_vote_ncbi_classification")
+        .as("ncbi_classification"))
+
+  def readGtdbToNcbi(spark: SparkSession, path: String, sample: String)
+      : DataFrame =
+    gtdbToNcbiIngest(
+      spark.read.option("sep", "\t").option("header", "true").csv(path),
+      sample)
+
   // ---- fixtures (raw tool-output text; the oracles re-derive every
   //      parse from the same constants) ----
+
+  private[io] val gtdbToNcbiHeader: Seq[String] = Seq(
+    "Genome ID", "GTDB classification",
+    "Majority vote NCBI classification")
+
+  private[io] val gtdbToNcbiRows: Seq[(String, String, String)] = Seq(
+    ("bin_1",
+      "d__Bacteria;p__Pseudomonadota;c__Gammaproteobacteria;o__;f__;g__;s__",
+      "d__Bacteria;p__Proteobacteria;c__Gammaproteobacteria;o__;f__;g__;s__"),
+    ("bin_2",
+      "d__Archaea;p__Thermoproteota;c__Nitrososphaeria;o__;f__;g__;s__",
+      "d__Archaea;p__Crenarchaeota;c__;o__;f__;g__;s__"),
+    ("maxbin_3",
+      "d__Bacteria;p__Bacteroidota;c__Bacteroidia;o__;f__;g__;s__",
+      "d__Bacteria;p__Bacteroidetes;c__Bacteroidia;o__;f__;g__;s__"))
 
   private[io] val kofamText: String =
     Seq(
@@ -263,7 +301,18 @@ object WarehouseIngest {
       "samp_9")
   }
 
+  private def sGtdbToNcbi(s: SparkSession, d: String): DataFrame = {
+    // header travels as data, same as checkm2: the spaced tool headers
+    // exercise cleanNamesDf on a real read path
+    val raw = s.read.option("sep", "\t").option("header", "true")
+      .csv(lines(s, (gtdbToNcbiHeader.mkString("\t") +:
+        gtdbToNcbiRows.map(_.productIterator.mkString("\t")))
+        .mkString("\n")))
+    gtdbToNcbiIngest(raw, "samp_9")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_gtdb_to_ncbi" -> sGtdbToNcbi _,
     "s_kofam" -> sKofam _,
     "s_checkm2" -> sCheckm2 _,
     "s_eukcc" -> sEukcc _,
@@ -363,7 +412,18 @@ object WarehouseIngest {
      FROM w"""
   }
 
+  private def gtdbToNcbiOracle: String = {
+    val vals = gtdbToNcbiRows.map { case (b, g, n) =>
+      s"(${lit1(b)}, ${lit1(g)}, ${lit1(n)})"
+    }.mkString(", ")
+    s"""WITH w(genome_id, gtdb_classification, ncbi) AS (VALUES $vals)
+     SELECT 'samp_9' AS sample, genome_id AS bin, gtdb_classification,
+       ncbi AS ncbi_classification
+     FROM w"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "s_gtdb_to_ncbi" -> gtdbToNcbiOracle,
     "s_kofam" -> kofamOracle,
     "s_checkm2" -> checkm2Oracle,
     "s_eukcc" -> eukccOracle,

@@ -74,13 +74,32 @@ object Abundance {
         round(col("n") / col("total"), 6).as("rel_abund"))
   }
 
+  /** The pipeline's tpm2 ARTIFACT, gated end-to-end: write the TPM
+    * table through the K9 partitioned writer exactly as
+    * `cli/Pipeline.run` does, read the files back, and hand the
+    * read-back rows to the oracle — proving the write→read round trip
+    * (partition-column encoding included), not just the query plan.
+    * Read-back uses the writer's schema: partition-directory inference
+    * would otherwise narrow the bigint sample key to int. */
+  private def gTpm2Table(s: SparkSession, d: String): DataFrame = {
+    val out = tpm(s, d)
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_tpm2_" + d.replaceAll("[^A-Za-z0-9]", "_")).getPath
+    graft.io.Writers.writePartitioned(out, dir, Seq("sample"))
+    s.read.schema(out.schema).parquet(dir)
+      .select("sample", "target", "n_aligned", "rpkm", "tpm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_tpm" -> (tpm _),
+    "g_tpm2_table" -> gTpm2Table _,
     "a2_rel_abund" -> a2RelAbund _)
 
-  val oracle: Map[String, String] = Map(
-    "g_tpm" ->
-      """WITH counts AS (
+  // g_tpm2_table must round-trip to the SAME rows the query computes,
+  // so the artifact gate shares the query's oracle verbatim
+  private val tpmOracleSql: String =
+    """WITH counts AS (
            SELECT l_suppkey AS sample, l_partkey AS target,
                   sum(l_quantity) AS n_aligned
            FROM lineitem GROUP BY 1, 2),
@@ -96,7 +115,11 @@ object Abundance {
              AS rpkm,
            round(reads_per_base * 1e6 /
              sum(reads_per_base) OVER (PARTITION BY sample), 4) AS tpm
-         FROM joined""",
+         FROM joined"""
+
+  val oracle: Map[String, String] = Map(
+    "g_tpm" -> tpmOracleSql,
+    "g_tpm2_table" -> tpmOracleSql,
     "a2_rel_abund" ->
       """WITH counts AS (
            SELECT l_suppkey AS sample, l_partkey AS target,

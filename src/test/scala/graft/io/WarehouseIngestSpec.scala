@@ -82,6 +82,17 @@ class WarehouseIngestSpec extends AnyFunSuite {
     assert(t1pks == 3L)
   }
 
+  test("gtdb_to_ncbi: spaced headers cleaned, renames applied") {
+    val raw = WarehouseIngest.gtdbToNcbiRows
+      .toDF(WarehouseIngest.gtdbToNcbiHeader: _*)
+    val out = WarehouseIngest.gtdbToNcbiIngest(raw, "samp_9")
+    assert(out.columns.toSeq == Seq("sample", "bin",
+      "gtdb_classification", "ncbi_classification"))
+    val b1 = out.filter(col("bin") === "bin_1").collect()(0)
+    assert(b1.getAs[String]("ncbi_classification")
+      .startsWith("d__Bacteria;p__Proteobacteria"))
+  }
+
   test("antismash regions: drops file/desc, renames, types") {
     val out = WarehouseIngest.antismashRegionsIngest(
       WarehouseIngest.antismashRegionRows.toDF("file", "record_id",
