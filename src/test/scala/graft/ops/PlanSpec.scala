@@ -67,6 +67,35 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("primer scoring broadcasts the primer table on both sides") {
+    // Primers.scoreMatches joins the tiny primer dim twice (fwd+rev);
+    // both must be broadcast-hash, never a shuffle of the alignments
+    assert(countOf(plan("g_primer_match"), "BroadcastHashJoin") >= 2)
+  }
+
+  test("langid profile join is broadcast") {
+    assert(plan("tx_langid").contains("BroadcastHashJoin"))
+  }
+
+  test("no CartesianProduct outside the sanctioned baselines") {
+    // x_ann_brute is the declared broadcast-small brute-force baseline
+    // (lshTopK is the scale path); j8_cross_grid IS the cross operator
+    val sanctioned = Set("x_ann_brute", "j8_cross_grid")
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(sanctioned)
+      .filter { name =>
+        val p = plan(name)
+        p.contains("CartesianProduct")
+      }
+    assert(offenders.isEmpty,
+      s"unsanctioned cartesian products in: $offenders")
+  }
+
+  test("line parsers are narrow: no exchange in seqkit/tblout parse") {
+    assert(!plan("s7_seqkit_stats").contains("Exchange"))
+    assert(!plan("s6_tblout_parse").contains("Exchange"))
+  }
+
   test("anvio cascade reuses one partitioning for its window stack") {
     // All five window stages partition by l_orderkey (or a superset
     // that starts with it) — at most 2 hash shuffles may appear
