@@ -187,8 +187,182 @@ object WarehouseIngest {
       spark.read.option("sep", "\t").option("header", "true").csv(path),
       sample)
 
+  // ---- GTDB classify summary (postgres.Rmd:858-875): N/A nulls,
+  //      7-rank split of classification, d__ strip, user_genome→bin ----
+
+  val gtdbRanks: Seq[String] = Seq("domain", "phylum", "class",
+    "order", "family", "genus", "species")
+
+  /** The reference's `separate(classification, into = ranks,
+    * sep = ";[a-z]__", remove = FALSE)`: the first piece keeps its
+    * `d__` prefix (the separator only matches BETWEEN ranks), which
+    * the mutate then strips. */
+  def gtdbIngest(raw: DataFrame, sample: String): DataFrame = {
+    val pieces = split(col("classification"), ";[a-z]__")
+    val rankCols = gtdbRanks.zipWithIndex.map { case (r, i) =>
+      val c = try_element_at(pieces, lit(i + 1))
+      (if (r == "domain") regexp_replace(c, "^d__", "") else c).as(r)
+    }
+    raw.select(
+      lit(sample).as("sample") +: col("user_genome").as("bin") +:
+        col("classification") +: rankCols ++:
+        raw.columns.filterNot(Set("user_genome", "classification"))
+          .toSeq.map(col): _*)
+  }
+
+  def readGtdb(spark: SparkSession, path: String, sample: String)
+      : DataFrame =
+    gtdbIngest(
+      spark.read.option("sep", "\t").option("header", "true")
+        .option("nullValue", "N/A").csv(path),
+      sample)
+
+  // ---- CheckM (postgres.Rmd:907-921): "Bin Id"→bin + sample tag.
+  //      The reference keeps the tool's spaced/`#`-prefixed headers
+  //      verbatim (pg allows them); parquet does not, so the S2
+  //      rename-map idiom applies — a documented divergence ----
+
+  val checkmRenames: Map[String, String] = Map(
+    "Bin Id" -> "bin", "Marker lineage" -> "marker_lineage",
+    "# genomes" -> "n_genomes", "# markers" -> "n_markers",
+    "# marker sets" -> "n_marker_sets",
+    "0" -> "n0", "1" -> "n1", "2" -> "n2", "3" -> "n3", "4" -> "n4",
+    "5+" -> "n5_plus", "Completeness" -> "completeness",
+    "Contamination" -> "contamination",
+    "Strain heterogeneity" -> "strain_heterogeneity")
+
+  def checkmIngest(raw: DataFrame, sample: String): DataFrame = {
+    val renamed = checkmRenames.foldLeft(raw) { case (df, (from, to)) =>
+      if (df.columns.contains(from)) df.withColumnRenamed(from, to)
+      else df
+    }
+    val ints = Set("n_genomes", "n_markers", "n_marker_sets",
+      "n0", "n1", "n2", "n3", "n4", "n5_plus")
+    val dbls = Set("completeness", "contamination",
+      "strain_heterogeneity")
+    val typed = renamed.columns.toSeq.map {
+      case c if ints(c) => col(c).try_cast("int").as(c)
+      case c if dbls(c) => col(c).try_cast("double").as(c)
+      case c => col(c)
+    }
+    renamed.select(lit(sample).as("sample") +: typed: _*)
+  }
+
+  def readCheckm(spark: SparkSession, path: String, sample: String)
+      : DataFrame =
+    checkmIngest(
+      spark.read.option("sep", "\t").option("header", "true").csv(path),
+      sample)
+
+  // ---- dRep (postgres.Rmd:1016-1037): Cdb ⟕ Sdb scores, cluster-rep
+  //      flag from file existence (the J9 join idiom, not a per-row
+  //      driver stat), genome extension strip, genome→bin ----
+
+  /** repGenomes: one `genome` row per file present in
+    * `dereplicated_genomes/` (production: `Readers.fileCatalog` over
+    * that dir). The reference's per-row `fs::file_exists` becomes a
+    * distributed left join + null flag. */
+  def drepIngest(cdb: DataFrame, sdb: DataFrame, repGenomes: DataFrame,
+      sample: String): DataFrame =
+    cdb
+      .join(sdb.withColumnRenamed("score", "drep_score"),
+        Seq("genome"), "left")
+      .join(repGenomes.select(col("genome"),
+        lit(true).as("_rep_present")), Seq("genome"), "left")
+      .select(
+        lit(sample).as("sample"),
+        regexp_replace(col("genome"), "\\.fa$", "").as("bin"),
+        col("secondary_cluster"), col("threshold"),
+        col("cluster_method"), col("comparison_algorithm"),
+        col("primary_cluster"), col("drep_score"),
+        coalesce(col("_rep_present"), lit(false)).as("is_cluster_rep"))
+
+  // ---- snakemake benchmarks (postgres.Rmd:2114-2171): sample/rule
+  //      recovered from the path (the unglue idiom), clean_names'd
+  //      stat columns, h:m:s as text, file mtime carried ----
+
+  /** rows: one row per benchmark file with a `path` column, the
+    * clean_names'd stat columns, and the catalog `mtime` (production:
+    * tsv-with-header read + input_file_name + fileCatalog join).
+    * `str_extract` misses → NULL (nullif guards Spark's ""-on-miss). */
+  def benchmarksIngest(rows: DataFrame): DataFrame = {
+    val samplePat = "(samp[_-]\\d+|GVHDsamp[_-]\\d+|coassembly[_-]\\d+)"
+    rows.select(
+      regexp_replace(
+        nullif(regexp_extract(col("path"), samplePat, 1), lit("")),
+        "-", "_").as("sample"),
+      nullif(regexp_extract(col("path"), "benchmarks/([^/]+)/", 1),
+        lit("")).as("rule"),
+      col("s").cast("double").as("s"),
+      col("h_m_s").cast("string").as("h_m_s"),
+      col("max_rss").cast("double").as("max_rss"),
+      col("mean_load").cast("double").as("mean_load"),
+      col("cpu_time").cast("double").as("cpu_time"),
+      col("mtime").as("mod_time"))
+  }
+
   // ---- fixtures (raw tool-output text; the oracles re-derive every
   //      parse from the same constants) ----
+
+  private[io] val gtdbHeader: Seq[String] = Seq("user_genome",
+    "classification", "fastani_ani", "fastani_af",
+    "classification_method", "red_value", "warnings")
+
+  private[io] val gtdbRows
+      : Seq[(String, String, String, String, String, String, String)] =
+    Seq(
+      ("bin_1",
+        "d__Bacteria;p__Pseudomonadota;c__Gammaproteobacteria;" +
+          "o__Burkholderiales;f__Burkholderiaceae;g__Limnohabitans;" +
+          "s__Limnohabitans sp002293025",
+        "97.91", "0.92", "taxonomic classification defined by topology",
+        "N/A", "N/A"),
+      ("bin_2",
+        "d__Archaea;p__Thermoproteota;c__Nitrososphaeria;" +
+          "o__Nitrososphaerales;f__Nitrosopumilaceae;g__;s__",
+        "N/A", "N/A", "taxonomic novelty determined using RED",
+        "0.89", "low coverage"),
+      ("maxbin_3",
+        "d__Bacteria;p__Bacteroidota;c__Bacteroidia;o__;f__;g__;s__",
+        "N/A", "N/A", "taxonomic novelty determined using RED",
+        "0.77", "N/A"))
+
+  private[io] val checkmHeader: Seq[String] = Seq("Bin Id",
+    "Marker lineage", "# genomes", "# markers", "# marker sets",
+    "0", "1", "2", "3", "4", "5+", "Completeness", "Contamination",
+    "Strain heterogeneity")
+
+  private[io] val checkmRows: Seq[(String, String, Int, Int, Int, Int,
+      Int, Int, Int, Int, Int, Double, Double, Double)] = Seq(
+    ("bin_1", "k__Bacteria (UID203)", 5449, 104, 58, 2, 100, 2, 0, 0,
+      0, 98.28, 1.72, 0.0),
+    ("bin_2", "k__Archaea (UID2)", 207, 149, 107, 30, 115, 4, 0, 0, 0,
+      81.78, 2.8, 25.0),
+    ("maxbin_3", "root (UID1)", 5656, 56, 24, 56, 0, 0, 0, 0, 0, 0.0,
+      0.0, 0.0))
+
+  private[io] val drepCdbRows
+      : Seq[(String, String, Double, String, String, Int)] = Seq(
+    ("bin_1.fa", "1_1", 0.99, "average", "ANImf", 1),
+    ("bin_2.fa", "1_1", 0.99, "average", "ANImf", 1),
+    ("maxbin_3.fa", "2_1", 0.99, "average", "ANImf", 2))
+
+  private[io] val drepSdbRows: Seq[(String, Double)] = Seq(
+    ("bin_1.fa", 87.5), ("maxbin_3.fa", 42.25))
+
+  private[io] val drepRepGenomes: Seq[String] =
+    Seq("bin_1.fa", "maxbin_3.fa")
+
+  private[io] val benchmarkRows: Seq[(String, Double, String, Double,
+      Double, Double)] = Seq(
+    ("benchmarks/assemble/metagenomes-set1__samp_100.txt",
+      5400.25, "1:30:00", 128000.5, 12.5, 5200.0),
+    ("benchmarks/assemble/metagenomes-GVHDset2__GVHDsamp_306.txt",
+      60.0, "0:01:00", 900.0, 1.1, 55.9),
+    ("benchmarks/concoct/coassembly-1.tsv",
+      600.5, "0:10:00", 4500.0, 3.3, 580.2),
+    ("benchmarks/summarize/no_sample_here.txt",
+      1.0, "0:00:01", 10.0, 0.1, 0.9))
 
   private[io] val gtdbToNcbiHeader: Seq[String] = Seq(
     "Genome ID", "GTDB classification",
@@ -311,7 +485,50 @@ object WarehouseIngest {
     gtdbToNcbiIngest(raw, "samp_9")
   }
 
+  private def sGtdb(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.option("sep", "\t").option("header", "true")
+      .option("nullValue", "N/A")
+      .csv(lines(s, (gtdbHeader.mkString("\t") +:
+        gtdbRows.map(_.productIterator.mkString("\t")))
+        .mkString("\n")))
+    gtdbIngest(raw, "samp_9")
+      .withColumn("fastani_ani", col("fastani_ani").try_cast("double"))
+      .withColumn("fastani_af", col("fastani_af").try_cast("double"))
+      .withColumn("red_value", col("red_value").try_cast("double"))
+  }
+
+  private def sCheckm(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.option("sep", "\t").option("header", "true")
+      .csv(lines(s, (checkmHeader.mkString("\t") +:
+        checkmRows.map(_.productIterator.mkString("\t")))
+        .mkString("\n")))
+    checkmIngest(raw, "samp_9")
+  }
+
+  private def sDrep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    drepIngest(
+      drepCdbRows.toDF("genome", "secondary_cluster", "threshold",
+        "cluster_method", "comparison_algorithm", "primary_cluster"),
+      drepSdbRows.toDF("genome", "score"),
+      drepRepGenomes.toDF("genome"),
+      "samp_9")
+  }
+
+  private def sBenchmarks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    benchmarksIngest(
+      benchmarkRows.toDF("path", "s", "h_m_s", "max_rss", "mean_load",
+        "cpu_time")
+        .withColumn("mtime",
+          to_timestamp(lit("2026-08-01 12:00:00"))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_gtdb" -> sGtdb _,
+    "s_checkm" -> sCheckm _,
+    "s_drep" -> sDrep _,
+    "s_benchmarks" -> sBenchmarks _,
     "s_gtdb_to_ncbi" -> sGtdbToNcbi _,
     "s_kofam" -> sKofam _,
     "s_checkm2" -> sCheckm2 _,
@@ -422,7 +639,107 @@ object WarehouseIngest {
      FROM w"""
   }
 
+  private def gtdbOracle: String = {
+    val vals = gtdbRows.map { r =>
+      Seq(r._1, r._2, r._3, r._4, r._5, r._6, r._7)
+        .map(lit1).mkString("(", ", ", ")")
+    }.mkString(", ")
+    val rankSel = gtdbRanks.zipWithIndex.map { case (rk, i) =>
+      val piece = s"string_split_regex(classification, ';[a-z]__')" +
+        s"[${i + 1}]"
+      if (rk == "domain")
+        s"regexp_replace($piece, '^d__', '') AS domain"
+      else s"""$piece AS "$rk""""
+    }.mkString(", ")
+    s"""WITH w(user_genome, classification, fastani_ani, fastani_af,
+       classification_method, red_value, warnings) AS (VALUES $vals),
+     n AS (SELECT user_genome,
+         NULLIF(classification, 'N/A') AS classification,
+         NULLIF(fastani_ani, 'N/A') AS fastani_ani,
+         NULLIF(fastani_af, 'N/A') AS fastani_af,
+         NULLIF(classification_method, 'N/A')
+           AS classification_method,
+         NULLIF(red_value, 'N/A') AS red_value,
+         NULLIF(warnings, 'N/A') AS warnings
+       FROM w)
+     SELECT 'samp_9' AS sample, user_genome AS bin, classification,
+       $rankSel,
+       CAST(fastani_ani AS DOUBLE) AS fastani_ani,
+       CAST(fastani_af AS DOUBLE) AS fastani_af,
+       classification_method,
+       CAST(red_value AS DOUBLE) AS red_value, warnings
+     FROM n"""
+  }
+
+  private def checkmOracle: String = {
+    val vals = checkmRows.map { r =>
+      (lit1(r._1) +: lit1(r._2) +: Seq(r._3, r._4, r._5, r._6, r._7,
+        r._8, r._9, r._10, r._11).map(_.toString) :+ r._12.toString :+
+        r._13.toString :+ r._14.toString).mkString("(", ", ", ")")
+    }.mkString(", ")
+    s"""WITH w(bin, marker_lineage, n_genomes, n_markers,
+       n_marker_sets, n0, n1, n2, n3, n4, n5_plus, completeness,
+       contamination, strain_heterogeneity) AS (VALUES $vals)
+     SELECT 'samp_9' AS sample, bin, marker_lineage,
+       CAST(n_genomes AS INT) AS n_genomes,
+       CAST(n_markers AS INT) AS n_markers,
+       CAST(n_marker_sets AS INT) AS n_marker_sets,
+       CAST(n0 AS INT) AS n0, CAST(n1 AS INT) AS n1,
+       CAST(n2 AS INT) AS n2, CAST(n3 AS INT) AS n3,
+       CAST(n4 AS INT) AS n4, CAST(n5_plus AS INT) AS n5_plus,
+       CAST(completeness AS DOUBLE) AS completeness,
+       CAST(contamination AS DOUBLE) AS contamination,
+       CAST(strain_heterogeneity AS DOUBLE) AS strain_heterogeneity
+     FROM w"""
+  }
+
+  private def drepOracle: String = {
+    val cvals = drepCdbRows.map { case (g, sc, th, cm, ca, pc) =>
+      s"(${lit1(g)}, ${lit1(sc)}, $th, ${lit1(cm)}, ${lit1(ca)}, $pc)"
+    }.mkString(", ")
+    val svals = drepSdbRows.map { case (g, sc) => s"(${lit1(g)}, $sc)" }
+      .mkString(", ")
+    val rvals = drepRepGenomes.map(g => s"(${lit1(g)})").mkString(", ")
+    s"""WITH cdb(genome, secondary_cluster, threshold, cluster_method,
+       comparison_algorithm, primary_cluster) AS (VALUES $cvals),
+     sdb(genome, drep_score) AS (VALUES $svals),
+     rep(genome) AS (VALUES $rvals)
+     SELECT 'samp_9' AS sample,
+       regexp_replace(c.genome, '\\.fa$$', '') AS bin,
+       c.secondary_cluster, CAST(c.threshold AS DOUBLE) AS threshold,
+       c.cluster_method, c.comparison_algorithm,
+       CAST(c.primary_cluster AS INT) AS primary_cluster,
+       CAST(s.drep_score AS DOUBLE) AS drep_score,
+       (r.genome IS NOT NULL) AS is_cluster_rep
+     FROM cdb c
+     LEFT JOIN sdb s ON c.genome = s.genome
+     LEFT JOIN rep r ON c.genome = r.genome"""
+  }
+
+  private def benchmarksOracle: String = {
+    val vals = benchmarkRows.map { case (p, sv, h, m, l, c) =>
+      s"(${lit1(p)}, $sv, ${lit1(h)}, $m, $l, $c)"
+    }.mkString(", ")
+    s"""WITH w(path, s, h_m_s, max_rss, mean_load, cpu_time)
+       AS (VALUES $vals)
+     SELECT replace(NULLIF(regexp_extract(path,
+         '(samp[_-]\\d+|GVHDsamp[_-]\\d+|coassembly[_-]\\d+)', 1), ''),
+         '-', '_') AS sample,
+       NULLIF(regexp_extract(path, 'benchmarks/([^/]+)/', 1), '')
+         AS rule,
+       CAST(s AS DOUBLE) AS s, h_m_s,
+       CAST(max_rss AS DOUBLE) AS max_rss,
+       CAST(mean_load AS DOUBLE) AS mean_load,
+       CAST(cpu_time AS DOUBLE) AS cpu_time,
+       CAST('2026-08-01 12:00:00' AS TIMESTAMP) AS mod_time
+     FROM w"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "s_gtdb" -> gtdbOracle,
+    "s_checkm" -> checkmOracle,
+    "s_drep" -> drepOracle,
+    "s_benchmarks" -> benchmarksOracle,
     "s_gtdb_to_ncbi" -> gtdbToNcbiOracle,
     "s_kofam" -> kofamOracle,
     "s_checkm2" -> checkm2Oracle,

@@ -82,6 +82,49 @@ class WarehouseIngestSpec extends AnyFunSuite {
     assert(t1pks == 3L)
   }
 
+  test("gtdb classify: 7-rank split keeps classification, strips d__") {
+    val out = WarehouseIngest.queries("s_gtdb")(spark, "")
+      .collect().map(r => r.getAs[String]("bin") -> r).toMap
+    val b1 = out("bin_1")
+    assert(b1.getAs[String]("domain") == "Bacteria")
+    assert(b1.getAs[String]("genus") == "Limnohabitans")
+    assert(b1.getAs[String]("species") == "Limnohabitans sp002293025")
+    assert(b1.getAs[String]("classification").startsWith("d__Bacteria"))
+    assert(out("bin_2").getAs[String]("genus") == "")  // empty rank g__
+    assert(out("bin_2").getAs[Any]("fastani_ani") == null) // N/A
+    assert(out("bin_2").getAs[Double]("red_value") == 0.89)
+  }
+
+  test("checkm: spaced/#-prefixed headers renamed, counts typed") {
+    val out = WarehouseIngest.queries("s_checkm")(spark, "")
+      .collect().map(r => r.getAs[String]("bin") -> r).toMap
+    assert(out("bin_1").getAs[Int]("n_genomes") == 5449)
+    assert(out("bin_1").getAs[Int]("n5_plus") == 0)
+    assert(out("bin_2").getAs[Double]("strain_heterogeneity") == 25.0)
+    assert(out("maxbin_3").getAs[String]("marker_lineage") ==
+      "root (UID1)")
+  }
+
+  test("drep: score join, file-existence rep flag, extension strip") {
+    val out = WarehouseIngest.queries("s_drep")(spark, "")
+      .collect().map(r => r.getAs[String]("bin") -> r).toMap
+    assert(out("bin_1").getAs[Boolean]("is_cluster_rep"))
+    assert(!out("bin_2").getAs[Boolean]("is_cluster_rep"))
+    assert(out("bin_2").getAs[Any]("drep_score") == null) // no Sdb row
+    assert(out("maxbin_3").getAs[Double]("drep_score") == 42.25)
+  }
+
+  test("benchmarks: sample/rule from path, dash fixed, miss is null") {
+    val rows = WarehouseIngest.queries("s_benchmarks")(spark, "")
+      .collect()
+    val bySample = rows.map(r =>
+      Option(r.getAs[String]("sample")).getOrElse("NONE") -> r).toMap
+    assert(bySample.contains("samp_100"))
+    assert(bySample("GVHDsamp_306").getAs[String]("rule") == "assemble")
+    assert(bySample.contains("coassembly_1")) // dash -> underscore
+    assert(bySample("NONE").getAs[String]("rule") == "summarize")
+  }
+
   test("gtdb_to_ncbi: spaced headers cleaned, renames applied") {
     val raw = WarehouseIngest.gtdbToNcbiRows
       .toDF(WarehouseIngest.gtdbToNcbiHeader: _*)
