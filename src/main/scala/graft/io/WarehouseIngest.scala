@@ -301,8 +301,94 @@ object WarehouseIngest {
       col("mtime").as("mod_time"))
   }
 
+  // ---- kraken/bracken report (postgres.Rmd:727-740, krakenGTDB and
+  //      krakenREFSEQ share the shape): headerless 6-col TSV, rank
+  //      prefix stripped from the taxon name ----
+
+  val krakenReportSchema: StructType = StructType(Seq(
+    StructField("percent_abund", DoubleType),
+    StructField("count_w_subtax", LongType),
+    StructField("count_direct", LongType),
+    StructField("rank", StringType),
+    StructField("tax_id", IntegerType),
+    StructField("name", StringType)))
+
+  /** Parse brackenReport lines: readr's default trim applied to the
+    * text columns (kraken indents names), `^[a-z]__` GTDB-style rank
+    * prefix stripped, sample relocated first. */
+  def parseKrakenReport(lns: Dataset[String], sample: String)
+      : DataFrame =
+    Readers.parseSeparated(lns, krakenReportSchema)
+      .select(
+        lit(sample).as("sample"), col("percent_abund"),
+        col("count_w_subtax"), col("count_direct"),
+        trim(col("rank")).as("rank"), col("tax_id"),
+        regexp_replace(trim(col("name")), "^[a-z]__", "").as("name"))
+
+  def readKrakenReport(spark: SparkSession, path: String,
+      sample: String): DataFrame =
+    parseKrakenReport(spark.read.textFile(path), sample)
+
+  // ---- read_mapping_LCA_summary (postgres.Rmd:661-675): 8-col
+  //      report, counts dropped, lineage_std split into capitalized
+  //      rank columns, k__ stripped from Kingdom ----
+
+  val lcaLevels: Seq[String] = Seq("Kingdom", "Phylum", "Class",
+    "Order", "Family", "Genus", "Species")
+
+  val lcaReportSchema: StructType = StructType(Seq(
+    StructField("percent_and_below", DoubleType),
+    StructField("count_and_below", LongType),
+    StructField("count_directly", LongType),
+    StructField("rank", StringType),
+    StructField("tax_id", IntegerType),
+    StructField("tax_name", StringType),
+    StructField("lineage_full", StringType),
+    StructField("lineage_std", StringType)))
+
+  /** The reference splits on `;[A-z]__` (its exact pattern — note the
+    * [A-z] character-class quirk) and keeps lineage_std; short
+    * lineages leave the remaining ranks null (separate()'s NA). */
+  def lcaSummaryIngest(raw: DataFrame, sample: String): DataFrame = {
+    val pieces = split(col("lineage_std"), ";[A-z]__")
+    val rankCols = lcaLevels.zipWithIndex.map { case (r, i) =>
+      val c = try_element_at(pieces, lit(i + 1))
+      (if (r == "Kingdom") regexp_replace(c, "^k__", "") else c).as(r)
+    }
+    raw.select(
+      lit(sample).as("SampleID") +:
+        col("percent_and_below").as("percent_abundance") +:
+        col("rank") +: col("tax_id") +: col("tax_name") +:
+        col("lineage_full") +: col("lineage_std") +: rankCols: _*)
+  }
+
+  def readLcaSummary(spark: SparkSession, path: String, sample: String)
+      : DataFrame =
+    lcaSummaryIngest(
+      Readers.parseSeparated(spark.read.textFile(path),
+        lcaReportSchema),
+      sample)
+
   // ---- fixtures (raw tool-output text; the oracles re-derive every
   //      parse from the same constants) ----
+
+  private[io] val krakenReportText: String = Seq(
+    "100.00\t5000\t0\tR\t1\troot",
+    " 95.20\t4760\t120\tD\t2\td__Bacteria",
+    " 60.10\t3005\t80\tP\t1224\tp__Pseudomonadota",
+    "  4.80\t240\t240\tD\t2157\td__Archaea").mkString("\n")
+
+  private[io] val lcaReportRows: Seq[(Double, Long, Long, String, Int,
+      String, String, String)] = Seq(
+    (45.5, 910, 10, "species", 562, "Escherichia coli",
+      "cellular organisms;Bacteria;Pseudomonadota;Gammaproteobacteria",
+      "k__Bacteria;p__Pseudomonadota;c__Gammaproteobacteria;" +
+        "o__Enterobacterales;f__Enterobacteriaceae;g__Escherichia;" +
+        "s__Escherichia coli"),
+    (30.0, 600, 600, "phylum", 1224, "Pseudomonadota",
+      "cellular organisms;Bacteria;Pseudomonadota",
+      "k__Bacteria;p__Pseudomonadota"),
+    (24.5, 490, 490, "no rank", 1, "root", "root", "root"))
 
   private[io] val gtdbHeader: Seq[String] = Seq("user_genome",
     "classification", "fastani_ani", "fastani_af",
@@ -524,7 +610,21 @@ object WarehouseIngest {
           to_timestamp(lit("2026-08-01 12:00:00"))))
   }
 
+  private def sKrakenReport(s: SparkSession, d: String): DataFrame =
+    parseKrakenReport(lines(s, krakenReportText), "samp_447")
+
+  private def sLcaSummary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lcaSummaryIngest(
+      lcaReportRows.toDF("percent_and_below", "count_and_below",
+        "count_directly", "rank", "tax_id", "tax_name", "lineage_full",
+        "lineage_std"),
+      "samp_9")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_kraken_report" -> sKrakenReport _,
+    "s_lca_summary" -> sLcaSummary _,
     "s_gtdb" -> sGtdb _,
     "s_checkm" -> sCheckm _,
     "s_drep" -> sDrep _,
@@ -735,7 +835,46 @@ object WarehouseIngest {
      FROM w"""
   }
 
+  private def krakenReportOracle: String = {
+    val vals = krakenReportText.split("\n").map(lit1)
+      .map(l => s"($l)").mkString(", ")
+    s"""WITH raw(line) AS (VALUES $vals),
+     p AS (SELECT string_split(line, chr(9)) AS f FROM raw
+           WHERE length(trim(line)) > 0)
+     SELECT 'samp_447' AS sample,
+       TRY_CAST(f[1] AS DOUBLE) AS percent_abund,
+       TRY_CAST(f[2] AS BIGINT) AS count_w_subtax,
+       TRY_CAST(f[3] AS BIGINT) AS count_direct,
+       trim(f[4]) AS rank, TRY_CAST(f[5] AS INT) AS tax_id,
+       regexp_replace(trim(f[6]), '^[a-z]__', '') AS name
+     FROM p"""
+  }
+
+  private def lcaSummaryOracle: String = {
+    val vals = lcaReportRows.map { r =>
+      s"(${r._1}, ${r._2}, ${r._3}, ${lit1(r._4)}, ${r._5}, " +
+        s"${lit1(r._6)}, ${lit1(r._7)}, ${lit1(r._8)})"
+    }.mkString(", ")
+    val rankSel = lcaLevels.zipWithIndex.map { case (rk, i) =>
+      val piece =
+        s"string_split_regex(lineage_std, ';[A-z]__')[${i + 1}]"
+      if (rk == "Kingdom")
+        s"""regexp_replace($piece, '^k__', '') AS "Kingdom""""
+      else s"""$piece AS "$rk""""
+    }.mkString(", ")
+    s"""WITH w(percent_and_below, count_and_below, count_directly,
+       rank, tax_id, tax_name, lineage_full, lineage_std)
+       AS (VALUES $vals)
+     SELECT 'samp_9' AS "SampleID",
+       CAST(percent_and_below AS DOUBLE) AS percent_abundance,
+       rank, CAST(tax_id AS INT) AS tax_id, tax_name, lineage_full,
+       lineage_std, $rankSel
+     FROM w"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "s_kraken_report" -> krakenReportOracle,
+    "s_lca_summary" -> lcaSummaryOracle,
     "s_gtdb" -> gtdbOracle,
     "s_checkm" -> checkmOracle,
     "s_drep" -> drepOracle,

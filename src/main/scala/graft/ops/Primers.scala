@@ -43,52 +43,73 @@ object Primers {
   /** Per-alignment best fwd and rev primer matches.
     * aln: (qname, model, hmmfrom, hmmto, strand, envfrom, envto,
     * score) — one row per read (call after winner selection, e.g. the
-    * W4 tie-discard).
+    * W4 tie-discard; selection here is per ROW, exactly the
+    * reference's per-alignment PrimerMatch loop).
     * primers: (hmm_name, primer_name, pdirection 'forward'|'reverse',
-    * pstart, pend, pidx).
+    * pstart, pend, pidx) with int coordinates.
     * Scores per `alignment.py:131-158`: ahead/trailing = clean; fwd
-    * score anchors hmmfrom to the primer, rev score anchors hmmto. */
+    * score anchors hmmfrom to the primer, rev score anchors hmmto.
+    *
+    * Shape: the primer table is a tiny dim, so it collapses to ONE
+    * per-model array, broadcast once; best-match selection is a
+    * per-row argmin fold over that array (filter/transform/aggregate
+    * lambdas — the reference's Python min() loop as expressions). No
+    * window, no self-join, zero shuffles: the match table costs one
+    * narrow pass over the alignments, which is what lets primerMode's
+    * two consumers stay cheap at 100 TB. */
   def scoreMatches(aln: DataFrame, primers: DataFrame): DataFrame = {
-    val a = withDirection(aln)
-    val base = a.select("qname", "model", "hmmfrom", "hmmto")
-    val isAhead = col("pend") < col("hmmfrom")
-    val isTrailing = col("hmmto") < col("pstart")
+    val plist = primers.groupBy(col("hmm_name"))
+      .agg(collect_list(struct(col("pidx"), col("primer_name"),
+        col("pdirection"), col("pstart"), col("pend"))).as("plist"))
 
-    val fwdP = primers.filter(col("pdirection") === "forward")
-    val wF = Window.partitionBy("qname")
-      .orderBy(abs(col("fscore")).asc, col("pidx").asc)
-    val fwdSel = base
-      .join(broadcast(fwdP), col("model") === col("hmm_name"))
-      .withColumn("fscore",
-        when(isAhead, col("hmmfrom") - col("pend") - 1)
-          .when(isTrailing, col("hmmfrom") - col("pstart"))
-          .otherwise(col("hmmfrom") - col("pstart")))
-      .withColumn("fclean", isAhead || isTrailing)
-      .withColumn("rn", row_number().over(wF)).filter(col("rn") === 1)
-      .select(col("qname"), col("primer_name").as("fwd_primer"),
-        col("fscore").as("fwd_score"), col("fclean").as("fwd_clean"),
-        col("pend").as("fwd_pend"))
+    // argmin by (abs(score), pidx) — pidx reproduces the reference's
+    // stable-sort tie-break on primer list order, independent of the
+    // non-deterministic collect_list ordering
+    val bestT = "STRUCT<score: INT, clean: BOOLEAN, name: STRING, " +
+      "pend: INT, pidx: INT>"
+    def best(scored: String): String =
+      s"""aggregate($scored, CAST(NULL AS $bestT),
+        (acc, x) -> CASE
+          WHEN acc IS NULL THEN x
+          WHEN abs(x.score) < abs(acc.score) THEN x
+          WHEN abs(x.score) = abs(acc.score) AND x.pidx < acc.pidx
+            THEN x
+          ELSE acc END)"""
 
-    // rev: highest-scoring rev primer to the RIGHT of the fwd match
+    val fwdBest = best(
+      """transform(
+        filter(plist, p -> p.pdirection = 'forward'),
+        p -> named_struct(
+          'score', CASE WHEN p.pend < hmmfrom THEN hmmfrom - p.pend - 1
+                        WHEN hmmto < p.pstart THEN hmmfrom - p.pstart
+                        ELSE hmmfrom - p.pstart END,
+          'clean', (p.pend < hmmfrom OR hmmto < p.pstart),
+          'name', p.primer_name, 'pend', p.pend, 'pidx', p.pidx))""")
+
+    // rev: best rev primer to the RIGHT of the fwd match
     // (alignment.py:56-72); with no fwd match, any rev primer competes
-    val revP = primers.filter(col("pdirection") === "reverse")
-    val wR = Window.partitionBy("qname")
-      .orderBy(abs(col("rscore")).asc, col("pidx").asc)
-    val revSel = base
-      .join(broadcast(revP), col("model") === col("hmm_name"))
-      .join(fwdSel.select("qname", "fwd_pend"), Seq("qname"), "left")
-      .filter(col("fwd_pend").isNull || col("fwd_pend") < col("pstart"))
-      .withColumn("rscore",
-        when(isAhead, col("hmmto") - col("pend"))
-          .when(isTrailing, col("hmmto") - col("pstart") + 1)
-          .otherwise(col("hmmto") - col("pend")))
-      .withColumn("rclean", isAhead || isTrailing)
-      .withColumn("rn", row_number().over(wR)).filter(col("rn") === 1)
-      .select(col("qname"), col("primer_name").as("rev_primer"),
-        col("rscore").as("rev_score"), col("rclean").as("rev_clean"))
+    val revBest = best(
+      """transform(
+        filter(plist, p -> p.pdirection = 'reverse' AND
+          (fwd_best IS NULL OR fwd_best.pend < p.pstart)),
+        p -> named_struct(
+          'score', CASE WHEN p.pend < hmmfrom THEN hmmto - p.pend
+                        WHEN hmmto < p.pstart THEN hmmto - p.pstart + 1
+                        ELSE hmmto - p.pend END,
+          'clean', (p.pend < hmmfrom OR hmmto < p.pstart),
+          'name', p.primer_name, 'pend', p.pend, 'pidx', p.pidx))""")
 
-    a.join(fwdSel.drop("fwd_pend"), Seq("qname"), "left")
-      .join(revSel, Seq("qname"), "left")
+    withDirection(aln)
+      .join(broadcast(plist), col("model") === col("hmm_name"), "left")
+      .withColumn("fwd_best", expr(fwdBest))
+      .withColumn("rev_best", expr(revBest))
+      .withColumn("fwd_primer", col("fwd_best.name"))
+      .withColumn("fwd_score", col("fwd_best.score"))
+      .withColumn("fwd_clean", col("fwd_best.clean"))
+      .withColumn("rev_primer", col("rev_best.name"))
+      .withColumn("rev_score", col("rev_best.score"))
+      .withColumn("rev_clean", col("rev_best.clean"))
+      .drop("hmm_name", "plist", "fwd_best", "rev_best")
   }
 
   /** Per-sample primer mode (`hmm_summarize.py:156-280` get_mode):

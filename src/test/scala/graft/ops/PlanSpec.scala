@@ -67,10 +67,13 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("primer scoring broadcasts the primer table on both sides") {
-    // Primers.scoreMatches joins the tiny primer dim twice (fwd+rev);
-    // both must be broadcast-hash, never a shuffle of the alignments
-    assert(countOf(plan("g_primer_match"), "BroadcastHashJoin") >= 2)
+  test("primer scoring: one broadcast join, no window over alignments") {
+    // Primers.scoreMatches folds the primer dim to a per-model array
+    // and picks matches with per-row lambdas: exactly one broadcast
+    // join and NO window/sort over the alignment table
+    val p = plan("g_primer_match")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Window"), s"unexpected window:\n${p.take(2000)}")
   }
 
   test("langid profile join is broadcast") {
