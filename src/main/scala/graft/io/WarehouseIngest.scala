@@ -369,8 +369,129 @@ object WarehouseIngest {
         lcaReportSchema),
       sample)
 
+  // ---- mmseqs UniRef db mapping tables (postgres.Rmd:195-221):
+  //      three headerless TSVs; the index's reported length includes
+  //      the null-byte separator and newline, so the true sequence
+  //      length is length − 2 (Rmd:204-208) ----
+
+  val unirefLookupSchema: StructType = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("uniref100", StringType),
+    StructField("extra", IntegerType)))
+
+  val unirefIndexSchema: StructType = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("offset", LongType),
+    StructField("length", IntegerType)))
+
+  val unirefTaxidSchema: StructType = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("taxid", IntegerType)))
+
+  def parseUnirefIndex(lns: Dataset[String]): DataFrame =
+    Readers.parseSeparated(lns, unirefIndexSchema)
+      .withColumn("length", col("length") - 2)
+
+  // ---- coverM abundance tables (postgres.Rmd:1678-1702 genome/bin,
+  //      1771-1790 contig): tool headers → warehouse names, coverM's
+  //      own Sample column dropped in favor of the path-derived tag ----
+
+  val binAbundRenames: Map[String, String] = Map(
+    "Genome" -> "bin", "Relative Abundance (%)" -> "percent_abund",
+    "Mean" -> "mean_depth", "Trimmed Mean" -> "trimmed_mean_depth",
+    "Covered Bases" -> "covered_bases", "Variance" -> "variance",
+    "Length" -> "length", "Read Count" -> "read_count",
+    "Reads per base" -> "reads_per_base", "RPKM" -> "rpkm",
+    "TPM" -> "tpm")
+
+  val contigAbundRenames: Map[String, String] =
+    (binAbundRenames - "Genome" - "Relative Abundance (%)") +
+      ("Contig" -> "contig")
+
+  private def applyRenames(raw: DataFrame,
+      renames: Map[String, String]): DataFrame =
+    renames.foldLeft(raw) { case (df, (from, to)) =>
+      if (df.columns.contains(from)) df.withColumnRenamed(from, to)
+      else df
+    }
+
+  private val abundTypes: Map[String, String] = Map(
+    "percent_abund" -> "double", "mean_depth" -> "double",
+    "trimmed_mean_depth" -> "double", "covered_bases" -> "bigint",
+    "variance" -> "double", "length" -> "bigint",
+    "read_count" -> "bigint", "reads_per_base" -> "double",
+    "rpkm" -> "double", "tpm" -> "double")
+
+  private def abundIngest(raw: DataFrame,
+      renames: Map[String, String], sample: String): DataFrame = {
+    val renamed = applyRenames(raw, renames).drop("Sample")
+    val typed = renamed.columns.toSeq.map { c =>
+      abundTypes.get(c) match {
+        case Some(t) => col(c).try_cast(t).as(c)
+        case None => col(c)
+      }
+    }
+    renamed.select(lit(sample).as("sample") +: typed: _*)
+  }
+
+  /** bin_abund_within_sample: coverM genome output per sample. */
+  def binAbundIngest(raw: DataFrame, sample: String): DataFrame =
+    abundIngest(raw, binAbundRenames, sample)
+
+  /** contig_abund: coverM contig output per sample (no relative
+    * abundance column at contig grain). */
+  def contigAbundIngest(raw: DataFrame, sample: String): DataFrame =
+    abundIngest(raw, contigAbundRenames, sample)
+
+  // ---- contig_blast (postgres.Rmd:2243-2250): classic 12-col m8
+  //      with sample + search_name recovered from the path ----
+
+  val contigBlastSchema: StructType = StructType(Seq(
+    StructField("query", StringType),
+    StructField("subject", StringType),
+    StructField("percent_id", DoubleType),
+    StructField("alignment_length", IntegerType),
+    StructField("mismatches", IntegerType),
+    StructField("gap_openings", IntegerType),
+    StructField("query_start", LongType),
+    StructField("query_end", LongType),
+    StructField("subject_start", LongType),
+    StructField("subject_end", LongType),
+    StructField("e_value", DoubleType),
+    StructField("bit_score", DoubleType)))
+
+  def parseContigBlast(lns: Dataset[String], sample: String,
+      searchName: String): DataFrame =
+    Readers.parseSeparated(lns, contigBlastSchema)
+      .select(lit(sample).as("sample") +:
+        lit(searchName).as("search_name") +:
+        contigBlastSchema.fieldNames.toSeq.map(col): _*)
+
   // ---- fixtures (raw tool-output text; the oracles re-derive every
   //      parse from the same constants) ----
+
+  private[io] val unirefIndexText: String = Seq(
+    "0\t0\t312", "1\t312\t145", "2\t457\t2048").mkString("\n")
+
+  private[io] val binAbundHeader: Seq[String] = Seq("Sample", "Genome",
+    "Relative Abundance (%)", "Mean", "Trimmed Mean", "Covered Bases",
+    "Variance", "Length", "Read Count", "Reads per base", "RPKM",
+    "TPM")
+
+  private[io] val binAbundRows: Seq[(String, String, Double, Double,
+      Double, Long, Double, Long, Long, Double, Double, Double)] = Seq(
+    ("samp_447", "bin_1", 42.5, 18.2, 17.9, 2100000L, 4.1, 2150000L,
+      310000L, 0.144, 851.2, 425000.0),
+    ("samp_447", "bin_2", 12.1, 5.5, 5.2, 900000L, 1.9, 1200000L,
+      88000L, 0.073, 433.0, 121000.0),
+    ("samp_447", "unmapped", 45.4, 0.0, 0.0, 0L, 0.0, 0L, 0L, 0.0,
+      0.0, 0.0))
+
+  private[io] val contigBlastText: String = Seq(
+    "c_1\tguanitoxin_ref\t98.50\t850\t10\t2\t100\t949\t1\t850\t1.2e-200\t1560.0",
+    "c_2\tguanitoxin_ref\t76.20\t400\t90\t5\t10\t409\t30\t429\t3.5e-60\t240.5",
+    "c_9\tother_ref\t55.00\t120\t54\t3\t5\t124\t200\t319\t0.002\t48.1"
+  ).mkString("\n")
 
   private[io] val krakenReportText: String = Seq(
     "100.00\t5000\t0\tR\t1\troot",
@@ -610,6 +731,21 @@ object WarehouseIngest {
           to_timestamp(lit("2026-08-01 12:00:00"))))
   }
 
+  private def sUnirefIndex(s: SparkSession, d: String): DataFrame =
+    parseUnirefIndex(lines(s, unirefIndexText))
+
+  private def sBinAbund(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.option("sep", "\t").option("header", "true")
+      .csv(lines(s, (binAbundHeader.mkString("\t") +:
+        binAbundRows.map(_.productIterator.mkString("\t")))
+        .mkString("\n")))
+    binAbundIngest(raw, "samp_447")
+  }
+
+  private def sContigBlast(s: SparkSession, d: String): DataFrame =
+    parseContigBlast(lines(s, contigBlastText), "samp_2233",
+      "guanitoxin")
+
   private def sKrakenReport(s: SparkSession, d: String): DataFrame =
     parseKrakenReport(lines(s, krakenReportText), "samp_447")
 
@@ -623,6 +759,9 @@ object WarehouseIngest {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_uniref_index" -> sUnirefIndex _,
+    "s_bin_abund" -> sBinAbund _,
+    "s_contig_blast" -> sContigBlast _,
     "s_kraken_report" -> sKrakenReport _,
     "s_lca_summary" -> sLcaSummary _,
     "s_gtdb" -> sGtdb _,
@@ -872,7 +1011,65 @@ object WarehouseIngest {
      FROM w"""
   }
 
+  private def unirefIndexOracle: String = {
+    val vals = unirefIndexText.split("\n").map(lit1)
+      .map(l => s"($l)").mkString(", ")
+    s"""WITH raw(line) AS (VALUES $vals),
+     p AS (SELECT string_split(line, chr(9)) AS f FROM raw
+           WHERE length(trim(line)) > 0)
+     SELECT TRY_CAST(f[1] AS INT) AS id,
+       TRY_CAST(f[2] AS BIGINT) AS "offset",
+       TRY_CAST(f[3] AS INT) - 2 AS length
+     FROM p"""
+  }
+
+  private def binAbundOracle: String = {
+    val vals = binAbundRows.map { r =>
+      s"(${lit1(r._1)}, ${lit1(r._2)}, ${r._3}, ${r._4}, ${r._5}, " +
+        s"${r._6}, ${r._7}, ${r._8}, ${r._9}, ${r._10}, ${r._11}, " +
+        s"${r._12})"
+    }.mkString(", ")
+    s"""WITH w(coverm_sample, bin, percent_abund, mean_depth,
+       trimmed_mean_depth, covered_bases, variance, length, read_count,
+       reads_per_base, rpkm, tpm) AS (VALUES $vals)
+     SELECT 'samp_447' AS sample, bin,
+       CAST(percent_abund AS DOUBLE) AS percent_abund,
+       CAST(mean_depth AS DOUBLE) AS mean_depth,
+       CAST(trimmed_mean_depth AS DOUBLE) AS trimmed_mean_depth,
+       CAST(covered_bases AS BIGINT) AS covered_bases,
+       CAST(variance AS DOUBLE) AS variance,
+       CAST(length AS BIGINT) AS length,
+       CAST(read_count AS BIGINT) AS read_count,
+       CAST(reads_per_base AS DOUBLE) AS reads_per_base,
+       CAST(rpkm AS DOUBLE) AS rpkm, CAST(tpm AS DOUBLE) AS tpm
+     FROM w"""
+  }
+
+  private def contigBlastOracle: String = {
+    val vals = contigBlastText.split("\n").map(lit1)
+      .map(l => s"($l)").mkString(", ")
+    s"""WITH raw(line) AS (VALUES $vals),
+     p AS (SELECT string_split(line, chr(9)) AS f FROM raw
+           WHERE length(trim(line)) > 0)
+     SELECT 'samp_2233' AS sample, 'guanitoxin' AS search_name,
+       f[1] AS query, f[2] AS subject,
+       TRY_CAST(f[3] AS DOUBLE) AS percent_id,
+       TRY_CAST(f[4] AS INT) AS alignment_length,
+       TRY_CAST(f[5] AS INT) AS mismatches,
+       TRY_CAST(f[6] AS INT) AS gap_openings,
+       TRY_CAST(f[7] AS BIGINT) AS query_start,
+       TRY_CAST(f[8] AS BIGINT) AS query_end,
+       TRY_CAST(f[9] AS BIGINT) AS subject_start,
+       TRY_CAST(f[10] AS BIGINT) AS subject_end,
+       TRY_CAST(f[11] AS DOUBLE) AS e_value,
+       TRY_CAST(f[12] AS DOUBLE) AS bit_score
+     FROM p"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "s_uniref_index" -> unirefIndexOracle,
+    "s_bin_abund" -> binAbundOracle,
+    "s_contig_blast" -> contigBlastOracle,
     "s_kraken_report" -> krakenReportOracle,
     "s_lca_summary" -> lcaSummaryOracle,
     "s_gtdb" -> gtdbOracle,
