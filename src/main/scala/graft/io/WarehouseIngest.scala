@@ -467,6 +467,69 @@ object WarehouseIngest {
         lit(searchName).as("search_name") +:
         contigBlastSchema.fieldNames.toSeq.map(col): _*)
 
+  // ---- gene_abundance (postgres.Rmd:1189-1230): the full 20-col
+  //      table — skip-4 BBMap .rpkm, per-FILE TPM from FPKM, prodigal
+  //      header split (" # " fields, ";" key=value tail, "^.*="
+  //      strip), ID split into contig/gene numbers, contig glued from
+  //      sample ----
+
+  val rpkmBodySchema: StructType = StructType(Seq(
+    StructField("gene_header", StringType),
+    StructField("length", IntegerType),
+    StructField("bases", LongType),
+    StructField("coverage", DoubleType),
+    StructField("reads", LongType),
+    StructField("rpkm", DoubleType),
+    StructField("frags", LongType),
+    StructField("fpkm", DoubleType)))
+
+  /** body: parsed .rpkm rows with a `file` column (production:
+    * `input_file_name()`); TPM normalizes per file — the window
+    * partitions on it, so one shuffle keyed by file at scale, exactly
+    * the reference's per-file `sum(FPKM)`. */
+  def geneAbundanceIngest(body: DataFrame, sample: String)
+      : DataFrame = {
+    val wFile =
+      org.apache.spark.sql.expressions.Window.partitionBy("file")
+    val p = split(col("gene_header"), " # ")
+    val kv = split(element_at(p, 5), ";")
+    def stripKey(i: Int) =
+      regexp_replace(element_at(kv, i), "^.*=", "")
+    val idp = split(stripKey(1), "_")
+    body
+      // (FPKM / sum(FPKM)) * 1e6 — expression shape mirrored in the
+      // oracle so interpolation-free FP stays bit-identical
+      .withColumn("tpm",
+        col("fpkm") / sum(col("fpkm")).over(wFile) * lit(1e6))
+      .select(
+        element_at(p, 1).as("gene"),
+        concat(lit(sample), lit("_"), element_at(idp, 1)).as("contig"),
+        lit(sample).as("sample"),
+        element_at(p, 2).try_cast("bigint").as("left_edge"),
+        element_at(p, 3).try_cast("bigint").as("right_edge"),
+        element_at(p, 4).try_cast("int").as("strand"),
+        stripKey(2).as("partial"),
+        stripKey(3).as("start_type"),
+        stripKey(4).as("rbs_motif"),
+        stripKey(5).as("rbs_spacer"),
+        stripKey(6).try_cast("double").as("gc_content"),
+        try_element_at(idp, lit(1)).try_cast("bigint")
+          .as("contig_num"),
+        try_element_at(idp, lit(2)).try_cast("int").as("gene_num"),
+        col("length"), col("bases"), col("coverage"), col("reads"),
+        col("rpkm"), col("frags"), col("fpkm"), col("tpm"))
+  }
+
+  def readGeneAbundance(spark: SparkSession, path: String,
+      sample: String): DataFrame =
+    geneAbundanceIngest(
+      Readers.parseSeparated(
+        Readers.skipLines(spark.read.textFile(path), 4),
+        rpkmBodySchema)
+        .filter(col("gene_header") =!= "#Name")
+        .withColumn("file", input_file_name()),
+      sample)
+
   // ---- fixtures (raw tool-output text; the oracles re-derive every
   //      parse from the same constants) ----
 
@@ -731,6 +794,14 @@ object WarehouseIngest {
           to_timestamp(lit("2026-08-01 12:00:00"))))
   }
 
+  private def sGeneAbund(s: SparkSession, d: String): DataFrame =
+    geneAbundanceIngest(
+      Readers.parseSeparated(
+        Readers.skipLines(lines(s, Fixtures.rpkm), 4), rpkmBodySchema)
+        .filter(col("gene_header") =!= "#Name")
+        .withColumn("file", lit("samp_9.rpkm")),
+      "samp_9")
+
   private def sUnirefIndex(s: SparkSession, d: String): DataFrame =
     parseUnirefIndex(lines(s, unirefIndexText))
 
@@ -759,6 +830,7 @@ object WarehouseIngest {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_gene_abund" -> sGeneAbund _,
     "s_uniref_index" -> sUnirefIndex _,
     "s_bin_abund" -> sBinAbund _,
     "s_contig_blast" -> sContigBlast _,
@@ -1066,7 +1138,49 @@ object WarehouseIngest {
      FROM p"""
   }
 
+  private def geneAbundOracle: String = {
+    val vals = Fixtures.rpkm.split("\n").zipWithIndex
+      .map { case (l, i) => s"(CAST($i AS BIGINT), ${lit1(l)})" }
+      .mkString(", ")
+    s"""WITH raw(idx, line) AS (VALUES $vals),
+     body AS (SELECT line FROM raw WHERE idx >= 4
+              AND length(trim(line)) > 0),
+     p AS (SELECT string_split(line, chr(9)) AS f FROM body),
+     t AS (SELECT f[1] AS gene_header,
+         TRY_CAST(f[2] AS INT) AS length,
+         TRY_CAST(f[3] AS BIGINT) AS bases,
+         TRY_CAST(f[4] AS DOUBLE) AS coverage,
+         TRY_CAST(f[5] AS BIGINT) AS reads,
+         TRY_CAST(f[6] AS DOUBLE) AS rpkm,
+         TRY_CAST(f[7] AS BIGINT) AS frags,
+         TRY_CAST(f[8] AS DOUBLE) AS fpkm
+       FROM p WHERE f[1] <> '#Name'),
+     w AS (SELECT *, fpkm / sum(fpkm) OVER () * 1000000.0 AS tpm
+           FROM t),
+     g AS (SELECT *, string_split(gene_header, ' # ') AS gp FROM w),
+     k AS (SELECT *, string_split(gp[5], ';') AS kv FROM g),
+     c AS (SELECT *,
+         string_split(regexp_replace(kv[1], '^.*=', ''), '_') AS idp
+       FROM k)
+     SELECT gp[1] AS gene,
+       'samp_9_' || idp[1] AS contig, 'samp_9' AS sample,
+       TRY_CAST(gp[2] AS BIGINT) AS left_edge,
+       TRY_CAST(gp[3] AS BIGINT) AS right_edge,
+       TRY_CAST(gp[4] AS INT) AS strand,
+       regexp_replace(kv[2], '^.*=', '') AS partial,
+       regexp_replace(kv[3], '^.*=', '') AS start_type,
+       regexp_replace(kv[4], '^.*=', '') AS rbs_motif,
+       regexp_replace(kv[5], '^.*=', '') AS rbs_spacer,
+       TRY_CAST(regexp_replace(kv[6], '^.*=', '') AS DOUBLE)
+         AS gc_content,
+       TRY_CAST(idp[1] AS BIGINT) AS contig_num,
+       TRY_CAST(idp[2] AS INT) AS gene_num,
+       length, bases, coverage, reads, rpkm, frags, fpkm, tpm
+     FROM c"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "s_gene_abund" -> geneAbundOracle,
     "s_uniref_index" -> unirefIndexOracle,
     "s_bin_abund" -> binAbundOracle,
     "s_contig_blast" -> contigBlastOracle,
