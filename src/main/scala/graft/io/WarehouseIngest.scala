@@ -530,8 +530,33 @@ object WarehouseIngest {
         .withColumn("file", input_file_name()),
       sample)
 
+  // ---- mmseqs tophit report → read_mapping_to_uniref /
+  //      contig_uniref_tophits (postgres.Rmd:386-391): 9-col
+  //      headerless TSV, UniRef prefix stripped into an id column,
+  //      taxonomy text columns dropped ----
+
+  def tophitIngest(lns: Dataset[String], sample: String): DataFrame =
+    Readers.parseSeparated(lns, Readers.tophitSchema)
+      .select(
+        lit(sample).as("sample"), col("target"),
+        regexp_replace(col("target"), "UniRef100_", "")
+          .as("uniref100_id"),
+        col("num_seqs_aligned"), col("unique_coverage_of_target"),
+        col("target_coverage"), col("average_seq_identity"),
+        col("taxonomy"))
+
+  def readTophitReport(spark: SparkSession, path: String,
+      sample: String): DataFrame =
+    tophitIngest(spark.read.textFile(path), sample)
+
   // ---- fixtures (raw tool-output text; the oracles re-derive every
   //      parse from the same constants) ----
+
+  private[io] val tophitText: String = Seq(
+    "UniRef100_A0A009\t120\t0.85\t0.91\t0.97\t562\tspecies\tEscherichia coli\tcellular organisms;Bacteria",
+    "UniRef100_B5XK02\t48\t0.40\t0.55\t0.88\t1224\tphylum\tPseudomonadota\tcellular organisms;Bacteria",
+    "UniRef100_C9ZZ99\t3\t0.05\t0.08\t0.61\t1\tno rank\troot\troot"
+  ).mkString("\n")
 
   private[io] val unirefIndexText: String = Seq(
     "0\t0\t312", "1\t312\t145", "2\t457\t2048").mkString("\n")
@@ -794,6 +819,9 @@ object WarehouseIngest {
           to_timestamp(lit("2026-08-01 12:00:00"))))
   }
 
+  private def sTophit(s: SparkSession, d: String): DataFrame =
+    tophitIngest(lines(s, tophitText), "samp_9")
+
   private def sGeneAbund(s: SparkSession, d: String): DataFrame =
     geneAbundanceIngest(
       Readers.parseSeparated(
@@ -830,6 +858,7 @@ object WarehouseIngest {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_tophit" -> sTophit _,
     "s_gene_abund" -> sGeneAbund _,
     "s_uniref_index" -> sUnirefIndex _,
     "s_bin_abund" -> sBinAbund _,
@@ -1179,7 +1208,24 @@ object WarehouseIngest {
      FROM c"""
   }
 
+  private def tophitOracle: String = {
+    val vals = tophitText.split("\n").map(lit1)
+      .map(l => s"($l)").mkString(", ")
+    s"""WITH raw(line) AS (VALUES $vals),
+     p AS (SELECT string_split(line, chr(9)) AS f FROM raw
+           WHERE length(trim(line)) > 0)
+     SELECT 'samp_9' AS sample, f[1] AS target,
+       regexp_replace(f[1], 'UniRef100_', '') AS uniref100_id,
+       TRY_CAST(f[2] AS INT) AS num_seqs_aligned,
+       TRY_CAST(f[3] AS DOUBLE) AS unique_coverage_of_target,
+       TRY_CAST(f[4] AS DOUBLE) AS target_coverage,
+       TRY_CAST(f[5] AS DOUBLE) AS average_seq_identity,
+       TRY_CAST(f[6] AS INT) AS taxonomy
+     FROM p"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "s_tophit" -> tophitOracle,
     "s_gene_abund" -> geneAbundOracle,
     "s_uniref_index" -> unirefIndexOracle,
     "s_bin_abund" -> binAbundOracle,

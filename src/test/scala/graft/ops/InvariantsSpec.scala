@@ -19,6 +19,13 @@ class InvariantsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("gene_abundance TPM sums to 1e6 per file") {
+    val bad = graft.SparkEntry.queries("s_gene_abund")(spark, d)
+      .groupBy("sample").agg(sum("tpm").as("s"))
+      .filter(abs(col("s") - 1e6) > 1e-6).count()
+    assert(bad == 0)
+  }
+
   test("rel_abund sums to 1 per sample") {
     val bad = graft.SparkEntry.queries("a2_rel_abund")(spark, d)
       .groupBy("sample").agg(sum("rel_abund").as("s"))
