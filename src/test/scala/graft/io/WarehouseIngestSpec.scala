@@ -125,6 +125,18 @@ class WarehouseIngestSpec extends AnyFunSuite {
     assert(bySample("NONE").getAs[String]("rule") == "summarize")
   }
 
+  test("coverM contig variant: Contig renamed, Sample dropped, typed") {
+    val raw = Seq(("s9", "c_1", "7.5", "9000", "12000"))
+      .toDF("Sample", "Contig", "Mean", "Covered Bases", "Length")
+    val out = WarehouseIngest.contigAbundIngest(raw, "samp_9")
+    assert(out.columns.toSeq == Seq("sample", "contig", "mean_depth",
+      "covered_bases", "length"))
+    val r = out.collect()(0)
+    assert(r.getAs[String]("sample") == "samp_9") // tag, not tool col
+    assert(r.getAs[Double]("mean_depth") == 7.5)
+    assert(r.getAs[Long]("covered_bases") == 9000L)
+  }
+
   test("gtdb_to_ncbi: spaced headers cleaned, renames applied") {
     val raw = WarehouseIngest.gtdbToNcbiRows
       .toDF(WarehouseIngest.gtdbToNcbiHeader: _*)
