@@ -138,6 +138,67 @@ object Similarity {
         round(col("sim"), 4).as("cos_sim"))
   }
 
+  /** IVF-flat ANN — the second scale path next to LSH: a coarse
+    * quantizer of `nlist` centroids partitions the corpus into
+    * inverted lists; each query probes its `nprobe` nearest lists and
+    * re-ranks only those vectors with the exact cosine.
+    *
+    * Scale shape: centroids are `nlist` corpus rows picked by hash
+    * order (deterministic, no RNG state shipped, no driver collect —
+    * a TakeOrdered of nlist rows stays a DataFrame and broadcasts).
+    * List assignment costs one corpus pass × nlist broadcast dots —
+    * the standard IVF build cost; the probe join is keyed by list id,
+    * so query fan-out is nprobe lists, not the corpus. Recall rises
+    * with nprobe/nlist; exactness within probed lists is exact. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 6): DataFrame = {
+    // nprobe/nlist bounds recall from below on structureless vectors
+    // (synthetic gaussians ≈ no cluster locality: recall ≈ coverage);
+    // clustered real embeddings concentrate neighbors in the probed
+    // lists and do much better at the same nprobe
+    val prepared = corpus
+      .select(col("vec_id").as("n_id"),
+        asDouble(col("embedding")).as("n_emb"))
+      .withColumn("n_norm", sqrt(dotD(col("n_emb"), col("n_emb"))))
+    val centroids = broadcast(prepared
+      .orderBy(xxhash64(col("n_id")), col("n_id"))
+      .limit(nlist)
+      .select(col("n_id").as("cid"), col("n_emb").as("c_emb"),
+        col("n_norm").as("c_norm")))
+
+    // nearest-centroid ranks by cosine (ties → smaller cid)
+    def ranked(df: DataFrame, idC: String, embC: String,
+        normC: String): DataFrame = {
+      val w = Window.partitionBy(idC)
+        .orderBy(col("c_sim").desc, col("cid").asc)
+      df.crossJoin(centroids)
+        .withColumn("c_sim", dotD(col(embC), col("c_emb")) /
+          (col(normC) * col("c_norm")))
+        .withColumn("c_rank", row_number().over(w))
+        .drop("c_emb", "c_norm", "c_sim")
+    }
+
+    val lists = ranked(prepared, "n_id", "n_emb", "n_norm")
+      .filter(col("c_rank") === 1).drop("c_rank")
+    val q = queries.select(col("vec_id").as("q_id"),
+        asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb"))))
+    val probes = broadcast(
+      ranked(q, "q_id", "q_emb", "q_norm")
+        .filter(col("c_rank") <= nprobe).drop("c_rank"))
+
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
+    lists.join(probes, Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", dotD(col("q_emb"), col("n_emb")) /
+        (col("q_norm") * col("n_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").as("rank"), col("n_id"),
+        round(col("sim"), 4).as("cos_sim"))
+  }
+
   /** All-pairs candidate scoring via LSH bucket SELF-join: every pair
     * of corpus vectors sharing ≥1 table bucket, scored with the exact
     * cosine and collapsed per pair. Neither side broadcasts — this is
@@ -179,6 +240,11 @@ object Similarity {
   private def xAnnLsh(s: SparkSession, d: String): DataFrame =
     lshTopK(queriesSide(s, d), t(s, d, "embeddings"), 3)
 
+  /** IVF variant (centroid seeding engine-specific → rows-only;
+    * recall vs brute force asserted in ScalaTest). */
+  private def xAnnIvf(s: SparkSession, d: String): DataFrame =
+    ivfTopK(queriesSide(s, d), t(s, d, "embeddings"), 3)
+
   /** kNN label vote: majority label of the 5 nearest neighbors,
     * ties → smallest label (deterministic). */
   private def xKnnLabel(s: SparkSession, d: String): DataFrame = {
@@ -217,6 +283,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_ann_brute" -> xAnnBrute _,
     "x_ann_lsh" -> xAnnLsh _,
+    "x_ann_ivf" -> xAnnIvf _,
     "x_knn_label" -> xKnnLabel _,
     "x_centroid" -> xCentroid _)
 

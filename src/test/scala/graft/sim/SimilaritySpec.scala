@@ -46,6 +46,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall@3 too low: $recall")
   }
 
+  test("IVF recall@3 vs brute force ≥ 0.5; exact within probed lists") {
+    val brute = graft.SparkEntry.queries("x_ann_brute")(
+      spark, TestSpark.sf0001)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = graft.SparkEntry.queries("x_ann_ivf")(
+      spark, TestSpark.sf0001)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall@3 too low: $recall")
+    // probing ALL lists must recover the brute-force result exactly
+    val full = Similarity.ivfTopK(
+      t(spark, TestSpark.sf0001, "embeddings")
+        .filter(col("vec_id") < 10),
+      t(spark, TestSpark.sf0001, "embeddings"), 3,
+      nlist = 16, nprobe = 16)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(full == brute, "nprobe=nlist must equal brute force")
+  }
+
   test("kNN vote label comes from the embedding table's label domain") {
     val labels = t(spark, TestSpark.sf0001, "embeddings")
       .select("label").distinct().as[Int].collect().toSet
