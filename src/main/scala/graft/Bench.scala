@@ -30,14 +30,23 @@ object Bench {
     // re-executes every query in full; only the process-lifetime
     // compilation work is amortized out, which is the steady state the
     // engine actually runs in.
+    // dev filter: SPARK_GRAFT_ONLY=q1,q2 times just those queries
+    // (unset = the full driver contract, unchanged)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     def runAll(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop write (not count): count() lets Catalyst prune the
         // computed columns, timing a cheaper plan than the query builds
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // progress to stderr (stdout stays the one-JSON-line contract)
+        System.err.println(f"[bench] $name%-24s $sec%8.2fs")
+        name -> sec
       }
     Tables.names.foreach { n =>
       try Tables.t(spark, sfDir, n).count()

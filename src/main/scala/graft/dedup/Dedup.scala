@@ -264,6 +264,107 @@ object Dedup {
       .select(col("id_a").as("keep_id"), col("id_b").as("dup_id"),
         col("cos_sim"))
 
+  /** Connected components over a candidate-pair edge list — the
+    * cluster-resolution step every near-dup pipeline needs after pair
+    * finding: pairs (A,B),(B,C) must collapse to ONE cluster {A,B,C}
+    * with one canonical survivor, not two independent pairs.
+    *
+    * Algorithm: min-label propagation with pointer jumping. Every node
+    * starts as its own label; each round a node adopts the smallest
+    * label among itself and its neighbors (propagation), then replaces
+    * that label with the label's OWN current label (pointer jumping —
+    * path compression, the hash-to-min idea). Propagation alone needs
+    * O(diameter) rounds; jumping halves remaining path lengths each
+    * round, so convergence is O(log diameter) — the difference between
+    * 6 rounds and 50 on a chainy overlap graph. Per-round work is two
+    * keyed joins + one min-aggregate, all shuffled on node id.
+    *
+    * Iteration mechanics — the two classic iterative-DataFrame traps,
+    * both load-bearing:
+    *  - LINEAGE TRUNCATION: each round's frame is rebuilt from its RDD
+    *    (`createDataFrame(df.rdd, schema)`). Without this the round-N
+    *    logical plan references round N-1 twice (next + convergence
+    *    check), so plan size and analysis time grow exponentially —
+    *    measured 346 s for 20 rounds at sf0.1, almost all of it in the
+    *    analyzer, vs seconds with truncation.
+    *  - CACHING: labels persist(MEMORY_AND_DISK) per round; the
+    *    convergence count materializes the new round, then the
+    *    previous round is unpersisted. The edge list persists once for
+    *    the loop's lifetime and is released before return.
+    * The RETURNED frame stays persisted (it is the loop's last state);
+    * callers that stage it to the warehouse may `unpersist()` after.
+    * On a multi-executor cluster, recovery of an evicted round walks
+    * the truncated-RDD chain — long-running jobs there should add a
+    * reliable `checkpoint()` every ~10 rounds; at the bounded round
+    * counts this converges in, the cache suffices. Throws if `maxIter`
+    * rounds don't converge — a silent partial clustering would
+    * under-deduplicate. */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = nodes.sparkSession
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val sym = truncated(
+        edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+          .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+          .distinct())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col(idCol).as("id"),
+        col(idCol).as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val prev = labels
+      // propagation: candidate(v) = min over {v} ∪ N(v) of label(·)
+      val prop = sym.join(prev, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      val cand = prev.select(col("id"), col("label")).union(prop)
+        .groupBy("id").agg(min("label").as("label"))
+      // pointer jump: label(v) ← label(label(v)). Labels are node ids
+      // with the invariant label(x) ≤ x, so the lookup only improves;
+      // least+coalesce keeps the candidate when the label node has no
+      // entry (never happens when labels ⊆ nodes, but stays total).
+      val next = truncated(cand.as("c")
+          .join(prev.select(col("id").as("lid"),
+            col("label").as("llabel")),
+            col("c.label") === col("lid"), "left")
+          .select(col("c.id").as("id"),
+            least(col("c.label"),
+              coalesce(col("llabel"), col("c.label"))).as("label")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // labels only ever decrease, so "any row differs" is the full
+      // convergence test; the count also materializes `next`, making
+      // it safe to release the previous round
+      changed = next
+        .join(prev.withColumnRenamed("label", "prev_label"), "id")
+        .filter(col("label") =!= col("prev_label")).count()
+      prev.unpersist()
+      labels = next
+      it += 1
+    }
+    sym.unpersist()
+    require(changed == 0,
+      s"connectedComponents: not converged after $maxIter rounds " +
+        "(raise maxIter; with pointer jumping this bounds component " +
+        "sizes near 2^maxIter)")
+    labels
+  }
+
+  /** End-to-end duplicate-cluster resolution: candidate pairs →
+    * connected components → per-document (cluster_id, is_canonical)
+    * with the cluster minimum as the deterministic survivor. Feed it
+    * pairs from any finder (minhashCandidatePairs, ngramJaccardPairs,
+    * embeddingNearDups) — the output is the keep/drop verdict a
+    * training-data dedup actually applies. */
+  def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 20): DataFrame =
+    connectedComponents(docs, idCol, pairs, aCol, bCol, maxIter)
+      .select(col("id").as(idCol), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("is_canonical"))
+
   // ---- gate queries ----
 
   /** Exact dedup: hash-groupBy on the raw text digest, keep the lowest
@@ -311,12 +412,36 @@ object Dedup {
       .select("lang", "source", "doc_a", "doc_b", "jac")
   }
 
+  /** Duplicate-cluster resolution gate: overlap pairs (any shared
+    * 3-gram within a (lang, source) block — deterministic in both
+    * engines, no float threshold) → connected components → canonical
+    * survivors. Oracled with a recursive CTE: label l reaches node n
+    * iff a path exists, so min(reachable) = the component minimum —
+    * exactly the propagation fixpoint. */
+  private def dDupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val pairs = ngramJaccardPairs(docs, "doc_id", "text",
+      blockCols = Seq("lang", "source"), n = 3)
+    dupClusters(docs, "doc_id", pairs, "doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup pairs over the embeddings table
+    * (hyperplane buckets are engine-specific → rows-only; pair recall
+    * and cosine exactness are asserted in SimilaritySpec/DedupSpec).
+    * minCos 0.3: the synthetic gaussian embeddings have no planted
+    * near-dups (max pairwise cosine ≈ 0.51), so the gate runs the
+    * production shape at a threshold the data can meet. */
+  private def dEmbedNearDup(s: SparkSession, d: String): DataFrame =
+    embeddingNearDups(t(s, d, "embeddings"), minCos = 0.3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> dExact _,
     "d_fingerprint_dedup" -> dFingerprint _,
     "d_minhash_signature" -> dMinhashSig _,
     "d_simhash" -> dSimhash _,
-    "d_ngram_jaccard_top" -> dNgramJaccard _)
+    "d_ngram_jaccard_top" -> dNgramJaccard _,
+    "d_dup_clusters" -> dDupClusters _,
+    "d_embed_neardup" -> dEmbedNearDup _)
 
   val oracle: Map[String, String] = Map(
     "d_exact_dedup" ->
@@ -351,5 +476,31 @@ object Dedup {
          SELECT lang, source, doc_a, doc_b, jac
          FROM (SELECT *, row_number() OVER (PARTITION BY lang, source
            ORDER BY jac DESC, doc_a ASC, doc_b ASC) AS rn FROM pairs) x
-         WHERE rn = 1""")
+         WHERE rn = 1""",
+    "d_dup_clusters" ->
+      """WITH RECURSIVE grams AS (
+           SELECT lang, source, doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(1, len(string_split_regex(trim(lower(text)),
+                 '\s+')) - 1)),
+               i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+2]))
+               AS g
+           FROM documents),
+         edges AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM grams a JOIN grams b
+             ON a.lang = b.lang AND a.source = b.source
+            AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.g, b.g)) > 0),
+         sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         reach(node, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT s.b, reach.lbl FROM reach JOIN sym s
+             ON s.a = reach.node)
+         SELECT node AS doc_id, min(lbl) AS cluster_id,
+           (node = min(lbl)) AS is_canonical
+         FROM reach GROUP BY node""")
 }

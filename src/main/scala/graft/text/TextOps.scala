@@ -103,6 +103,53 @@ object TextOps {
     t(s, d, "documents").select(
       col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Greedy sequence packing: assign documents to fixed-capacity token
+    * bins in a stable order — the shard-assembly step of a training
+    * pipeline (pack ~capacity tokens per sequence/shard). A document
+    * goes to the bin its cumulative start offset falls in, so bin
+    * boundaries are a pure running sum: one window per partition key,
+    * no driver loop, no second pass. Offsets are per-`partCol`
+    * (language here), the same key the window shuffles on — at 100 TB
+    * each language packs independently and in parallel. */
+  def packBins(docs: DataFrame, idCol: String, textCol: String,
+      partCol: String, capacity: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCol).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    docs.select(col(partCol), col(idCol),
+        size(tokens(col(textCol))).as("n_tokens"))
+      .withColumn("start_off",
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("bin",
+        floor(col("start_off") / lit(capacity.toDouble)))
+  }
+
+  /** Deterministic train/val/test assignment: split by a salted md5 of
+    * the document id, so membership is a pure function of the id —
+    * reproducible across runs, engines, partitionings, and appends
+    * (new rows never reshuffle old ones, unlike randomSplit). Hex
+    * prefix thresholds: '0d'/256 ≈ 5% test, then ≈ 5% val, rest train. */
+  def splitAssign(idCol: Column,
+      salt: String = "graft-split:"): Column = {
+    val h = substring(
+      md5(concat(lit(salt), idCol.cast("string"))), 1, 2)
+    when(h < "0d", "test").when(h < "1a", "val").otherwise("train")
+  }
+
+  /** tx pack bins: per-(lang, bin) packing summary at capacity 2048 —
+    * doc counts and token fill per bin. */
+  private def txPackBins(s: SparkSession, d: String): DataFrame =
+    packBins(t(s, d, "documents"), "doc_id", "text", "lang", 2048)
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+
+  /** tx split assign: per-document deterministic split membership. */
+  private def txSplitAssign(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), col("lang"),
+      splitAssign(col("doc_id")).as("split"))
+
   /** tx BPE-ish token counting: word-vs-punctuation segmentation via
     * `\w+|[^\w\s]` (the builder brief's "BPE-ish regex" family) next to
     * the whitespace count — regexp_count keeps it a single scan. */
@@ -120,7 +167,9 @@ object TextOps {
     "tx_token_stats" -> txTokenStats _,
     "tx_quality" -> txQuality _,
     "tx_langid" -> txLangid _,
-    "tx_fingerprint" -> txFingerprint _)
+    "tx_fingerprint" -> txFingerprint _,
+    "tx_pack_bins" -> txPackBins _,
+    "tx_split_assign" -> txSplitAssign _)
 
   private def langidOracle: String = {
     val vals = stopwords.toSeq.sortBy(_._1)
@@ -188,5 +237,29 @@ object TextOps {
          md5(trim(regexp_replace(
            regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
            '\s+', ' ', 'g'))) AS fp
+         FROM documents""",
+    "tx_pack_bins" ->
+      """WITH tk AS (
+           SELECT lang, doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+               AS n_tokens
+           FROM documents),
+         off AS (
+           SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY lang
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+             1 PRECEDING), 0) AS start_off
+           FROM tk)
+         SELECT lang, CAST(floor(start_off / 2048.0) AS BIGINT) AS bin,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM off GROUP BY lang, bin""",
+    "tx_split_assign" ->
+      """SELECT doc_id, lang,
+         CASE WHEN substr(md5('graft-split:' ||
+             CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+           WHEN substr(md5('graft-split:' ||
+             CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+           ELSE 'train' END AS split
          FROM documents""")
 }

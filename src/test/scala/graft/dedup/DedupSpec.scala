@@ -162,4 +162,41 @@ class DedupSpec extends AnyFunSuite {
     assert(j((0L, 3L)) > 0.5)
     assert(j((0L, 4L)) == 0.0)
   }
+
+  test("connected components: chained pairs collapse to one cluster") {
+    // pairs (0,1),(1,2),(2,3) form a diameter-3 chain — the case where
+    // naive pair-wise dedup keeps 2 of 4 dups; CC must keep exactly 1
+    val nodes = (0L to 6L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(nodes, "doc_id", pairs, "doc_a", "doc_b")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_canonical")))
+      .toMap
+    assert(Seq(0L, 1L, 2L, 3L).forall(out(_)._1 == 0L))
+    assert(out(4L) == (4L, true)) // isolated node is its own cluster
+    assert(out(5L)._1 == 5L && out(6L)._1 == 5L)
+    assert(out.values.count(_._2) == 3) // one canonical per cluster
+    assert(out(0L)._2 && !out(1L)._2 && !out(3L)._2)
+  }
+
+  test("connected components: edge direction does not matter") {
+    val nodes = (0L to 3L).toDF("doc_id")
+    // edges given max-first — min-label must still propagate everywhere
+    val pairs = Seq((3L, 2L), (2L, 1L), (1L, 0L)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(nodes, "doc_id", pairs,
+      "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.toSet == Set(0L))
+  }
+
+  test("connected components: maxIter too small fails loudly") {
+    val nodes = (0L to 9L).toDF("doc_id")
+    val chain = (0L to 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, "doc_id", chain,
+        "doc_a", "doc_b", maxIter = 2)
+    }
+  }
 }

@@ -1,0 +1,68 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Training-data curation ops: sequence packing and deterministic
+  * split assignment. */
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def wordsDoc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+
+  test("packBins: bins fill to capacity by start offset, per partition") {
+    // lang a: 60+60+60 tokens at capacity 100 → starts 0,60,120 →
+    // bins 0,0,1; lang b packs independently from offset 0
+    val docs = Seq(
+      (1L, "a", wordsDoc(60)), (2L, "a", wordsDoc(60)),
+      (3L, "a", wordsDoc(60)), (4L, "b", wordsDoc(10))
+    ).toDF("doc_id", "lang", "text")
+    val out = TextOps.packBins(docs, "doc_id", "text", "lang", 100)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("start_off"), r.getAs[Long]("bin"))).toMap
+    assert(out(1L) == (0L, 0L))
+    assert(out(2L) == (60L, 0L))
+    assert(out(3L) == (120L, 1L))
+    assert(out(4L) == (0L, 0L))
+  }
+
+  test("packBins: every doc assigned exactly once, bins contiguous") {
+    val docs = (1L to 50L)
+      .map(i => (i, "en", wordsDoc(1 + (i % 7).toInt)))
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.packBins(docs, "doc_id", "text", "lang", 16)
+    assert(out.count() == 50)
+    assert(out.select("doc_id").distinct().count() == 50)
+    val bins = out.select("bin").distinct()
+      .as[Long].collect().sorted
+    assert(bins.head == 0L && bins.sameElements(bins.head to bins.last))
+  }
+
+  test("splitAssign: deterministic, id-pure, roughly 5/5/90") {
+    val docs = (1L to 2000L).toDF("doc_id")
+    val a = docs.select(col("doc_id"),
+      TextOps.splitAssign(col("doc_id")).as("split"))
+    val counts = a.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // '0d'/256 ≈ 5.1%, '1a'/256 ≈ 10.2% cumulative
+    assert(counts("test") > 50 && counts("test") < 160)
+    assert(counts("val") > 50 && counts("val") < 160)
+    assert(counts("train") > 1700)
+    // pure function of id: same assignment on a re-derived frame with
+    // different partitioning
+    val b = docs.repartition(7).select(col("doc_id"),
+      TextOps.splitAssign(col("doc_id")).as("split"))
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
+  test("splitAssign: salt changes membership") {
+    val docs = (1L to 500L).toDF("doc_id")
+    val a = docs.select(col("doc_id"),
+      TextOps.splitAssign(col("doc_id")).as("s1"),
+      TextOps.splitAssign(col("doc_id"), "other:").as("s2"))
+    assert(a.filter(col("s1") =!= col("s2")).count() > 0)
+  }
+}
