@@ -37,6 +37,18 @@ object TextOps {
   private val qualityStopwords =
     Seq("the", "a", "of", "and", "in", "to", "is")
 
+  /** Closed-form quality score in [0,1] (rounded to 4 — the rounding
+    * is part of the contract so thresholds compare identically across
+    * engines): length saturation × (1 − stopword ratio). */
+  def qualityScore(text: Column): Column = {
+    val tok = tokens(text)
+    val nTok = size(tok).cast("double")
+    val stopHits = size(filter(tok,
+      tk => tk.isin(qualityStopwords.map(x => x: Any): _*)))
+    round(least(lit(1.0), nTok / 100.0) *
+      (lit(1.0) - stopHits / nTok), 4)
+  }
+
   /** tx token stats: token count, distinct-token count, char count. */
   private def txTokenStats(s: SparkSession, d: String): DataFrame = {
     val tok = tokens(col("text"))
@@ -76,24 +88,28 @@ object TextOps {
     * as one scan + one broadcast join, where the per-row
     * filter-per-language HOF form paid 5 interpreted array passes per
     * document. */
-  private def txLangid(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  private def txLangid(s: SparkSession, d: String): DataFrame =
+    langId(t(s, d, "documents"), "doc_id", "text")
+
+  /** Language ID as a reusable pipeline: (idCol, lang_pred,
+    * profile_hits) for every input row. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
     val profile = broadcast(stopwords.toSeq
       .flatMap { case (lang, ws) => ws.map(w => (lang, w)) }
       .toDF("lang", "word"))
-    val docs = t(s, d, "documents")
-    val toks = docs.select(col("doc_id"),
-      explode(tokens(lower(col("text")))).as("word"))
+    val toks = docs.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("word"))
     val hits = toks.join(profile, Seq("word"))
-      .groupBy("doc_id", "lang").agg(count(lit(1)).as("hits"))
+      .groupBy(idCol, "lang").agg(count(lit(1)).as("hits"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("hits").desc, col("lang").asc)
+      .partitionBy(idCol).orderBy(col("hits").desc, col("lang").asc)
     val winners = hits.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
     val fallbackLang = stopwords.keys.min
-    docs.select(col("doc_id"))
-      .join(winners, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+    docs.select(col(idCol))
+      .join(winners, Seq(idCol), "left")
+      .select(col(idCol),
         coalesce(col("lang"), lit(fallbackLang)).as("lang_pred"),
         coalesce(col("hits"), lit(0L)).cast("int").as("profile_hits"))
   }
@@ -150,6 +166,50 @@ object TextOps {
     t(s, d, "documents").select(col("doc_id"), col("lang"),
       splitAssign(col("doc_id")).as("split"))
 
+  /** tx corpus curate — the C4-style curation pipeline END TO END as
+    * one declarative plan: exact-dedup to a canonical survivor
+    * (min-id per text digest), quality-score filter, language ID, and
+    * deterministic split assignment, composed exactly as a training
+    * corpus build runs them. Four shuffles total, each load-bearing
+    * (dedup window on the digest, langid hit-agg, langid argmax
+    * window, re-key for the final join). langid deliberately reads the
+    * RAW scan, not the curated subset: langId consumes its input
+    * twice, so feeding it the dedup-window subtree would plan that
+    * window 3× (Catalyst does not CSE across DataFrame reuse — the
+    * g_primer_mode lesson). A staged pipeline that materializes the
+    * curated subset first would langid only survivors; in one
+    * declarative plan the raw scan is the cheaper second input. */
+  private def txCorpusCurate(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val canon = docs
+      .withColumn("fp", md5(col("text")))
+      .withColumn("keep_id", min("doc_id").over(wFp))
+      .filter(col("doc_id") === col("keep_id"))
+      .withColumn("quality", qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+    canon.join(langId(docs, "doc_id", "text"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang_pred"), col("quality"),
+        splitAssign(col("doc_id")).as("split"))
+  }
+
+  /** tx stratified sample: exactly N documents per stratum, picked by
+    * salted-hash order — the reproducible "20 docs per language"
+    * curation op (same sample regardless of partitioning, appends
+    * change the sample only where the hash order actually changes).
+    * Exact per-stratum top-N costs a per-stratum sort; for approximate
+    * RATES at 100 TB use the splitAssign-style hash threshold instead,
+    * which is sort-free. */
+  private def txStratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(md5(concat(lit("strat:"), col("doc_id").cast("string")))
+        .asc, col("doc_id").asc)
+    t(s, d, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("doc_id"), col("rn"))
+  }
+
   /** tx BPE-ish token counting: word-vs-punctuation segmentation via
     * `\w+|[^\w\s]` (the builder brief's "BPE-ish regex" family) next to
     * the whitespace count — regexp_count keeps it a single scan. */
@@ -169,7 +229,9 @@ object TextOps {
     "tx_langid" -> txLangid _,
     "tx_fingerprint" -> txFingerprint _,
     "tx_pack_bins" -> txPackBins _,
-    "tx_split_assign" -> txSplitAssign _)
+    "tx_split_assign" -> txSplitAssign _,
+    "tx_corpus_curate" -> txCorpusCurate _,
+    "tx_stratified_sample" -> txStratifiedSample _)
 
   private def langidOracle: String = {
     val vals = stopwords.toSeq.sortBy(_._1)
@@ -261,5 +323,38 @@ object TextOps {
            WHEN substr(md5('graft-split:' ||
              CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
            ELSE 'train' END AS split
-         FROM documents""")
+         FROM documents""",
+    "tx_corpus_curate" ->
+      s"""WITH lid AS ($langidOracle),
+       canon AS (
+         SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         FROM documents),
+       q AS (
+         SELECT doc_id,
+           string_split_regex(trim(text), '\\s+') AS tok
+         FROM canon WHERE doc_id = keep_id),
+       scored AS (
+         SELECT doc_id,
+           round(least(1.0, len(tok) / 100.0) *
+             (1.0 - len(list_filter(tok, x -> x IN
+               ('the','a','of','and','in','to','is'))) * 1.0 /
+               len(tok)), 4) AS quality
+         FROM q)
+       SELECT s.doc_id, lid.lang_pred, s.quality,
+         CASE WHEN substr(md5('graft-split:' ||
+             CAST(s.doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+           WHEN substr(md5('graft-split:' ||
+             CAST(s.doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+           ELSE 'train' END AS split
+       FROM scored s JOIN lid ON s.doc_id = lid.doc_id
+       WHERE s.quality >= 0.5""",
+    "tx_stratified_sample" ->
+      """SELECT lang, doc_id, CAST(rn AS INT) AS rn
+         FROM (SELECT lang, doc_id, row_number() OVER (
+             PARTITION BY lang
+             ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)) ASC,
+               doc_id ASC) AS rn
+           FROM documents) x
+         WHERE rn <= 20""")
 }

@@ -99,6 +99,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("s6_tblout_parse").contains("Exchange"))
   }
 
+  test("split assign is pure per-row: zero exchanges") {
+    assert(!plan("tx_split_assign").contains("Exchange"))
+  }
+
+  test("pack bins: one window shuffle + one aggregation shuffle max") {
+    val p = plan("tx_pack_bins")
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      s"packing re-shuffles:\n${p.take(3000)}")
+  }
+
+  test("corpus curate: dedup+quality+langid+split in ≤4 shuffles, " +
+    "profile broadcast") {
+    val p = plan("tx_corpus_curate")
+    assert(p.contains("BroadcastHashJoin"))
+    // the four: dedup window on the digest, langid hit-agg, langid
+    // argmax window, re-key of the curated side for the final join
+    assert(countOf(p, "Exchange hashpartitioning") <= 4,
+      s"curation pipeline re-shuffles:\n${p.take(3000)}")
+  }
+
   test("anvio cascade reuses one partitioning for its window stack") {
     // All five window stages partition by l_orderkey (or a superset
     // that starts with it) — at most 2 hash shuffles may appear
