@@ -136,10 +136,38 @@ object Streams {
       .withWatermark("ts", "24 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment + rollup: events joined to a slow dim
+    * (customer), aggregated per market segment. ONE function for both
+    * batch and stream (the parity contract of this module): on a
+    * stream, Spark re-broadcasts the static side per micro-batch, so
+    * dim updates between batches are picked up and no state store is
+    * involved — the standard enrichment shape. Sums use DECIMAL(18,6),
+    * not DOUBLE: micro-batch boundaries (and engines) change summation
+    * order, and decimal addition is order-exact where float is not —
+    * the same rule the oracle policy applies. */
+  def enrichAgg(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+        broadcast(customers.select(col("c_custkey"),
+          col("c_mktsegment"))),
+        events("user_id") === col("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN"))
+        .as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("total_value"))
+
+  /** Streaming form of the enrichment (file-source events ⟕ static
+    * customer dim). */
+  def enrichedStream(spark: SparkSession, dir: String,
+      customers: DataFrame): DataFrame =
+    enrichAgg(eventStream(spark, dir), customers)
+
   // ---- gate queries (batch semantics of the same code paths) ----
 
   private def stWindowAgg(s: SparkSession, d: String): DataFrame =
     hourlyAgg(t(s, d, "events"))
+
+  private def stEnrich(s: SparkSession, d: String): DataFrame =
+    enrichAgg(t(s, d, "events"), t(s, d, "customer"))
 
   private def stSessionize(s: SparkSession, d: String): DataFrame =
     sessionizeBatch(t(s, d, "events"))
@@ -175,9 +203,17 @@ object Streams {
     "st_window_agg" -> stWindowAgg _,
     "st_sessionize" -> stSessionize _,
     "st_sliding_window" -> stSlidingWindow _,
-    "st_session_window" -> stSessionWindow _)
+    "st_session_window" -> stSessionWindow _,
+    "st_enrich" -> stEnrich _)
 
   val oracle: Map[String, String] = Map(
+    "st_enrich" ->
+      """SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+         count(*) AS n_events,
+         CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+           AS total_value
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1""",
     "st_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
            AS window_start,

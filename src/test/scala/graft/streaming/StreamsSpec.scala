@@ -157,4 +157,20 @@ class StreamsSpec extends AnyFunSuite {
     // single batch most stay open — liveness, not counts, is the check.
     assert(spark.table("st_test_wm").columns.length == 4)
   }
+
+  test("stream-static enrichment == batch enrichment") {
+    val d = TestSpark.sf0001
+    val customers = graft.Tables.t(spark, d, "customer")
+    val batch = Streams.queries("st_enrich")(spark, d)
+      .collect().map(_.toSeq).toSet
+
+    val q = Streams.enrichedStream(spark, stagedEventsDir(), customers)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("st_enrich_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("st_enrich_out")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
 }
