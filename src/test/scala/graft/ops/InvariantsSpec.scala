@@ -75,4 +75,53 @@ class InvariantsSpec extends AnyFunSuite {
     assert(n50.count() > 0)
     assert(n50.filter(col("n50") <= 0).count() == 0)
   }
+
+  test("dup clusters: total partition of docs, labels are minima, " +
+    "edge endpoints co-clustered") {
+    val docs = graft.Tables.t(spark, d, "documents")
+    val cc = graft.SparkEntry.queries("d_dup_clusters")(spark, d)
+    // every doc appears exactly once
+    assert(cc.count() == docs.count())
+    assert(cc.select("doc_id").distinct().count() == docs.count())
+    // labels never exceed their node; canonical ⇔ self-labeled;
+    // one canonical per cluster
+    assert(cc.filter(col("cluster_id") > col("doc_id")).count() == 0)
+    assert(cc.filter(col("is_canonical") =!=
+      (col("cluster_id") === col("doc_id"))).count() == 0)
+    assert(cc.filter(col("is_canonical")).count() ==
+      cc.select("cluster_id").distinct().count())
+    // soundness: the two ends of every candidate pair landed in the
+    // SAME cluster (the fixpoint actually closed over the edges)
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id",
+      "text", blockCols = Seq("lang", "source"), n = 3)
+    val ca = cc.select(col("doc_id").as("doc_a"),
+      col("cluster_id").as("cl_a"))
+    val cb = cc.select(col("doc_id").as("doc_b"),
+      col("cluster_id").as("cl_b"))
+    assert(pairs.join(ca, "doc_a").join(cb, "doc_b")
+      .filter(col("cl_a") =!= col("cl_b")).count() == 0)
+  }
+
+  test("corpus curate: survivors are unique canonical docs above the " +
+    "quality bar") {
+    val out = graft.SparkEntry.queries("tx_corpus_curate")(spark, d)
+    assert(out.count() > 0)
+    assert(out.select("doc_id").distinct().count() == out.count())
+    assert(out.filter(col("quality") < 0.5).count() == 0)
+    assert(out.filter(!col("split").isin("train", "val", "test"))
+      .count() == 0)
+  }
+
+  test("stratified sample: exactly min(20, stratum size) per lang") {
+    val docs = graft.Tables.t(spark, d, "documents")
+    val sizes = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = graft.SparkEntry.queries("tx_stratified_sample")(spark, d)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == sizes.keySet)
+    got.foreach { case (lang, n) =>
+      assert(n == math.min(20L, sizes(lang)), s"$lang: $n")
+    }
+  }
 }
