@@ -291,8 +291,10 @@ object Dedup {
     *    convergence count materializes the new round, then the
     *    previous round is unpersisted. The edge list persists once for
     *    the loop's lifetime and is released before return.
-    * The RETURNED frame stays persisted (it is the loop's last state);
-    * callers that stage it to the warehouse may `unpersist()` after.
+    * The returned frame is nodes left-joined to the loop's final
+    * (persisted) state — isolated nodes re-attach as their own
+    * cluster without ever entering the loop; callers that stage the
+    * result to the warehouse may `unpersist()` the final state after.
     * On a multi-executor cluster, recovery of an evicted round walks
     * the truncated-RDD chain — long-running jobs there should add a
     * reliable `checkpoint()` every ~10 rounds; at the bounded round
@@ -311,8 +313,13 @@ object Dedup {
           .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
           .distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col(idCol).as("id"),
-        col(idCol).as("label"))
+    // only nodes with ≥1 candidate edge enter the loop: an isolated
+    // node is trivially its own cluster and is re-attached at the end
+    // with one left join. At corpus scale the candidate-touched set is
+    // a small fraction of all documents, so the per-round joins are
+    // sized by the duplicate surface, not the corpus.
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var it = 0
@@ -350,7 +357,9 @@ object Dedup {
       s"connectedComponents: not converged after $maxIter rounds " +
         "(raise maxIter; with pointer jumping this bounds component " +
         "sizes near 2^maxIter)")
-    labels
+    nodes.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
   /** End-to-end duplicate-cluster resolution: candidate pairs →
