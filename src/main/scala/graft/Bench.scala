@@ -58,10 +58,29 @@ object Bench {
     val coldTotal = runAll().map(_._2).sum
 
     val results = runAll()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warm":true,"cold_total_s":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the LAST 2000 chars of output (measured
+    // from BENCH_r1-r4: every round's full 115-query line was truncated
+    // mid-JSON and recorded as parsed:null). The stdout line therefore
+    // carries a fixed HEADLINE subset — the flagship pipeline + the
+    // most expensive / most representative query per §2 family — and
+    // the full per-query map goes to bench_full.json next to the repo.
+    val headline = Seq(
+      "g_tpm", "g_bin_summary", "g_primer_mode", "w3_anvio_cascade",
+      "j2_star_join", "a2_rel_abund", "t2_lca", "t3_subtree_rollup",
+      "p1_pivot_wide", "d_exact_dedup", "d_ngram_jaccard_top",
+      "x_ann_lsh", "tx_langid", "st_sessionize", "s1_m8_tophit")
+    val byName = results.toMap
+    val hs = headline.flatMap(n => byName.get(n).map(n -> _))
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm":true,"cold_total_s":${fmt(coldTotal)},"n_queries":${results.size},"queries":${jmap(results)},"sf":"$sfDir"}""")
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm":true,"cold_total_s":${fmt(coldTotal)},"n_queries":${results.size},"queries":${jmap(hs)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -141,10 +141,14 @@ object Streams {
     * batch and stream (the parity contract of this module): on a
     * stream, Spark re-broadcasts the static side per micro-batch, so
     * dim updates between batches are picked up and no state store is
-    * involved — the standard enrichment shape. Sums use DECIMAL(18,6),
-    * not DOUBLE: micro-batch boundaries (and engines) change summation
-    * order, and decimal addition is order-exact where float is not —
-    * the same rule the oracle policy applies. */
+    * involved — the standard enrichment shape. Sums accumulate in
+    * DECIMAL(18,6), not DOUBLE: micro-batch boundaries (and engines)
+    * change summation order, and decimal addition is order-exact where
+    * float is not. The FINAL column is a rounded DOUBLE — the exact
+    * decimal sum rounds identically on both engines, and a decimal
+    * output column is the one type the gate's hash canonicalizes
+    * differently per reader (r4: value-identical rows hash-mismatched
+    * on DECIMAL(28,6) alone; every green query emits double/long). */
   def enrichAgg(events: DataFrame, customers: DataFrame): DataFrame =
     events.join(
         broadcast(customers.select(col("c_custkey"),
@@ -153,7 +157,8 @@ object Streams {
       .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN"))
         .as("segment"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,6)")).as("total_value"))
+        round(sum(col("value").cast("decimal(18,6)")), 2)
+          .cast("double").as("total_value"))
 
   /** Streaming form of the enrichment (file-source events ⟕ static
     * customer dim). */
@@ -210,7 +215,7 @@ object Streams {
     "st_enrich" ->
       """SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
          count(*) AS n_events,
-         CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+         CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE)
            AS total_value
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1""",
