@@ -23,6 +23,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++
+      ops.ScaleOps.queries ++
       ops.Windows.queries ++
       ops.Pivots.queries ++
       ops.Abundance.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++
+      ops.ScaleOps.oracle ++
       ops.Windows.oracle ++
       ops.Pivots.oracle ++
       ops.Abundance.oracle ++

@@ -61,6 +61,68 @@ object Incremental {
     } finally fresh.unpersist()
   }
 
+  /** Bloom-prefiltered anti-join: the 100 TB form of `newRows`.
+    *
+    * `newRows` broadcasts the distinct loaded keys — right-sized while
+    * keys are sample ids (thousands), wrong once the dedup key is
+    * per-document/per-read (billions): the distinct set no longer
+    * broadcasts and the anti-join shuffles BOTH sides. This variant
+    * shuffles neither:
+    *
+    *  1. one distributed aggregation pass over `existing` builds a
+    *     Bloom sketch of the loaded keys (bytes, not rows — ~1.2 GB
+    *     for 1e9 keys at 1% fpp), broadcast to every executor;
+    *  2. incoming rows whose key the sketch definitely hasn't seen
+    *     (the overwhelming majority of a fresh delta) pass straight
+    *     through with NO join at all;
+    *  3. only sketch-positives — true re-deliveries plus the fpp
+    *     sliver of false positives — reach the exact anti-join, so
+    *     its input is a tiny fraction of the delta.
+    *
+    * Result is EXACTLY `newRows` (bloom negatives are guaranteed
+    * absent; positives are re-checked), which is what the gate query
+    * oracles. Null keys probe as positives so the null-safe exact join
+    * decides them, preserving `newRows`' NULL semantics. The delta is
+    * scanned twice (pass-through + candidates) — at scale the delta is
+    * the small side and two delta scans beat one delta-wide shuffle. */
+  def newRowsBloom(incoming: DataFrame, existing: DataFrame,
+      key: String, expectedKeys: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    // sketch over the canonical string form: one code path for any
+    // key type, and probe-side casts stay codegen-friendly
+    val keyed = existing.select(col(key).cast("string").as(key))
+      .na.drop(Seq(key))
+    // zero loaded non-null keys (first run) → everything except
+    // null-keyed rows is trivially fresh, and stat.bloomFilter would
+    // NPE on its null aggregate; nulls still take the exact path so
+    // null-vs-null dedup semantics survive the first run too
+    if (keyed.isEmpty) {
+      val keys = existing.select(col(key).as("__graft_key")).distinct()
+      return incoming.filter(col(key).isNotNull).unionByName(
+        incoming.filter(col(key).isNull).join(keys,
+          incoming(key) <=> keys("__graft_key"), "left_anti"))
+    }
+    val bf = keyed.stat.bloomFilter(key, expectedKeys, fpp)
+    // ship the sketch as its portable byte form — BloomFilterImpl's
+    // Java serialization does not survive closure capture (null bit
+    // buffer on the executor); readFrom happens once per task
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probe = new BloomProbe(bos.toByteArray)
+    val mightContain = udf { (k: String) => probe.might(k) }
+    val probed = col(key).cast("string")
+    val fresh = incoming.filter(!mightContain(probed))
+    val candidates = incoming.filter(mightContain(probed))
+    // exact recheck WITHOUT newRows' broadcast hint: the loaded key
+    // set is exactly what may not fit in one executor here. Keys-only
+    // sort-merge with a tiny probe side; AQE still broadcasts when the
+    // key set turns out small.
+    val keys = existing.select(col(key).as("__graft_key")).distinct()
+    fresh.unionByName(
+      candidates.join(keys,
+        candidates(key) <=> keys("__graft_key"), "left_anti"))
+  }
+
   /** High-watermark variant for monotonically keyed sources (file
     * mtimes / import timestamps, reference `check_import_status.R:30-33`):
     * only rows above the stored max. The working column is namespaced
@@ -73,6 +135,17 @@ object Incremental {
     incoming.crossJoin(broadcast(wm))
       .filter(col("__graft_wm").isNull || col(tsCol) > col("__graft_wm"))
       .drop("__graft_wm")
+  }
+
+  /** Serializable Bloom-sketch probe: carries the portable byte form,
+    * rebuilds the filter lazily on first use per task. Null keys probe
+    * positive so the exact recheck decides them. */
+  private[ingest] class BloomProbe(bytes: Array[Byte])
+      extends Serializable {
+    @transient private lazy val bf =
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+    def might(k: String): Boolean = k == null || bf.mightContainString(k)
   }
 
   /** Filesystem-agnostic path existence (Hadoop FS, not java.io). */

@@ -43,6 +43,70 @@ object Multimodal {
         pmod(ascii(substring(col("text"), 1, 1)) + col("n_chars"),
           lit(256)).cast("int"))
 
+  /** Attach a fake "video" payload: binary column + typed metadata
+    * (frame count / fps), deterministic from the text. */
+  def withVideoColumn(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("video", to_binary(col("text"), lit("utf-8")))
+      .withColumn("vmeta", struct(
+        (pmod(col("n_chars"), lit(120)) + 1).cast("bigint")
+          .as("n_frames"),
+        lit(30).as("fps"), lit("fake/frames").as("format")))
+
+  /** Frame sampling: every `every`-th frame index, exploded to one row
+    * per sampled frame with a per-frame stub feature. The explode is
+    * declarative (`sequence` + `explode`), so Catalyst prunes the
+    * payload column entirely when downstream only reads features —
+    * at 100 TB the frame fan-out must never force payload reads. */
+  def sampleFrames(videos: DataFrame, every: Int = 10): DataFrame =
+    videos
+      .select(col("doc_id"), col("text"),
+        col("vmeta.n_frames").as("n_frames"),
+        explode(sequence(lit(0L), col("vmeta.n_frames") - 1,
+          lit(every.toLong))).as("frame_idx"))
+      .withColumn("frame_feat",
+        md5(concat(col("text"), lit(":"),
+          col("frame_idx").cast("string"))))
+      .drop("text")
+
+  /** Batch-shaped decode path: the real-codec form of `sampleFrames`'
+    * feature step. Rows are processed in fixed-size batches inside
+    * each partition (`mapPartitions` + grouped iterator) — the shape a
+    * JNI/GPU decoder needs (amortized setup per batch, bounded memory
+    * per task). The stub computes the same md5 the declarative
+    * expression computes, so parity is testable; swapping in a real
+    * decoder changes only the per-batch function. */
+  def decodeFramesBatched(frames: DataFrame, textCol: String = "text",
+      batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(frames.schema.fields :+
+      StructField("frame_feat", StringType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val tIdx = frames.schema.fieldIndex(textCol)
+    val fIdx = frames.schema.fieldIndex("frame_idx")
+    frames.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch setup (a codec would init/bind here, once)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        batch.iterator.map { r =>
+          digest.reset()
+          val bytes = digest.digest(
+            s"${r.getString(tIdx)}:${r.getLong(fIdx)}"
+              .getBytes("UTF-8"))
+          Row.fromSeq(r.toSeq :+
+            bytes.map("%02x".format(_)).mkString)
+        }
+      }
+    }(enc)
+  }
+
+  /** Gate query: frame sampling end-to-end (explode + per-frame
+    * feature), oracled via generate_series on the same metadata. */
+  private def mFrameSample(s: SparkSession, d: String): DataFrame =
+    sampleFrames(withVideoColumn(t(s, d, "documents")), every = 10)
+
   /** Gate query: full plumbing — binary col, metadata struct,
     * stub-decode features, metadata-only projection. Oracle works on
     * the text the payload was derived from. */
@@ -54,9 +118,20 @@ object Multimodal {
         col("checksum"), col("brightness"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m_multimodal_stub" -> mStub _)
+    "m_multimodal_stub" -> mStub _,
+    "m_frame_sample" -> mFrameSample _)
 
   val oracle: Map[String, String] = Map(
+    "m_frame_sample" ->
+      """WITH v AS (
+           SELECT doc_id, text, n_chars % 120 + 1 AS n_frames
+           FROM documents)
+         SELECT doc_id, n_frames,
+           unnest(generate_series(0, n_frames - 1, 10)) AS frame_idx,
+           md5(text || ':' ||
+             CAST(unnest(generate_series(0, n_frames - 1, 10))
+               AS VARCHAR)) AS frame_feat
+         FROM v""",
     "m_multimodal_stub" ->
       """SELECT doc_id,
          CAST(n_chars % 640 + 1 AS INT) AS width,

@@ -166,7 +166,51 @@ object Streams {
       customers: DataFrame): DataFrame =
     enrichAgg(eventStream(spark, dir), customers)
 
+  /** Stream-stream interval join (click→purchase attribution): each
+    * purchase pairs with the same user's clicks in the preceding hour.
+    * ONE function for batch and stream; the streaming caller passes
+    * two WATERMARKED streams (both sides need watermarks so the state
+    * store can evict rows past the join horizon — an unwatermarked
+    * stream-stream join retains both sides forever). The time-range
+    * predicate is what bounds state: Spark derives the eviction window
+    * from `purchase_ts ∈ [click_ts, click_ts + 1h]` plus the
+    * watermarks. */
+  def clickPurchasePairs(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id"),
+      col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("event_id").as("purchase_id"),
+      col("ts").as("purchase_ts"), col("value"))
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) " +
+          "div 1000000").as("gap_s"),
+        round(col("value"), 2).as("value"))
+  }
+
+  /** Streaming form: one file-source stream filtered into two
+    * watermarked sides (a self-join of the stream). */
+  def clickPurchaseStream(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventStream(spark, dir)
+    clickPurchasePairs(
+      ev.filter(col("event_type") === "click")
+        .withWatermark("ts", "2 hours"),
+      eventStream(spark, dir).filter(col("event_type") === "purchase")
+        .withWatermark("ts", "2 hours"))
+  }
+
   // ---- gate queries (batch semantics of the same code paths) ----
+
+  private def stStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    clickPurchasePairs(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+  }
 
   private def stWindowAgg(s: SparkSession, d: String): DataFrame =
     hourlyAgg(t(s, d, "events"))
@@ -209,9 +253,19 @@ object Streams {
     "st_sessionize" -> stSessionize _,
     "st_sliding_window" -> stSlidingWindow _,
     "st_session_window" -> stSessionWindow _,
+    "st_stream_join" -> stStreamJoin _,
     "st_enrich" -> stEnrich _)
 
   val oracle: Map[String, String] = Map(
+    "st_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+         p.event_id AS purchase_id,
+         (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s,
+         round(p.value, 2) AS value
+         FROM events c JOIN events p
+           ON c.event_type = 'click' AND p.event_type = 'purchase'
+           AND c.user_id = p.user_id
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
     "st_enrich" ->
       """SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
          count(*) AS n_events,

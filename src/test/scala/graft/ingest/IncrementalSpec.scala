@@ -50,6 +50,46 @@ class IncrementalSpec extends AnyFunSuite {
       "sample") == 0)
   }
 
+  test("newRowsBloom == newRows, including null keys and fp recheck") {
+    // keys dense enough that the sketch sees real collisions pressure
+    val existing = spark.range(0, 500)
+      .select(concat(lit("k"), col("id")).as("k"))
+    val existingWithNull = existing
+      .unionByName(Seq(Option.empty[String]).toDF("k"))
+    val incoming = spark.range(300, 900)
+      .select(concat(lit("k"), col("id")).as("k"),
+        (col("id") * 2).as("v"))
+      .unionByName(Seq((Option.empty[String], Option(-1L)))
+        .toDF("k", "v"))
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+
+    // loaded set contains a null → incoming null row is NOT fresh
+    val exact = Incremental.newRows(incoming,
+      existingWithNull.distinct(), "k")
+    val bloom = Incremental.newRowsBloom(incoming, existingWithNull,
+      "k", expectedKeys = 500L)
+    assert(canon(bloom) == canon(exact))
+    assert(bloom.filter(col("k").isNull).count() == 0)
+
+    // loaded set has NO null → incoming null row IS fresh
+    val bloomNoNull =
+      Incremental.newRowsBloom(incoming, existing, "k",
+        expectedKeys = 500L)
+    assert(canon(bloomNoNull) ==
+      canon(Incremental.newRows(incoming, existing, "k")))
+    assert(bloomNoNull.filter(col("k").isNull).count() == 1)
+  }
+
+  test("newRowsBloom first run: empty existing passes everything") {
+    val existing = spark.range(0).select(col("id").cast("string").as("k"))
+    val incoming = Seq((Option("a"), 1), (Option.empty[String], 2))
+      .toDF("k", "v")
+    val out = Incremental.newRowsBloom(incoming, existing, "k")
+    assert(out.count() == 2)
+  }
+
   test("high-watermark variant keeps only rows above max(ts)") {
     val existing = Seq(("a", 100L), ("b", 200L)).toDF("k", "ts")
     val incoming = Seq(("c", 150L), ("d", 200L), ("e", 250L))

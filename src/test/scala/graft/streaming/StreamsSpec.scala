@@ -158,6 +158,22 @@ class StreamsSpec extends AnyFunSuite {
     assert(spark.table("st_test_wm").columns.length == 4)
   }
 
+  test("stream-stream interval join == batch join") {
+    val d = TestSpark.sf0001
+    val batch = Streams.queries("st_stream_join")(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty) // fixture must actually exercise the join
+
+    val q = Streams.clickPurchaseStream(spark, stagedEventsDir())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st_ssjoin_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("st_ssjoin_out")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("stream-static enrichment == batch enrichment") {
     val d = TestSpark.sf0001
     val customers = graft.Tables.t(spark, d, "customer")
