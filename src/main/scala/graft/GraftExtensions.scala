@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
   *
   * Injected functions: gc_content, dot_product, simhash64,
-  * minhash_sig, token_ngrams. (The LCA Aggregator registers per
+  * minhash_sig, token_ngrams, ngram_stats. (The LCA Aggregator registers per
   * session via `tax.Lca.register` — UDAFs go through the UDF registry,
   * not the extension function injector.)
   *
@@ -67,5 +67,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "token_ngrams(tokens) - distinct token trigrams"),
       arity("token_ngrams", 1)(exprs =>
         functions.TokenNgrams(exprs.head, 3))))
+    e.injectFunction((FunctionIdentifier("ngram_stats"),
+      info("ngram_stats",
+        "ngram_stats(tokens) - (n_grams, top_count) bigram histogram " +
+          "stats"),
+      arity("ngram_stats", 1)(exprs =>
+        functions.NgramStats(exprs.head, 2))))
   }
 }

@@ -24,6 +24,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++
       ops.ScaleOps.queries ++
+      ops.TemporalJoins.queries ++
       ops.Windows.queries ++
       ops.Pivots.queries ++
       ops.Abundance.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++
       ops.ScaleOps.oracle ++
+      ops.TemporalJoins.oracle ++
       ops.Windows.oracle ++
       ops.Pivots.oracle ++
       ops.Abundance.oracle ++

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Temporal join operators Spark lacks natively, in their scalable
+  * reformulations. Both are graded against a DuckDB oracle that states
+  * the naive semantics (ASOF JOIN / inequality join), so the gates
+  * prove the scale path preserves the quadratic form's answer.
+  *
+  *  - `asofJoin` — point-in-time join: each left row pairs with the
+  *    most recent right row at-or-before its timestamp, per key. The
+  *    naive form is an inequality join + per-row argmax — a cross
+  *    product per key at scale. Here: tag + union both sides, ONE
+  *    shuffle on the key, one sort by (ts, tag), and
+  *    `last(_, ignoreNulls)` over the ordered window carries the
+  *    latest right row forward to every left row. O(n log n) per key,
+  *    no cross product; skewed keys split fine under AQE because the
+  *    window is the only wide op.
+  *  - `bucketedRangeJoin` — interval-containment join (point ts ∈
+  *    [start, end]). Spark plans the naive `ON p.ts BETWEEN s AND e`
+  *    as BroadcastNestedLoopJoin — O(|points|·|intervals|). Here the
+  *    interval side explodes to its covered coarse buckets and the
+  *    join becomes an equi-join on (key, bucket) + residual filter:
+  *    each point lives in exactly one bucket, so no post-join dedup
+  *    is needed. Bucket width trades fan-out (≤ span/width + 1 rows
+  *    per interval) against join selectivity.
+  */
+object TemporalJoins {
+
+  /** As-of (point-in-time) join. Left rows keep their columns plus the
+    * payload columns of the latest right row with
+    * `right.tsCol <= left.tsCol` on the same key (null payload when no
+    * prior right row exists — left-asof semantics). At equal
+    * timestamps the right row is visible (>= semantics, matching
+    * DuckDB's `ASOF LEFT JOIN ... ON l.ts >= r.ts`).
+    *
+    * Ties WITHIN the right side (same key, same ts) are broken by the
+    * last payload in (ts, payload-order) sort order — pass a
+    * deterministic tiebreak column in `payload` if the input can hold
+    * such ties. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(payload.contains),
+      s"payload ${payload.intersect(leftCols)} collides with left side")
+    // tag 0 = right (sorts first at equal ts → visible to the left
+    // row), tag 1 = left
+    val taggedRight = right.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(0).as("__graft_side")) ++
+        leftCols.filterNot(c => keys.contains(c) || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(col): _*)
+    val taggedLeft = left.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(1).as("__graft_side")) ++
+        leftCols.filterNot(c => keys.contains(c) || c == tsCol)
+          .map(col) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType)
+          .as(c)): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__graft_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    taggedRight.unionByName(taggedLeft)
+      .select(col("*") +:
+        payload.map(c => last(col(c), ignoreNulls = true).over(w)
+          .as(s"__graft_asof_$c")): _*)
+      .filter(col("__graft_side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"__graft_asof_$c").as(c)): _*)
+  }
+
+  /** Interval-containment join: rows of `points` matched to every
+    * interval row with the same key and `start <= ts <= end`, via
+    * coarse time buckets. Inner-join semantics (points outside every
+    * interval and empty intervals drop). `bucket` is the bucket width
+    * as a Spark SQL interval-seconds count. */
+  def bucketedRangeJoin(points: DataFrame, intervals: DataFrame,
+      keys: Seq[String], tsCol: String, startCol: String, endCol: String,
+      bucketSeconds: Long = 3600L): DataFrame = {
+    val usec = lit(bucketSeconds * 1000000L)
+    val ivals = intervals.withColumn("__graft_bucket",
+      explode(sequence(
+        (unix_micros(col(startCol)) / usec).cast("long"),
+        (unix_micros(col(endCol)) / usec).cast("long"))))
+    val pts = points.withColumn("__graft_bucket",
+      (unix_micros(col(tsCol)) / usec).cast("long"))
+    pts.join(ivals, keys :+ "__graft_bucket")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__graft_bucket")
+  }
+
+  // ---- gate queries ----
+
+  /** As-of gate: each purchase annotated with the user's most recent
+    * at-or-before click (click id + gap in whole seconds). Oracle is
+    * DuckDB's native ASOF LEFT JOIN. */
+  private def jAsofClick(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"))
+    asofJoin(purchases, clicks, Seq("user_id"), "ts", Seq("click_id"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+  }
+
+  /** Range gate: clicks landing inside each signup's 2-hour window,
+    * aggregated per signup (count + decimal-exact value sum, so
+    * summation order cannot move the hash). */
+  private def jRangeBucket(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    bucketedRangeJoin(clicks, signups, Seq("user_id"), "ts",
+      "start_ts", "end_ts")
+      .groupBy("signup_id", "user_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j_asof_click" -> jAsofClick _,
+    "j_range_bucket" -> jRangeBucket _)
+
+  val oracle: Map[String, String] = Map(
+    "j_asof_click" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+           c.event_id AS click_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN
+           (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "j_range_bucket" ->
+      """SELECT s.event_id AS signup_id, s.user_id,
+           count(*) AS n_clicks,
+           CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_value
+         FROM (SELECT * FROM events WHERE event_type = 'signup') s
+         JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON c.user_id = s.user_id
+          AND c.ts >= s.ts
+          AND c.ts <= s.ts + INTERVAL 2 HOUR
+         GROUP BY s.event_id, s.user_id""")
+}

@@ -210,6 +210,64 @@ object TextOps {
       .select(col("lang"), col("doc_id"), col("rn"))
   }
 
+  /** Repetition signals (the Gopher repetition filters): fraction of
+    * duplicated words and the share of all bigrams taken by the single
+    * most frequent one — a document stuck repeating a phrase scores
+    * near 1 on both. Per-row, shuffle-free: the bigram histogram is
+    * ONE native-expression pass (`functions.NgramStats`), where the
+    * relational form pays three document-keyed shuffles. */
+  def repetitionSignals(textCol: Column): Seq[Column] = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val tok = tokens(textCol)
+    val stats = GraftColumnBridge.column(graft.functions.NgramStats(
+      GraftColumnBridge.expression(tok), 2))
+    Seq(
+      round(lit(1.0) - size(array_distinct(tok)).cast("double") /
+        size(tok), 4).as("dup_word_frac"),
+      when(stats.getField("n_grams") > 0,
+        round(stats.getField("top_count").cast("double") /
+          stats.getField("n_grams"), 4)).as("top_bigram_frac"))
+  }
+
+  /** tx repetition: per-document repetition quality signals. */
+  private def txRepetition(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      col("doc_id") +: repetitionSignals(col("text")): _*)
+
+  /** Per-source token budgets for mixture sampling: `weight(source) ×
+    * base` tokens, weight derived from the numeric source suffix so
+    * both engines compute it closed-form. */
+  private def sourceBudget(source: Column): Column =
+    (regexp_extract(source, "(\\d+)$", 1).cast("int") % 3 + 1) * 400
+
+  /** Token-budget mixture sampling: admit documents per source in
+    * salted-hash order until the source's token budget is exhausted —
+    * the data-mixture step of a corpus build ("this many tokens of
+    * web, this many of code"). The admission test is an EXCLUSIVE
+    * prefix sum (a doc may overshoot its budget but the NEXT one
+    * stops), so membership is a pure window function: one shuffle on
+    * source, no driver loop, stable under appends exactly like
+    * `splitAssign`. */
+  def tokenBudgetMix(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budget: Column => Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol)
+      .orderBy(md5(concat(lit("mix:"), col(idCol).cast("string"))).asc,
+        col(idCol).asc)
+    docs.select(col(sourceCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < budget(col(sourceCol)))
+  }
+
+  /** tx token budget mix: budgeted per-source admission over the
+    * documents table. */
+  private def txTokenBudgetMix(s: SparkSession, d: String): DataFrame =
+    tokenBudgetMix(t(s, d, "documents"), "doc_id", "text", "source",
+      sourceBudget)
+
   /** tx BPE-ish token counting: word-vs-punctuation segmentation via
     * `\w+|[^\w\s]` (the builder brief's "BPE-ish regex" family) next to
     * the whitespace count — regexp_count keeps it a single scan. */
@@ -231,7 +289,9 @@ object TextOps {
     "tx_pack_bins" -> txPackBins _,
     "tx_split_assign" -> txSplitAssign _,
     "tx_corpus_curate" -> txCorpusCurate _,
-    "tx_stratified_sample" -> txStratifiedSample _)
+    "tx_stratified_sample" -> txStratifiedSample _,
+    "tx_repetition" -> txRepetition _,
+    "tx_token_budget_mix" -> txTokenBudgetMix _)
 
   private def langidOracle: String = {
     val vals = stopwords.toSeq.sortBy(_._1)
@@ -356,5 +416,41 @@ object TextOps {
              ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)) ASC,
                doc_id ASC) AS rn
            FROM documents) x
-         WHERE rn <= 20""")
+         WHERE rn <= 20""",
+    "tx_repetition" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok
+           FROM documents),
+         bi AS (
+           SELECT doc_id, tok[i] || ' ' || tok[i + 1] AS gram
+           FROM tk, unnest(range(1, len(tok))) AS t(i)),
+         counts AS (
+           SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY 1, 2),
+         top AS (
+           SELECT doc_id, max(c) AS top_c, sum(c) AS n_bi
+           FROM counts GROUP BY doc_id)
+         SELECT tk.doc_id,
+           round(1.0 - len(list_distinct(tok)) * 1.0 / len(tok), 4)
+             AS dup_word_frac,
+           round(top.top_c * 1.0 / top.n_bi, 4) AS top_bigram_frac
+         FROM tk LEFT JOIN top ON tk.doc_id = top.doc_id""",
+    "tx_token_budget_mix" ->
+      """WITH tk AS (
+           SELECT source, doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+           FROM documents),
+         off AS (
+           SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY source
+             ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)) ASC,
+               doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum_before
+           FROM tk)
+         SELECT source, doc_id, n_tokens, cum_before
+         FROM off
+         WHERE cum_before <
+           (CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 3 + 1)
+             * 400""")
 }

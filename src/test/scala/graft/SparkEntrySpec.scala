@@ -10,7 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class SparkEntrySpec extends AnyFunSuite {
 
   private val moduleSizes = Seq(
-    ops.Relational.queries.size, ops.Windows.queries.size,
+    ops.Relational.queries.size, ops.ScaleOps.queries.size,
+    ops.TemporalJoins.queries.size, ops.Windows.queries.size,
     ops.Pivots.queries.size, ops.Abundance.queries.size,
     ops.Amplicon.queries.size, ops.Bins.queries.size,
     ops.Checks.queries.size, ops.Glamr.queries.size,

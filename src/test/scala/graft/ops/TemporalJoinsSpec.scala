@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity proofs for the temporal joins: the scalable reformulation
+  * must return EXACTLY what the naive quadratic form returns. */
+class TemporalJoinsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def events = Tables.t(spark, TestSpark.sf0001, "events")
+
+  test("asofJoin == inequality-join + per-row argmax (naive form)") {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+
+    val fast = TemporalJoins.asofJoin(purchases, clicks.select(
+        col("c_user").as("user_id"), col("c_ts").as("ts"),
+        col("click_id")),
+      Seq("user_id"), "ts", Seq("click_id"))
+      .select("user_id", "purchase_id", "click_id")
+
+    val w = Window.partitionBy("purchase_id")
+      .orderBy(col("c_ts").desc, col("click_id").desc)
+    val naive = purchases.join(clicks,
+        col("user_id") === col("c_user") && col("c_ts") <= col("ts"),
+        "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "purchase_id", "click_id")
+
+    assert(fast.count() == purchases.count())
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("asofJoin: equal timestamps are visible (>= semantics)") {
+    import spark.implicits._
+    val right = Seq((1L, 100L, "r1"), (1L, 200L, "r2"))
+      .toDF("k", "t", "tag")
+      .select(col("k"), timestamp_micros(col("t")).as("ts"), col("tag"))
+    val left = Seq((1L, 100L, 10L), (1L, 150L, 11L), (1L, 50L, 12L))
+      .toDF("k", "t", "lid")
+      .select(col("k"), timestamp_micros(col("t")).as("ts"), col("lid"))
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "ts",
+      Seq("tag")).select("lid", "tag").as[(Long, String)]
+      .collect().toMap
+    assert(out(10L) == "r1") // equal ts: right row visible
+    assert(out(11L) == "r1") // latest at-or-before
+    assert(out(12L) == null) // before any right row
+  }
+
+  test("bucketedRangeJoin == naive inequality join, at several widths") {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+
+    val naive = clicks.join(signups.withColumnRenamed("user_id", "s_user"),
+        col("user_id") === col("s_user") &&
+          col("ts") >= col("start_ts") && col("ts") <= col("end_ts"))
+      .select("signup_id", "click_id")
+
+    for (width <- Seq(600L, 3600L, 7200L, 100000L)) {
+      val fast = TemporalJoins.bucketedRangeJoin(clicks, signups,
+        Seq("user_id"), "ts", "start_ts", "end_ts", width)
+        .select("signup_id", "click_id")
+      assert(fast.exceptAll(naive).isEmpty &&
+        naive.exceptAll(fast).isEmpty,
+        s"bucket width $width diverges from the naive join")
+    }
+  }
+
+  test("bucketedRangeJoin plans an equi-join, not a nested loop") {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    val plan = TemporalJoins.bucketedRangeJoin(clicks, signups,
+      Seq("user_id"), "ts", "start_ts", "end_ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join fell back to a quadratic plan:\n$plan")
+  }
+}

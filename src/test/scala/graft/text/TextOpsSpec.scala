@@ -65,4 +65,36 @@ class TextOpsSpec extends AnyFunSuite {
       TextOps.splitAssign(col("doc_id"), "other:").as("s2"))
     assert(a.filter(col("s1") =!= col("s2")).count() > 0)
   }
+
+  test("repetitionSignals: hand values and bounds") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),       // one bigram repeated
+      (2L, "all words here are unique"), // no repetition
+      (3L, "a b a b a b")                // alternating phrase
+    ).toDF("doc_id", "text")
+    val out = docs.select(
+        col("doc_id") +: TextOps.repetitionSignals(col("text")): _*)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L) == (0.75, 1.0))   // 1 distinct of 4; top bigram 3/3
+    assert(out(2L) == (0.0, 0.25))   // 5 distinct; 4 distinct bigrams
+    assert(out(3L) == (0.6667, 0.6)) // 2 of 6 distinct; "a b" 3 of 5
+  }
+
+  test("tokenBudgetMix: admission stops once the budget is crossed") {
+    val docs = (1L to 40L)
+      .map(i => (i, if (i <= 20) "s1" else "s2", wordsDoc(10)))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.tokenBudgetMix(docs, "doc_id", "text", "source",
+      _ => lit(35L)) // 10-token docs: admits 4 (cum_before 0,10,20,30)
+    val counts = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("s1" -> 4L, "s2" -> 4L))
+    // admitted set is a pure function of ids — stable under
+    // repartitioning, like splitAssign
+    val again = TextOps.tokenBudgetMix(docs.repartition(7), "doc_id",
+      "text", "source", _ => lit(35L))
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
 }
