@@ -119,6 +119,20 @@ class PlanSpec extends AnyFunSuite {
       s"curation pipeline re-shuffles:\n${p.take(3000)}")
   }
 
+  test("asof join: exactly one data shuffle (the union window)") {
+    // the whole point of the union reformulation: both sides shuffle
+    // ONCE on the key for the window; no join exchange, no cross
+    // product appears anywhere
+    val p = plan("j_asof_click")
+    assert(countOf(p, "Exchange hashpartitioning") <= 1,
+      s"asof join re-shuffles:\n${p.take(3000)}")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("repetition signals are pure per-row: zero exchanges") {
+    assert(!plan("tx_repetition").contains("Exchange"))
+  }
+
   test("anvio cascade reuses one partitioning for its window stack") {
     // All five window stages partition by l_orderkey (or a superset
     // that starts with it) — at most 2 hash shuffles may appear
