@@ -46,9 +46,14 @@ object TemporalJoins {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(payload.contains),
       s"payload ${payload.intersect(leftCols)} collides with left side")
+    // null-keyed / null-ts right rows can never satisfy the join
+    // predicate (`r.ts <= l.ts` on equal keys is null), but in the
+    // window formulation a null ts sorts FIRST and its payload would
+    // leak into every left row of the partition — drop them up front
+    val cleanRight = right.na.drop(keys :+ tsCol)
     // tag 0 = right (sorts first at equal ts → visible to the left
     // row), tag 1 = left
-    val taggedRight = right.select(
+    val taggedRight = cleanRight.select(
       keys.map(col) ++ Seq(col(tsCol), lit(0).as("__graft_side")) ++
         leftCols.filterNot(c => keys.contains(c) || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++

@@ -54,6 +54,27 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out(12L) == null) // before any right row
   }
 
+  test("asofJoin: null-ts / null-key right rows never match (join " +
+    "semantics, not window-sort semantics)") {
+    import spark.implicits._
+    val right = Seq(
+        (Some(1L), Some(50L), "bad_ts"), // null ts below
+        (None, Some(60L), "bad_key"),
+        (Some(1L), Some(200L), "good"))
+      .toDF("k", "t", "tag")
+      .select(col("k"), timestamp_micros(col("t")).as("ts"), col("tag"))
+      .withColumn("ts", when(col("tag") === "bad_ts",
+        lit(null).cast("timestamp")).otherwise(col("ts")))
+    val left = Seq((1L, 100L, 10L), (1L, 300L, 11L))
+      .toDF("k", "t", "lid")
+      .select(col("k"), timestamp_micros(col("t")).as("ts"), col("lid"))
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "ts",
+      Seq("tag")).select("lid", "tag").as[(Long, String)]
+      .collect().toMap
+    assert(out(10L) == null) // only null-ts/null-key rows precede it
+    assert(out(11L) == "good")
+  }
+
   test("bucketedRangeJoin == naive inequality join, at several widths") {
     val signups = events.filter(col("event_type") === "signup")
       .select(col("user_id"), col("event_id").as("signup_id"),
