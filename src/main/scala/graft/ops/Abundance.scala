@@ -99,8 +99,41 @@ object Abundance {
       .select("sample", "target", "n_aligned", "rpkm", "tpm")
   }
 
+  /** The flagship pipeline through the PURE SQL entry point —
+    * `spark.sql` over registered views, no DataFrame API. The
+    * reference's users reach the warehouse through dbplyr-COMPILED SQL
+    * (`postgres.Rmd` passim), so the engine must accept the same
+    * surface: one ANSI text runs on Spark here and on DuckDB as the
+    * oracle, and must hash-match both g_tpm and each other. The
+    * BROADCAST hint is the SQL spelling of the DataFrame form's
+    * `broadcast(lengths)`. */
+  private def gTpmSql(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "lineitem").createOrReplaceTempView("graft_sql_lineitem")
+    t(s, d, "part").createOrReplaceTempView("graft_sql_part")
+    s.sql(
+      """WITH counts AS (
+           SELECT l_suppkey AS sample, l_partkey AS target,
+                  sum(l_quantity) AS n_aligned
+           FROM graft_sql_lineitem GROUP BY 1, 2),
+         joined AS (
+           SELECT /*+ BROADCAST(p) */
+                  c.sample, c.target, c.n_aligned,
+                  CAST(p.p_size AS DOUBLE) AS length,
+                  c.n_aligned / CAST(p.p_size AS DOUBLE) AS reads_per_base
+           FROM counts c JOIN graft_sql_part p ON c.target = p.p_partkey)
+         SELECT sample, target,
+           round(n_aligned, 2) AS n_aligned,
+           round(n_aligned * 1e9 /
+             (sum(n_aligned) OVER (PARTITION BY sample) * length), 4)
+             AS rpkm,
+           round(reads_per_base * 1e6 /
+             sum(reads_per_base) OVER (PARTITION BY sample), 4) AS tpm
+         FROM joined""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_tpm" -> (tpm _),
+    "g_tpm_sql" -> gTpmSql _,
     "g_tpm2_table" -> gTpm2Table _,
     "a2_rel_abund" -> a2RelAbund _)
 
@@ -128,6 +161,7 @@ object Abundance {
 
   val oracle: Map[String, String] = Map(
     "g_tpm" -> tpmOracleSql,
+    "g_tpm_sql" -> tpmOracleSql,
     "g_tpm2_table" ->
       s"SELECT * FROM ($tpmOracleSql) WHERE sample % 20 = 0",
     "a2_rel_abund" ->
