@@ -102,10 +102,48 @@ object Multimodal {
     }(enc)
   }
 
+  /** Attach a fake "audio" payload: binary column + typed metadata
+    * (sample rate / duration), deterministic from the text. */
+  def withAudioColumn(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("audio", to_binary(col("text"), lit("utf-8")))
+      .withColumn("ameta", struct(
+        lit(16000).as("sample_rate"),
+        ((pmod(col("n_chars"), lit(30)) + 1) * 1000).cast("bigint")
+          .as("duration_ms"),
+        lit("fake/pcm").as("format")))
+
+  /** OVERLAPPED segmentation — the audio-feature windowing pattern
+    * (`hop < width`, unlike `sampleFrames`' stride sampling): one row
+    * per [start, start+width) window with a per-segment stub feature.
+    * Same scale property: declarative sequence+explode, payload column
+    * pruned unless a consumer asks for it; a real STFT/fbank kernel
+    * replaces only the feature expression (or runs through
+    * `decodeFramesBatched`'s batch shape). */
+  def segmentAudio(audio: DataFrame, widthMs: Long = 1000L,
+      hopMs: Long = 500L): DataFrame = {
+    require(hopMs > 0 && widthMs >= hopMs,
+      "segments must advance and overlap (hop ≤ width)")
+    audio
+      .select(col("doc_id"), col("text"),
+        col("ameta.duration_ms").as("duration_ms"),
+        explode(sequence(lit(0L), col("ameta.duration_ms") - widthMs,
+          lit(hopMs))).as("seg_start"))
+      .withColumn("seg_feat",
+        md5(concat(col("text"), lit(":"),
+          col("seg_start").cast("string"))))
+      .drop("text")
+  }
+
   /** Gate query: frame sampling end-to-end (explode + per-frame
     * feature), oracled via generate_series on the same metadata. */
   private def mFrameSample(s: SparkSession, d: String): DataFrame =
     sampleFrames(withVideoColumn(t(s, d, "documents")), every = 10)
+
+  /** Gate query: overlapped audio segmentation (1 s windows, 0.5 s
+    * hop), oracled via generate_series on the same metadata. */
+  private def mAudioSegments(s: SparkSession, d: String): DataFrame =
+    segmentAudio(withAudioColumn(t(s, d, "documents")))
 
   /** Gate query: full plumbing — binary col, metadata struct,
     * stub-decode features, metadata-only projection. Oracle works on
@@ -119,9 +157,22 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_multimodal_stub" -> mStub _,
-    "m_frame_sample" -> mFrameSample _)
+    "m_frame_sample" -> mFrameSample _,
+    "m_audio_segments" -> mAudioSegments _)
 
   val oracle: Map[String, String] = Map(
+    "m_audio_segments" ->
+      """WITH a AS (
+           SELECT doc_id, text,
+             CAST((n_chars % 30 + 1) * 1000 AS BIGINT) AS duration_ms
+           FROM documents)
+         SELECT doc_id, duration_ms,
+           unnest(generate_series(0, duration_ms - 1000, 500))
+             AS seg_start,
+           md5(text || ':' ||
+             CAST(unnest(generate_series(0, duration_ms - 1000, 500))
+               AS VARCHAR)) AS seg_feat
+         FROM a""",
     "m_frame_sample" ->
       """WITH v AS (
            SELECT doc_id, text, n_chars % 120 + 1 AS n_frames

@@ -50,4 +50,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("to_binary"),
       "payload column should be pruned from the frame-feature plan")
   }
+
+  test("audio segmentation: overlapped windows tile each document") {
+    import org.apache.spark.sql.functions._
+    val segs = Multimodal.segmentAudio(Multimodal.withAudioColumn(docs))
+    val perDoc = segs.groupBy("doc_id", "duration_ms")
+      .agg(count(lit(1)).as("n_segs"),
+        min("seg_start").as("first"), max("seg_start").as("last"))
+      .collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { r =>
+      val (dur, n) = (r.getLong(1), r.getLong(2))
+      // hop 500, width 1000: floor((dur-1000)/500)+1 windows from 0,
+      // last window ends exactly at dur (durations are 500-aligned)
+      assert(n == (dur - 1000) / 500 + 1, s"doc ${r.getLong(0)}")
+      assert(r.getLong(3) == 0L)
+      assert(r.getLong(4) + 1000 == dur)
+    }
+  }
 }

@@ -70,6 +70,22 @@ class InvariantsSpec extends AnyFunSuite {
       s"exact=$exact approx=$approx")
   }
 
+  test("percentile_approx tracks exact percentile within 5% " +
+    "(the A4 scale path: exact per-group sort → mergeable sketch)") {
+    val both = graft.Tables.t(spark, d, "events")
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("exact"),
+        expr("percentile_approx(value, 0.5, 1000)").as("approx"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val exact = r.getDouble(1)
+      val approx = r.getDouble(2)
+      assert(math.abs(approx - exact) / math.max(exact, 1e-9) < 0.05,
+        s"${r.getString(0)}: exact=$exact approx=$approx")
+    }
+  }
+
   test("N50 is a quantity present in the group and ≥ median mass point") {
     val n50 = graft.SparkEntry.queries("a7_n50")(spark, d)
     assert(n50.count() > 0)
