@@ -73,7 +73,8 @@ object Bench {
       "g_tpm", "g_bin_summary", "g_primer_mode", "w3_anvio_cascade",
       "j2_star_join", "a2_rel_abund", "t2_lca", "t3_subtree_rollup",
       "p1_pivot_wide", "d_exact_dedup", "d_ngram_jaccard_top",
-      "x_ann_lsh", "tx_langid", "st_sessionize", "s1_m8_tophit")
+      "x_ann_lsh", "tx_langid", "st_sessionize", "s1_m8_tophit",
+      "d_dup_clusters", "j_asof_click", "g_incr_agg_merge")
     val byName = results.toMap
     val hs = headline.flatMap(n => byName.get(n).map(n -> _))
     try java.nio.file.Files.writeString(
