@@ -39,7 +39,11 @@ case class NgramStats(child: Expression, n: Int)
     val cnt = tokens.numElements()
     val total = math.max(cnt - n + 1, 0)
     if (total == 0) return InternalRow(0, 0)
-    val counts = new java.util.HashMap[UTF8String, Int](total * 2)
+    // cap the initial table: repetitive documents (the ones this
+    // signal targets) have few distinct grams, and a giant up-front
+    // allocation per row is pure GC pressure at corpus scale
+    val counts = new java.util.HashMap[UTF8String, Int](
+      math.min(total * 2, 1 << 16))
     val space = UTF8String.fromString(" ")
     var best = 0
     var i = 0

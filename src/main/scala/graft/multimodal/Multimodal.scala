@@ -125,6 +125,9 @@ object Multimodal {
     require(hopMs > 0 && widthMs >= hopMs,
       "segments must advance and overlap (hop ≤ width)")
     audio
+      // clips shorter than one window yield no segments (a negative
+      // sequence stop would otherwise fail the whole query)
+      .filter(col("ameta.duration_ms") >= widthMs)
       .select(col("doc_id"), col("text"),
         col("ameta.duration_ms").as("duration_ms"),
         explode(sequence(lit(0L), col("ameta.duration_ms") - widthMs,

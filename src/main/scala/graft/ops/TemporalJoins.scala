@@ -37,10 +37,14 @@ object TemporalJoins {
     * timestamps the right row is visible (>= semantics, matching
     * DuckDB's `ASOF LEFT JOIN ... ON l.ts >= r.ts`).
     *
-    * Ties WITHIN the right side (same key, same ts) are broken by the
-    * last payload in (ts, payload-order) sort order — pass a
-    * deterministic tiebreak column in `payload` if the input can hold
-    * such ties. */
+    * The payload rides as ONE struct through the window, so (a) a
+    * right row whose payload VALUES are null is still "seen" (the
+    * struct itself is non-null — null fields carry through, exactly
+    * like the join would), and (b) all payload columns always come
+    * from the SAME right row — never stitched across rows. Ties
+    * within the right side (same key, same ts) break deterministically
+    * on the payload struct's field order (last in ascending order
+    * wins), so results are stable across partitionings. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
@@ -56,24 +60,25 @@ object TemporalJoins {
     val taggedRight = cleanRight.select(
       keys.map(col) ++ Seq(col(tsCol), lit(0).as("__graft_side")) ++
         leftCols.filterNot(c => keys.contains(c) || c == tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("__graft_payload"): _*)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c).copy(name = c)))
     val taggedLeft = left.select(
       keys.map(col) ++ Seq(col(tsCol), lit(1).as("__graft_side")) ++
         leftCols.filterNot(c => keys.contains(c) || c == tsCol)
-          .map(col) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(c)): _*)
+          .map(col) :+
+        lit(null).cast(payloadType).as("__graft_payload"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__graft_side").asc)
+      .orderBy(col(tsCol).asc, col("__graft_side").asc,
+        col("__graft_payload").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedRight.unionByName(taggedLeft)
-      .select(col("*") +:
-        payload.map(c => last(col(c), ignoreNulls = true).over(w)
-          .as(s"__graft_asof_$c")): _*)
+      .withColumn("__graft_asof",
+        last(col("__graft_payload"), ignoreNulls = true).over(w))
       .filter(col("__graft_side") === 1)
       .select(leftCols.map(col) ++
-        payload.map(c => col(s"__graft_asof_$c").as(c)): _*)
+        payload.map(c => col(s"__graft_asof.$c").as(c)): _*)
   }
 
   /** Interval-containment join: rows of `points` matched to every
@@ -84,6 +89,11 @@ object TemporalJoins {
   def bucketedRangeJoin(points: DataFrame, intervals: DataFrame,
       keys: Seq[String], tsCol: String, startCol: String, endCol: String,
       bucketSeconds: Long = 3600L): DataFrame = {
+    val overlap = points.columns.toSet
+      .intersect(intervals.columns.toSet) -- keys
+    require(overlap.isEmpty,
+      s"non-key columns $overlap exist on both sides — rename before " +
+        "joining (the residual filter would be ambiguous)")
     val usec = lit(bucketSeconds * 1000000L)
     val ivals = intervals.withColumn("__graft_bucket",
       explode(sequence(

@@ -146,11 +146,23 @@ object TextOps {
     * reproducible across runs, engines, partitionings, and appends
     * (new rows never reshuffle old ones, unlike randomSplit). Hex
     * prefix thresholds: '0d'/256 ≈ 5% test, then ≈ 5% val, rest train. */
+  val splitTestMax = "0d"
+  val splitValMax = "1a"
+
+  /** Pure kernel of `splitAssign` over the 2-hex-char md5 prefix —
+    * shared with the property tests so they exercise the PRODUCTION
+    * thresholds, not a copy. */
+  def splitOfHexPrefix(h: String): String =
+    if (h < splitTestMax) "test"
+    else if (h < splitValMax) "val"
+    else "train"
+
   def splitAssign(idCol: Column,
       salt: String = "graft-split:"): Column = {
     val h = substring(
       md5(concat(lit(salt), idCol.cast("string"))), 1, 2)
-    when(h < "0d", "test").when(h < "1a", "val").otherwise("train")
+    when(h < splitTestMax, "test")
+      .when(h < splitValMax, "val").otherwise("train")
   }
 
   /** tx pack bins: per-(lang, bin) packing summary at capacity 2048 —

@@ -96,12 +96,19 @@ class PropertySpec extends AnyFunSuite {
   // ---- splitAssign totality (every id lands in exactly one split) ----
 
   test("splitAssign thresholds partition the hex space") {
-    // pure mirror of the Column logic: first two md5 hex chars
-    check("every 2-hex prefix maps to exactly one split",
+    // drives the PRODUCTION kernel (text.TextOps.splitOfHexPrefix —
+    // the same thresholds the Column expression is built from)
+    check("every 2-hex prefix maps to exactly one valid split",
       Prop.forAll(Gen.chooseNum(0, 255)) { b =>
-        val h = f"$b%02x"
-        val splits = Seq(h < "0d", h >= "0d" && h < "1a", h >= "1a")
-        splits.count(identity) == 1
+        Set("test", "val", "train")
+          .contains(text.TextOps.splitOfHexPrefix(f"$b%02x"))
+      })
+    check("all three splits are reachable and ordered",
+      Prop.forAll(Gen.const(())) { _ =>
+        text.TextOps.splitOfHexPrefix("00") == "test" &&
+          text.TextOps.splitOfHexPrefix("0d") == "val" &&
+          text.TextOps.splitOfHexPrefix("1a") == "train" &&
+          text.TextOps.splitTestMax < text.TextOps.splitValMax
       })
   }
 }

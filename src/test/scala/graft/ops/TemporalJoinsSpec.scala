@@ -75,6 +75,29 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out(11L) == "good")
   }
 
+  test("asofJoin: a right row with NULL payload VALUES still wins " +
+    "(no stale carry-forward), and multi-payload columns never stitch " +
+    "across rows") {
+    import spark.implicits._
+    val right = Seq(
+        (1L, 100L, Option("x"), Option.empty[String]),
+        (1L, 200L, Option.empty[String], Option("y")))
+      .toDF("k", "t", "a", "b")
+      .select(col("k"), timestamp_micros(col("t")).as("ts"),
+        col("a"), col("b"))
+    val left = Seq((1L, 300L, 10L), (1L, 150L, 11L))
+      .toDF("k", "t", "lid")
+      .select(col("k"), timestamp_micros(col("t")).as("ts"), col("lid"))
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "ts",
+        Seq("a", "b"))
+      .select("lid", "a", "b").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // latest right row at ts=200 has a=NULL, b='y' — BOTH columns must
+    // come from it (ASOF semantics), not a='x' carried from ts=100
+    assert(out(10L) == ((null, "y")))
+    assert(out(11L) == (("x", null)))
+  }
+
   test("bucketedRangeJoin == naive inequality join, at several widths") {
     val signups = events.filter(col("event_type") === "signup")
       .select(col("user_id"), col("event_id").as("signup_id"),
