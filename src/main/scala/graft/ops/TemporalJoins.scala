@@ -17,8 +17,12 @@ import graft.Tables.t
   *    shuffle on the key, one sort by (ts, tag), and
   *    `last(_, ignoreNulls)` over the ordered window carries the
   *    latest right row forward to every left row. O(n log n) per key,
-  *    no cross product; skewed keys split fine under AQE because the
-  *    window is the only wide op.
+  *    no cross product. Skew caveat (same as any per-key window): one
+  *    key's rows land on one task — AQE coalesces partitions but does
+  *    NOT split a hot window key; if one key holds a material fraction
+  *    of the data, pre-split it by coarse time range and carry the
+  *    last right row across range boundaries (a second tiny pass over
+  *    per-range tails).
   *  - `bucketedRangeJoin` — interval-containment join (point ts ∈
   *    [start, end]). Spark plans the naive `ON p.ts BETWEEN s AND e`
   *    as BroadcastNestedLoopJoin — O(|points|·|intervals|). Here the
