@@ -321,9 +321,21 @@ object Dedup {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
+    // convergence metric: exact decimal sum of labels. Labels only
+    // ever DECREASE (min-propagation with label(x) ≤ x), so the sum
+    // strictly decreases iff any row changed — one cheap aggregation
+    // per round instead of a next⋈prev comparison join, and it still
+    // materializes `next` so the previous round can be released.
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(
+          org.apache.spark.sql.functions.sum(
+            col("label").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)).as("s"))
+        .head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    while (changed && it < maxIter) {
       val prev = labels
       // propagation: candidate(v) = min over {v} ∪ N(v) of label(·)
       val prop = sym.join(prev, col("src") === col("id"))
@@ -342,18 +354,15 @@ object Dedup {
             least(col("c.label"),
               coalesce(col("llabel"), col("c.label"))).as("label")))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // labels only ever decrease, so "any row differs" is the full
-      // convergence test; the count also materializes `next`, making
-      // it safe to release the previous round
-      changed = next
-        .join(prev.withColumnRenamed("label", "prev_label"), "id")
-        .filter(col("label") =!= col("prev_label")).count()
+      val nextSum = labelSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       prev.unpersist()
       labels = next
       it += 1
     }
     sym.unpersist()
-    require(changed == 0,
+    require(!changed,
       s"connectedComponents: not converged after $maxIter rounds " +
         "(raise maxIter; with pointer jumping this bounds component " +
         "sizes near 2^maxIter)")
