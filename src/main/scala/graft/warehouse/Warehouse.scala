@@ -49,4 +49,27 @@ object Warehouse {
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
         2).as("revenue"))
   }
+
+  /** Small-file compaction for a parquet directory — the maintenance
+    * op the reference's per-sample layout makes mandatory at scale:
+    * incremental per-sample appends leave thousands of KB-sized files,
+    * and at 100 TB the footer/open overhead of small files dominates
+    * scan time long before data volume does. Rewrites the directory to
+    * ⌈bytes / targetBytes⌉ files via the staged-overwrite path (the
+    * output is derived from its own previous contents, so the
+    * read-overwrite cycle must be broken the same way K3b does).
+    * Returns the file count after compaction. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1L,
+      (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(path)
+    graft.io.Writers.overwriteStaged(df.repartition(nFiles), path)
+    fs.listStatus(hPath)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
 }

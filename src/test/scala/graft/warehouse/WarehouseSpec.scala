@@ -44,4 +44,31 @@ class WarehouseSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS w_lineitem")
     spark.sql("DROP TABLE IF EXISTS w_orders")
   }
+
+  test("compact collapses a small-file directory, preserving rows") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString + "/t"
+    val df = graft.Tables.t(spark, TestSpark.sf0001, "lineitem")
+    df.repartition(64).write.parquet(dir)
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def parquetFiles() = fs.listStatus(hPath)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(parquetFiles() == 64)
+    val before = df.collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap
+
+    val n = Warehouse.compact(spark, dir, targetBytes = 512L * 1024)
+    assert(n == parquetFiles())
+    assert(n < 64, s"compaction left $n files")
+    // exact multiset of rows survives the rewrite
+    val after = spark.read.parquet(dir).collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(after == before)
+
+    // already-compact directory stays at its floor of one file
+    assert(Warehouse.compact(spark, dir,
+      targetBytes = 1L << 40) == 1)
+  }
 }
