@@ -41,6 +41,16 @@ object Pipeline {
       spark, facts, s"$whDir/lineitem_inc", "sample")
     println(s"[pipeline] ingest: $appended new rows")
 
+    // 1a. maintenance: compact the incrementally-appended fact dir —
+    //     each append adds another file set; without this the
+    //     small-file count grows without bound. MUST run before any
+    //     downstream stage resolves the directory's file listing (a
+    //     DataFrame's file index snapshots at read time, so compacting
+    //     under an already-built plan would break it).
+    val nFiles = graft.warehouse.Warehouse.compact(
+      spark, s"$whDir/lineitem_inc")
+    println(s"[pipeline] compact: lineitem_inc -> $nFiles files")
+
     // 1b. regenerate the dispatch-assignments table, preserving manual
     //     edits and SKIPs (Overrides semantics). The machine proposal
     //     is the dispatch flow (dispatch.py:159-193): guess a target
