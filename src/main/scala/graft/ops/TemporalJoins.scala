@@ -39,7 +39,9 @@ object TemporalJoins {
     * `right.tsCol <= left.tsCol` on the same key (null payload when no
     * prior right row exists — left-asof semantics). At equal
     * timestamps the right row is visible (>= semantics, matching
-    * DuckDB's `ASOF LEFT JOIN ... ON l.ts >= r.ts`).
+    * DuckDB's `ASOF LEFT JOIN ... ON l.ts >= r.ts`). `forward = true`
+    * mirrors the direction: the EARLIEST right row at-or-after each
+    * left row (DuckDB's `ON l.ts <= r.ts`).
     *
     * The payload rides as ONE struct through the window, so (a) a
     * right row whose payload VALUES are null is still "seen" (the
@@ -50,7 +52,8 @@ object TemporalJoins {
     * on the payload struct's field order (last in ascending order
     * wins), so results are stable across partitionings. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      tsCol: String, payload: Seq[String]): DataFrame = {
+      tsCol: String, payload: Seq[String],
+      forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(payload.contains),
       s"payload ${payload.intersect(leftCols)} collides with left side")
@@ -73,8 +76,16 @@ object TemporalJoins {
         leftCols.filterNot(c => keys.contains(c) || c == tsCol)
           .map(col) :+
         lit(null).cast(payloadType).as("__graft_payload"): _*)
+    // forward (next at-or-after) is the time-mirrored scan: descending
+    // ts, right rows still first at equal ts, so `last` carries the
+    // NEAREST future right row backward to each left row. Null-ts left
+    // rows sort FIRST in both directions so they never see a right row
+    // (join semantics: a null ts matches nothing).
+    val tsOrder =
+      if (forward) col(tsCol).desc_nulls_first
+      else col(tsCol).asc_nulls_first
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__graft_side").asc,
+      .orderBy(tsOrder, col("__graft_side").asc,
         col("__graft_payload").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedRight.unionByName(taggedLeft)
@@ -127,6 +138,20 @@ object TemporalJoins {
       .select(col("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  /** Forward as-of gate: each click annotated with the user's next
+    * at-or-after purchase (conversion attribution, time-mirrored). */
+  private def jAsofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"))
+    asofJoin(clicks, purchases, Seq("user_id"), "ts",
+        Seq("purchase_id"), forward = true)
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Range gate: clicks landing inside each signup's 2-hour window,
     * aggregated per signup (count + decimal-exact value sum, so
     * summation order cannot move the hash). */
@@ -148,6 +173,7 @@ object TemporalJoins {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j_asof_click" -> jAsofClick _,
+    "j_asof_forward" -> jAsofForward _,
     "j_range_bucket" -> jRangeBucket _)
 
   val oracle: Map[String, String] = Map(
@@ -158,6 +184,13 @@ object TemporalJoins {
          ASOF LEFT JOIN
            (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "j_asof_forward" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+           p.event_id AS purchase_id
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN
+           (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND c.ts <= p.ts""",
     "j_range_bucket" ->
       """SELECT s.event_id AS signup_id, s.user_id,
            count(*) AS n_clicks,

@@ -75,6 +75,32 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out(11L) == "good")
   }
 
+  test("forward asofJoin == inequality-join + per-row argmin") {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+
+    val fast = TemporalJoins.asofJoin(clicks, purchases.select(
+        col("p_user").as("user_id"), col("p_ts").as("ts"),
+        col("purchase_id")),
+      Seq("user_id"), "ts", Seq("purchase_id"), forward = true)
+      .select("user_id", "click_id", "purchase_id")
+
+    val w = Window.partitionBy("click_id")
+      .orderBy(col("p_ts").asc, col("purchase_id").asc)
+    val naive = clicks.join(purchases,
+        col("user_id") === col("p_user") && col("p_ts") >= col("ts"),
+        "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "click_id", "purchase_id")
+
+    assert(fast.count() == clicks.count())
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
   test("asofJoin: a right row with NULL payload VALUES still wins " +
     "(no stale carry-forward), and multi-payload columns never stitch " +
     "across rows") {
