@@ -137,6 +137,26 @@ object Windows {
       .select(col("o_orderkey"), col("o_custkey"), col("running_spend"))
   }
 
+  /** W8 time-RANGE frame (extension; SURVEY notes the reference uses
+    * no range frames): moving 1-hour aggregate per user — the rolling
+    * rate-limit / activity-burst shape. Spark's rangeBetween is
+    * numeric, so the frame rides on unix_micros(ts); DuckDB states the
+    * same window as RANGE BETWEEN INTERVAL 1 HOUR PRECEDING. Decimal
+    * sum so frame-internal order can't move the hash. One shuffle on
+    * user_id, same as any per-key window. */
+  private def w8RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0L) // [ts − 1h, ts], both inclusive
+    t(s, d, "events")
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double"))
+      .select(col("user_id"), col("event_id"), col("n_1h"),
+        col("sum_1h"))
+  }
+
   /** A7 N50 — order-dependent aggregate (reference
     * `AnnotateContigs.pl:594-601`: sort desc, cumsum, first value where
     * cumsum ≥ total/2). Pure window formulation, no UDAF. */
@@ -163,6 +183,7 @@ object Windows {
     "w5_margin_keep" -> w5MarginKeep _,
     "w6_row_number_id" -> w6RowNumberId _,
     "w7_cumsum" -> w7Cumsum _,
+    "w8_range_frame" -> w8RangeFrame _,
     "a7_n50" -> a7N50 _)
 
   val oracle: Map[String, String] = Map(
@@ -232,6 +253,13 @@ object Windows {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
            AS running_spend
          FROM orders""",
+    "w8_range_frame" ->
+      """SELECT user_id, event_id, count(*) OVER w AS n_1h,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
     "a7_n50" ->
       """SELECT l_suppkey, round(max(l_quantity),2) AS n50
          FROM (SELECT l_suppkey, l_quantity,
