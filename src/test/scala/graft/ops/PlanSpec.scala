@@ -133,6 +133,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("tx_repetition").contains("Exchange"))
   }
 
+  test("range-frame window: one shuffle, no self-join") {
+    val p = plan("w8_range_frame")
+    assert(countOf(p, "Exchange hashpartitioning") <= 1,
+      s"range frame re-shuffles:\n${p.take(3000)}")
+    assert(!p.contains("Join"),
+      s"range frame planned as a join:\n${p.take(3000)}")
+  }
+
   test("anvio cascade reuses one partitioning for its window stack") {
     // All five window stages partition by l_orderkey (or a superset
     // that starts with it) — at most 2 hash shuffles may appear
