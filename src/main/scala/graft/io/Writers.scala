@@ -94,4 +94,20 @@ object Writers {
   def writePartitioned(df: DataFrame, path: String,
       keys: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(path)
+
+  /** Partition-scoped refresh: overwrite ONLY the partitions present
+    * in `delta`, leaving every other partition's files untouched —
+    * the incremental-maintenance form of `writePartitioned`. At
+    * warehouse scale a derived table is refreshed for the handful of
+    * samples that changed; rewriting the whole artifact (static
+    * overwrite) would re-shuffle 100 TB to land one sample. Dynamic
+    * partition-overwrite is scoped to this one write via the
+    * DataFrameWriter option, not a session-level conf flip. */
+  def refreshPartitions(delta: DataFrame, path: String,
+      keys: Seq[String]): Unit =
+    delta.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .partitionBy(keys: _*)
+      .parquet(path)
 }

@@ -61,4 +61,30 @@ class WritersSpec extends AnyFunSuite {
     Writers.writeJson(df, p)
     assert(spark.read.json(p).count() == 1)
   }
+
+  test("refreshPartitions rewrites only the delta's partitions") {
+    val p = s"${tmp()}/refresh"
+    val base = Seq(("s1", 1), ("s1", 2), ("s2", 3), ("s3", 4))
+      .toDF("sample", "v")
+    Writers.writePartitioned(base, p, Seq("sample"))
+    def files(sample: String): Map[String, Long] =
+      new java.io.File(s"$p/sample=$sample").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val s2Before = files("s2")
+    val s3Before = files("s3")
+
+    // refresh only s1 with new contents
+    val delta = Seq(("s1", 10)).toDF("sample", "v")
+    Writers.refreshPartitions(delta, p, Seq("sample"))
+
+    // untouched partitions: identical files, same mtimes
+    assert(files("s2") == s2Before)
+    assert(files("s3") == s3Before)
+    // refreshed partition: fully replaced (old rows gone, delta in)
+    val back = spark.read.parquet(p)
+    assert(back.filter(col("sample") === "s1")
+      .select("v").as[Int].collect().toSeq == Seq(10))
+    assert(back.count() == 3) // s1 -> 1 row, s2 + s3 untouched
+  }
 }
