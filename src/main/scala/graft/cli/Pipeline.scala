@@ -37,9 +37,19 @@ object Pipeline {
     // 1. incremental ingest: lineitem keyed by l_suppkey ("sample")
     val facts = graft.Tables.t(spark, sfDir, "lineitem")
       .withColumn("sample", col("l_suppkey"))
+    // samples that are genuinely new THIS cycle — captured before the
+    // append makes them "loaded" (drives the partition-scoped tpm2
+    // refresh below); sample counts are bounded (SURVEY §1.1), so the
+    // persisted set is control-plane sized
+    val freshSamples = graft.ingest.Incremental.newRows(facts,
+        graft.ingest.Incremental.loadedKeys(
+          spark, s"$whDir/lineitem_inc", "sample"), "sample")
+      .select("sample").distinct().persist()
+    val nFreshSamples = freshSamples.count()
     val appended = graft.ingest.Incremental.appendIncremental(
       spark, facts, s"$whDir/lineitem_inc", "sample")
-    println(s"[pipeline] ingest: $appended new rows")
+    println(s"[pipeline] ingest: $appended new rows " +
+      s"($nFreshSamples new samples)")
 
     // 1a. maintenance: compact the incrementally-appended fact dir —
     //     each append adds another file set; without this the
@@ -101,9 +111,25 @@ object Pipeline {
           graft.Tables.t(spark, sfDir, n), s"dim_$n")
       }
 
-    // 3. derived table: TPM → partitioned parquet (the tpm2 analog)
+    // 3. derived table: TPM → partitioned parquet (the tpm2 analog).
+    //    TPM normalizes PER SAMPLE, so a per-sample partition refresh
+    //    is semantically exact: on rerun only the samples that
+    //    actually arrived this cycle are recomputed and rewritten;
+    //    untouched sample partitions keep their files. First run (or
+    //    nothing new) → full write / no-op respectively.
+    val tpmPath = s"$whDir/tpm2"
     val tpm = graft.ops.Abundance.tpm(spark, sfDir)
-    graft.io.Writers.writePartitioned(tpm, s"$whDir/tpm2", Seq("sample"))
+    if (!graft.ingest.Incremental.pathExists(spark, tpmPath)) {
+      graft.io.Writers.writePartitioned(tpm, tpmPath, Seq("sample"))
+      println("[pipeline] tpm2: full build")
+    } else if (nFreshSamples > 0) {
+      val delta = tpm.join(broadcast(freshSamples), Seq("sample"),
+        "left_semi")
+      graft.io.Writers.refreshPartitions(delta, tpmPath, Seq("sample"))
+      println(s"[pipeline] tpm2: refreshed $nFreshSamples sample " +
+        "partitions")
+    } else println("[pipeline] tpm2: no new samples, artifact untouched")
+    freshSamples.unpersist()
 
     // 4. star view over the ingested facts
     val star = spark.read.parquet(s"$whDir/lineitem_inc")
