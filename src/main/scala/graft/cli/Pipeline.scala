@@ -53,13 +53,19 @@ object Pipeline {
 
     // 1a. maintenance: compact the incrementally-appended fact dir —
     //     each append adds another file set; without this the
-    //     small-file count grows without bound. MUST run before any
-    //     downstream stage resolves the directory's file listing (a
-    //     DataFrame's file index snapshots at read time, so compacting
-    //     under an already-built plan would break it).
-    val nFiles = graft.warehouse.Warehouse.compact(
-      spark, s"$whDir/lineitem_inc")
-    println(s"[pipeline] compact: lineitem_inc -> $nFiles files")
+    //     small-file count grows without bound. Scoped to the sample
+    //     partitions touched THIS cycle (the only ones that can have
+    //     gained files) and skipped entirely on a no-op ingest, so the
+    //     maintenance cost tracks the delta, not the table. MUST run
+    //     before any downstream stage resolves the directory's file
+    //     listing (a DataFrame's file index snapshots at read time, so
+    //     compacting under an already-built plan would break it).
+    if (appended > 0) {
+      val nDirs = graft.warehouse.Warehouse.compactPartitions(
+        spark, s"$whDir/lineitem_inc", Seq("sample"),
+        onlyPartitions = Some(freshSamples))
+      println(s"[pipeline] compact: rewrote $nDirs sample partitions")
+    } else println("[pipeline] compact: nothing appended, skipped")
 
     // 1b. regenerate the dispatch-assignments table, preserving manual
     //     edits and SKIPs (Overrides semantics). The machine proposal

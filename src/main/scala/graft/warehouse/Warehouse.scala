@@ -50,20 +50,30 @@ object Warehouse {
         2).as("revenue"))
   }
 
-  /** Small-file compaction for a parquet directory — the maintenance
-    * op the reference's per-sample layout makes mandatory at scale:
-    * incremental per-sample appends leave thousands of KB-sized files,
-    * and at 100 TB the footer/open overhead of small files dominates
-    * scan time long before data volume does. Rewrites the directory to
-    * ⌈bytes / targetBytes⌉ files via the staged-overwrite path (the
-    * output is derived from its own previous contents, so the
-    * read-overwrite cycle must be broken the same way K3b does).
-    * Returns the file count after compaction. */
+  /** Small-file compaction for a FLAT parquet directory — the
+    * maintenance op the reference's per-sample layout makes mandatory
+    * at scale: incremental per-sample appends leave thousands of
+    * KB-sized files, and at 100 TB the footer/open overhead of small
+    * files dominates scan time long before data volume does. Rewrites
+    * the directory to ⌈bytes / targetBytes⌉ files via the
+    * staged-overwrite path (the output is derived from its own previous
+    * contents, so the read-overwrite cycle must be broken the same way
+    * K3b does). Returns the file count after compaction.
+    *
+    * Refuses Hive-style partitioned layouts: a flat rewrite would
+    * flatten the `key=value` directories, losing both per-key pruning
+    * and the partition column's type; use [[compactPartitions]]. */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partDirs = fs.listStatus(hPath).filter(s =>
+      s.isDirectory && s.getPath.getName.contains("="))
+    require(partDirs.isEmpty,
+      s"$path is a partitioned layout (${partDirs.head.getPath.getName}" +
+        ", ...); flat compaction would flatten it — use " +
+        "compactPartitions with the partition columns")
     val totalBytes = fs.getContentSummary(hPath).getLength
     val nFiles = math.max(1L,
       (totalBytes + targetBytes - 1) / targetBytes).toInt
@@ -71,5 +81,91 @@ object Warehouse {
     graft.io.Writers.overwriteStaged(df.repartition(nFiles), path)
     fs.listStatus(hPath)
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Partition-preserving small-file compaction: rewrites ONLY the
+    * leaf partition directories that hold more files than their bytes
+    * justify, leaving every other partition's files byte-stable. This
+    * is the form the incremental warehouse actually needs — each
+    * nightly cycle appends a handful of fresh `sample=…` partitions,
+    * and compacting the whole table (O(table) I/O per run) would
+    * contradict the incremental design.
+    *
+    *  - `onlyPartitions`: restrict the candidate set to these partition
+    *    values (e.g. the samples touched this cycle) — a control-plane
+    *    sized DataFrame with the partition columns. None = scan the
+    *    whole listing for small-file dirs.
+    *  - A dir is rewritten when fileCount > max(1, ⌈bytes/target⌉),
+    *    i.e. only when compaction would actually reduce files.
+    *
+    * Each selected leaf is rewritten to its own byte-justified file
+    * count, staged OUTSIDE the table root (a transient dir inside it
+    * would break concurrent partition inference), then swapped in via
+    * delete+rename, so untouched partitions never move. Returns the
+    * number of leaf directories rewritten. */
+  def compactPartitions(spark: SparkSession, path: String,
+      partitionCols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024,
+      onlyPartitions: Option[DataFrame] = None): Int = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    require(targetBytes > 0, "targetBytes must be positive")
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // walk the fixed-depth partition tree: depth = partitionCols.size
+    def leaves(dir: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(dir)
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap(s => leaves(s.getPath, depth - 1))
+    val allLeaves = leaves(root, partitionCols.size)
+
+    // partition values as they appear in the path (escaped-name → raw)
+    def valuesOf(leaf: Path): Seq[String] = {
+      val rel = leaf.toUri.getPath.stripPrefix(root.toUri.getPath)
+        .split('/').filter(_.nonEmpty).toSeq
+      rel.map { seg =>
+        val v = seg.substring(seg.indexOf('=') + 1)
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(v)
+      }
+    }
+    val wanted: Option[Set[Seq[String]]] = onlyPartitions.map { df =>
+      df.select(partitionCols.map(c =>
+          org.apache.spark.sql.functions.col(c).cast("string")): _*)
+        .distinct().collect()
+        .map(r => partitionCols.indices.map(i => r.getString(i)))
+        .toSet
+    }
+
+    val toCompact = allLeaves.flatMap { leaf =>
+      if (wanted.exists(w => !w.contains(valuesOf(leaf)))) None
+      else {
+        val files = fs.listStatus(leaf)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        val bytes = files.map(_.getLen).sum
+        val needed = math.max(1L,
+          (bytes + targetBytes - 1) / targetBytes).toInt
+        if (files.length > needed) Some((leaf, needed)) else None
+      }
+    }
+
+    if (toCompact.nonEmpty) {
+      val staging = new Path(path + ".compact-staging")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      toCompact.zipWithIndex.foreach { case ((leaf, needed), i) =>
+        // read the leaf directly — its rows only, partition values
+        // live in the path and are not part of the file schema
+        val part = spark.read.parquet(leaf.toString).repartition(needed)
+        val staged = new Path(staging, i.toString)
+        part.write.parquet(staged.toString)
+        fs.delete(leaf, true)
+        require(fs.rename(staged, leaf),
+          s"compactPartitions: rename $staged -> $leaf failed")
+      }
+      fs.delete(staging, true)
+    }
+    toCompact.size
   }
 }

@@ -71,4 +71,59 @@ class WarehouseSpec extends AnyFunSuite {
     assert(Warehouse.compact(spark, dir,
       targetBytes = 1L << 40) == 1)
   }
+
+  test("compactPartitions preserves layout; flat compact refuses it") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact_part").toString + "/t"
+    val df = graft.Tables.t(spark, TestSpark.sf0001, "lineitem")
+      .withColumn("sample", col("l_suppkey") % 4)
+    // simulate several incremental cycles: multiple small files per
+    // sample partition
+    (1 to 3).foreach { _ =>
+      df.repartition(8).write.mode("append")
+        .partitionBy("sample").parquet(dir)
+    }
+    val hRoot = new org.apache.hadoop.fs.Path(dir)
+    val fs = hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leafFiles(p: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/$p"))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(leafFiles("sample=0").length > 1)
+
+    // the flattening bug class is now an explicit error
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("compactPartitions"))
+
+    val before = spark.read.parquet(dir).collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // scope to two partitions: only those are rewritten
+    val only = spark.range(2).select(col("id").as("sample"))
+    val untouched = leafFiles("sample=3")
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+    val n = Warehouse.compactPartitions(spark, dir, Seq("sample"),
+      onlyPartitions = Some(only))
+    assert(n == 2, s"expected 2 partitions rewritten, got $n")
+    assert(leafFiles("sample=0").length == 1)
+    assert(leafFiles("sample=3")
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+      .toSeq == untouched.toSeq, "untouched partition moved")
+    // layout survived: partition column still prunes + types intact
+    val back = spark.read.parquet(dir)
+    assert(back.columns.contains("sample"))
+    assert(back.collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap == before)
+
+    // the ADVICE repro: a later partitioned append must still read
+    df.limit(10).write.mode("append").partitionBy("sample").parquet(dir)
+    assert(spark.read.parquet(dir).count() == df.count() * 3 + 10)
+
+    // remaining small-file partitions picked up by an unscoped pass
+    val n2 = Warehouse.compactPartitions(spark, dir, Seq("sample"))
+    assert(n2 >= 2) // sample=1,2 (+ any appended-to partitions)
+    // second unscoped pass is a no-op: everything already at its floor
+    assert(Warehouse.compactPartitions(spark, dir, Seq("sample")) == 0)
+  }
 }
