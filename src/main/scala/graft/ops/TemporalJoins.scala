@@ -17,12 +17,16 @@ import graft.Tables.t
   *    shuffle on the key, one sort by (ts, tag), and
   *    `last(_, ignoreNulls)` over the ordered window carries the
   *    latest right row forward to every left row. O(n log n) per key,
-  *    no cross product. Skew caveat (same as any per-key window): one
-  *    key's rows land on one task — AQE coalesces partitions but does
-  *    NOT split a hot window key; if one key holds a material fraction
-  *    of the data, pre-split it by coarse time range and carry the
-  *    last right row across range boundaries (a second tiny pass over
-  *    per-range tails).
+  *    no cross product. Skew: the plain window form puts one key's
+  *    ENTIRE history on a single task (AQE coalesces partitions but
+  *    does not split a hot window key). `splitRangeSeconds` enables
+  *    the hot-key-safe formulation: every key is pre-split by coarse
+  *    time range, the window runs per (key, range) — so a hot key
+  *    spreads over (span / width) tasks — and a second, tiny pass
+  *    over per-range tails carries each range's last right row into
+  *    later ranges' heads. Still exactly one full-data shuffle (on
+  *    (key, range) instead of (key)); the tails frame is one row per
+  *    (key, range) — control-plane sized.
   *  - `bucketedRangeJoin` — interval-containment join (point ts ∈
   *    [start, end]). Spark plans the naive `ON p.ts BETWEEN s AND e`
   *    as BroadcastNestedLoopJoin — O(|points|·|intervals|). Here the
@@ -50,10 +54,21 @@ object TemporalJoins {
     * from the SAME right row — never stitched across rows. Ties
     * within the right side (same key, same ts) break deterministically
     * on the payload struct's field order (last in ascending order
-    * wins), so results are stable across partitionings. */
+    * wins), so results are stable across partitionings.
+    *
+    * `splitRangeSeconds = Some(w)` turns on the skew-safe path: rows
+    * bucket by `floor(ts / w)`, the carry window partitions by
+    * (keys, bucket), and a per-(keys, bucket) tails frame (the last /
+    * first right row of each bucket, same tie-break) is scanned once
+    * per key in bucket order to compute each bucket's INCOMING carry
+    * — the answer for left rows that precede every right row in their
+    * own bucket. Identical results to the plain path for every input;
+    * choose `w` so a hot key's span covers many buckets (e.g. 1 day
+    * for month-scale event data). */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payload: Seq[String],
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false,
+      splitRangeSeconds: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(payload.contains),
       s"payload ${payload.intersect(leftCols)} collides with left side")
@@ -84,16 +99,79 @@ object TemporalJoins {
     val tsOrder =
       if (forward) col(tsCol).desc_nulls_first
       else col(tsCol).asc_nulls_first
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(tsOrder, col("__graft_side").asc,
-        col("__graft_payload").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    taggedRight.unionByName(taggedLeft)
-      .withColumn("__graft_asof",
-        last(col("__graft_payload"), ignoreNulls = true).over(w))
-      .filter(col("__graft_side") === 1)
-      .select(leftCols.map(col) ++
-        payload.map(c => col(s"__graft_asof.$c").as(c)): _*)
+    val unioned = taggedRight.unionByName(taggedLeft)
+
+    splitRangeSeconds match {
+      case None =>
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(tsOrder, col("__graft_side").asc,
+            col("__graft_payload").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned
+          .withColumn("__graft_asof",
+            last(col("__graft_payload"), ignoreNulls = true).over(w))
+          .filter(col("__graft_side") === 1)
+          .select(leftCols.map(col) ++
+            payload.map(c => col(s"__graft_asof.$c").as(c)): _*)
+
+      case Some(widthSec) =>
+        require(widthSec > 0, s"splitRangeSeconds must be > 0: $widthSec")
+        // Bucket id = range START in micros (floor via pmod, so
+        // pre-1970 timestamps floor correctly too). Using the start
+        // instead of `start / width` skips a division whose long/long
+        // form would round through double.
+        val widthUs = lit(widthSec * 1000000L)
+        val micros = unix_micros(col(tsCol))
+        val bucketed = unioned.withColumn("__graft_range",
+          micros - pmod(micros, widthUs))
+        // Per-(keys, range) tail: the right row the in-range carry
+        // would end on — max (ts, payload) backward, min ts / max
+        // payload forward (the -micros trick mirrors time while
+        // keeping the payload tie-break direction). Null when the
+        // range holds no right row (max ignores nulls).
+        val tailOrd =
+          if (forward)
+            struct((lit(0L) - micros).as("o"),
+              col("__graft_payload").as("p"))
+          else struct(micros.as("o"), col("__graft_payload").as("p"))
+        val rangeKeys = keys :+ "__graft_range"
+        val tails = bucketed
+          .groupBy(rangeKeys.map(col): _*)
+          .agg(max(when(col("__graft_side") === 0, tailOrd))
+            .as("__graft_tailord"))
+          .select(rangeKeys.map(col) :+
+            col("__graft_tailord.p").as("__graft_tail"): _*)
+        // Incoming carry per (keys, range): the tail of the nearest
+        // EARLIER range with a right row (nearest LATER when forward).
+        // One row per (keys, range) — a hot key with R ranges costs R
+        // rows here, not its full history.
+        val rangeOrder =
+          if (forward) col("__graft_range").desc_nulls_first
+          else col("__graft_range").asc_nulls_first
+        val wIn = Window.partitionBy(keys.map(col): _*)
+          .orderBy(rangeOrder)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val incoming = tails
+          .withColumn("__graft_incoming",
+            last(col("__graft_tail"), ignoreNulls = true).over(wIn))
+          .drop("__graft_tail")
+        // Left join (a null range — null left ts — matches nothing,
+        // so those rows keep a null incoming: join semantics). The
+        // in-range window partitions on the join keys, so the big
+        // side shuffles exactly once.
+        val w = Window.partitionBy(rangeKeys.map(col): _*)
+          .orderBy(tsOrder, col("__graft_side").asc,
+            col("__graft_payload").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bucketed.join(incoming, rangeKeys, "left")
+          .withColumn("__graft_asof",
+            coalesce(
+              last(col("__graft_payload"), ignoreNulls = true).over(w),
+              col("__graft_incoming")))
+          .filter(col("__graft_side") === 1)
+          .select(leftCols.map(col) ++
+            payload.map(c => col(s"__graft_asof.$c").as(c)): _*)
+    }
   }
 
   /** Interval-containment join: rows of `points` matched to every
@@ -124,31 +202,41 @@ object TemporalJoins {
   // ---- gate queries ----
 
   /** As-of gate: each purchase annotated with the user's most recent
-    * at-or-before click (click id + gap in whole seconds). Oracle is
-    * DuckDB's native ASOF LEFT JOIN. */
-  private def jAsofClick(s: SparkSession, d: String): DataFrame = {
+    * at-or-before click. Oracle is DuckDB's native ASOF LEFT JOIN.
+    * The right side dedups to one row per (user, ts) first — DuckDB
+    * leaves its ASOF tie-break unspecified, so the gate must be
+    * tie-insensitive by construction. Runs the SPLIT (skew-safe) path
+    * with 1-day ranges: the month-long events table gives each key
+    * ~30 ranges, so the oracle gates the boundary-carry logic. */
+  private def asofGateSides(s: SparkSession, d: String,
+      leftType: String, rightType: String, leftAs: String,
+      rightAs: String): (DataFrame, DataFrame) = {
     val ev = t(s, d, "events")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"),
-        col("event_id").as("purchase_id"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"),
-        col("event_id").as("click_id"))
-    asofJoin(purchases, clicks, Seq("user_id"), "ts", Seq("click_id"))
+    val l = ev.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("ts"), col("event_id").as(leftAs))
+    val r = ev.filter(col("event_type") === rightType)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as(rightAs))
+    (l, r)
+  }
+
+  private def jAsofClick(s: SparkSession, d: String,
+      split: Option[Long]): DataFrame = {
+    val (purchases, clicks) =
+      asofGateSides(s, d, "purchase", "click", "purchase_id", "click_id")
+    asofJoin(purchases, clicks, Seq("user_id"), "ts", Seq("click_id"),
+        splitRangeSeconds = split)
       .select(col("user_id"), col("purchase_id"), col("click_id"))
   }
 
   /** Forward as-of gate: each click annotated with the user's next
     * at-or-after purchase (conversion attribution, time-mirrored). */
-  private def jAsofForward(s: SparkSession, d: String): DataFrame = {
-    val ev = t(s, d, "events")
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"),
-        col("event_id").as("purchase_id"))
+  private def jAsofForward(s: SparkSession, d: String,
+      split: Option[Long]): DataFrame = {
+    val (clicks, purchases) =
+      asofGateSides(s, d, "click", "purchase", "click_id", "purchase_id")
     asofJoin(clicks, purchases, Seq("user_id"), "ts",
-        Seq("purchase_id"), forward = true)
+        Seq("purchase_id"), forward = true, splitRangeSeconds = split)
       .select(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
@@ -172,25 +260,35 @@ object TemporalJoins {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "j_asof_click" -> jAsofClick _,
-    "j_asof_forward" -> jAsofForward _,
+    "j_asof_click" ->
+      ((s, d) => jAsofClick(s, d, Some(86400L))),
+    "j_asof_forward" ->
+      ((s, d) => jAsofForward(s, d, Some(86400L))),
+    "j_asof_click_plain" -> ((s, d) => jAsofClick(s, d, None)),
+    "j_asof_forward_plain" -> ((s, d) => jAsofForward(s, d, None)),
     "j_range_bucket" -> jRangeBucket _)
 
+  private val asofClickSql =
+    """SELECT p.user_id, p.event_id AS purchase_id, c.click_id
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN
+         (SELECT user_id, ts, max(event_id) AS click_id FROM events
+          WHERE event_type = 'click' GROUP BY user_id, ts) c
+         ON p.user_id = c.user_id AND p.ts >= c.ts"""
+
+  private val asofForwardSql =
+    """SELECT c.user_id, c.event_id AS click_id, p.purchase_id
+       FROM (SELECT * FROM events WHERE event_type = 'click') c
+       ASOF LEFT JOIN
+         (SELECT user_id, ts, max(event_id) AS purchase_id FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+         ON c.user_id = p.user_id AND c.ts <= p.ts"""
+
   val oracle: Map[String, String] = Map(
-    "j_asof_click" ->
-      """SELECT p.user_id, p.event_id AS purchase_id,
-           c.event_id AS click_id
-         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-         ASOF LEFT JOIN
-           (SELECT * FROM events WHERE event_type = 'click') c
-           ON p.user_id = c.user_id AND p.ts >= c.ts""",
-    "j_asof_forward" ->
-      """SELECT c.user_id, c.event_id AS click_id,
-           p.event_id AS purchase_id
-         FROM (SELECT * FROM events WHERE event_type = 'click') c
-         ASOF LEFT JOIN
-           (SELECT * FROM events WHERE event_type = 'purchase') p
-           ON c.user_id = p.user_id AND c.ts <= p.ts""",
+    "j_asof_click" -> asofClickSql,
+    "j_asof_forward" -> asofForwardSql,
+    "j_asof_click_plain" -> asofClickSql,
+    "j_asof_forward_plain" -> asofForwardSql,
     "j_range_bucket" ->
       """SELECT s.event_id AS signup_id, s.user_id,
            count(*) AS n_clicks,

@@ -124,6 +124,105 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out(11L) == (("x", null)))
   }
 
+  // ---- hot-key pre-split path ----
+
+  test("split asofJoin == plain asofJoin on a hot key holding >50% of " +
+    "events, both directions, at several range widths") {
+    import spark.implicits._
+    // one key owns 60% of all rows — the plain window form puts its
+    // whole history on one task; the split path must not change the
+    // answer while spreading it over span/width tasks
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 3000).map { i =>
+      val k = if (i % 5 < 3) 1L else 1L + rnd.nextInt(40)
+      val t = rnd.nextLong() % (30L * 86400 * 1000000L)
+      val side = if (rnd.nextBoolean()) "l" else "r"
+      (k, math.abs(t), side, i.toLong)
+    }
+    val df = rows.toDF("k", "t", "side", "id")
+      .select(col("k"), timestamp_micros(col("t")).as("ts"),
+        col("side"), col("id"))
+    val left = df.filter(col("side") === "l").select(
+      col("k"), col("ts"), col("id").as("lid"))
+    val right = df.filter(col("side") === "r").select(
+      col("k"), col("ts"), col("id").as("rid"))
+    for (fwd <- Seq(false, true); width <- Seq(3600L, 86400L, 777L)) {
+      val plain = TemporalJoins.asofJoin(left, right, Seq("k"), "ts",
+        Seq("rid"), forward = fwd).select("lid", "rid")
+      val split = TemporalJoins.asofJoin(left, right, Seq("k"), "ts",
+        Seq("rid"), forward = fwd, splitRangeSeconds = Some(width))
+        .select("lid", "rid")
+      assert(split.count() == left.count())
+      assert(split.exceptAll(plain).isEmpty &&
+        plain.exceptAll(split).isEmpty,
+        s"split (forward=$fwd width=$width) diverges from plain")
+    }
+  }
+
+  test("split asofJoin: incoming carry crosses empty ranges; range-" +
+    "boundary and tie timestamps; null left ts matches nothing") {
+    import spark.implicits._
+    val us = 1000000L
+    // right rows only in bucket 0 (width 10s): left rows in buckets
+    // 3 and 7 must reach back across empty buckets; a left row at an
+    // exact bucket boundary (t=30s) must see the carry, not null
+    val right = Seq((1L, 5L * us, "r5"), (1L, 9L * us, "r9a"),
+        (1L, 9L * us, "r9b"))
+      .toDF("k", "t", "tag")
+      .select(col("k"), timestamp_micros(col("t")).as("ts"), col("tag"))
+    val left = Seq(
+        (1L, Some(9L * us), 1L),   // tie ts: sees a 9s row
+        (1L, Some(30L * us), 2L),  // exact boundary of bucket 3
+        (1L, Some(75L * us), 3L),  // bucket 7, far from any right row
+        (1L, Some(2L * us), 4L),   // before all right rows
+        (1L, Option.empty[Long], 5L)) // null ts
+      .toDF("k", "t", "lid")
+      .select(col("k"), timestamp_micros(col("t")).as("ts"), col("lid"))
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "ts",
+        Seq("tag"), splitRangeSeconds = Some(10L))
+      .select("lid", "tag").as[(Long, String)].collect().toMap
+    assert(out(1L) == "r9b") // tie-break: max payload, same as plain
+    assert(out(2L) == "r9b")
+    assert(out(3L) == "r9b")
+    assert(out(4L) == null) // t=2s precedes every right row
+    assert(out(5L) == null)
+    // forward mirror: left in bucket 0 reaches forward to bucket 4
+    val fright = Seq((1L, 45L * us, "f45a"), (1L, 45L * us, "f45b"),
+        (1L, 48L * us, "f48"))
+      .toDF("k", "t", "tag")
+      .select(col("k"), timestamp_micros(col("t")).as("ts"), col("tag"))
+    val fout = TemporalJoins.asofJoin(left, fright, Seq("k"), "ts",
+        Seq("tag"), forward = true, splitRangeSeconds = Some(10L))
+      .select("lid", "tag").as[(Long, String)].collect().toMap
+    assert(fout(1L) == "f45b") // earliest at-or-after, max payload tie
+    assert(fout(3L) == null)   // after all right rows
+    assert(fout(5L) == null)
+  }
+
+  test("split asofJoin plans ONE full-data shuffle, on (key, range)") {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("pid"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("cid"))
+    val plan = TemporalJoins.asofJoin(purchases, clicks, Seq("user_id"),
+        "ts", Seq("cid"), splitRangeSeconds = Some(86400L))
+      .queryExecution.executedPlan.toString
+    // the big-side window must partition by the range column (the
+    // split), and nothing may plan a nested loop
+    val rangeExchanges = plan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        l.contains("__graft_range")).size
+    assert(rangeExchanges >= 1,
+      s"split path lost its (key, range) partitioning:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
+    // shuffle budget: tails partial-agg (map-side combined), tails
+    // window on (key), join sides, main window — anything beyond 5
+    // exchanges means the plan grew an unplanned shuffle
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).size
+    assert(exchanges <= 5, s"$exchanges exchanges in split plan:\n$plan")
+  }
+
   test("bucketedRangeJoin == naive inequality join, at several widths") {
     val signups = events.filter(col("event_type") === "signup")
       .select(col("user_id"), col("event_id").as("signup_id"),
