@@ -100,9 +100,12 @@ object Warehouse {
     *
     * Each selected leaf is rewritten to its own byte-justified file
     * count, staged OUTSIDE the table root (a transient dir inside it
-    * would break concurrent partition inference), then swapped in via
-    * delete+rename, so untouched partitions never move. Returns the
-    * number of leaf directories rewritten. */
+    * would break concurrent partition inference), then swapped in by
+    * renaming the old leaf aside before renaming the staged dir in —
+    * a full copy of every partition exists at every instant, and a
+    * leftover staging dir from an interrupted run is refused, not
+    * clobbered. Untouched partitions never move. Returns the number
+    * of leaf directories rewritten. */
   def compactPartitions(spark: SparkSession, path: String,
       partitionCols: Seq[String],
       targetBytes: Long = 128L * 1024 * 1024,
@@ -110,8 +113,12 @@ object Warehouse {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
     require(targetBytes > 0, "targetBytes must be positive")
     import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rawRoot = new Path(path)
+    val fs = rawRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify BEFORE any prefix-stripping: listStatus returns fully
+    // qualified leaf paths, so a relative/unqualified `path` (the CLI
+    // passes one) would never strip and every valuesOf would be wrong
+    val root = fs.makeQualified(rawRoot)
 
     // walk the fixed-depth partition tree: depth = partitionCols.size
     def leaves(dir: Path, depth: Int): Seq[Path] =
@@ -135,7 +142,14 @@ object Warehouse {
       df.select(partitionCols.map(c =>
           org.apache.spark.sql.functions.col(c).cast("string")): _*)
         .distinct().collect()
-        .map(r => partitionCols.indices.map(i => r.getString(i)))
+        .map(r => partitionCols.indices.map { i =>
+          // a null partition value is encoded on disk as the Hive
+          // default-partition dir name; match it or null-keyed
+          // partitions silently never compact in scoped mode
+          Option(r.getString(i)).getOrElse(
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .DEFAULT_PARTITION_NAME)
+        })
         .toSet
     }
 
@@ -153,16 +167,30 @@ object Warehouse {
 
     if (toCompact.nonEmpty) {
       val staging = new Path(path + ".compact-staging")
-      if (fs.exists(staging)) fs.delete(staging, true)
+      // a non-empty staging dir means a previous run crashed mid-swap
+      // and may hold the ONLY copy of a partition (its leaf was
+      // renamed aside below) — deleting it here would make that loss
+      // permanent and silent. Refuse loudly; recovery is manual.
+      require(!fs.exists(staging) || fs.listStatus(staging).isEmpty,
+        s"compactPartitions: $staging exists from an interrupted run —" +
+          " inspect it (each <i>.old dir is a displaced partition; " +
+          "rename it back to its leaf), then delete the staging dir")
       toCompact.zipWithIndex.foreach { case ((leaf, needed), i) =>
         // read the leaf directly — its rows only, partition values
         // live in the path and are not part of the file schema
         val part = spark.read.parquet(leaf.toString).repartition(needed)
         val staged = new Path(staging, i.toString)
         part.write.parquet(staged.toString)
-        fs.delete(leaf, true)
+        // swap via rename-aside, never delete-then-rename: at every
+        // instant at least one full copy of the partition exists (the
+        // leaf, or <i>.old inside staging — which the guard above
+        // protects from the next run)
+        val aside = new Path(staging, i.toString + ".old")
+        require(fs.rename(leaf, aside),
+          s"compactPartitions: rename $leaf -> $aside failed")
         require(fs.rename(staged, leaf),
           s"compactPartitions: rename $staged -> $leaf failed")
+        fs.delete(aside, true)
       }
       fs.delete(staging, true)
     }

@@ -126,4 +126,79 @@ class WarehouseSpec extends AnyFunSuite {
     // second unscoped pass is a no-op: everything already at its floor
     assert(Warehouse.compactPartitions(spark, dir, Seq("sample")) == 0)
   }
+
+  test("compactPartitions: scoped mode works through a RELATIVE table " +
+    "path (listStatus returns qualified paths; the root must be " +
+    "qualified before prefix-stripping or the scope never matches)") {
+    import org.apache.spark.sql.functions._
+    val abs = java.nio.file.Files
+      .createTempDirectory("graft_compact_rel").resolve("t")
+    val df = graft.Tables.t(spark, TestSpark.sf0001, "lineitem")
+      .withColumn("sample", col("l_suppkey") % 2)
+    (1 to 3).foreach { _ =>
+      df.repartition(6).write.mode("append")
+        .partitionBy("sample").parquet(abs.toString)
+    }
+    val cwd = java.nio.file.Paths.get(
+      new java.io.File(".").getCanonicalPath)
+    val rel = cwd.relativize(abs).toString
+    assert(!rel.startsWith("/"))
+    val only = spark.range(1).select(col("id").as("sample"))
+    val n = Warehouse.compactPartitions(spark, rel, Seq("sample"),
+      onlyPartitions = Some(only))
+    assert(n == 1, s"scoped compaction through relative path: $n")
+    assert(spark.read.parquet(abs.toString).count() == df.count() * 3)
+  }
+
+  test("compactPartitions: null partition values compact in scoped " +
+    "mode (matched via the Hive default-partition dir name)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact_null").toString + "/t"
+    val df = graft.Tables.t(spark, TestSpark.sf0001, "lineitem")
+      .withColumn("sample",
+        when(col("l_suppkey") % 3 === 0, lit(null))
+          .otherwise(col("l_suppkey") % 3))
+    (1 to 3).foreach { _ =>
+      df.repartition(6).write.mode("append")
+        .partitionBy("sample").parquet(dir)
+    }
+    val nullDir = new org.apache.hadoop.fs.Path(
+      s"$dir/sample=__HIVE_DEFAULT_PARTITION__")
+    val fs = nullDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(nullDir), "fixture should have a null partition")
+    val before = fs.listStatus(nullDir).count(_.isFile)
+    assert(before > 1)
+    val only = spark.sql("SELECT CAST(NULL AS bigint) AS sample")
+    val n = Warehouse.compactPartitions(spark, dir, Seq("sample"),
+      onlyPartitions = Some(only))
+    assert(n == 1, "null-keyed partition skipped in scoped mode")
+    assert(fs.listStatus(nullDir).count(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet")) == 1)
+  }
+
+  test("compactPartitions refuses a leftover non-empty staging dir " +
+    "instead of deleting a possibly-displaced partition") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact_stale").toString + "/t"
+    val df = graft.Tables.t(spark, TestSpark.sf0001, "lineitem")
+      .withColumn("sample", col("l_suppkey") % 2)
+    (1 to 2).foreach { _ =>
+      df.repartition(4).write.mode("append")
+        .partitionBy("sample").parquet(dir)
+    }
+    val staging = new org.apache.hadoop.fs.Path(dir + ".compact-staging")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(staging, "0.old"))
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.compactPartitions(spark, dir, Seq("sample"))
+    }
+    assert(e.getMessage.contains("interrupted"))
+    // the displaced copy is still there — nothing deleted it
+    assert(fs.exists(new org.apache.hadoop.fs.Path(staging, "0.old")))
+    // recovery: clear staging, compaction proceeds
+    fs.delete(staging, true)
+    assert(Warehouse.compactPartitions(spark, dir, Seq("sample")) == 2)
+  }
 }
