@@ -262,7 +262,7 @@ object Dedup {
     graft.sim.Similarity.selfBucketPairs(embeddings, tables, bits, dim)
       .filter(col("cos_sim") >= minCos)
       .select(col("id_a").as("keep_id"), col("id_b").as("dup_id"),
-        col("cos_sim"))
+        round(col("cos_sim"), 6).as("cos_sim"))
 
   /** Connected components over a candidate-pair edge list — the
     * cluster-resolution step every near-dup pipeline needs after pair
@@ -443,14 +443,20 @@ object Dedup {
     dupClusters(docs, "doc_id", pairs, "doc_a", "doc_b")
   }
 
-  /** Embedding-cosine near-dup pairs over the embeddings table
-    * (hyperplane buckets are engine-specific → rows-only; pair recall
-    * and cosine exactness are asserted in SimilaritySpec/DedupSpec).
+  /** Embedding-cosine near-dup pairs over the embeddings table,
+    * FULL-oracle: DuckDB's all-pairs cosine join is the ground truth.
     * minCos 0.3: the synthetic gaussian embeddings have no planted
     * near-dups (max pairwise cosine ≈ 0.51), so the gate runs the
-    * production shape at a threshold the data can meet. */
+    * production shape at a threshold the data can meet. Gate params
+    * 32 tables × 2 bits: a threshold pair (cos = 0.3 ⇒ per-table
+    * collision ≈ 0.36) misses all 32 tables with p ≈ 8e-7, so recall
+    * on the fixed gate data is exactly 1.0 and the oracle can demand
+    * the complete pair set — while the engine still runs the bucketed
+    * self-join, never all-pairs. Production-default recall is
+    * asserted in DedupSpec. */
   private def dEmbedNearDup(s: SparkSession, d: String): DataFrame =
-    embeddingNearDups(t(s, d, "embeddings"), minCos = 0.3)
+    embeddingNearDups(t(s, d, "embeddings"), minCos = 0.3,
+      tables = 32, bits = 2)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> dExact _,
@@ -462,6 +468,14 @@ object Dedup {
     "d_embed_neardup" -> dEmbedNearDup _)
 
   val oracle: Map[String, String] = Map(
+    "d_embed_neardup" ->
+      """WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         FROM embeddings)
+         SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+           round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3""",
     "d_exact_dedup" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
          count(*) AS n_copies

@@ -143,32 +143,37 @@ object Similarity {
     * inverted lists; each query probes its `nprobe` nearest lists and
     * re-ranks only those vectors with the exact cosine.
     *
-    * Scale shape: centroids are `nlist` corpus rows picked by hash
-    * order (deterministic, no RNG state shipped, no driver collect —
-    * a TakeOrdered of nlist rows stays a DataFrame and broadcasts).
-    * List assignment costs one corpus pass × nlist broadcast dots —
+    * Scale shape: centroids SEED from `nlist` corpus rows picked by
+    * hash order (deterministic, no RNG state shipped, no driver
+    * collect — a TakeOrdered of nlist rows stays a DataFrame and
+    * broadcasts), then `lloydIters` k-means refinements run as
+    * DataFrame passes: assign each vector to its nearest centroid,
+    * recompute each list's element-wise mean, re-broadcast. Means
+    * aggregate in DECIMAL so the result is independent of summation
+    * order — a double avg would make the centroids (and so the
+    * bucketing) nondeterministic across partitionings. Without
+    * refinement a hash-ordered sample gives unbounded-bad recall on
+    * clustered data (a cluster with no sampled row leaks its vectors
+    * into foreign lists); with it, centroids converge onto the
+    * clusters and recall at fixed nprobe tracks cluster coverage.
+    * Each iteration costs one corpus pass × nlist broadcast dots —
     * the standard IVF build cost; the probe join is keyed by list id,
-    * so query fan-out is nprobe lists, not the corpus. Recall rises
-    * with nprobe/nlist; exactness within probed lists is exact. */
+    * so query fan-out is nprobe lists, not the corpus. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 6): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 6, lloydIters: Int = 2): DataFrame = {
     // nprobe/nlist bounds recall from below on structureless vectors
     // (synthetic gaussians ≈ no cluster locality: recall ≈ coverage);
-    // clustered real embeddings concentrate neighbors in the probed
-    // lists and do much better at the same nprobe
+    // clustered embeddings concentrate neighbors in the probed lists
+    // and do much better at the same nprobe — see SimilaritySpec's
+    // planted-cluster recall gate
     val prepared = corpus
       .select(col("vec_id").as("n_id"),
         asDouble(col("embedding")).as("n_emb"))
       .withColumn("n_norm", sqrt(dotD(col("n_emb"), col("n_emb"))))
-    val centroids = broadcast(prepared
-      .orderBy(xxhash64(col("n_id")), col("n_id"))
-      .limit(nlist)
-      .select(col("n_id").as("cid"), col("n_emb").as("c_emb"),
-        col("n_norm").as("c_norm")))
 
     // nearest-centroid ranks by cosine (ties → smaller cid)
-    def ranked(df: DataFrame, idC: String, embC: String,
-        normC: String): DataFrame = {
+    def ranked(df: DataFrame, centroids: DataFrame, idC: String,
+        embC: String, normC: String): DataFrame = {
       val w = Window.partitionBy(idC)
         .orderBy(col("c_sim").desc, col("cid").asc)
       df.crossJoin(centroids)
@@ -178,13 +183,40 @@ object Similarity {
         .drop("c_emb", "c_norm", "c_sim")
     }
 
-    val lists = ranked(prepared, "n_id", "n_emb", "n_norm")
+    val seed = broadcast(prepared
+      .orderBy(xxhash64(col("n_id")), col("n_id"))
+      .limit(nlist)
+      .select(col("n_id").as("cid"), col("n_emb").as("c_emb"),
+        col("n_norm").as("c_norm")))
+    val centroids = (1 to lloydIters).foldLeft(seed) { (cents, _) =>
+      val assigned = ranked(prepared, cents, "n_id", "n_emb", "n_norm")
+        .filter(col("c_rank") === 1)
+      val means = assigned
+        .select(col("cid"), posexplode(col("n_emb")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim")
+        // decimal(38,18) mean: exact addition → order-independent;
+        // embedding components are O(1) so 20 integer digits never
+        // overflow
+        .agg(avg(col("v").cast("decimal(38,18)")).cast("double").as("m"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("new_emb"))
+      // an emptied list keeps its previous centroid (left + coalesce)
+      // so nlist is stable and cid stays the seed row's id
+      broadcast(cents.join(means, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("new_emb"), col("c_emb")).as("c_emb"))
+        .withColumn("c_norm", sqrt(dotD(col("c_emb"), col("c_emb")))))
+    }
+
+    val lists = ranked(prepared, centroids, "n_id", "n_emb", "n_norm")
       .filter(col("c_rank") === 1).drop("c_rank")
     val q = queries.select(col("vec_id").as("q_id"),
         asDouble(col("embedding")).as("q_emb"))
       .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb"))))
     val probes = broadcast(
-      ranked(q, "q_id", "q_emb", "q_norm")
+      ranked(q, centroids, "q_id", "q_emb", "q_norm")
         .filter(col("c_rank") <= nprobe).drop("c_rank"))
 
     val w = Window.partitionBy("q_id")
@@ -223,7 +255,9 @@ object Similarity {
       .withColumn("sim",
         dotD(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .groupBy("id_a", "id_b")
-      .agg(round(max(col("sim")), 6).as("cos_sim"))
+      // unrounded: callers threshold on the exact cosine (matching an
+      // oracle that filters unrounded values) and round for output
+      .agg(max(col("sim")).as("cos_sim"))
   }
 
   // ---- gate queries ----
@@ -235,15 +269,33 @@ object Similarity {
   private def xAnnBrute(s: SparkSession, d: String): DataFrame =
     bruteForceTopK(queriesSide(s, d), t(s, d, "embeddings"), 3)
 
-  /** LSH variant (engine-specific hashing of plane seeds → rows-only;
-    * recall vs brute force asserted in ScalaTest). */
+  /** LSH variant, FULL-oracle: at 16 tables × 2 bits the collision
+    * probability of a top-3 neighbor (cos ≈ 0.45 ⇒ per-table ≈ 0.43)
+    * gives a miss probability ≈ 1e-4 per pair — empirically recall is
+    * exactly 1.0 on the fixed gate data, so DuckDB's brute-force SQL
+    * is a valid oracle while the engine still runs the real bucketed
+    * join (the plan never goes all-pairs). Production-default recall
+    * floors are asserted separately in SimilaritySpec. */
   private def xAnnLsh(s: SparkSession, d: String): DataFrame =
-    lshTopK(queriesSide(s, d), t(s, d, "embeddings"), 3)
+    lshTopK(queriesSide(s, d), t(s, d, "embeddings"), 3,
+      tables = 16, bits = 2)
 
-  /** IVF variant (centroid seeding engine-specific → rows-only;
-    * recall vs brute force asserted in ScalaTest). */
+  /** IVF variant at production params (centroid seeding + Lloyd
+    * refinement engine-specific → rows-only; recall vs brute force,
+    * planted-cluster recall, and partition-determinism asserted in
+    * SimilaritySpec). */
   private def xAnnIvf(s: SparkSession, d: String): DataFrame =
     ivfTopK(queriesSide(s, d), t(s, d, "embeddings"), 3)
+
+  /** IVF machinery-exactness gate, FULL-oracle: probing every list
+    * (nprobe = nlist) must recover brute force exactly — this proves
+    * the partition into inverted lists loses no vector, the probe
+    * join fans out correctly, and the re-rank is exact, independent
+    * of where Lloyd puts the centroids. The recall-at-nprobe<nlist
+    * half lives in SimilaritySpec's planted-cluster gate. */
+  private def xAnnIvfFull(s: SparkSession, d: String): DataFrame =
+    ivfTopK(queriesSide(s, d), t(s, d, "embeddings"), 3,
+      nlist = 16, nprobe = 16)
 
   /** kNN label vote: majority label of the 5 nearest neighbors,
     * ties → smallest label (deterministic). */
@@ -284,10 +336,30 @@ object Similarity {
     "x_ann_brute" -> xAnnBrute _,
     "x_ann_lsh" -> xAnnLsh _,
     "x_ann_ivf" -> xAnnIvf _,
+    "x_ann_ivf_full" -> xAnnIvfFull _,
     "x_knn_label" -> xKnnLabel _,
     "x_centroid" -> xCentroid _)
 
+  /** Brute-force top-3 in DuckDB — the oracle for every ANN gate that
+    * achieves exact recall on the gate data (see xAnnLsh/xAnnIvfFull). */
+  private val bruteTop3Sql =
+    """WITH q AS (SELECT vec_id AS q_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+       FROM embeddings WHERE vec_id < 10),
+       scored AS (
+         SELECT q.q_id, c.vec_id AS n_id,
+           list_cosine_similarity(q.q_emb,
+             list_transform(c.embedding, x -> CAST(x AS DOUBLE))) AS sim
+         FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.q_id)
+       SELECT q_id, CAST(rn AS INT) AS rank, n_id,
+         round(sim, 4) AS cos_sim
+       FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         ORDER BY round(sim, 6) DESC, n_id ASC) AS rn FROM scored) x
+       WHERE rn <= 3"""
+
   val oracle: Map[String, String] = Map(
+    "x_ann_lsh" -> bruteTop3Sql,
+    "x_ann_ivf_full" -> bruteTop3Sql,
     "x_ann_brute" ->
       """WITH q AS (SELECT vec_id AS q_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb

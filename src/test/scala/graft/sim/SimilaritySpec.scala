@@ -65,6 +65,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == brute, "nprobe=nlist must equal brute force")
   }
 
+  test("Lloyd-refined IVF: recall@3 ≥ 0.9 at nprobe=6 on a planted-" +
+    "cluster corpus (hash-sampled seeds alone would miss clusters)") {
+    // 40 well-separated clusters in 64d: center c has +8.0 in dims
+    // (2c, 2c+1); members jitter deterministically. nlist=16 < 40
+    // clusters means seeds CANNOT cover clusters 1:1 — recall relies
+    // on Lloyd pulling centroids onto cluster mass
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 800L).map { id =>
+      val c = (id % 40).toInt
+      val emb = Array.fill(64)(rnd.nextGaussian().toFloat * 0.05f)
+      emb((2 * c) % 64) += 8.0f
+      emb((2 * c + 1) % 64) += 8.0f
+      (id, c, emb)
+    }
+    val corpus = vecs.toDF("vec_id", "label", "embedding")
+    val queries = corpus.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(queries, corpus, 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, corpus, 3,
+        nlist = 16, nprobe = 6, lloydIters = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"planted-cluster IVF recall@3: $recall")
+  }
+
+  test("Lloyd refinement is deterministic across partitionings " +
+    "(decimal means): 1-partition corpus == 32-partition corpus") {
+    val corpus = t(spark, TestSpark.sf0001, "embeddings")
+    val queries = corpus.filter(col("vec_id") < 10)
+    val a = Similarity.ivfTopK(queries, corpus.repartition(1), 3)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.ivfTopK(queries, corpus.repartition(32), 3)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "IVF result depends on partitioning")
+  }
+
   test("kNN vote label comes from the embedding table's label domain") {
     val labels = t(spark, TestSpark.sf0001, "embeddings")
       .select("label").distinct().as[Int].collect().toSet
