@@ -296,16 +296,26 @@ object Dedup {
     * cluster without ever entering the loop; callers that stage the
     * result to the warehouse may `unpersist()` the final state after.
     * On a multi-executor cluster, recovery of an evicted round walks
-    * the truncated-RDD chain — long-running jobs there should add a
-    * reliable `checkpoint()` every ~10 rounds; at the bounded round
-    * counts this converges in, the cache suffices. Throws if `maxIter`
+    * the truncated-RDD chain — pass `checkpointEvery = Some(n)` to cut
+    * that chain with a reliable `checkpoint()` every n rounds (the
+    * session's checkpoint dir must be set; on a real cluster that is
+    * HDFS/S3, so an executor loss replays at most n-1 rounds instead
+    * of the whole loop). At the bounded round counts local runs
+    * converge in, the cache suffices (None). Throws if `maxIter`
     * rounds don't converge — a silent partial clustering would
     * under-deduplicate. */
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      checkpointEvery: Option[Int] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = nodes.sparkSession
+    checkpointEvery.foreach { n =>
+      require(n > 0, s"checkpointEvery must be > 0: $n")
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        "checkpointEvery requires sparkContext.setCheckpointDir " +
+          "(reliable checkpoints need a cluster-visible directory)")
+    }
     def truncated(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
     val sym = truncated(
@@ -326,13 +336,7 @@ object Dedup {
     // strictly decreases iff any row changed — one cheap aggregation
     // per round instead of a next⋈prev comparison join, and it still
     // materializes `next` so the previous round can be released.
-    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(
-          org.apache.spark.sql.functions.sum(
-            col("label").cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO)).as("s"))
-        .head.getDecimal(0)
-    var prevSum = labelSum(labels)
+    var prevSum = Dedup.labelSum(labels)
     var changed = true
     var it = 0
     while (changed && it < maxIter) {
@@ -346,7 +350,7 @@ object Dedup {
       // with the invariant label(x) ≤ x, so the lookup only improves;
       // least+coalesce keeps the candidate when the label node has no
       // entry (never happens when labels ⊆ nodes, but stays total).
-      val next = truncated(cand.as("c")
+      val jumped = truncated(cand.as("c")
           .join(prev.select(col("id").as("lid"),
             col("label").as("llabel")),
             col("c.label") === col("lid"), "left")
@@ -354,7 +358,16 @@ object Dedup {
             least(col("c.label"),
               coalesce(col("llabel"), col("c.label"))).as("label")))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSum = labelSum(next)
+      // reliable checkpoint every n rounds: cuts the truncated-RDD
+      // recovery chain so an executor loss replays ≤ n-1 rounds
+      val next = checkpointEvery match {
+        case Some(n) if (it + 1) % n == 0 =>
+          val cp = jumped.checkpoint()
+          jumped.unpersist()
+          cp
+        case _ => jumped
+      }
+      val nextSum = Dedup.labelSum(next)
       changed = nextSum.compareTo(prevSum) != 0
       prevSum = nextSum
       prev.unpersist()
@@ -371,6 +384,30 @@ object Dedup {
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
+  /** Exact decimal sum of the `label` column — the CC convergence
+    * metric. Empty input sums to 0; a NULL sum on non-empty input is
+    * decimal(38,0) OVERFLOW and must fail loudly: silently coalescing
+    * it to 0 would let two overflowed rounds in a row compare equal
+    * and report a convergence that never happened. (Overflow needs a
+    * label sum > 10^38 — ~10^19 max-long ids — so this is a guard, not
+    * an expected path.) */
+  private[dedup] def labelSum(
+      df: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
+    val r = df.agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          col("label").cast("decimal(38,0)")).as("s"))
+      .head
+    if (r.getLong(0) == 0L) java.math.BigDecimal.ZERO
+    else {
+      require(r.getDecimal(1) != null,
+        "connectedComponents: label sum overflowed decimal(38,0) — " +
+          "convergence cannot be decided by sum; reduce id magnitude " +
+          "or densify ids first")
+      r.getDecimal(1)
+    }
+  }
+
   /** End-to-end duplicate-cluster resolution: candidate pairs →
     * connected components → per-document (cluster_id, is_canonical)
     * with the cluster minimum as the deterministic survivor. Feed it
@@ -378,8 +415,10 @@ object Dedup {
     * embeddingNearDups) — the output is the keep/drop verdict a
     * training-data dedup actually applies. */
   def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-      aCol: String, bCol: String, maxIter: Int = 20): DataFrame =
-    connectedComponents(docs, idCol, pairs, aCol, bCol, maxIter)
+      aCol: String, bCol: String, maxIter: Int = 20,
+      checkpointEvery: Option[Int] = None): DataFrame =
+    connectedComponents(docs, idCol, pairs, aCol, bCol, maxIter,
+      checkpointEvery)
       .select(col("id").as(idCol), col("label").as("cluster_id"),
         (col("id") === col("label")).as("is_canonical"))
 

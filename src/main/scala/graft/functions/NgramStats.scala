@@ -42,8 +42,10 @@ case class NgramStats(child: Expression, n: Int)
     // cap the initial table: repetitive documents (the ones this
     // signal targets) have few distinct grams, and a giant up-front
     // allocation per row is pure GC pressure at corpus scale
+    // min BEFORE doubling: `total * 2` overflows Int past 2^30 tokens
+    // (a ~1B-token row), and HashMap throws on a negative capacity
     val counts = new java.util.HashMap[UTF8String, Int](
-      math.min(total * 2, 1 << 16))
+      math.min(total, 1 << 15) * 2)
     val space = UTF8String.fromString(" ")
     var best = 0
     var i = 0

@@ -199,4 +199,62 @@ class DedupSpec extends AnyFunSuite {
         "doc_a", "doc_b", maxIter = 2)
     }
   }
+
+  test("connected components: checkpointEvery cuts the lineage chain " +
+    "and leaves the clustering unchanged") {
+    val sc = spark.sparkContext
+    val prevDir = sc.getCheckpointDir
+    // without a checkpoint dir the option must refuse, not NPE later
+    if (prevDir.isEmpty) {
+      intercept[IllegalArgumentException] {
+        Dedup.connectedComponents((0L to 3L).toDF("doc_id"),
+          "doc_id", Seq((0L, 1L)).toDF("doc_a", "doc_b"),
+          "doc_a", "doc_b", checkpointEvery = Some(2))
+      }
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cc_ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      // a diameter-9 chain needs several rounds → the every-2 path
+      // actually checkpoints mid-loop
+      val nodes = (0L to 20L).toDF("doc_id")
+      val chain = (0L to 8L).map(i => (i, i + 1)) ++
+        Seq((15L, 16L), (17L, 16L))
+      val pairs = chain.toDF("doc_a", "doc_b")
+      val plain = Dedup.connectedComponents(nodes, "doc_id", pairs,
+        "doc_a", "doc_b").collect().map(_.toSeq).toSet
+      val ckpt = Dedup.connectedComponents(nodes, "doc_id", pairs,
+        "doc_a", "doc_b", checkpointEvery = Some(2))
+        .collect().map(_.toSeq).toSet
+      assert(ckpt == plain)
+      // the checkpoint actually wrote something
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, "no checkpoint written")
+    } finally {
+      prevDir.foreach(sc.setCheckpointDir)
+    }
+  }
+
+  test("labelSum: empty input is 0; decimal overflow on non-empty " +
+    "input fails loudly instead of masquerading as convergence") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("label", DecimalType(38, 0))))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    assert(Dedup.labelSum(empty).compareTo(
+      java.math.BigDecimal.ZERO) == 0)
+    val big = new java.math.BigDecimal("9" * 38)
+    val rows = spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(big), org.apache.spark.sql.Row(big)))
+    val overflowing = spark.createDataFrame(rows, schema)
+    // ANSI sessions throw at the Sum itself; non-ANSI sessions return
+    // null, which the guard converts to IllegalArgumentException —
+    // either way the overflow is LOUD, never a silent 0
+    val e = intercept[Exception] { Dedup.labelSum(overflowing) }
+    val msg = e.getMessage.toLowerCase
+    assert(msg.contains("overflow") || msg.contains("out_of_range"),
+      s"unexpected failure shape: $msg")
+  }
 }
