@@ -41,6 +41,7 @@ object SparkEntry {
       ingest.Overrides.queries ++
       io.SourceQueries.queries ++
       io.WarehouseIngest.queries ++
+      io.CatalogIngest.queries ++
       streaming.Streams.queries ++
       multimodal.Multimodal.queries
 
@@ -66,6 +67,7 @@ object SparkEntry {
       ingest.Overrides.oracle ++
       io.SourceQueries.oracle ++
       io.WarehouseIngest.oracle ++
+      io.CatalogIngest.oracle ++
       streaming.Streams.oracle ++
       multimodal.Multimodal.oracle
 }
