@@ -827,7 +827,11 @@ object WarehouseIngest {
       Readers.parseSeparated(
         Readers.skipLines(lines(s, Fixtures.rpkm), 4), rpkmBodySchema)
         .filter(col("gene_header") =!= "#Name")
-        .withColumn("file", lit("samp_9.rpkm")),
+        // non-foldable constant (production uses input_file_name):
+        // a literal file name is optimizer-eliminated from the TPM
+        // window's partition spec → single-partition warning
+        .withColumn("file",
+          concat(lit("samp_9.rpkm"), substring(col("gene_header"), 0, 0))),
       "samp_9")
 
   private def sUnirefIndex(s: SparkSession, d: String): DataFrame =

@@ -20,6 +20,7 @@ class SparkEntrySpec extends AnyFunSuite {
     dedup.Dedup.queries.size, sim.Similarity.queries.size,
     ingest.Overrides.queries.size,
     io.SourceQueries.queries.size, io.WarehouseIngest.queries.size,
+    io.CatalogIngest.queries.size,
     streaming.Streams.queries.size,
     multimodal.Multimodal.queries.size)
 

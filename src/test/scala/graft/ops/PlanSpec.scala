@@ -119,14 +119,47 @@ class PlanSpec extends AnyFunSuite {
       s"curation pipeline re-shuffles:\n${p.take(3000)}")
   }
 
-  test("asof join: exactly one data shuffle (the union window)") {
+  test("asof join (plain path): exactly one data shuffle (the union " +
+    "window)") {
     // the whole point of the union reformulation: both sides shuffle
     // ONCE on the key for the window; no join exchange, no cross
-    // product appears anywhere
-    val p = plan("j_asof_click")
-    assert(countOf(p, "Exchange hashpartitioning") <= 1,
+    // product appears anywhere. (The split path's shuffle budget is
+    // gated in TemporalJoinsSpec.) The gate adds one more exchange for
+    // its tie-insensitive right-side (key, ts) dedup — so: exactly one
+    // exchange keyed on user_id alone (the window), ≤2 total.
+    val p = plan("j_asof_click_plain")
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
       s"asof join re-shuffles:\n${p.take(3000)}")
+    val windowExchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning(user_id") &&
+        !l.contains(", ts")).size
+    assert(windowExchanges == 1,
+      s"expected ONE window shuffle on user_id:\n${p.take(3000)}")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("salted join: small side fans out per salt, join keys on " +
+    "(key, __salt), no shuffle added to the big side beyond the join") {
+    val p = plan("j_salted_skew")
+    // the fan-out is a Generate(explode) over the salt sequence
+    assert(p.contains("Generate explode"),
+      s"salted join lost its fan-out:\n${p.take(3000)}")
+    // the join must key on the salt column too — that IS the skew
+    // spreading; a plan that drops __salt re-concentrates the hot key
+    assert(p.contains("__salt"),
+      s"salted join keys lost __salt:\n${p.take(3000)}")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("bloom incremental: probe side filters BEFORE the exact " +
+    "anti-join; no broadcast of the full existing key set") {
+    val p = plan("j5b_bloom_incremental")
+    // the UDF probe must appear as a plain Filter on the incoming
+    // scan — the candidates entering the anti-join are pre-thinned
+    assert(p.contains("Filter"), p.take(2000))
+    // the exact recheck is an ANTI join (left_anti semantics survive)
+    assert(p.toLowerCase.contains("anti"),
+      s"bloom path lost its exact anti-join recheck:\n${p.take(3000)}")
   }
 
   test("repetition signals are pure per-row: zero exchanges") {
