@@ -575,6 +575,19 @@ object WarehouseIngest {
     ("samp_447", "unmapped", 45.4, 0.0, 0.0, 0L, 0.0, 0L, 0L, 0.0,
       0.0, 0.0))
 
+  private[io] val contigAbundHeader: Seq[String] = Seq("Sample",
+    "Contig", "Mean", "Trimmed Mean", "Covered Bases", "Variance",
+    "Length", "Read Count", "Reads per base", "RPKM", "TPM")
+
+  private[io] val contigAbundRows: Seq[(String, String, Double, Double,
+      Long, Double, Long, Long, Double, Double, Double)] = Seq(
+    ("samp_447", "samp_447_1", 18.2, 17.9, 52100L, 4.1, 52500L,
+      9100L, 0.173, 912.4, 118000.0),
+    ("samp_447", "samp_447_2", 5.5, 5.2, 17800L, 1.9, 18000L,
+      1200L, 0.067, 410.2, 53000.0),
+    ("samp_447", "samp_447_9", 0.0, 0.0, 0L, 0.0, 9000L, 0L, 0.0,
+      0.0, 0.0))
+
   private[io] val contigBlastText: String = Seq(
     "c_1\tguanitoxin_ref\t98.50\t850\t10\t2\t100\t949\t1\t850\t1.2e-200\t1560.0",
     "c_2\tguanitoxin_ref\t76.20\t400\t90\t5\t10\t409\t30\t429\t3.5e-60\t240.5",
@@ -845,6 +858,14 @@ object WarehouseIngest {
     binAbundIngest(raw, "samp_447")
   }
 
+  private def sContigAbund(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.option("sep", "\t").option("header", "true")
+      .csv(lines(s, (contigAbundHeader.mkString("\t") +:
+        contigAbundRows.map(_.productIterator.mkString("\t")))
+        .mkString("\n")))
+    contigAbundIngest(raw, "samp_447")
+  }
+
   private def sContigBlast(s: SparkSession, d: String): DataFrame =
     parseContigBlast(lines(s, contigBlastText), "samp_2233",
       "guanitoxin")
@@ -866,6 +887,7 @@ object WarehouseIngest {
     "s_gene_abund" -> sGeneAbund _,
     "s_uniref_index" -> sUnirefIndex _,
     "s_bin_abund" -> sBinAbund _,
+    "s_contig_abund" -> sContigAbund _,
     "s_contig_blast" -> sContigBlast _,
     "s_kraken_report" -> sKrakenReport _,
     "s_lca_summary" -> sLcaSummary _,
@@ -1150,6 +1172,26 @@ object WarehouseIngest {
      FROM w"""
   }
 
+  private def contigAbundOracle: String = {
+    val vals = contigAbundRows.map { r =>
+      s"(${lit1(r._1)}, ${lit1(r._2)}, ${r._3}, ${r._4}, ${r._5}, " +
+        s"${r._6}, ${r._7}, ${r._8}, ${r._9}, ${r._10}, ${r._11})"
+    }.mkString(", ")
+    s"""WITH w(coverm_sample, contig, mean_depth, trimmed_mean_depth,
+       covered_bases, variance, length, read_count, reads_per_base,
+       rpkm, tpm) AS (VALUES $vals)
+     SELECT 'samp_447' AS sample, contig,
+       CAST(mean_depth AS DOUBLE) AS mean_depth,
+       CAST(trimmed_mean_depth AS DOUBLE) AS trimmed_mean_depth,
+       CAST(covered_bases AS BIGINT) AS covered_bases,
+       CAST(variance AS DOUBLE) AS variance,
+       CAST(length AS BIGINT) AS length,
+       CAST(read_count AS BIGINT) AS read_count,
+       CAST(reads_per_base AS DOUBLE) AS reads_per_base,
+       CAST(rpkm AS DOUBLE) AS rpkm, CAST(tpm AS DOUBLE) AS tpm
+     FROM w"""
+  }
+
   private def contigBlastOracle: String = {
     val vals = contigBlastText.split("\n").map(lit1)
       .map(l => s"($l)").mkString(", ")
@@ -1233,6 +1275,7 @@ object WarehouseIngest {
     "s_gene_abund" -> geneAbundOracle,
     "s_uniref_index" -> unirefIndexOracle,
     "s_bin_abund" -> binAbundOracle,
+    "s_contig_abund" -> contigAbundOracle,
     "s_contig_blast" -> contigBlastOracle,
     "s_kraken_report" -> krakenReportOracle,
     "s_lca_summary" -> lcaSummaryOracle,

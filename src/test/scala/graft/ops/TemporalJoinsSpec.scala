@@ -199,6 +199,37 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(fout(5L) == null)
   }
 
+  test("split asofJoin: composite keys + multi-column payload match " +
+    "the plain path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val right = (1 to 400).map { i =>
+      (rnd.nextInt(3).toLong, if (rnd.nextBoolean()) "x" else "y",
+        math.abs(rnd.nextLong() % (5L * 86400 * 1000000L)),
+        i.toLong, s"p$i")
+    }.toDF("k1", "k2", "t", "rid", "tag")
+      .select(col("k1"), col("k2"),
+        timestamp_micros(col("t")).as("ts"), col("rid"), col("tag"))
+    val left = (1 to 300).map { i =>
+      (rnd.nextInt(3).toLong, if (rnd.nextBoolean()) "x" else "y",
+        math.abs(rnd.nextLong() % (5L * 86400 * 1000000L)), i.toLong)
+    }.toDF("k1", "k2", "t", "lid")
+      .select(col("k1"), col("k2"),
+        timestamp_micros(col("t")).as("ts"), col("lid"))
+    for (fwd <- Seq(false, true)) {
+      val plain = TemporalJoins.asofJoin(left, right, Seq("k1", "k2"),
+        "ts", Seq("rid", "tag"), forward = fwd)
+        .select("lid", "rid", "tag")
+      val split = TemporalJoins.asofJoin(left, right, Seq("k1", "k2"),
+        "ts", Seq("rid", "tag"), forward = fwd,
+        splitRangeSeconds = Some(3600L))
+        .select("lid", "rid", "tag")
+      assert(split.exceptAll(plain).isEmpty &&
+        plain.exceptAll(split).isEmpty,
+        s"composite-key split (forward=$fwd) diverges from plain")
+    }
+  }
+
   test("split asofJoin plans ONE full-data shuffle, on (key, range)") {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("pid"))
