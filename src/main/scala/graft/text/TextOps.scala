@@ -292,6 +292,144 @@ object TextOps {
       regexp_count(col("text"), lit("[^\\w\\s]")).cast("int")
         .as("n_punct"))
 
+  /** Distinct token n-grams via the native expression (one JVM loop
+    * per row — see `graft.functions.TokenNgrams`). Local twin of
+    * `Dedup.tokenNgrams` so the text package stays dedup-independent. */
+  private def tokenNgrams(tok: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.TokenNgrams(
+      GraftColumnBridge.expression(tok), n))
+  }
+
+  // ---- PII scrub (the C4/Dolma redaction pass) ----
+
+  /** PII patterns shared by the Spark scrub and the DuckDB oracle —
+    * plain character classes only (no lookaround/backrefs) so Java
+    * regex and RE2 agree match-for-match. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails, then phones, then IPv4 addresses with sentinel
+    * tokens. The order is part of the contract (a fixed cascade means
+    * the scrub composes deterministically across engines); each pass is
+    * a codegen'd regexp_replace, so the whole scrub runs at scan
+    * speed with zero shuffles. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipv4Re, "<IP>")
+
+  /** Match counts per PII class (pre-scrub), for audit columns. */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(emailRe)).cast("int").as("n_emails"),
+    regexp_count(text, lit(phoneRe)).cast("int").as("n_phones"),
+    regexp_count(text, lit(ipv4Re)).cast("int").as("n_ips"))
+
+  /** Gate fixture: plant deterministic PII on a doc_id-keyed subset so
+    * the scrub has real work (the synthetic corpus itself is clean).
+    * Both engines build the identical augmented string. */
+  private def piiAugmented: Column = concat(
+    col("text"),
+    when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(lit(" reach doc"), col("doc_id").cast("string"),
+        lit("@mail.example.com"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit(" call 555-867-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      concat(lit(" from 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit(".1")))
+      .otherwise(lit("")))
+
+  /** tx pii scrub: per-class counts + redacted text over the
+    * PII-augmented documents table. */
+  private def txPiiScrub(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), piiAugmented.as("aug"))
+      .select(col("doc_id") +: piiCounts(col("aug")) :+
+        piiScrub(col("aug")).as("scrubbed"): _*)
+
+  // ---- corpus-duplicated n-gram fraction (cross-doc repetition) ----
+
+  /** Fraction of a document's distinct token n-grams that appear in at
+    * least one OTHER document — the corpus-level repetition signal
+    * (boilerplate, templates, near-dup residue) that per-row
+    * `repetitionSignals` cannot see. Per-doc grams are distinct (native
+    * `TokenNgrams`), so a gram's corpus count IS its document
+    * frequency. Plan shape: the df aggregate combines map-side, so the
+    * build side carries only distinct grams; at gate scale it
+    * broadcasts (the corpus side never shuffles for the join — gated in
+    * PlanSpec) and past broadcast size AQE plans a sort-merge join with
+    * skew splitting. Deliberately NOT a count-over-window on the gram
+    * key: a per-gram sort stragglers on boilerplate grams (one hot
+    * gram's rows all sort in one task), the exact hot-key class the
+    * asof split exists for — the aggregate+join form lets AQE split
+    * skewed grams instead. */
+  def corpusDupNgramFrac(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(tokenNgrams(tokens(col(textCol)), n)).as("gram"))
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("gram_docs"))
+    val per = grams.join(df, Seq("gram"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("int").as("n_grams"),
+        sum(when(col("gram_docs") > 1, 1).otherwise(0)).cast("int")
+          .as("n_dup"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0)).as("n_dup"),
+        when(coalesce(col("n_grams"), lit(0)) > 0,
+          round(col("n_dup").cast("double") / col("n_grams"), 4))
+          .as("dup_gram_frac"))
+  }
+
+  /** tx dup-ngram fraction: corpus-duplicated 5-gram share per doc. */
+  private def txDupNgramFrac(s: SparkSession, d: String): DataFrame =
+    corpusDupNgramFrac(t(s, d, "documents"), "doc_id", "text")
+
+  // ---- benchmark decontamination (eval-set n-gram overlap) ----
+
+  /** Eval-set snippets for the decontamination gate — fixed literals,
+    * embedded identically in the DuckDB oracle. The first two carry
+    * 5-grams that occur in the synthetic corpus (so the gate exercises
+    * real hits); the third shares none. */
+  val evalSnippets: Seq[String] = Seq(
+    "key row value query filter part merge table join row",
+    "value column batch the table data row slow slow key",
+    "guanitoxin photic zone phosphonate cyanobacteria bloom depth")
+
+  /** Flag documents sharing any token n-gram with an eval set — the
+    * train/test decontamination pass of a corpus build. The eval gram
+    * set is tiny by construction (benchmarks, not corpora), so the
+    * probe is a broadcast join: the 100 TB side never shuffles, hit
+    * counts combine map-side, and only the (rare) hit rows reach the
+    * doc-keyed aggregate. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      evalTexts: Seq[String], n: Int = 5): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val evalGrams = broadcast(evalTexts.toDF("etext")
+      .select(explode(tokenNgrams(tokens(col("etext")), n)).as("gram"))
+      .distinct())
+    val hits = docs.select(col(idCol),
+        explode(tokenNgrams(tokens(col(textCol)), n)).as("gram"))
+      .join(evalGrams, Seq("gram"))
+      .groupBy(idCol).agg(count(lit(1)).cast("int").as("n_hit_grams"))
+    docs.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hit_grams"), lit(0)).as("n_hit_grams"),
+        (coalesce(col("n_hit_grams"), lit(0)) > 0).as("contaminated"))
+  }
+
+  /** tx decontam: eval-overlap flags over the documents table. */
+  private def txDecontam(s: SparkSession, d: String): DataFrame =
+    decontaminate(t(s, d, "documents"), "doc_id", "text", evalSnippets)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_bpe_tokens" -> txBpeTokens _,
     "tx_token_stats" -> txTokenStats _,
@@ -303,7 +441,10 @@ object TextOps {
     "tx_corpus_curate" -> txCorpusCurate _,
     "tx_stratified_sample" -> txStratifiedSample _,
     "tx_repetition" -> txRepetition _,
-    "tx_token_budget_mix" -> txTokenBudgetMix _)
+    "tx_token_budget_mix" -> txTokenBudgetMix _,
+    "tx_pii_scrub" -> txPiiScrub _,
+    "tx_dup_ngram_frac" -> txDupNgramFrac _,
+    "tx_decontam" -> txDecontam _)
 
   private def langidOracle: String = {
     val vals = stopwords.toSeq.sortBy(_._1)
@@ -330,8 +471,79 @@ object TextOps {
      LEFT JOIN (SELECT * FROM w WHERE rn = 1) w USING (doc_id)"""
   }
 
+  /** DuckDB fragment mirroring `TokenNgrams` (distinct token n-grams
+    * of a token-list expression). */
+  private def duckGrams(tokExpr: String, n: Int): String =
+    s"list_distinct(list_transform(" +
+      s"range(1, greatest(1, len($tokExpr) - ${n - 2})), " +
+      s"i -> array_to_string($tokExpr[i:i+${n - 1}], ' ')))"
+
+  private def piiOracle: String =
+    s"""WITH aug AS (
+       SELECT doc_id, text ||
+         CASE WHEN doc_id % 2 = 0 THEN ' reach doc' ||
+           CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+         CASE WHEN doc_id % 3 = 0 THEN ' call 555-867-' ||
+           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' ||
+           CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END AS aug
+       FROM documents)
+     SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '$emailRe')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '$phoneRe')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(aug, '$ipv4Re')) AS INT) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(aug,
+         '$emailRe', '<EMAIL>', 'g'),
+         '$phoneRe', '<PHONE>', 'g'),
+         '$ipv4Re', '<IP>', 'g') AS scrubbed
+     FROM aug"""
+
+  private def dupNgramOracle: String = {
+    val g = duckGrams("tok", 5)
+    s"""WITH tk AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+         FROM documents),
+       g AS (SELECT doc_id, unnest($g) AS gram FROM tk),
+       df AS (SELECT gram, count(*) AS gram_docs FROM g GROUP BY gram),
+       per AS (
+         SELECT g.doc_id, CAST(count(*) AS INT) AS n_grams,
+           CAST(sum(CASE WHEN df.gram_docs > 1 THEN 1 ELSE 0 END) AS INT)
+             AS n_dup
+         FROM g JOIN df USING (gram) GROUP BY g.doc_id)
+     SELECT d.doc_id,
+       coalesce(per.n_grams, 0) AS n_grams,
+       coalesce(per.n_dup, 0) AS n_dup,
+       CASE WHEN coalesce(per.n_grams, 0) > 0
+         THEN round(per.n_dup * 1.0 / per.n_grams, 4) END
+         AS dup_gram_frac
+     FROM documents d LEFT JOIN per USING (doc_id)"""
+  }
+
+  private def decontamOracle: String = {
+    val vals = evalSnippets.map(x => s"('$x')").mkString(", ")
+    val g = duckGrams("tok", 5)
+    s"""WITH ev(etext) AS (VALUES $vals),
+       etk AS (SELECT string_split_regex(trim(etext), '\\s+') AS tok
+         FROM ev),
+       eg AS (SELECT DISTINCT unnest($g) AS gram FROM etk),
+       tk AS (SELECT doc_id,
+           string_split_regex(trim(text), '\\s+') AS tok
+         FROM documents),
+       dg AS (SELECT doc_id, unnest($g) AS gram FROM tk),
+       hits AS (
+         SELECT doc_id, CAST(count(*) AS INT) AS n_hit_grams
+         FROM dg JOIN eg USING (gram) GROUP BY doc_id)
+     SELECT d.doc_id,
+       coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+       coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+     FROM documents d LEFT JOIN hits h USING (doc_id)"""
+  }
+
   val oracle: Map[String, String] = Map(
     "tx_langid" -> langidOracle,
+    "tx_pii_scrub" -> piiOracle,
+    "tx_dup_ngram_frac" -> dupNgramOracle,
+    "tx_decontam" -> decontamOracle,
     "tx_bpe_tokens" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT)

@@ -119,6 +119,27 @@ class PlanSpec extends AnyFunSuite {
       s"curation pipeline re-shuffles:\n${p.take(3000)}")
   }
 
+  test("pii scrub is pure per-row: zero exchanges") {
+    assert(!plan("tx_pii_scrub").contains("Exchange"))
+  }
+
+  test("dup-ngram fraction: df side combines map-side and broadcasts " +
+    "— the exploded corpus side never shuffles for the gram join") {
+    val p = plan("tx_dup_ngram_frac")
+    assert(p.contains("BroadcastHashJoin"),
+      s"gram join not broadcast at gate scale:\n${p.take(3000)}")
+    // only two hash shuffles: the df-count aggregate (post partial
+    // combine) and the doc-keyed aggregate
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      s"extra shuffles:\n${p.take(3000)}")
+  }
+
+  test("decontamination: eval grams broadcast — the corpus side " +
+    "never shuffles for the probe") {
+    val p = plan("tx_decontam")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("asof join (plain path): exactly one data shuffle (the union " +
     "window)") {
     // the whole point of the union reformulation: both sides shuffle

@@ -82,6 +82,60 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L) == (0.6667, 0.6)) // 2 of 6 distinct; "a b" 3 of 5
   }
 
+  test("piiScrub: redacts email/phone/ip with counts; cascade handles " +
+    "adjacent classes") {
+    val docs = Seq(
+      (1L, "write a@b.io or c.d+x@e.org call 555-123-4567"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "nothing here 1.2 and 3.4.5"),
+      (4L, "blast 1.2.3.4-555-123-4567 end")
+    ).toDF("doc_id", "text")
+    val out = docs.select(
+        col("doc_id") +: TextOps.piiCounts(col("text")) :+
+          TextOps.piiScrub(col("text")).as("scrubbed"): _*)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)), r.getString(4))).toMap
+    assert(out(1L) ==
+      ((2, 1, 0), "write <EMAIL> or <EMAIL> call <PHONE>"))
+    assert(out(2L) == ((0, 0, 2), "server <IP> and <IP> up"))
+    assert(out(3L) == ((0, 0, 0), "nothing here 1.2 and 3.4.5"))
+    assert(out(4L) == ((0, 1, 1), "blast <IP>-<PHONE> end"))
+  }
+
+  test("corpusDupNgramFrac: planted duplicate span; zero-gram docs " +
+    "keep a row with null fraction") {
+    val docs = Seq(
+      (1L, "a b c d e f"), // shares "a b c d e" with doc 2
+      (2L, "a b c d e x"),
+      (3L, "q r s t u v"), // all grams unique to this doc
+      (4L, "too short")    // < 5 tokens → zero grams
+    ).toDF("doc_id", "text")
+    val out = TextOps.corpusDupNgramFrac(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L) == ((2, 1), Some(0.5)))
+    assert(out(2L) == ((2, 1), Some(0.5)))
+    assert(out(3L) == ((2, 0), Some(0.0)))
+    assert(out(4L) == ((0, 0), None))
+  }
+
+  test("decontaminate: docs sharing an eval 5-gram are flagged, " +
+    "others are not") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "zeta eta theta iota kappa omega")
+    ).toDF("doc_id", "text")
+    val eval = Seq("prefix alpha beta gamma delta epsilon suffix")
+    val out = TextOps.decontaminate(docs, "doc_id", "text", eval)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((1, true)))
+    assert(out(2L) == ((0, false)))
+  }
+
   test("tokenBudgetMix: admission stops once the budget is crossed") {
     val docs = (1L to 40L)
       .map(i => (i, if (i <= 20) "s1" else "s2", wordsDoc(10)))
