@@ -506,7 +506,37 @@ object Dedup {
       t(s, d, "embeddings").filter(col("vec_id") < 1000),
       minCos = 0.3, tables = 24, bits = 2)
 
+  /** Keep-best resolution: within each duplicate cluster keep the
+    * HIGHEST-quality member (ties to the lowest doc_id), not the
+    * smallest id — the policy an actual corpus build applies, where
+    * near-dup copies differ in boilerplate/truncation and you keep the
+    * cleanest one. One quality scan + one cluster-keyed window on top
+    * of `dupClusters`. */
+  def keepBest(docs: DataFrame, idCol: String, clusters: DataFrame,
+      scoreCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col(idCol).asc)
+    clusters
+      .join(docs.select(col(idCol), scoreCol.as("quality")), Seq(idCol))
+      .withColumn("rn", row_number().over(w))
+      .select(col(idCol), col("cluster_id"), col("quality"),
+        (col("rn") === 1).as("keep"))
+  }
+
+  /** Keep-best gate: the d_dup_clusters graph resolved by quality. */
+  private def dClusterKeepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val pairs = ngramJaccardPairs(docs, "doc_id", "text",
+      blockCols = Seq("lang", "source"), n = 3)
+    val clusters = dupClusters(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .select("doc_id", "cluster_id")
+    keepBest(docs, "doc_id", clusters,
+      TextOps.qualityScore(col("text")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_cluster_keep_best" -> dClusterKeepBest _,
     "d_exact_dedup" -> dExact _,
     "d_fingerprint_dedup" -> dFingerprint _,
     "d_minhash_signature" -> dMinhashSig _,
@@ -582,5 +612,44 @@ object Dedup {
              ON s.a = reach.node)
          SELECT node AS doc_id, min(lbl) AS cluster_id,
            (node = min(lbl)) AS is_canonical
-         FROM reach GROUP BY node""")
+         FROM reach GROUP BY node""",
+    "d_cluster_keep_best" ->
+      """WITH RECURSIVE grams AS (
+           SELECT lang, source, doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(1, len(string_split_regex(trim(lower(text)),
+                 '\s+')) - 1)),
+               i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+2]))
+               AS g
+           FROM documents),
+         edges AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM grams a JOIN grams b
+             ON a.lang = b.lang AND a.source = b.source
+            AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.g, b.g)) > 0),
+         sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         reach(node, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT s.b, reach.lbl FROM reach JOIN sym s
+             ON s.a = reach.node),
+         cl AS (
+           SELECT node AS doc_id, min(lbl) AS cluster_id
+           FROM reach GROUP BY node),
+         q AS (
+           SELECT doc_id,
+             round(least(1.0, len(tok) / 100.0) *
+               (1.0 - len(list_filter(tok, x -> x IN
+                 ('the','a','of','and','in','to','is'))) * 1.0 /
+                 len(tok)), 4) AS quality
+           FROM (SELECT doc_id,
+               string_split_regex(trim(text), '\s+') AS tok
+             FROM documents))
+         SELECT cl.doc_id, cl.cluster_id, q.quality,
+           row_number() OVER (PARTITION BY cl.cluster_id
+             ORDER BY q.quality DESC, cl.doc_id ASC) = 1 AS keep
+         FROM cl JOIN q USING (doc_id)""")
 }

@@ -181,6 +181,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out(0L)._2 && !out(1L)._2 && !out(3L)._2)
   }
 
+  test("keepBest: the highest-quality cluster member survives, not " +
+    "the lowest id; ties fall to the lowest id") {
+    // docs 1,2,3 cluster; doc 3 has the best quality → keep=3.
+    // docs 5,6 cluster with EQUAL quality → tie falls to 5.
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.6), (3L, 0.9), (4L, 0.5),
+      (5L, 0.7), (6L, 0.7)
+    ).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val clusters = Dedup.dupClusters(docs, "doc_id", pairs,
+      "doc_a", "doc_b").select("doc_id", "cluster_id")
+    val out = Dedup.keepBest(docs, "doc_id", clusters, col("q"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(3L) == (1L, true))
+    assert(!out(1L)._2 && !out(2L)._2)
+    assert(out(4L) == (4L, true)) // singleton keeps itself
+    assert(out(5L) == (5L, true) && out(6L) == (5L, false))
+    assert(out.values.count(_._2) == 3)
+  }
+
   test("connected components: edge direction does not matter") {
     val nodes = (0L to 3L).toDF("doc_id")
     // edges given max-first — min-label must still propagate everywhere
