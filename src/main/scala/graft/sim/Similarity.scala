@@ -332,7 +332,53 @@ object Similarity {
       .select("label", "n_vecs", "avg_norm", "centroid_norm")
   }
 
+  /** Embedding preprocessing — the normalize/quantize passes an ANN
+    * index build runs before bucketing. Pure per-row array math, zero
+    * shuffles, scan-speed at any scale. The scale/norm is materialized
+    * as a column BEFORE the element lambda references it (a HOF lambda
+    * re-evaluates captured expressions per element — the charShingles
+    * lesson). */
+
+  /** L2-normalize: unit vector + the norm. Output elements rounded to
+    * 6 dp (both engines round the same double, so the contract is
+    * engine-portable). Zero vectors pass through unnormalized.
+    * The unit vector is computed in its own projection BEFORE the
+    * display-rounding of l2: aliasing `round(l2).as("l2")` in the same
+    * select makes Spark resolve the lambda's l2 reference to the
+    * ROUNDED sibling alias (lateral column aliasing), silently
+    * normalizing by the 6-dp value. */
+  private def xEmbedNorm(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .withColumn("l2", l2norm(col("embedding")))
+      .withColumn("unit",
+        when(col("l2") > 0,
+          transform(asDouble(col("embedding")),
+            x => round(x / col("l2"), 6)))
+          .otherwise(asDouble(col("embedding"))))
+      .select(col("vec_id"), round(col("l2"), 6).as("l2"), col("unit"))
+
+  /** Symmetric int8 quantization: per-vector scale = max|x|/127,
+    * elements as floor(x/scale + 0.5) — an EXPLICIT half-up so both
+    * engines agree on ties (round() tie rules differ by engine and
+    * type). The unrounded scale quantizes; the output scale is
+    * display-rounded. All-zero vectors quantize to zeros. */
+  private def xEmbedQuantize(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .withColumn("scale",
+        array_max(transform(asDouble(col("embedding")), x => abs(x)))
+          / 127.0)
+      .withColumn("q_emb",
+        when(col("scale") > 0,
+          transform(asDouble(col("embedding")),
+            x => floor(x / col("scale") + lit(0.5)).cast("int")))
+          .otherwise(transform(col("embedding"), _ => lit(0))))
+      // separate projection: see xEmbedNorm on lateral-alias shadowing
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        col("q_emb"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_embed_norm" -> xEmbedNorm _,
+    "x_embed_quantize" -> xEmbedQuantize _,
     "x_ann_brute" -> xAnnBrute _,
     "x_ann_lsh" -> xAnnLsh _,
     "x_ann_ivf" -> xAnnIvf _,
@@ -358,6 +404,31 @@ object Similarity {
        WHERE rn <= 3"""
 
   val oracle: Map[String, String] = Map(
+    "x_embed_norm" ->
+      """WITH s AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+           FROM embeddings)
+         SELECT vec_id, round(l2, 6) AS l2,
+           CASE WHEN l2 > 0
+             THEN list_transform(emb, x -> round(x / l2, 6))
+             ELSE emb END AS unit
+         FROM s""",
+    "x_embed_quantize" ->
+      """WITH s AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+           FROM embeddings)
+         SELECT vec_id, round(scale, 6) AS scale,
+           CASE WHEN scale > 0
+             THEN list_transform(emb,
+               x -> CAST(floor(x / scale + 0.5) AS INT))
+             ELSE list_transform(emb, x -> 0) END AS q_emb
+         FROM s""",
     "x_ann_lsh" -> bruteTop3Sql,
     "x_ann_ivf_full" -> bruteTop3Sql,
     "x_ann_brute" ->

@@ -430,6 +430,33 @@ object TextOps {
   private def txDecontam(s: SparkSession, d: String): DataFrame =
     decontaminate(t(s, d, "documents"), "doc_id", "text", evalSnippets)
 
+  // ---- deterministic training-order shuffle ----
+
+  /** Global corpus shuffle into training shards: shard membership and
+    * within-shard position are pure functions of the id (salted-md5
+    * order), so the "randomized" training order is reproducible across
+    * runs, engines, and partitionings, and appends never reshuffle
+    * existing shards — the property `orderBy(rand())` loses. ONE
+    * shuffle (the shard-keyed window); shards sort independently and
+    * in parallel, so there is no global sort and no single-partition
+    * bottleneck at 100 TB. */
+  def shardShuffle(docs: DataFrame, idCol: String, nShards: Int,
+      salt: String = "shuffle:"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h").asc, col(idCol).asc)
+    docs.select(col(idCol),
+        md5(concat(lit(salt), col(idCol).cast("string"))).as("h"))
+      .withColumn("shard",
+        pmod(conv(substring(col("h"), 1, 4), 16, 10).cast("int"),
+          lit(nShards)))
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** tx shard shuffle: 8-shard deterministic training order. */
+  private def txShardShuffle(s: SparkSession, d: String): DataFrame =
+    shardShuffle(t(s, d, "documents"), "doc_id", 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_bpe_tokens" -> txBpeTokens _,
     "tx_token_stats" -> txTokenStats _,
@@ -444,7 +471,8 @@ object TextOps {
     "tx_token_budget_mix" -> txTokenBudgetMix _,
     "tx_pii_scrub" -> txPiiScrub _,
     "tx_dup_ngram_frac" -> txDupNgramFrac _,
-    "tx_decontam" -> txDecontam _)
+    "tx_decontam" -> txDecontam _,
+    "tx_shard_shuffle" -> txShardShuffle _)
 
   private def langidOracle: String = {
     val vals = stopwords.toSeq.sortBy(_._1)
@@ -544,6 +572,20 @@ object TextOps {
     "tx_pii_scrub" -> piiOracle,
     "tx_dup_ngram_frac" -> dupNgramOracle,
     "tx_decontam" -> decontamOracle,
+    "tx_shard_shuffle" ->
+      """WITH h AS (
+           SELECT doc_id,
+             md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         s AS (
+           SELECT doc_id, h,
+             CAST(CAST(('0x' || substr(h, 1, 4)) AS INT) % 8 AS INT)
+               AS shard
+           FROM h)
+         SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+             ORDER BY h ASC, doc_id ASC) AS INT) AS pos
+         FROM s""",
     "tx_bpe_tokens" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT)

@@ -101,6 +101,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a == b, "IVF result depends on partitioning")
   }
 
+  test("embed norm/quantize invariants: unit norm 1, |x − q·scale| ≤ " +
+    "scale/2, int8 range — against the UNROUNDED scale (the rounded " +
+    "output alias must not leak into the math)") {
+    val d = TestSpark.sf0001
+    val e = t(spark, d, "embeddings")
+    // norm: re-derive l2 of the unit vector with exact input norms;
+    // if the lambda had normalized by the display-rounded l2 (the
+    // lateral-alias shadowing bug), this drifts at the 6th decimal
+    val unit = graft.SparkEntry.queries("x_embed_norm")(spark, d)
+    val drift = unit.select(abs(sqrt(aggregate(
+        transform(col("unit"), x => x * x), lit(0.0),
+        (a, v) => a + v)) - lit(1.0)).as("err"))
+      .agg(max("err")).head.getDouble(0)
+    assert(drift < 1e-4, s"unit norm drift $drift")
+    // quantize: dequantized error bounded by scale/2 + the error the
+    // 6-dp display rounding of scale itself introduces (|q| ≤ 127 ⇒
+    // 127 × 5e-7); a quantizer that used the ROUNDED scale would pass
+    // this but fail the oracle, so both gates together pin it
+    val q = graft.SparkEntry.queries("x_embed_quantize")(spark, d)
+    val joined = e.select(col("vec_id"), col("embedding"))
+      .join(q, Seq("vec_id"))
+    val bad = joined.select(col("vec_id"),
+        zip_with(col("embedding").cast("array<double>"), col("q_emb"),
+          (x, qi) => abs(x - qi * col("scale"))).as("errs"),
+        col("scale"))
+      .filter(exists(col("errs"),
+        er => er > col("scale") / 2 + lit(127 * 5e-7)))
+      .count()
+    assert(bad == 0)
+    val range = q.select(array_max(transform(col("q_emb"),
+        x => abs(x))).as("m"))
+      .agg(max("m")).head.getInt(0)
+    assert(range <= 127)
+  }
+
   test("kNN vote label comes from the embedding table's label domain") {
     val labels = t(spark, TestSpark.sf0001, "embeddings")
       .select("label").distinct().as[Int].collect().toSet

@@ -136,6 +136,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((0, false)))
   }
 
+  test("shardShuffle: every doc lands once, positions are contiguous " +
+    "per shard, and the order is a pure function of the ids") {
+    val docs = (1L to 200L).toDF("doc_id")
+    val out = TextOps.shardShuffle(docs, "doc_id", 8)
+    assert(out.count() == 200)
+    assert(out.select("doc_id").distinct().count() == 200)
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    assert(perShard.forall(r =>
+      r.getAs[Int]("lo") == 1 && r.getAs[Long]("n") == r.getAs[Int]("hi")))
+    // not the identity order (it actually shuffles)
+    val firstShard = out.filter(col("shard") === out.select("shard")
+        .head.getInt(0)).orderBy("pos")
+      .select("doc_id").as[Long].collect()
+    assert(firstShard.sorted.toSeq != firstShard.toSeq)
+    // stable under input partitioning
+    val again = TextOps.shardShuffle(docs.repartition(7), "doc_id", 8)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("tokenBudgetMix: admission stops once the budget is crossed") {
     val docs = (1L to 40L)
       .map(i => (i, if (i <= 20) "s1" else "s2", wordsDoc(10)))
