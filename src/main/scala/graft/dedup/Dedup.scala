@@ -251,6 +251,39 @@ object Dedup {
           (col("na") + col("nb") - col("inter")), 6).as("jac")): _*)
   }
 
+  /** Incremental near-dup probe: a NEW batch against the EXISTING
+    * corpus — the nightly-ingest shape. The gram equi-join pairs batch
+    * rows with corpus rows only (batch × corpus, never corpus ×
+    * corpus), so each cycle's cost tracks the delta exactly like the
+    * Bloom incremental path does for exact keys. Returns the best
+    * existing match per new doc (max Jaccard, ties to the smallest
+    * existing id) for new docs sharing ≥1 gram with the corpus. */
+  def incrementalNearDups(newDocs: DataFrame, oldDocs: DataFrame,
+      idCol: String, textCol: String, blockCols: Seq[String] = Nil,
+      n: Int = 3): DataFrame = {
+    val bc = blockCols.map(col)
+    def sized(docs: DataFrame, idName: String, nName: String) =
+      docs.select(bc :+ col(idCol).as(idName) :+
+          tokenNgrams(TextOps.tokens(lower(col(textCol))), n)
+            .as("grams"): _*)
+        .withColumn(nName, size(col("grams")))
+        .select(bc :+ col(idName) :+ col(nName) :+
+          explode(col("grams")).as("gram"): _*)
+    val a = sized(newDocs, "new_id", "na")
+    val b = sized(oldDocs, "old_id", "nb")
+    val pairs = a.join(b, blockCols :+ "gram")
+      .groupBy((blockCols ++ Seq("new_id", "old_id", "na", "nb"))
+        .map(col): _*)
+      .agg(count(lit(1)).as("inter"))
+      .select(bc ++ Seq(col("new_id"), col("old_id"),
+        round(col("inter") /
+          (col("na") + col("nb") - col("inter")), 6).as("jac")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("new_id").orderBy(col("jac").desc, col("old_id").asc)
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(bc ++ Seq(col("new_id"), col("old_id"), col("jac")): _*)
+  }
+
   /** Embedding-cosine near-dup dedup: hyperplane-LSH bucket SELF-join
     * (no broadcast side — both sides are the full corpus, so this is
     * the all-pairs-capable shape, unlike lshTopK's broadcast-query
@@ -535,7 +568,17 @@ object Dedup {
       TextOps.qualityScore(col("text")))
   }
 
+  /** Incremental near-dup gate: docs ≥ 400 are "tonight's batch",
+    * docs < 400 the loaded corpus. */
+  private def dIncrNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    incrementalNearDups(docs.filter(col("doc_id") >= 400),
+      docs.filter(col("doc_id") < 400), "doc_id", "text",
+      blockCols = Seq("lang", "source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_incr_neardup" -> dIncrNearDup _,
     "d_cluster_keep_best" -> dClusterKeepBest _,
     "d_exact_dedup" -> dExact _,
     "d_fingerprint_dedup" -> dFingerprint _,
@@ -546,6 +589,32 @@ object Dedup {
     "d_embed_neardup" -> dEmbedNearDup _)
 
   val oracle: Map[String, String] = Map(
+    "d_incr_neardup" ->
+      """WITH grams AS (
+           SELECT lang, source, doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(1, len(string_split_regex(trim(lower(text)),
+                 '\s+')) - 1)),
+               i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+2]))
+               AS g
+           FROM documents),
+         a AS (SELECT lang, source, doc_id AS new_id, g
+           FROM grams WHERE doc_id >= 400),
+         b AS (SELECT lang, source, doc_id AS old_id, g
+           FROM grams WHERE doc_id < 400),
+         pairs AS (
+           SELECT a.lang, a.source, a.new_id, b.old_id,
+             round(len(list_intersect(a.g, b.g)) * 1.0 /
+               len(list_distinct(list_concat(a.g, b.g))), 6) AS jac
+           FROM a JOIN b
+             ON a.lang = b.lang AND a.source = b.source
+           WHERE len(list_intersect(a.g, b.g)) > 0)
+         SELECT lang, source, new_id, old_id, jac
+         FROM (SELECT *, row_number() OVER (PARTITION BY new_id
+           ORDER BY jac DESC, old_id ASC) AS rn FROM pairs) x
+         WHERE rn = 1""",
     "d_embed_neardup" ->
       """WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

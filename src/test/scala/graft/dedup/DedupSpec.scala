@@ -204,6 +204,30 @@ class DedupSpec extends AnyFunSuite {
     assert(out.values.count(_._2) == 3)
   }
 
+  test("incrementalNearDups: new docs match their best existing doc " +
+    "only; disjoint new docs are absent; corpus never self-pairs") {
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over a sleepy cat"),
+      (3L, "completely different content lives here now")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "nothing in common with anything stored before"),
+      (12L, "completely different content lives here toO") // case-folded
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDups(fresh, old, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("new_id") ->
+        (r.getAs[Long]("old_id"), r.getAs[Double]("jac"))).toMap
+    assert(out(10L)._1 == 1L)       // best match is doc 1, not doc 2
+    assert(out(10L)._2 > out.getOrElse(12L, (0L, 0.0))._2 - 1.0)
+    assert(!out.contains(11L))      // zero-overlap: no row
+    assert(out(12L)._1 == 3L && out(12L)._2 > 0.5)
+    // one row per matched new doc — never old×old or new×new pairs
+    assert(out.size == 2)
+  }
+
   test("connected components: edge direction does not matter") {
     val nodes = (0L to 3L).toDF("doc_id")
     // edges given max-first — min-label must still propagate everywhere
