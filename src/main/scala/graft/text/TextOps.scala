@@ -457,6 +457,23 @@ object TextOps {
   private def txShardShuffle(s: SparkSession, d: String): DataFrame =
     shardShuffle(t(s, d, "documents"), "doc_id", 8)
 
+  /** tx vocab top-k: per-language token frequencies, top 20 — the
+    * vocabulary-counting pass of tokenizer training. The token count
+    * partial-aggregates map-side (the shuffle carries the per-partition
+    * VOCAB, not the corpus), and the per-language top-k window sorts
+    * the aggregated vocabulary — which grows sublinearly with corpus
+    * size — never the token stream. */
+  private def txVocabTopk(s: SparkSession, d: String): DataFrame = {
+    val counts = t(s, d, "documents")
+      .select(col("lang"), explode(tokens(lower(col("text")))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n").desc, col("token").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .select(col("lang"), col("rank"), col("token"), col("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_bpe_tokens" -> txBpeTokens _,
     "tx_token_stats" -> txTokenStats _,
@@ -472,7 +489,8 @@ object TextOps {
     "tx_pii_scrub" -> txPiiScrub _,
     "tx_dup_ngram_frac" -> txDupNgramFrac _,
     "tx_decontam" -> txDecontam _,
-    "tx_shard_shuffle" -> txShardShuffle _)
+    "tx_shard_shuffle" -> txShardShuffle _,
+    "tx_vocab_topk" -> txVocabTopk _)
 
   private def langidOracle: String = {
     val vals = stopwords.toSeq.sortBy(_._1)
@@ -586,6 +604,18 @@ object TextOps {
            CAST(row_number() OVER (PARTITION BY shard
              ORDER BY h ASC, doc_id ASC) AS INT) AS pos
          FROM s""",
+    "tx_vocab_topk" ->
+      """WITH tk AS (
+           SELECT lang,
+             unnest(string_split_regex(trim(lower(text)), '\s+'))
+               AS token
+           FROM documents),
+         c AS (SELECT lang, token, count(*) AS n
+           FROM tk GROUP BY lang, token)
+         SELECT lang, CAST(rank AS INT) AS rank, token, n
+         FROM (SELECT *, row_number() OVER (PARTITION BY lang
+           ORDER BY n DESC, token ASC) AS rank FROM c) x
+         WHERE rank <= 20""",
     "tx_bpe_tokens" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT)
