@@ -64,12 +64,9 @@ object Dedup {
   }
 
   /** Distinct token n-grams ("a b c") for Jaccard similarity — native
-    * expression (see `graft.functions.TokenNgrams`). */
-  def tokenNgrams(tokenCol: Column, n: Int = 3): Column = {
-    import org.apache.spark.sql.GraftColumnBridge
-    GraftColumnBridge.column(graft.functions.TokenNgrams(
-      GraftColumnBridge.expression(tokenCol), n))
-  }
+    * expression, shared entry point in `TokenNgrams.of`. */
+  def tokenNgrams(tokenCol: Column, n: Int = 3): Column =
+    graft.functions.TokenNgrams.of(tokenCol, n)
 
   /** Jaccard over two pre-deduplicated arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -210,17 +207,34 @@ object Dedup {
     * post-filter), the standard near-dup practice. Uncapped
     * (`Int.MaxValue`, the default) keeps exact Jaccard semantics and a
     * window-free plan. */
+  /** Per-doc distinct grams, sized and exploded to (block..., id, n,
+    * gram) rows — the shared probe shape of the Jaccard family
+    * (self-join and incremental forms). */
+  private def sizedGrams(docs: DataFrame, idCol: String,
+      textCol: String, bc: Seq[Column], n: Int, idName: String,
+      nName: String): DataFrame =
+    docs.select(bc :+ col(idCol).as(idName) :+
+        tokenNgrams(TextOps.tokens(lower(col(textCol))), n)
+          .as("grams"): _*)
+      .withColumn(nName, size(col("grams")))
+      .select(bc :+ col(idName) :+ col(nName) :+
+        explode(col("grams")).as("gram"): _*)
+
+  /** |A∩B| / (|A|+|B|−|A∩B|) rounded to 6 — the engine-portable
+    * Jaccard contract every gram pair path emits. */
+  private def jaccardFromCounts(inter: Column, na: Column,
+      nb: Column): Column =
+    round(inter / (na + nb - inter), 6)
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String] = Nil, n: Int = 3,
       maxGramDf: Int = Int.MaxValue): DataFrame = {
     val bc = blockCols.map(col)
-    val grams = docs.select(bc :+ col(idCol).as("doc_id") :+
+    lazy val grams = docs.select(bc :+ col(idCol).as("doc_id") :+
       tokenNgrams(TextOps.tokens(lower(col(textCol))), n).as("grams"): _*)
     val sized =
       if (maxGramDf == Int.MaxValue)
-        grams.withColumn("n_grams", size(col("grams")))
-          .select(bc :+ col("doc_id") :+ col("n_grams") :+
-            explode(col("grams")).as("gram"): _*)
+        sizedGrams(docs, idCol, textCol, bc, n, "doc_id", "n_grams")
       else {
         val exploded = grams.select(bc :+ col("doc_id") :+
           explode(col("grams")).as("gram"): _*)
@@ -247,8 +261,8 @@ object Dedup {
         .map(col): _*)
       .agg(count(lit(1)).as("inter"))
       .select(bc ++ Seq(col("doc_a"), col("doc_b"),
-        round(col("inter") /
-          (col("na") + col("nb") - col("inter")), 6).as("jac")): _*)
+        jaccardFromCounts(col("inter"), col("na"), col("nb"))
+          .as("jac")): _*)
   }
 
   /** Incremental near-dup probe: a NEW batch against the EXISTING
@@ -262,22 +276,15 @@ object Dedup {
       idCol: String, textCol: String, blockCols: Seq[String] = Nil,
       n: Int = 3): DataFrame = {
     val bc = blockCols.map(col)
-    def sized(docs: DataFrame, idName: String, nName: String) =
-      docs.select(bc :+ col(idCol).as(idName) :+
-          tokenNgrams(TextOps.tokens(lower(col(textCol))), n)
-            .as("grams"): _*)
-        .withColumn(nName, size(col("grams")))
-        .select(bc :+ col(idName) :+ col(nName) :+
-          explode(col("grams")).as("gram"): _*)
-    val a = sized(newDocs, "new_id", "na")
-    val b = sized(oldDocs, "old_id", "nb")
+    val a = sizedGrams(newDocs, idCol, textCol, bc, n, "new_id", "na")
+    val b = sizedGrams(oldDocs, idCol, textCol, bc, n, "old_id", "nb")
     val pairs = a.join(b, blockCols :+ "gram")
       .groupBy((blockCols ++ Seq("new_id", "old_id", "na", "nb"))
         .map(col): _*)
       .agg(count(lit(1)).as("inter"))
       .select(bc ++ Seq(col("new_id"), col("old_id"),
-        round(col("inter") /
-          (col("na") + col("nb") - col("inter")), 6).as("jac")): _*)
+        jaccardFromCounts(col("inter"), col("na"), col("nb"))
+          .as("jac")): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("new_id").orderBy(col("jac").desc, col("old_id").asc)
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

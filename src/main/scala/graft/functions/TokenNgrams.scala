@@ -53,6 +53,15 @@ case class TokenNgrams(child: Expression, n: Int)
 }
 
 object TokenNgrams {
+  /** Column-API entry point — the single place the GraftColumnBridge
+    * wrapping lives (Dedup and TextOps both build grams through it). */
+  def of(tok: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      TokenNgrams(GraftColumnBridge.expression(tok), n))
+  }
+
   def register(spark: SparkSession, n: Int = 3): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_ngrams",

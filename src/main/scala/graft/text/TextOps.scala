@@ -293,13 +293,9 @@ object TextOps {
         .as("n_punct"))
 
   /** Distinct token n-grams via the native expression (one JVM loop
-    * per row — see `graft.functions.TokenNgrams`). Local twin of
-    * `Dedup.tokenNgrams` so the text package stays dedup-independent. */
-  private def tokenNgrams(tok: Column, n: Int): Column = {
-    import org.apache.spark.sql.GraftColumnBridge
-    GraftColumnBridge.column(graft.functions.TokenNgrams(
-      GraftColumnBridge.expression(tok), n))
-  }
+    * per row) — shared entry point in `TokenNgrams.of`. */
+  private def tokenNgrams(tok: Column, n: Int): Column =
+    graft.functions.TokenNgrams.of(tok, n)
 
   // ---- PII scrub (the C4/Dolma redaction pass) ----
 
@@ -395,12 +391,17 @@ object TextOps {
   // ---- benchmark decontamination (eval-set n-gram overlap) ----
 
   /** Eval-set snippets for the decontamination gate — fixed literals,
-    * embedded identically in the DuckDB oracle. The first two carry
-    * 5-grams that occur in the synthetic corpus (so the gate exercises
-    * real hits); the third shares none. */
+    * embedded identically in the DuckDB oracle. The first two are
+    * concatenations of 4-grams present in EVERY fixture scale
+    * (sf0.001/0.01/0.1 — the scales' corpora are independent draws and
+    * share no 5-grams, so the gate runs at n=4 to stay non-degenerate
+    * at the spec, correctness, and bench scales: 12/15/23 contaminated
+    * docs respectively); the third shares nothing anywhere. */
   val evalSnippets: Seq[String] = Seq(
-    "key row value query filter part merge table join row",
-    "value column batch the table data row slow slow key",
+    "agg merge query agg agg order data column agg row batch the " +
+      "agg small small batch agg table row scan batch agg query part",
+    "batch agg small join batch part column fast batch part join the " +
+      "batch row row query batch small part line batch stream sort query",
     "guanitoxin photic zone phosphonate cyanobacteria bloom depth")
 
   /** Flag documents sharing any token n-gram with an eval set — the
@@ -426,20 +427,26 @@ object TextOps {
         (coalesce(col("n_hit_grams"), lit(0)) > 0).as("contaminated"))
   }
 
-  /** tx decontam: eval-overlap flags over the documents table. */
+  /** tx decontam: eval-overlap flags over the documents table (n=4,
+    * see evalSnippets). */
   private def txDecontam(s: SparkSession, d: String): DataFrame =
-    decontaminate(t(s, d, "documents"), "doc_id", "text", evalSnippets)
+    decontaminate(t(s, d, "documents"), "doc_id", "text", evalSnippets,
+      n = 4)
 
   // ---- deterministic training-order shuffle ----
 
   /** Global corpus shuffle into training shards: shard membership and
-    * within-shard position are pure functions of the id (salted-md5
-    * order), so the "randomized" training order is reproducible across
-    * runs, engines, and partitionings, and appends never reshuffle
-    * existing shards — the property `orderBy(rand())` loses. ONE
-    * shuffle (the shard-keyed window); shards sort independently and
-    * in parallel, so there is no global sort and no single-partition
-    * bottleneck at 100 TB. */
+    * the RELATIVE order within a shard are pure functions of the ids
+    * (salted-md5 order), so the "randomized" training order is
+    * reproducible across runs, engines, and partitionings — the
+    * property `orderBy(rand())` loses. Appends never move a doc
+    * between shards or reorder existing docs relative to each other,
+    * but absolute `pos` values after an inserted hash DO shift by the
+    * insertion (it is a dense rank, not a stable offset) — pin a
+    * snapshot if byte-stable positions across appends are required.
+    * ONE shuffle (the shard-keyed window); shards sort independently
+    * and in parallel, so there is no global sort and no
+    * single-partition bottleneck at 100 TB. */
   def shardShuffle(docs: DataFrame, idCol: String, nShards: Int,
       salt: String = "shuffle:"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -566,8 +573,9 @@ object TextOps {
   }
 
   private def decontamOracle: String = {
-    val vals = evalSnippets.map(x => s"('$x')").mkString(", ")
-    val g = duckGrams("tok", 5)
+    val vals = evalSnippets
+      .map(x => s"('${x.replace("'", "''")}')").mkString(", ")
+    val g = duckGrams("tok", 4)
     s"""WITH ev(etext) AS (VALUES $vals),
        etk AS (SELECT string_split_regex(trim(etext), '\\s+') AS tok
          FROM ev),

@@ -221,7 +221,7 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("new_id") ->
         (r.getAs[Long]("old_id"), r.getAs[Double]("jac"))).toMap
     assert(out(10L)._1 == 1L)       // best match is doc 1, not doc 2
-    assert(out(10L)._2 > out.getOrElse(12L, (0L, 0.0))._2 - 1.0)
+    assert(out(10L)._2 > 0.5)       // and it is a genuinely high match
     assert(!out.contains(11L))      // zero-overlap: no row
     assert(out(12L)._1 == 3L && out(12L)._2 > 0.5)
     // one row per matched new doc — never old×old or new×new pairs
