@@ -1,0 +1,153 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** End-to-end training-corpus build driver — the curation analog of
+  * `Pipeline` (which drives the GLAMR warehouse cycle): plain Scala
+  * control flow composing the engine's curation operators into the
+  * standard corpus-build DAG.
+  *
+  * Stages, per nightly batch:
+  *  1. incremental gate — only ids never PROCESSED before enter the
+  *     cycle (a separate `seen` key table, so docs dropped by curation
+  *     are not re-curated every night),
+  *  2. exact-dup drop vs the store (fingerprint anti-join — broadcast
+  *     of the loaded fp set),
+  *  3. near-dup drop vs the store (batch × corpus gram join — the
+  *     incremental shape whose cost tracks the delta),
+  *  4. in-batch dedup — exact (min-id canonical per fingerprint),
+  *     then near-dup clusters (gram pairs → connected components)
+  *     resolved keep-best-by-quality,
+  *  5. quality filter → PII scrub → language ID → split assignment,
+  *  6. id-pure shard assignment and append to the shard-partitioned
+  *     store (membership is append-stable; training order within a
+  *     shard is re-derived at read time by salted-hash sort, per the
+  *     shardShuffle contract),
+  *  7. invariant gates: fingerprint-unique store, quality floor,
+  *     every row split-assigned.
+  *
+  * Usage: graft.cli.CorpusBuild <sfDir> <warehouseDir>
+  */
+object CorpusBuild {
+  val nShards = 8
+  val minQuality = 0.5
+  val nearDupJac = 0.8
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, whDir) = args.take(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, whDir)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, sfDir: String, whDir: String): Unit = {
+    val corpusPath = s"$whDir/corpus"
+    val seenPath = s"$whDir/seen"
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+
+    // 1. incremental gate on the PROCESSED-id table (not the store:
+    //    curation drops docs, and a dropped doc must stay dropped, not
+    //    re-enter every cycle as "fresh")
+    val fresh = graft.ingest.Incremental.newRows(docs,
+      graft.ingest.Incremental.loadedKeys(spark, seenPath, "doc_id"),
+      "doc_id").persist()
+    val nFresh = fresh.count()
+    if (nFresh == 0) {
+      println("[corpus] nothing new, store untouched")
+      fresh.unpersist()
+      return
+    }
+
+    // 2./3. dedup against the EXISTING store: exact via fingerprint
+    //    anti-join, then near-dup via the batch×corpus gram join.
+    //    (Near-dup compares raw batch text against stored SCRUBBED
+    //    text — redaction touches a handful of tokens, far below the
+    //    Jaccard threshold's resolution.)
+    val storeExists = graft.ingest.Incremental.pathExists(spark, corpusPath)
+    val withFp = fresh.withColumn("fp", TextOps.fingerprint(col("text")))
+    val afterStore =
+      if (storeExists) {
+        val store = spark.read.parquet(corpusPath)
+        val noExact = withFp.join(
+          broadcast(store.select("fp").distinct()), Seq("fp"),
+          "left_anti")
+        val nearIds = graft.dedup.Dedup.incrementalNearDups(
+            noExact, store.select("doc_id", "text"), "doc_id", "text")
+          .filter(col("jac") >= nearDupJac)
+          .select(col("new_id").as("doc_id")).distinct()
+        noExact.join(nearIds, Seq("doc_id"), "left_anti")
+      } else withFp
+
+    // 4. in-batch dedup: exact (canonical min-id per digest), then
+    //    near-dup clusters resolved KEEP-BEST by quality — the batch
+    //    is delta-sized, so the pair self-join and the CC run are
+    //    nightly-cheap even when the store is not
+    val wFp = Window.partitionBy("fp")
+    val canon = afterStore
+      .withColumn("keep_id", min("doc_id").over(wFp))
+      .filter(col("doc_id") === col("keep_id"))
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .persist()
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(
+        canon, "doc_id", "text")
+      .filter(col("jac") >= nearDupJac).select("doc_a", "doc_b")
+    val clusters = graft.dedup.Dedup.dupClusters(
+        canon, "doc_id", pairs, "doc_a", "doc_b")
+      .select("doc_id", "cluster_id")
+    val best = graft.dedup.Dedup.keepBest(
+        canon, "doc_id", clusters, col("quality"))
+      .filter(col("keep")).select("doc_id")
+
+    // 5. quality floor, then scrub AFTER scoring (quality measures the
+    //    document as collected; redaction must not move the score)
+    val scored = canon
+      .join(best, Seq("doc_id"), "left_semi")
+      .filter(col("quality") >= minQuality)
+      .withColumn("text", TextOps.piiScrub(col("text")))
+      .persist()
+    val curated = scored
+      .join(TextOps.langId(scored, "doc_id", "text"), Seq("doc_id"))
+      .withColumn("split", TextOps.splitAssign(col("doc_id")))
+
+    // 6. id-pure shard membership; append to the shard-partitioned
+    //    store (append-only: existing shard files are never rewritten)
+    val sharded = curated.join(
+      TextOps.shardShuffle(curated, "doc_id", nShards)
+        .select("doc_id", "shard"),
+      Seq("doc_id"))
+      .select("doc_id", "text", "fp", "lang_pred", "quality", "split",
+        "shard")
+    graft.io.Writers.appendTable(sharded, corpusPath, Seq("shard"))
+    val nCurated = sharded.count()
+
+    // mark the WHOLE batch processed (survivors and drops alike)
+    graft.io.Writers.appendTable(fresh.select("doc_id"), seenPath)
+    scored.unpersist()
+    canon.unpersist()
+    fresh.unpersist()
+    println(s"[corpus] ingested $nFresh docs, curated $nCurated into " +
+      s"$nShards shards")
+
+    // 7. invariants — abort on violation, Pipeline style
+    val store = spark.read.parquet(corpusPath)
+    val dupFp = store.groupBy("fp").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    require(dupFp == 0, s"corpus store has $dupFp duplicated fingerprints")
+    val badQ = store.filter(col("quality") < minQuality).count()
+    require(badQ == 0, s"$badQ stored docs below the quality floor")
+    val unsplit = store.filter(!col("split").isin("train", "val", "test"))
+      .count()
+    require(unsplit == 0, s"$unsplit stored docs without a split")
+    println(s"[corpus] ok: ${store.count()} docs, invariants hold")
+  }
+}
