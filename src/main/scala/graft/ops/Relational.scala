@@ -291,7 +291,41 @@ object Relational {
       .groupBy("event_type", "key")
       .agg(count(lit(1)).as("n"), sum("value").as("total"))
 
+  /** Table profiler — per-column row/null/distinct counts and
+    * stringified min/max in ONE aggregate pass (the dbt-style
+    * data-quality summary run after every load). min/max compute in
+    * the column's native type and cast AFTER (lexicographic min of
+    * stringified numbers is wrong). `exact = false` swaps the distinct
+    * counts to approx_count_distinct — the 100 TB form: several exact
+    * distincts in one aggregate expand the input once per column,
+    * which is the right trade only when the table is gate-sized or
+    * the audit demands exactness. */
+  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val cols = df.columns.toSeq
+    def distinctOf(c: String) =
+      if (exact) countDistinct(col(c))
+      else approx_count_distinct(col(c))
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      distinctOf(c).as(s"__nd_$c"),
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c")))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = array(cols.map(c => struct(
+      lit(c).as("col_name"),
+      col("__n").as("n_rows"),
+      (col("__n") - col(s"__nn_$c")).as("n_null"),
+      col(s"__nd_$c").as("n_distinct"),
+      col(s"__mn_$c").as("min_val"),
+      col(s"__mx_$c").as("max_val"))): _*)
+    wide.select(explode(entries).as("p")).select("p.*")
+  }
+
+  private def fTableProfile(s: SparkSession, d: String): DataFrame =
+    profile(t(s, d, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_table_profile" -> fTableProfile _,
     "f_map_explode" -> mapExplode _,
     "f_gc_content_expr" -> gcContentExpr _,
     "f_date_parse_multi" -> dateParseMulti _,
@@ -318,7 +352,17 @@ object Relational {
     "f_string_funcs" -> stringFuncs _,
     "f_na_normalize" -> naNormalize _)
 
+  private def profileOracle: String =
+    Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         count(*) - count($c) AS n_null,
+         count(DISTINCT $c) AS n_distinct,
+         CAST(min($c) AS VARCHAR) AS min_val,
+         CAST(max($c) AS VARCHAR) AS max_val FROM documents"""
+    }.mkString(" UNION ALL ")
+
   val oracle: Map[String, String] = Map(
+    "f_table_profile" -> profileOracle,
     "f_map_explode" ->
       """WITH kv AS (
            SELECT event_type, unnest(json_keys(props)) AS key, props
