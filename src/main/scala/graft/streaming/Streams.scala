@@ -203,7 +203,44 @@ object Streams {
         .withWatermark("ts", "2 hours"))
   }
 
+  // ---- document curation stream (shared batch/stream per-row ops) ----
+
+  /** Schema of the documents table for the file-source stream. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Per-document curation — fingerprint, quality floor, PII scrub,
+    * split assignment — as ONE function for batch and stream: every
+    * column is a pure per-row expression, so the identical plan runs
+    * under a file-source stream with zero state (this module's parity
+    * contract), turning corpus intake into "drop files in a
+    * directory". Dedup stays OUT of the shared form on purpose: batch
+    * resolves a deterministic min-id canonical per fingerprint
+    * (dropDuplicates' arbitrary survivor is partitioning-dependent —
+    * it would fail DeterminismSpec), while a streaming deployment
+    * composes `.dropDuplicates("fp")`; with an event-time column,
+    * dropDuplicatesWithinWatermark bounds that state exactly like
+    * `dedupedStream`. */
+  def curateDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.text.TextOps.fingerprint(col("text")).as("fp"),
+        graft.text.TextOps.qualityScore(col("text")).as("quality"),
+        graft.text.TextOps.piiScrub(col("text")).as("text"),
+        graft.text.TextOps.splitAssign(col("doc_id")).as("split"))
+      .filter(col("quality") >= 0.5)
+
+  /** Streaming read of a documents directory (file source). */
+  def docStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(documentsSchema).parquet(dir)
+
   // ---- gate queries (batch semantics of the same code paths) ----
+
+  private def stCurateDocs(s: SparkSession, d: String): DataFrame =
+    curateDocs(t(s, d, "documents"))
 
   private def stStreamJoin(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
@@ -254,9 +291,40 @@ object Streams {
     "st_sliding_window" -> stSlidingWindow _,
     "st_session_window" -> stSessionWindow _,
     "st_stream_join" -> stStreamJoin _,
-    "st_enrich" -> stEnrich _)
+    "st_enrich" -> stEnrich _,
+    "st_curate_docs" -> stCurateDocs _)
+
+  private def curateOracle: String = {
+    import graft.text.TextOps
+    s"""WITH scored AS (
+       SELECT doc_id, text,
+         round(least(1.0, len(tok) / 100.0) *
+           (1.0 - len(list_filter(tok, x -> x IN
+             ('the','a','of','and','in','to','is'))) * 1.0 / len(tok)),
+           4) AS quality
+       FROM (SELECT doc_id, text,
+           string_split_regex(trim(text), '\\s+') AS tok
+         FROM documents))
+     SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp,
+       quality,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '${TextOps.emailRe}', '<EMAIL>', 'g'),
+         '${TextOps.phoneRe}', '<PHONE>', 'g'),
+         '${TextOps.ipv4Re}', '<IP>', 'g') AS text,
+       CASE WHEN substr(md5('graft-split:' ||
+           CAST(doc_id AS VARCHAR)), 1, 2) < '${TextOps.splitTestMax}'
+           THEN 'test'
+         WHEN substr(md5('graft-split:' ||
+           CAST(doc_id AS VARCHAR)), 1, 2) < '${TextOps.splitValMax}'
+           THEN 'val'
+         ELSE 'train' END AS split
+     FROM scored WHERE quality >= 0.5"""
+  }
 
   val oracle: Map[String, String] = Map(
+    "st_curate_docs" -> curateOracle,
     "st_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id,
          p.event_id AS purchase_id,

@@ -22,6 +22,39 @@ class StreamsSpec extends AnyFunSuite {
     dir.toString
   }
 
+  test("document curation stream == batch curation; a stream-side " +
+    "fp-dedup collapses a re-delivered file") {
+    val d = TestSpark.sf0001
+    val batch = Streams.queries("st_curate_docs")(spark, d)
+      .collect().map(_.toSeq).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_curate")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val q = Streams.curateDocs(Streams.docStream(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st_curate_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("st_curate_out")
+      .collect().map(_.toSeq).toSet == batch)
+
+    // the same corpus file re-delivered under a new name: the
+    // stream-side fingerprint dedup collapses every re-delivered doc
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/documents.parquet"),
+      dir.resolve("documents_redelivered.parquet"))
+    val q2 = Streams.curateDocs(Streams.docStream(spark, dir.toString))
+      .dropDuplicates("fp")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st_curate_dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val distinctFp = batch.map(_(1)).size // distinct fingerprints
+    assert(spark.table("st_curate_dedup").count() == distinctFp)
+  }
+
   test("streaming AvailableNow result == batch result") {
     val d = TestSpark.sf0001
     val batch = Streams.queries("st_window_agg")(spark, d)
