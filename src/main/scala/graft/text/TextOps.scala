@@ -464,6 +464,38 @@ object TextOps {
   private def txShardShuffle(s: SparkSession, d: String): DataFrame =
     shardShuffle(t(s, d, "documents"), "doc_id", 8)
 
+  /** Fixed-width token chunking with overlap (stride < width) — the
+    * long-document segmentation step of a training/RAG pipeline.
+    * Chunk k covers tokens [k·stride, k·stride + width); chunk count
+    * is ceil((n − width)/stride) + 1, min 1, so the final chunk always
+    * reaches the document end and short docs yield exactly one chunk.
+    * Pure per-row (sequence → posexplode over a materialized token
+    * attribute — never the tokenizing expression itself, which a HOF
+    * lambda would re-evaluate per chunk): chunking runs at scan speed
+    * and the output partitioning inherits the input's. */
+  def chunkSplit(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame = {
+    require(stride > 0 && stride <= width,
+      s"stride $stride must be in (0, width=$width]")
+    docs.select(col(idCol), tokens(col(textCol)).as("tok"))
+      .withColumn("n_tokens", size(col("tok")))
+      .withColumn("n_chunks", greatest(lit(1),
+        ceil((col("n_tokens") - width).cast("double") / stride)
+          .cast("int") + 1))
+      .select(col(idCol), col("tok"), col("n_tokens"),
+        posexplode(sequence(lit(0), col("n_chunks") - 1))
+          .as(Seq("chunk_id", "k")))
+      .select(col(idCol), col("chunk_id"),
+        least(lit(width), col("n_tokens") - col("k") * stride)
+          .cast("int").as("chunk_tokens"),
+        array_join(slice(col("tok"), col("k") * stride + 1, lit(width)),
+          " ").as("chunk_text"))
+  }
+
+  /** tx chunk split: 64-token chunks at stride 48 over documents. */
+  private def txChunkSplit(s: SparkSession, d: String): DataFrame =
+    chunkSplit(t(s, d, "documents"), "doc_id", "text", 64, 48)
+
   /** tx vocab top-k: per-language token frequencies, top 20 — the
     * vocabulary-counting pass of tokenizer training. The token count
     * partial-aggregates map-side (the shuffle carries the per-partition
@@ -497,7 +529,8 @@ object TextOps {
     "tx_dup_ngram_frac" -> txDupNgramFrac _,
     "tx_decontam" -> txDecontam _,
     "tx_shard_shuffle" -> txShardShuffle _,
-    "tx_vocab_topk" -> txVocabTopk _)
+    "tx_vocab_topk" -> txVocabTopk _,
+    "tx_chunk_split" -> txChunkSplit _)
 
   private def langidOracle: String = {
     val vals = stopwords.toSeq.sortBy(_._1)
@@ -612,6 +645,26 @@ object TextOps {
            CAST(row_number() OVER (PARTITION BY shard
              ORDER BY h ASC, doc_id ASC) AS INT) AS pos
          FROM s""",
+    "tx_chunk_split" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS tok
+           FROM documents),
+         sized AS (
+           SELECT doc_id, tok, len(tok) AS n_tokens,
+             greatest(1, CAST(ceil((len(tok) - 64) * 1.0 / 48) AS INT)
+               + 1) AS n_chunks
+           FROM tk),
+         ex AS (
+           SELECT doc_id, tok, n_tokens,
+             CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id
+           FROM sized)
+         SELECT doc_id, chunk_id,
+           CAST(least(64, n_tokens - chunk_id * 48) AS INT)
+             AS chunk_tokens,
+           array_to_string(tok[chunk_id * 48 + 1 : chunk_id * 48 + 64],
+             ' ') AS chunk_text
+         FROM ex""",
     "tx_vocab_topk" ->
       """WITH tk AS (
            SELECT lang,

@@ -136,6 +136,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((0, false)))
   }
 
+  test("chunkSplit: overlapping windows tile the doc, the last chunk " +
+    "reaches the end, short docs yield exactly one chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c")
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkSplit(docs, "doc_id", "text", 4, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getString(3))).toMap
+    assert(out((1L, 0)) == ((4, "t1 t2 t3 t4")))
+    assert(out((1L, 1)) == ((4, "t4 t5 t6 t7")))
+    assert(out((1L, 2)) == ((4, "t7 t8 t9 t10")))
+    assert(out((2L, 0)) == ((3, "a b c")))
+    assert(out.size == 4)
+    intercept[IllegalArgumentException] {
+      TextOps.chunkSplit(docs, "doc_id", "text", 4, 5)
+    }
+  }
+
   test("shardShuffle: every doc lands once, positions are contiguous " +
     "per shard, and the order is a pure function of the ids") {
     val docs = (1L to 200L).toDF("doc_id")
