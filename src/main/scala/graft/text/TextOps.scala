@@ -496,6 +496,69 @@ object TextOps {
   private def txChunkSplit(s: SparkSession, d: String): DataFrame =
     chunkSplit(t(s, d, "documents"), "doc_id", "text", 64, 48)
 
+  /** BM25 top-k retrieval for a literal query-term list — the lexical
+    * search/ranking primitive of a data pipeline (e.g. pulling
+    * topic-relevant documents out of a crawl). Classic Robertson BM25:
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)).
+    *
+    * Scale shape: corpus statistics (N, Σ|d|, per-term document
+    * frequency) come from ONE full aggregate — partial map-side, the
+    * shuffle carries one row per partition — broadcast back as a
+    * 1-row cross join. Scoring is then a pure per-row expression
+    * (no explode, no shuffle: tf per term via an array filter on the
+    * token attribute), and the top-k is orderBy+limit, which Spark
+    * plans as TakeOrderedAndProject — per-partition heaps of k rows,
+    * never a global sort. Two corpus scans total, k ≪ corpus rows
+    * moved.
+    *
+    * `logIdf = true` is the standard ln(1 + (N−df+0.5)/(df+0.5)).
+    * `false` uses the raw odds ratio (N−df+0.5)/(df+0.5) — same
+    * ordering for single-term queries and near-identical top-k
+    * behavior, but exactly reproducible across engines (libm `ln` is
+    * not correctly-rounded, so cross-engine gates use this form). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75, logIdf: Boolean = true): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"duplicate query terms: $queryTerms")
+    val tok = docs.select(col(idCol), tokens(col(textCol)).as("tok"))
+      .withColumn("dl", size(col("tok")).cast("double"))
+    val statAggs =
+      count(lit(1)).cast("double").as("n_docs") +:
+      sum(col("dl").cast("long")).cast("double").as("tot_len") +:
+      queryTerms.zipWithIndex.map { case (term, i) =>
+        sum(when(array_contains(col("tok"), term), 1L).otherwise(0L))
+          .cast("double").as(s"df_$i") }
+    val stats = tok.agg(statAggs.head, statAggs.tail: _*)
+    // every arithmetic step below is mirrored op-for-op in the oracle
+    // SQL: IEEE +,-,*,/ are correctly rounded, so identical operand
+    // order ⇒ bit-identical doubles on both engines
+    val avgdl = col("tot_len") / col("n_docs")
+    val perTerm = queryTerms.zipWithIndex.map { case (term, i) =>
+      val tf = size(filter(col("tok"), x => x === term)).cast("double")
+      val odds = (col("n_docs") - col(s"df_$i") + lit(0.5)) /
+        (col(s"df_$i") + lit(0.5))
+      val idf = if (logIdf) log(odds + lit(1.0)) else odds
+      idf * ((tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / avgdl))))
+    }
+    tok.crossJoin(broadcast(stats))
+      .withColumn("score", perTerm.reduceLeft(_ + _))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
+  private val bm25Terms = Seq("vector", "stream", "merge")
+
+  /** tx bm25: top 15 documents for a 3-term query (odds-ratio idf —
+    * see `bm25TopK` on why the gate form avoids `ln`). */
+  private def txBm25(s: SparkSession, d: String): DataFrame =
+    bm25TopK(t(s, d, "documents"), "doc_id", "text",
+      bm25Terms, 15, logIdf = false)
+
   /** tx vocab top-k: per-language token frequencies, top 20 — the
     * vocabulary-counting pass of tokenizer training. The token count
     * partial-aggregates map-side (the shuffle carries the per-partition
@@ -530,7 +593,8 @@ object TextOps {
     "tx_decontam" -> txDecontam _,
     "tx_shard_shuffle" -> txShardShuffle _,
     "tx_vocab_topk" -> txVocabTopk _,
-    "tx_chunk_split" -> txChunkSplit _)
+    "tx_chunk_split" -> txChunkSplit _,
+    "tx_bm25" -> txBm25 _)
 
   private def langidOracle: String = {
     val vals = stopwords.toSeq.sortBy(_._1)
@@ -626,7 +690,40 @@ object TextOps {
      FROM documents d LEFT JOIN hits h USING (doc_id)"""
   }
 
+  /** Mirrors `bm25TopK`'s arithmetic op-for-op (same literals, same
+    * parenthesization, same left-assoc term sum) so the double scores
+    * are bit-identical — see the operator's scaladoc. */
+  private def bm25Oracle: String = {
+    val dfAggs = bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"""CAST(sum(CASE WHEN list_contains(tok, '$term')
+            THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i""" }.mkString(",\n    ")
+    val termScores = bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"""((n_docs - df_$i + 0.5) / (df_$i + 0.5)) *
+          ((CAST(len(list_filter(tok, x -> x = '$term')) AS DOUBLE) *
+             (1.2 + 1.0)) /
+           (CAST(len(list_filter(tok, x -> x = '$term')) AS DOUBLE) +
+             1.2 * (1.0 - 0.75 + 0.75 * (dl / (tot_len / n_docs)))))"""
+    }.mkString("\n    + ")
+    s"""WITH tk AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+         FROM documents),
+       sized AS (
+         SELECT doc_id, tok, CAST(len(tok) AS DOUBLE) AS dl FROM tk),
+       stats AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) AS tot_len,
+           $dfAggs
+         FROM sized),
+       scored AS (
+         SELECT doc_id,
+           $termScores AS score
+         FROM sized CROSS JOIN stats)
+       SELECT doc_id, score FROM scored WHERE score > 0
+       ORDER BY score DESC, doc_id LIMIT 15"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "tx_bm25" -> bm25Oracle,
     "tx_langid" -> langidOracle,
     "tx_pii_scrub" -> piiOracle,
     "tx_dup_ngram_frac" -> dupNgramOracle,

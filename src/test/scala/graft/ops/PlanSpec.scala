@@ -195,6 +195,17 @@ class PlanSpec extends AnyFunSuite {
       s"range frame planned as a join:\n${p.take(3000)}")
   }
 
+  test("bm25: top-k is a bounded TakeOrdered, scoring never " +
+    "hash-shuffles the corpus") {
+    // the only exchanges allowed: the 1-row stats aggregate
+    // (SinglePartition) and its broadcast back — never a
+    // hashpartitioning of document rows, and never a global Sort
+    val p = plan("tx_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(countOf(p, "Exchange hashpartitioning") == 0,
+      s"bm25 shuffles the corpus:\n${p.take(3000)}")
+  }
+
   test("anvio cascade reuses one partitioning for its window stack") {
     // All five window stages partition by l_orderkey (or a superset
     // that starts with it) — at most 2 hash shuffles may appear

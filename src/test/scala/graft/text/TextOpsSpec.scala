@@ -156,6 +156,43 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25TopK: hand-computed scores, zero-hit docs filtered, " +
+    "doc_id tie-break, duplicate terms rejected") {
+    val docs = Seq(
+      (1L, "cat cat dog x"), (2L, "cat x y z"),
+      (3L, "x y z w"), (4L, "dog dog dog dog")
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, "doc_id", "text",
+      Seq("cat", "dog"), 3, logIdf = false).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    // N=4, every dl=4 → avgdl=4 → denom = tf + k1; df_cat=df_dog=2 →
+    // odds idf = 2.5/2.5 = 1. Same op order as the engine:
+    def term(tf: Double) =
+      1.0 * ((tf * (1.2 + 1.0)) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * (4.0 / 4.0))))
+    assert(out.map(_._1).toSeq == Seq(1L, 4L, 2L)) // doc3 score 0 → out
+    assert(out.toMap == Map(
+      1L -> (term(2) + term(1)), 4L -> (term(0) + term(4)),
+      2L -> (term(1) + term(0))))
+    intercept[IllegalArgumentException] {
+      TextOps.bm25TopK(docs, "doc_id", "text", Seq("cat", "cat"), 3)
+    }
+  }
+
+  test("bm25TopK: log-idf default ranks rarer terms higher at equal tf") {
+    // "rare" appears in 1 of 4 docs, "common" in 3 → at tf=1 each,
+    // the rare-term doc must outscore a common-term doc
+    val docs = Seq(
+      (1L, "rare x y z"), (2L, "common x y z"),
+      (3L, "common a b c"), (4L, "common p q r")
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, "doc_id", "text",
+      Seq("rare", "common"), 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > out(2L))
+    assert(out(2L) == out(3L) && out(3L) == out(4L))
+  }
+
   test("shardShuffle: every doc lands once, positions are contiguous " +
     "per shard, and the order is a pure function of the ids") {
     val docs = (1L to 200L).toDF("doc_id")
