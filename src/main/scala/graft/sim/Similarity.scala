@@ -159,38 +159,44 @@ object Similarity {
     * Each iteration costs one corpus pass × nlist broadcast dots —
     * the standard IVF build cost; the probe join is keyed by list id,
     * so query fan-out is nprobe lists, not the corpus. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 6, lloydIters: Int = 2): DataFrame = {
-    // nprobe/nlist bounds recall from below on structureless vectors
-    // (synthetic gaussians ≈ no cluster locality: recall ≈ coverage);
-    // clustered embeddings concentrate neighbors in the probed lists
-    // and do much better at the same nprobe — see SimilaritySpec's
-    // planted-cluster recall gate
-    val prepared = corpus
-      .select(col("vec_id").as("n_id"),
-        asDouble(col("embedding")).as("n_emb"))
-      .withColumn("n_norm", sqrt(dotD(col("n_emb"), col("n_emb"))))
+  /** (n_id, n_emb double[], n_norm) projection shared by the
+    * centroid-based ops. */
+  private def prepare(corpus: DataFrame): DataFrame = corpus
+    .select(col("vec_id").as("n_id"),
+      asDouble(col("embedding")).as("n_emb"))
+    .withColumn("n_norm", sqrt(dotD(col("n_emb"), col("n_emb"))))
 
-    // nearest-centroid ranks by cosine (ties → smaller cid)
-    def ranked(df: DataFrame, centroids: DataFrame, idC: String,
-        embC: String, normC: String): DataFrame = {
-      val w = Window.partitionBy(idC)
-        .orderBy(col("c_sim").desc, col("cid").asc)
-      df.crossJoin(centroids)
-        .withColumn("c_sim", dotD(col(embC), col("c_emb")) /
-          (col(normC) * col("c_norm")))
-        .withColumn("c_rank", row_number().over(w))
-        .drop("c_emb", "c_norm", "c_sim")
-    }
+  /** Nearest-centroid ranks by cosine (ties → smaller cid). Adds
+    * `c_rank` (1 = nearest) and `cid` to every input row; the
+    * centroid side must already be broadcast-small. */
+  private def rankByCentroid(df: DataFrame, centroids: DataFrame,
+      idC: String, embC: String, normC: String): DataFrame = {
+    val w = Window.partitionBy(idC)
+      .orderBy(col("c_sim").desc, col("cid").asc)
+    df.crossJoin(centroids)
+      .withColumn("c_sim", dotD(col(embC), col("c_emb")) /
+        (col(normC) * col("c_norm")))
+      .withColumn("c_rank", row_number().over(w))
+      .drop("c_emb", "c_norm", "c_sim")
+  }
 
+  /** Deterministic Lloyd-refined coarse quantizer over a `prepare`d
+    * corpus: seed `nlist` centroids from hash-ordered corpus rows (no
+    * RNG state, no driver collect — a TakeOrdered of nlist rows stays
+    * a DataFrame and broadcasts), then `lloydIters` k-means passes:
+    * assign each vector to its nearest centroid, recompute each list's
+    * element-wise mean, re-broadcast. Returns (cid, c_emb, c_norm),
+    * broadcast-tagged. */
+  private def fitCentroids(prepared: DataFrame, nlist: Int,
+      lloydIters: Int): DataFrame = {
     val seed = broadcast(prepared
       .orderBy(xxhash64(col("n_id")), col("n_id"))
       .limit(nlist)
       .select(col("n_id").as("cid"), col("n_emb").as("c_emb"),
         col("n_norm").as("c_norm")))
-    val centroids = (1 to lloydIters).foldLeft(seed) { (cents, _) =>
-      val assigned = ranked(prepared, cents, "n_id", "n_emb", "n_norm")
-        .filter(col("c_rank") === 1)
+    (1 to lloydIters).foldLeft(seed) { (cents, _) =>
+      val assigned = rankByCentroid(prepared, cents, "n_id", "n_emb",
+        "n_norm").filter(col("c_rank") === 1)
       val means = assigned
         .select(col("cid"), posexplode(col("n_emb")).as(Seq("dim", "v")))
         .groupBy("cid", "dim")
@@ -209,14 +215,24 @@ object Similarity {
           coalesce(col("new_emb"), col("c_emb")).as("c_emb"))
         .withColumn("c_norm", sqrt(dotD(col("c_emb"), col("c_emb")))))
     }
+  }
 
-    val lists = ranked(prepared, centroids, "n_id", "n_emb", "n_norm")
-      .filter(col("c_rank") === 1).drop("c_rank")
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 6, lloydIters: Int = 2): DataFrame = {
+    // nprobe/nlist bounds recall from below on structureless vectors
+    // (synthetic gaussians ≈ no cluster locality: recall ≈ coverage);
+    // clustered embeddings concentrate neighbors in the probed lists
+    // and do much better at the same nprobe — see SimilaritySpec's
+    // planted-cluster recall gate
+    val prepared = prepare(corpus)
+    val centroids = fitCentroids(prepared, nlist, lloydIters)
+    val lists = rankByCentroid(prepared, centroids, "n_id", "n_emb",
+      "n_norm").filter(col("c_rank") === 1).drop("c_rank")
     val q = queries.select(col("vec_id").as("q_id"),
         asDouble(col("embedding")).as("q_emb"))
       .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb"))))
     val probes = broadcast(
-      ranked(q, centroids, "q_id", "q_emb", "q_norm")
+      rankByCentroid(q, centroids, "q_id", "q_emb", "q_norm")
         .filter(col("c_rank") <= nprobe).drop("c_rank"))
 
     val w = Window.partitionBy("q_id")
@@ -258,6 +274,48 @@ object Similarity {
       // unrounded: callers threshold on the exact cosine (matching an
       // oracle that filters unrounded values) and round for output
       .agg(max(col("sim")).as("cos_sim"))
+  }
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus with
+    * the Lloyd-refined coarse quantizer, then inside each cluster drop
+    * every vector that has a LOWER-id neighbor with cosine ≥ `tau`
+    * (the one-pass keep-first rule of Abbas et al. 2023, "SemDeDup" —
+    * intentionally not transitive closure: the kept set is exactly the
+    * vectors with no earlier ≥ τ neighbor in their cluster, which
+    * over-keeps slightly vs CC but needs no iteration). Returns one
+    * row per corpus vector: (idCol, cid, kept).
+    *
+    * Scale shape: the only corpus-sized shuffles are the cluster
+    * assignment window and the (cid)-keyed self-join. Within-cluster
+    * pairing costs Σᵢ sᵢ² ≈ n²/nlist when balanced — `nlist` must grow
+    * with the corpus (SemDeDup runs k ~ O(√n) or larger, keeping
+    * cluster sizes bounded); for corpora where even that is too big,
+    * compose `selfBucketPairs` (LSH) with an external keep rule
+    * instead. Deterministic end-to-end: hash-seeded centroids, decimal
+    * means, id-ordered keep rule — no RNG, no collect. */
+  def semanticDedup(corpus: DataFrame, tau: Double, nlist: Int = 16,
+      lloydIters: Int = 2): DataFrame = {
+    val prepared = prepare(corpus)
+    val centroids = fitCentroids(prepared, nlist, lloydIters)
+    val assigned = rankByCentroid(prepared, centroids, "n_id", "n_emb",
+      "n_norm").filter(col("c_rank") === 1)
+      .select(col("n_id"), col("cid"), col("n_emb"), col("n_norm"))
+    val a = assigned.select(col("cid"), col("n_id").as("id_a"),
+      col("n_emb").as("emb_a"), col("n_norm").as("nrm_a"))
+    val b = assigned.select(col("cid"), col("n_id").as("id_b"),
+      col("n_emb").as("emb_b"), col("n_norm").as("nrm_b"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      // threshold on the UNROUNDED cosine, matching the oracle's
+      // list_cosine_similarity filter (same double arithmetic)
+      .filter(dotD(col("emb_a"), col("emb_b")) /
+        (col("nrm_a") * col("nrm_b")) >= tau)
+      .select(col("id_b").as("n_id")).distinct()
+    assigned
+      .join(dropped.withColumn("__graft_drop", lit(true)),
+        Seq("n_id"), "left")
+      .select(col("n_id").as("vec_id"), col("cid"),
+        col("__graft_drop").isNull.as("kept"))
   }
 
   // ---- gate queries ----
@@ -376,7 +434,19 @@ object Similarity {
       .select(col("vec_id"), round(col("scale"), 6).as("scale"),
         col("q_emb"))
 
+  /** Semantic-dedup gate: same corpus slice as d_embed_neardup, τ=0.3.
+    * The cluster assignment is engine-specific (Lloyd), so the oracle
+    * takes (vec_id, cid) from the dumped output and independently
+    * re-derives the keep rule — every `kept` flag is fully verified
+    * GIVEN the clustering (the same conditioned-oracle pattern as the
+    * s15c mtime gate); the clustering itself is quality-gated by
+    * SimilaritySpec's planted-duplicate recall test. */
+  private def dSemanticDedup(s: SparkSession, d: String): DataFrame =
+    semanticDedup(t(s, d, "embeddings").filter(col("vec_id") < 1000),
+      tau = 0.3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_semantic_dedup" -> dSemanticDedup _,
     "x_embed_norm" -> xEmbedNorm _,
     "x_embed_quantize" -> xEmbedQuantize _,
     "x_ann_brute" -> xAnnBrute _,
@@ -404,6 +474,24 @@ object Similarity {
        WHERE rn <= 3"""
 
   val oracle: Map[String, String] = Map(
+    "d_semantic_dedup" ->
+      """WITH asg AS (
+           SELECT vec_id, cid
+           FROM parquet_scan('__OUTDIR__/d_semantic_dedup/*.parquet')),
+         e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings WHERE vec_id < 1000),
+         j AS (
+           SELECT a.vec_id, a.cid, e.emb
+           FROM asg a JOIN e USING (vec_id)),
+         dropped AS (
+           SELECT DISTINCT b.vec_id
+           FROM j a JOIN j b
+             ON a.cid = b.cid AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3)
+         SELECT j.vec_id, j.cid, d.vec_id IS NULL AS kept
+         FROM j LEFT JOIN dropped d ON j.vec_id = d.vec_id""",
     "x_embed_norm" ->
       """WITH s AS (
            SELECT vec_id,

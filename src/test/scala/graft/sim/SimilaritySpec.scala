@@ -101,6 +101,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a == b, "IVF result depends on partitioning")
   }
 
+  test("semanticDedup: planted duplicate triples collapse to their " +
+    "lowest-id member, singleton centers all keep, deterministic " +
+    "across partitionings") {
+    // 20 near-orthogonal base vectors (spike in a distinct dim), each
+    // with exact copies at id+100 and id+200. Copies necessarily land
+    // in their original's cluster (identical vector ⇒ identical
+    // centroid ranking), so the keep-first rule must keep exactly the
+    // 20 originals at τ just under 1.
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 20).map { c =>
+      val emb = Array.fill(64)(rnd.nextGaussian().toFloat * 0.05f)
+      emb(3 * c % 64) += 8.0f
+      (c.toLong, emb)
+    }
+    val corpus = (base ++ base.map { case (c, e) => (c + 100L, e) } ++
+      base.map { case (c, e) => (c + 200L, e) })
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(corpus, tau = 0.999, nlist = 8,
+      lloydIters = 2)
+    assert(out.count() == 60)
+    assert(out.select("vec_id").distinct().count() == 60)
+    val kept = out.filter(col("kept")).select("vec_id")
+      .as[Long].collect().toSet
+    assert(kept == (0L until 20L).toSet,
+      s"kept ${kept.toSeq.sorted} — duplicates must drop, originals keep")
+    val a = out.collect().map(_.toSeq).toSet
+    val b = Similarity.semanticDedup(corpus.repartition(32), 0.999, 8, 2)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "semanticDedup depends on partitioning")
+  }
+
   test("embed norm/quantize invariants: unit norm 1, |x − q·scale| ≤ " +
     "scale/2, int8 range — against the UNROUNDED scale (the rounded " +
     "output alias must not leak into the math)") {
