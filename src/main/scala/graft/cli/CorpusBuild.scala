@@ -35,8 +35,18 @@ object CorpusBuild {
   val nShards = 8
   val minQuality = 0.5
   val nearDupJac = 0.8
+  /** Corpus-side gram-df cap for the incremental near-dup probe: one
+    * boilerplate gram above this df would otherwise pair the whole
+    * batch with every store doc carrying it (see
+    * `Dedup.incrementalNearDups`). Far above any real 3-gram df in a
+    * deduplicated store shard, far below batch × corpus blowup. */
+  val maxStoreGramDf = 10000
 
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.cli.CorpusBuild <sfDir> <warehouseDir>")
+      sys.exit(2)
+    }
     val Array(sfDir, whDir) = args.take(2)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -82,7 +92,8 @@ object CorpusBuild {
           broadcast(store.select("fp").distinct()), Seq("fp"),
           "left_anti")
         val nearIds = graft.dedup.Dedup.incrementalNearDups(
-            noExact, store.select("doc_id", "text"), "doc_id", "text")
+            noExact, store.select("doc_id", "text"), "doc_id", "text",
+            maxGramDf = maxStoreGramDf)
           .filter(col("jac") >= nearDupJac)
           .select(col("new_id").as("doc_id")).distinct()
         noExact.join(nearIds, Seq("doc_id"), "left_anti")
@@ -127,11 +138,17 @@ object CorpusBuild {
       Seq("doc_id"))
       .select("doc_id", "text", "fp", "lang_pred", "quality", "split",
         "shard")
-    graft.io.Writers.appendTable(sharded, corpusPath, Seq("shard"))
+      .persist()
+    // materialize + count BEFORE the append: the curation lineage reads
+    // the store it is about to append to, so counting afterwards would
+    // re-execute the whole DAG (and race the store snapshot); counted
+    // from cache, write and report see the same batch exactly once
     val nCurated = sharded.count()
+    graft.io.Writers.appendTable(sharded, corpusPath, Seq("shard"))
 
     // mark the WHOLE batch processed (survivors and drops alike)
     graft.io.Writers.appendTable(fresh.select("doc_id"), seenPath)
+    sharded.unpersist()
     scored.unpersist()
     canon.unpersist()
     fresh.unpersist()

@@ -271,13 +271,39 @@ object Dedup {
     * corpus), so each cycle's cost tracks the delta exactly like the
     * Bloom incremental path does for exact keys. Returns the best
     * existing match per new doc (max Jaccard, ties to the smallest
-    * existing id) for new docs sharing ≥1 gram with the corpus. */
+    * existing id) for new docs sharing ≥1 gram with the corpus.
+    *
+    * `maxGramDf` caps CORPUS-side document frequency, same contract as
+    * `ngramJaccardPairs`: a gram in > maxGramDf corpus docs (boilerplate
+    * headers, "of the …") would pair every new doc carrying it with
+    * every one of those corpus docs — one hot gram turns the delta-cost
+    * join into batch × corpus. The ban list is built by ONE linear
+    * aggregate over the corpus grams (map-side combined, O(corpus) but
+    * never quadratic), is hot-grams-only so it broadcasts, and strips
+    * both sides before the join; Jaccard is then over the df-filtered
+    * gram sets (sizes recomputed post-filter), as in the self-join
+    * form. */
   def incrementalNearDups(newDocs: DataFrame, oldDocs: DataFrame,
       idCol: String, textCol: String, blockCols: Seq[String] = Nil,
-      n: Int = 3): DataFrame = {
+      n: Int = 3, maxGramDf: Int = Int.MaxValue): DataFrame = {
     val bc = blockCols.map(col)
-    val a = sizedGrams(newDocs, idCol, textCol, bc, n, "new_id", "na")
-    val b = sizedGrams(oldDocs, idCol, textCol, bc, n, "old_id", "nb")
+    val a0 = sizedGrams(newDocs, idCol, textCol, bc, n, "new_id", "na")
+    val b0 = sizedGrams(oldDocs, idCol, textCol, bc, n, "old_id", "nb")
+    val (a, b) =
+      if (maxGramDf == Int.MaxValue) (a0, b0)
+      else {
+        // grams are distinct per doc, so count per (block, gram) IS df
+        val gramKey = (blockCols :+ "gram").map(col)
+        val hot = b0.groupBy(gramKey: _*)
+          .agg(count(lit(1)).as("df")).filter(col("df") > maxGramDf)
+          .select(gramKey: _*)
+        def strip(df: DataFrame, idName: String, nName: String) =
+          df.join(broadcast(hot), blockCols :+ "gram", "left_anti")
+            .withColumn(nName, count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy((blockCols :+ idName).map(col): _*)))
+        (strip(a0, "new_id", "na"), strip(b0, "old_id", "nb"))
+      }
     val pairs = a.join(b, blockCols :+ "gram")
       .groupBy((blockCols ++ Seq("new_id", "old_id", "na", "nb"))
         .map(col): _*)
@@ -544,7 +570,7 @@ object Dedup {
   private def dEmbedNearDup(s: SparkSession, d: String): DataFrame =
     embeddingNearDups(
       t(s, d, "embeddings").filter(col("vec_id") < 1000),
-      minCos = 0.3, tables = 24, bits = 2)
+      minCos = 0.3, tables = 32, bits = 2)
 
   /** Keep-best resolution: within each duplicate cluster keep the
     * HIGHEST-quality member (ties to the lowest doc_id), not the

@@ -105,9 +105,12 @@ object SourceQueries {
         col("fpkm") * lit(1e6) /
           // attribute-derived constant key: a foldable one would be
           // optimizer-eliminated and re-trigger the single-partition
-          // warning this sanctioned fixture window is exempt from
+          // warning this sanctioned fixture window is exempt from.
+          // coalesce keeps the key TOTAL — substring(NULL) is NULL and
+          // null-id rows would otherwise split into their own partition
           sum(col("fpkm")).over(
-            Window.partitionBy(substring(col("id"), 0, 0))))
+            Window.partitionBy(
+              substring(coalesce(col("id"), lit("")), 0, 0))))
   }
 
   /** S15: filesystem catalog of the sfDir as a table (name columns —

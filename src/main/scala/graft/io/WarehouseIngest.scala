@@ -842,9 +842,11 @@ object WarehouseIngest {
         .filter(col("gene_header") =!= "#Name")
         // non-foldable constant (production uses input_file_name):
         // a literal file name is optimizer-eliminated from the TPM
-        // window's partition spec → single-partition warning
+        // window's partition spec → single-partition warning. coalesce
+        // keeps it total — concat(_, NULL) would null the file key
         .withColumn("file",
-          concat(lit("samp_9.rpkm"), substring(col("gene_header"), 0, 0))),
+          concat(lit("samp_9.rpkm"),
+            substring(coalesce(col("gene_header"), lit("")), 0, 0))),
       "samp_9")
 
   private def sUnirefIndex(s: SparkSession, d: String): DataFrame =

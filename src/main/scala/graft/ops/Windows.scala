@@ -132,8 +132,10 @@ object Windows {
       .withColumn("nation_id",
         row_number().over(
           // attribute-derived constant key (see w1Funnel): keeps the
-          // sanctioned 25-row global ordering warning-free
-          Window.partitionBy(substring(col("n_name"), 0, 0))
+          // sanctioned 25-row global ordering warning-free; coalesce
+          // keeps it total for null names (one partition, not two)
+          Window.partitionBy(
+              substring(coalesce(col("n_name"), lit("")), 0, 0))
             .orderBy(col("n_name").asc)))
       .select(col("nation_id"), col("n_name"))
 

@@ -228,6 +228,37 @@ class DedupSpec extends AnyFunSuite {
     assert(out.size == 2)
   }
 
+  test("incrementalNearDups maxGramDf: a corpus-hot gram stops pairing " +
+    "(the one-boilerplate-gram blowup guard) and Jaccard recomputes " +
+    "over the stripped gram sets") {
+    // every corpus doc shares the 3-gram "terms of service"; docs are
+    // otherwise disjoint from the new doc
+    val old = (1L to 5L).map(i =>
+      (i, s"terms of service unique$i filler$i content$i"))
+      .toDF("doc_id", "text")
+    val fresh = Seq((10L, "terms of service brand new material here"))
+      .toDF("doc_id", "text")
+    // uncapped: the hot gram pairs the new doc with all 5 corpus docs
+    // (best match = smallest id at the tied jaccard)
+    val un = Dedup.incrementalNearDups(fresh, old, "doc_id", "text")
+      .collect()
+    assert(un.length == 1 && un.head.getAs[Long]("old_id") == 1L)
+    // capped below 5: the only shared gram is banned → no pairs at all,
+    // so the probe's cost can no longer scale with corpus df
+    val capped = Dedup.incrementalNearDups(fresh, old, "doc_id", "text",
+      maxGramDf = 4)
+    assert(capped.isEmpty)
+    // cap above the df: identical to uncapped, but jaccard must equal
+    // the recomputed-size contract on both paths
+    val loose = Dedup.incrementalNearDups(fresh, old, "doc_id", "text",
+        maxGramDf = 100)
+      .collect()
+    assert(loose.map(r => (r.getAs[Long]("new_id"),
+        r.getAs[Long]("old_id"), r.getAs[Double]("jac"))).toSeq ==
+      un.map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("old_id"),
+        r.getAs[Double]("jac"))).toSeq)
+  }
+
   test("connected components: edge direction does not matter") {
     val nodes = (0L to 3L).toDF("doc_id")
     // edges given max-first — min-label must still propagate everywhere

@@ -199,6 +199,37 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(fout(5L) == null)
   }
 
+  test("split asofJoin == plain asofJoin when KEYS are null on either " +
+    "side (null-keyed right rows are dropped up front, so no carry " +
+    "can exist for a null key in either path)") {
+    import spark.implicits._
+    val us = 1000000L
+    val right = Seq(
+        (Option(1L), 5L * us, "r5"),
+        (Option.empty[Long], 3L * us, "rnull"), // dropped: null key
+        (Option(1L), 25L * us, "r25"))
+      .toDF("k", "t", "tag")
+      .select(col("k"), timestamp_micros(col("t")).as("ts"), col("tag"))
+    val left = Seq(
+        (Option(1L), 30L * us, 1L),
+        (Option.empty[Long], 30L * us, 2L), // null key: matches nothing
+        (Option.empty[Long], 4L * us, 3L))
+      .toDF("k", "t", "lid")
+      .select(col("k"), timestamp_micros(col("t")).as("ts"), col("lid"))
+    for (fwd <- Seq(false, true)) {
+      val plain = TemporalJoins.asofJoin(left, right, Seq("k"), "ts",
+        Seq("tag"), forward = fwd).select("lid", "tag")
+      val split = TemporalJoins.asofJoin(left, right, Seq("k"), "ts",
+        Seq("tag"), forward = fwd, splitRangeSeconds = Some(10L))
+        .select("lid", "tag")
+      assert(split.exceptAll(plain).isEmpty &&
+        plain.exceptAll(split).isEmpty,
+        s"null-key split (forward=$fwd) diverges from plain")
+      val m = split.as[(Long, String)].collect().toMap
+      assert(m(2L) == null && m(3L) == null) // SQL join semantics
+    }
+  }
+
   test("split asofJoin: composite keys + multi-column payload match " +
     "the plain path") {
     import spark.implicits._
