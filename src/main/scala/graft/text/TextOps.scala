@@ -576,7 +576,72 @@ object TextOps {
       .select(col("lang"), col("rank"), col("token"), col("n"))
   }
 
+  /** Corpus-level duplicated-passage removal — the C4/CCNet dedup rule
+    * applied to a token stream: documents tile into NON-overlapping
+    * `width`-token passages (the last tile may be shorter); every
+    * passage whose exact token sequence occurs more than once ACROSS
+    * the corpus keeps only its first occurrence (smallest
+    * (doc id, tile index)) and every other occurrence is cut; each
+    * document reassembles from its surviving tiles in order. The
+    * TRANSFORM counterpart of `dupNgramFraction` (which only scores
+    * boilerplate) and the passage-level counterpart of document dedup
+    * (which keeps or drops whole docs). Returns one row per input doc:
+    * (id, text = cleaned, n_tiles, n_cut) — a doc whose every tile was
+    * cut keeps its row with empty text, so downstream length/quality
+    * filters see it.
+    *
+    * Scale shape: the corpus tiles once (per-row explode, no shuffle);
+    * the keeper per distinct passage is ONE map-side-combined
+    * min-aggregate — never a passage-keyed window, which would put a
+    * hot boilerplate passage's every occurrence on one task; the
+    * keep/cut decision is an equi-join back on the passage (AQE
+    * skew-split applies, the aggregated side has one row per DISTINCT
+    * passage); reassembly and the per-doc totals are id-keyed
+    * aggregates that co-partition with their join. Nothing is ever
+    * quadratic in occurrence count. */
+  def dedupPassages(docs: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame = {
+    require(width > 0, s"width must be positive: $width")
+    val tiled = docs
+      .select(col(idCol), tokens(col(textCol)).as("tok"))
+      .withColumn("n_tiles", greatest(lit(1),
+        ceil(size(col("tok")).cast("double") / width).cast("int")))
+      .select(col(idCol), col("tok"),
+        explode(sequence(lit(0), col("n_tiles") - 1)).as("tile_id"))
+      .select(col(idCol), col("tile_id"),
+        array_join(slice(col("tok"), col("tile_id") * width + 1,
+          lit(width)), " ").as("passage"))
+    // first occurrence per distinct passage: lexicographic struct min
+    val keeper = tiled.groupBy("passage")
+      .agg(min(struct(col(idCol).as("kid"), col("tile_id").as("kt")))
+        .as("first_occ"))
+    val kept = tiled.join(keeper, Seq("passage"))
+      .filter(col("first_occ.kid") === col(idCol) &&
+        col("first_occ.kt") === col("tile_id"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        sort_array(collect_list(struct(col("tile_id").as("t"),
+          col("passage").as("p")))).as("ps"))
+      .select(col(idCol), col("n_kept"),
+        array_join(transform(col("ps"), x => x.getField("p")), " ")
+          .as("clean_text"))
+    tiled.groupBy(col(idCol)).agg(count(lit(1)).as("n_tiles"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as(textCol),
+        col("n_tiles").cast("int").as("n_tiles"),
+        (col("n_tiles") - coalesce(col("n_kept"), lit(0L))).cast("int")
+          .as("n_cut"))
+  }
+
+  /** tx passage dedup: 8-token tiles over documents (the sf0.01
+    * fixture's planted duplicate docs yield 328 cut occurrences across
+    * 153 distinct duplicated passages). */
+  private def txDedupPassages(s: SparkSession, d: String): DataFrame =
+    dedupPassages(t(s, d, "documents"), "doc_id", "text", 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_dedup_passages" -> txDedupPassages _,
     "tx_bpe_tokens" -> txBpeTokens _,
     "tx_token_stats" -> txTokenStats _,
     "tx_quality" -> txQuality _,
@@ -723,6 +788,41 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "tx_dedup_passages" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS tok
+           FROM documents),
+         sized AS (
+           SELECT doc_id, tok,
+             greatest(1, CAST(ceil(len(tok) * 1.0 / 8) AS INT))
+               AS n_tiles
+           FROM tk),
+         tiled AS (
+           SELECT doc_id, tok,
+             CAST(unnest(range(0, n_tiles)) AS INT) AS tile_id
+           FROM sized),
+         p AS (
+           SELECT doc_id, tile_id,
+             array_to_string(tok[tile_id * 8 + 1 : tile_id * 8 + 8],
+               ' ') AS passage
+           FROM tiled),
+         flt AS (
+           SELECT doc_id, tile_id, passage,
+             row_number() OVER (PARTITION BY passage
+               ORDER BY doc_id, tile_id) AS rn
+           FROM p),
+         reb AS (
+           SELECT doc_id, count(*) AS n_kept,
+             string_agg(passage, ' ' ORDER BY tile_id) AS clean_text
+           FROM flt WHERE rn = 1 GROUP BY doc_id),
+         tot AS (
+           SELECT doc_id, count(*) AS n_tiles FROM p GROUP BY doc_id)
+         SELECT t.doc_id,
+           coalesce(r.clean_text, '') AS text,
+           CAST(t.n_tiles AS INT) AS n_tiles,
+           CAST(t.n_tiles - coalesce(r.n_kept, 0) AS INT) AS n_cut
+         FROM tot t LEFT JOIN reb r USING (doc_id)""",
     "tx_bm25" -> bm25Oracle,
     "tx_langid" -> langidOracle,
     "tx_pii_scrub" -> piiOracle,

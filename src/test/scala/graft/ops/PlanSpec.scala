@@ -134,6 +134,20 @@ class PlanSpec extends AnyFunSuite {
       s"extra shuffles:\n${p.take(3000)}")
   }
 
+  test("passage dedup: no passage-keyed window (hot-tile straggler), " +
+    "no quadratic join, bounded shuffle count") {
+    val p = plan("tx_dedup_passages")
+    // keeper must be the min-AGGREGATE form — a row_number window per
+    // passage would put a boilerplate passage's every occurrence on
+    // one task
+    assert(!p.contains("Window"), s"passage-keyed window:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+    // tile → keeper agg, keep/cut equi-join, rebuild agg, totals agg +
+    // id join: ≤ 6 hash exchanges (AQE may reuse co-partitioning)
+    assert(countOf(p, "Exchange hashpartitioning") <= 6,
+      s"extra shuffles:\n${p.take(3000)}")
+  }
+
   test("decontamination: eval grams broadcast — the corpus side " +
     "never shuffles for the probe") {
     val p = plan("tx_decontam")

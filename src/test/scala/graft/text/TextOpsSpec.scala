@@ -12,6 +12,29 @@ class TextOpsSpec extends AnyFunSuite {
 
   private def wordsDoc(n: Int): String = Seq.fill(n)("w").mkString(" ")
 
+  test("dedupPassages: duplicated tiles keep only the first " +
+    "(doc, tile) occurrence — across docs AND within one doc — and " +
+    "docs reassemble in tile order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // tiles: "a b c", "d e f"
+      (2L, "a b c d e f"),       // exact dup of 1: both tiles cut
+      (3L, "a b c x y z"),       // shares tile 0 with doc 1 only
+      (4L, "q r s q r s"),       // in-doc repeat: 2nd occurrence cut
+      (5L, "u v")                // short doc: one partial tile, unique
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupPassages(docs, "doc_id", "text", 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Int]("n_tiles"),
+          r.getAs[Int]("n_cut")))).toMap
+    assert(out.size == 5) // fully-cut docs keep their row
+    assert(out(1L) == (("a b c d e f", 2, 0)))
+    assert(out(2L) == (("", 2, 2)))      // empty text, not a lost row
+    assert(out(3L) == (("x y z", 2, 1))) // surviving tiles stay ordered
+    assert(out(4L) == (("q r s", 2, 1))) // keep-first applies in-doc too
+    assert(out(5L) == (("u v", 1, 0)))   // partial tile, no false cut
+  }
+
   test("packBins: bins fill to capacity by start offset, per partition") {
     // lang a: 60+60+60 tokens at capacity 100 → starts 0,60,120 →
     // bins 0,0,1; lang b packs independently from offset 0
