@@ -60,10 +60,16 @@ object CorpusBuild {
     spark.stop()
   }
 
-  def run(spark: SparkSession, sfDir: String, whDir: String): Unit = {
+  def run(spark: SparkSession, sfDir: String, whDir: String): Unit =
+    runBatch(spark, graft.Tables.t(spark, sfDir, "documents"), whDir)
+
+  /** One nightly cycle over an explicit batch frame — the shape a real
+    * scheduler drives (tonight's crawl delta), and what the spec feeds
+    * to exercise a genuine incremental second run. */
+  def runBatch(spark: SparkSession, docs: DataFrame,
+      whDir: String): Unit = {
     val corpusPath = s"$whDir/corpus"
     val seenPath = s"$whDir/seen"
-    val docs = graft.Tables.t(spark, sfDir, "documents")
 
     // 1. incremental gate on the PROCESSED-id table (not the store:
     //    curation drops docs, and a dropped doc must stay dropped, not

@@ -38,4 +38,36 @@ class CorpusBuildSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$wh/corpus").count() == n1)
     assert(spark.read.parquet(s"$wh/seen").count() == seen)
   }
+
+  test("incremental second batch: only genuinely new docs enter, " +
+    "cross-batch dedup holds, invariants survive the append") {
+    val wh = Files.createTempDirectory("graft_corpus_incr").toString
+    val docs = graft.Tables.t(spark, TestSpark.sf0001, "documents")
+    val total = docs.count()
+
+    // night 1: the first half of the corpus
+    CorpusBuild.runBatch(spark, docs.filter(col("doc_id") < 250), wh)
+    val store1 = spark.read.parquet(s"$wh/corpus")
+    val n1 = store1.count()
+    assert(n1 > 0)
+
+    // night 2: the FULL table — the first half must be screened out by
+    // the seen gate, the second half curated against the live store
+    // (this is the path where counting after the append re-ran the DAG)
+    CorpusBuild.runBatch(spark, docs, wh)
+    val store2 = spark.read.parquet(s"$wh/corpus")
+    val n2 = store2.count()
+    assert(n2 > n1, s"second batch added nothing ($n1 -> $n2)")
+    // every processed doc marked seen exactly once, across both nights
+    assert(spark.read.parquet(s"$wh/seen").count() == total)
+    // cross-batch dedup: no doc curated twice, no fingerprint stored
+    // twice (batch-2 copies of batch-1 docs must not re-enter)
+    assert(store2.groupBy("doc_id").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(store2.groupBy("fp").count()
+      .filter(col("count") > 1).count() == 0)
+    // night-1 rows are append-stable: still present, same fingerprints
+    val s1Ids = store1.select("doc_id", "fp")
+    assert(s1Ids.exceptAll(store2.select("doc_id", "fp")).isEmpty)
+  }
 }
