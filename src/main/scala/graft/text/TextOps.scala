@@ -602,15 +602,19 @@ object TextOps {
   def dedupPassages(docs: DataFrame, idCol: String, textCol: String,
       width: Int): DataFrame = {
     require(width > 0, s"width must be positive: $width")
-    val tiled = docs
-      .select(col(idCol), tokens(col(textCol)).as("tok"))
-      .withColumn("n_tiles", greatest(lit(1),
-        ceil(size(col("tok")).cast("double") / width).cast("int")))
-      .select(col(idCol), col("tok"),
-        explode(sequence(lit(0), col("n_tiles") - 1)).as("tile_id"))
-      .select(col(idCol), col("tile_id"),
-        array_join(slice(col("tok"), col("tile_id") * width + 1,
-          lit(width)), " ").as("passage"))
+    // null text coalesces to empty up front: tokens(NULL) would tile to
+    // a NULL passage, which the keeper equi-join drops (NULL never
+    // equals NULL) — the doc would read as cut when nothing was
+    // duplicated. Coalesced, a null doc behaves exactly like an empty
+    // one on both engines.
+    val clean = docs.select(col(idCol),
+      coalesce(col(textCol), lit("")).as(textCol))
+    // non-overlapping tiles = chunkSplit at stride == width (same
+    // ceil(n/width)-min-1 count, same 1-based slices) — one tested
+    // segmentation rule, not two
+    val tiled = chunkSplit(clean, idCol, textCol, width, width)
+      .select(col(idCol), col("chunk_id").as("tile_id"),
+        col("chunk_text").as("passage"))
     // first occurrence per distinct passage: lexicographic struct min
     val keeper = tiled.groupBy("passage")
       .agg(min(struct(col(idCol).as("kid"), col("tile_id").as("kt")))
@@ -625,11 +629,15 @@ object TextOps {
       .select(col(idCol), col("n_kept"),
         array_join(transform(col("ps"), x => x.getField("p")), " ")
           .as("clean_text"))
-    tiled.groupBy(col(idCol)).agg(count(lit(1)).as("n_tiles"))
-      .join(rebuilt, Seq(idCol), "left")
+    // per-doc totals come from the UN-exploded frame — a per-row
+    // expression, no third aggregation over the tiled corpus
+    val totals = clean.select(col(idCol),
+      greatest(lit(1), ceil(size(tokens(col(textCol))).cast("double")
+        / width).cast("int")).as("n_tiles"))
+    totals.join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as(textCol),
-        col("n_tiles").cast("int").as("n_tiles"),
+        col("n_tiles"),
         (col("n_tiles") - coalesce(col("n_kept"), lit(0L))).cast("int")
           .as("n_cut"))
   }
@@ -791,7 +799,7 @@ object TextOps {
     "tx_dedup_passages" ->
       """WITH tk AS (
            SELECT doc_id,
-             string_split_regex(trim(text), '\s+') AS tok
+             string_split_regex(trim(coalesce(text, '')), '\s+') AS tok
            FROM documents),
          sized AS (
            SELECT doc_id, tok,

@@ -16,23 +16,27 @@ class TextOpsSpec extends AnyFunSuite {
     "(doc, tile) occurrence — across docs AND within one doc — and " +
     "docs reassemble in tile order") {
     val docs = Seq(
-      (1L, "a b c d e f"),       // tiles: "a b c", "d e f"
-      (2L, "a b c d e f"),       // exact dup of 1: both tiles cut
-      (3L, "a b c x y z"),       // shares tile 0 with doc 1 only
-      (4L, "q r s q r s"),       // in-doc repeat: 2nd occurrence cut
-      (5L, "u v")                // short doc: one partial tile, unique
+      (1L, Option("a b c d e f")), // tiles: "a b c", "d e f"
+      (2L, Option("a b c d e f")), // exact dup of 1: both tiles cut
+      (3L, Option("a b c x y z")), // shares tile 0 with doc 1 only
+      (4L, Option("q r s q r s")), // in-doc repeat: 2nd occurrence cut
+      (5L, Option("u v")),         // short doc: one partial tile, unique
+      (6L, Option.empty[String]),  // null text = empty doc, NOT a cut
+      (7L, Option(""))             // empty doc: dups doc 6's "" tile
     ).toDF("doc_id", "text")
     val out = TextOps.dedupPassages(docs, "doc_id", "text", 3)
       .collect()
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[String]("text"), r.getAs[Int]("n_tiles"),
           r.getAs[Int]("n_cut")))).toMap
-    assert(out.size == 5) // fully-cut docs keep their row
+    assert(out.size == 7) // fully-cut docs keep their row
     assert(out(1L) == (("a b c d e f", 2, 0)))
     assert(out(2L) == (("", 2, 2)))      // empty text, not a lost row
     assert(out(3L) == (("x y z", 2, 1))) // surviving tiles stay ordered
     assert(out(4L) == (("q r s", 2, 1))) // keep-first applies in-doc too
     assert(out(5L) == (("u v", 1, 0)))   // partial tile, no false cut
+    assert(out(6L) == (("", 1, 0)))      // null text: kept, never "cut"
+    assert(out(7L) == (("", 1, 1)))      // second "" tile dups doc 6's
   }
 
   test("packBins: bins fill to capacity by start offset, per partition") {
