@@ -397,6 +397,17 @@ object Similarity {
     * re-evaluates captured expressions per element — the charShingles
     * lesson). */
 
+  /** Serialize a double array for the oracle compare as fixed-scale
+    * decimal text ("0.123450,-1.000000,…") — the d_minhash_signature
+    * precedent, needed because the gate harness cannot sort/hash raw
+    * array columns. decimal(18,6) (not plain string-cast) so both
+    * engines print identical trailing zeros and never fall into
+    * scientific notation; DuckDB side mirrors with
+    * `CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)`. */
+  private def serDec6(arr: Column): Column =
+    concat_ws(",",
+      transform(arr, x => x.cast("decimal(18,6)").cast("string")))
+
   /** L2-normalize: unit vector + the norm. Output elements rounded to
     * 6 dp (both engines round the same double, so the contract is
     * engine-portable). Zero vectors pass through unnormalized.
@@ -405,9 +416,8 @@ object Similarity {
     * select makes Spark resolve the lambda's l2 reference to the
     * ROUNDED sibling alias (lateral column aliasing), silently
     * normalizing by the 6-dp value. */
-  private def xEmbedNorm(s: SparkSession, d: String): DataFrame =
-    t(s, d, "embeddings")
-      .withColumn("l2", l2norm(col("embedding")))
+  def embedNormalize(e: DataFrame): DataFrame =
+    e.withColumn("l2", l2norm(col("embedding")))
       .withColumn("unit",
         when(col("l2") > 0,
           transform(asDouble(col("embedding")),
@@ -415,14 +425,17 @@ object Similarity {
           .otherwise(asDouble(col("embedding"))))
       .select(col("vec_id"), round(col("l2"), 6).as("l2"), col("unit"))
 
+  private def xEmbedNorm(s: SparkSession, d: String): DataFrame =
+    embedNormalize(t(s, d, "embeddings"))
+      .select(col("vec_id"), col("l2"), serDec6(col("unit")).as("unit"))
+
   /** Symmetric int8 quantization: per-vector scale = max|x|/127,
     * elements as floor(x/scale + 0.5) — an EXPLICIT half-up so both
     * engines agree on ties (round() tie rules differ by engine and
     * type). The unrounded scale quantizes; the output scale is
     * display-rounded. All-zero vectors quantize to zeros. */
-  private def xEmbedQuantize(s: SparkSession, d: String): DataFrame =
-    t(s, d, "embeddings")
-      .withColumn("scale",
+  def embedQuantizeInt8(e: DataFrame): DataFrame =
+    e.withColumn("scale",
         array_max(transform(asDouble(col("embedding")), x => abs(x)))
           / 127.0)
       .withColumn("q_emb",
@@ -433,6 +446,11 @@ object Similarity {
       // separate projection: see xEmbedNorm on lateral-alias shadowing
       .select(col("vec_id"), round(col("scale"), 6).as("scale"),
         col("q_emb"))
+
+  private def xEmbedQuantize(s: SparkSession, d: String): DataFrame =
+    embedQuantizeInt8(t(s, d, "embeddings"))
+      .select(col("vec_id"), col("scale"),
+        concat_ws(",", col("q_emb").cast("array<string>")).as("q_emb"))
 
   /** Semantic-dedup gate: same corpus slice as d_embed_neardup, τ=0.3.
     * The cluster assignment is engine-specific (Lloyd), so the oracle
@@ -500,9 +518,11 @@ object Similarity {
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
            FROM embeddings)
          SELECT vec_id, round(l2, 6) AS l2,
-           CASE WHEN l2 > 0
-             THEN list_transform(emb, x -> round(x / l2, 6))
-             ELSE emb END AS unit
+           array_to_string(list_transform(
+             CASE WHEN l2 > 0
+               THEN list_transform(emb, x -> round(x / l2, 6))
+               ELSE emb END,
+             x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), ',') AS unit
          FROM s""",
     "x_embed_quantize" ->
       """WITH s AS (
@@ -512,10 +532,10 @@ object Similarity {
                x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
            FROM embeddings)
          SELECT vec_id, round(scale, 6) AS scale,
-           CASE WHEN scale > 0
+           array_to_string(CASE WHEN scale > 0
              THEN list_transform(emb,
                x -> CAST(floor(x / scale + 0.5) AS INT))
-             ELSE list_transform(emb, x -> 0) END AS q_emb
+             ELSE list_transform(emb, x -> 0) END, ',') AS q_emb
          FROM s""",
     "x_ann_lsh" -> bruteTop3Sql,
     "x_ann_ivf_full" -> bruteTop3Sql,

@@ -140,7 +140,7 @@ class SimilaritySpec extends AnyFunSuite {
     // norm: re-derive l2 of the unit vector with exact input norms;
     // if the lambda had normalized by the display-rounded l2 (the
     // lateral-alias shadowing bug), this drifts at the 6th decimal
-    val unit = graft.SparkEntry.queries("x_embed_norm")(spark, d)
+    val unit = Similarity.embedNormalize(e)
     val drift = unit.select(abs(sqrt(aggregate(
         transform(col("unit"), x => x * x), lit(0.0),
         (a, v) => a + v)) - lit(1.0)).as("err"))
@@ -150,7 +150,7 @@ class SimilaritySpec extends AnyFunSuite {
     // 6-dp display rounding of scale itself introduces (|q| ≤ 127 ⇒
     // 127 × 5e-7); a quantizer that used the ROUNDED scale would pass
     // this but fail the oracle, so both gates together pin it
-    val q = graft.SparkEntry.queries("x_embed_quantize")(spark, d)
+    val q = Similarity.embedQuantizeInt8(e)
     val joined = e.select(col("vec_id"), col("embedding"))
       .join(q, Seq("vec_id"))
     val bad = joined.select(col("vec_id"),
