@@ -392,6 +392,17 @@ object WarehouseIngest {
     Readers.parseSeparated(lns, unirefIndexSchema)
       .withColumn("length", col("length") - 2)
 
+  /** mmseqs row-id → UniRef100 accession map (postgres.Rmd:195-198) —
+    * stored raw; consumers strip the "UniRef100_" prefix at join time
+    * (Rmd:312,389) like the tophit ingest does. */
+  def parseUnirefLookup(lns: Dataset[String]): DataFrame =
+    Readers.parseSeparated(lns, unirefLookupSchema)
+
+  /** mmseqs row-id → NCBI taxid map (postgres.Rmd:218-221) — the
+    * taxonomy side of the tpm bridge. */
+  def parseUnirefTaxid(lns: Dataset[String]): DataFrame =
+    Readers.parseSeparated(lns, unirefTaxidSchema)
+
   // ---- coverM abundance tables (postgres.Rmd:1678-1702 genome/bin,
   //      1771-1790 contig): tool headers → warehouse names, coverM's
   //      own Sample column dropped in favor of the path-derived tag ----
@@ -560,6 +571,13 @@ object WarehouseIngest {
 
   private[io] val unirefIndexText: String = Seq(
     "0\t0\t312", "1\t312\t145", "2\t457\t2048").mkString("\n")
+
+  private[io] val unirefLookupText: String = Seq(
+    "0\tUniRef100_A0A009\t0", "1\tUniRef100_B5XK02\t0",
+    "2\tUniRef100_C9ZZ99\t0").mkString("\n")
+
+  private[io] val unirefTaxidText: String = Seq(
+    "0\t562", "1\t1224", "2\t1").mkString("\n")
 
   private[io] val binAbundHeader: Seq[String] = Seq("Sample", "Genome",
     "Relative Abundance (%)", "Mean", "Trimmed Mean", "Covered Bases",
@@ -852,6 +870,12 @@ object WarehouseIngest {
   private def sUnirefIndex(s: SparkSession, d: String): DataFrame =
     parseUnirefIndex(lines(s, unirefIndexText))
 
+  private def sUnirefLookup(s: SparkSession, d: String): DataFrame =
+    parseUnirefLookup(lines(s, unirefLookupText))
+
+  private def sUnirefTaxid(s: SparkSession, d: String): DataFrame =
+    parseUnirefTaxid(lines(s, unirefTaxidText))
+
   private def sBinAbund(s: SparkSession, d: String): DataFrame = {
     val raw = s.read.option("sep", "\t").option("header", "true")
       .csv(lines(s, (binAbundHeader.mkString("\t") +:
@@ -888,6 +912,8 @@ object WarehouseIngest {
     "s_tophit" -> sTophit _,
     "s_gene_abund" -> sGeneAbund _,
     "s_uniref_index" -> sUnirefIndex _,
+    "s_uniref_lookup" -> sUnirefLookup _,
+    "s_uniref_taxid" -> sUnirefTaxid _,
     "s_bin_abund" -> sBinAbund _,
     "s_contig_abund" -> sContigAbund _,
     "s_contig_blast" -> sContigBlast _,
@@ -1152,6 +1178,27 @@ object WarehouseIngest {
      FROM p"""
   }
 
+  private def unirefLookupOracle: String = {
+    val vals = unirefLookupText.split("\n").map(lit1)
+      .map(l => s"($l)").mkString(", ")
+    s"""WITH raw(line) AS (VALUES $vals),
+     p AS (SELECT string_split(line, chr(9)) AS f FROM raw
+           WHERE length(trim(line)) > 0)
+     SELECT TRY_CAST(f[1] AS INT) AS id, f[2] AS uniref100,
+       TRY_CAST(f[3] AS INT) AS extra
+     FROM p"""
+  }
+
+  private def unirefTaxidOracle: String = {
+    val vals = unirefTaxidText.split("\n").map(lit1)
+      .map(l => s"($l)").mkString(", ")
+    s"""WITH raw(line) AS (VALUES $vals),
+     p AS (SELECT string_split(line, chr(9)) AS f FROM raw
+           WHERE length(trim(line)) > 0)
+     SELECT TRY_CAST(f[1] AS INT) AS id, TRY_CAST(f[2] AS INT) AS taxid
+     FROM p"""
+  }
+
   private def binAbundOracle: String = {
     val vals = binAbundRows.map { r =>
       s"(${lit1(r._1)}, ${lit1(r._2)}, ${r._3}, ${r._4}, ${r._5}, " +
@@ -1276,6 +1323,8 @@ object WarehouseIngest {
     "s_tophit" -> tophitOracle,
     "s_gene_abund" -> geneAbundOracle,
     "s_uniref_index" -> unirefIndexOracle,
+    "s_uniref_lookup" -> unirefLookupOracle,
+    "s_uniref_taxid" -> unirefTaxidOracle,
     "s_bin_abund" -> binAbundOracle,
     "s_contig_abund" -> contigAbundOracle,
     "s_contig_blast" -> contigBlastOracle,
