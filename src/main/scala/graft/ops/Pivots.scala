@@ -74,23 +74,29 @@ object Pivots {
 
   /** Cohort-retention matrix — the OLAP composite of P1 + first-touch
     * attribution: cohort = user's first activity week, columns = week
-    * offsets, cells = distinct active users. Conditional aggregation
-    * (fixed offset domain) keeps it one hash aggregate after the
-    * first-touch join. */
+    * offsets, cells = distinct active users. N conditional
+    * `countDistinct`s would make Catalyst Expand the event stream ×N
+    * (one replica per distinct aggregate); instead dedup
+    * (cohort, offset, user_id) once — after which plain conditional
+    * counts ARE distinct counts — so the plan is two ordinary
+    * partial/final HashAggregate pairs and zero Expands at any N. */
   private def p1CohortRetention(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
       .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
     val first = ev.groupBy("user_id").agg(min("week").as("cohort"))
-    val joined = ev.join(first, Seq("user_id"))
-      .withColumn("offset",
-        (datediff(col("week"), col("cohort")) / 7).cast("int"))
-    joined.groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"))
+    val active = ev.join(first, Seq("user_id"))
+      .select(col("cohort"),
+        (datediff(col("week"), col("cohort")) / 7).cast("int")
+          .as("offset"),
+        col("user_id"))
+      .dropDuplicates("cohort", "offset", "user_id")
+    active.groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"))
       .agg(
-        countDistinct(when(col("offset") === 0, col("user_id"))).as("w0"),
-        countDistinct(when(col("offset") === 1, col("user_id"))).as("w1"),
-        countDistinct(when(col("offset") === 2, col("user_id"))).as("w2"),
-        countDistinct(when(col("offset") === 3, col("user_id"))).as("w3"),
-        countDistinct(when(col("offset") === 4, col("user_id"))).as("w4"))
+        count(when(col("offset") === 0, lit(1))).as("w0"),
+        count(when(col("offset") === 1, lit(1))).as("w1"),
+        count(when(col("offset") === 2, lit(1))).as("w2"),
+        count(when(col("offset") === 3, lit(1))).as("w3"),
+        count(when(col("offset") === 4, lit(1))).as("w4"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -228,4 +228,11 @@ class PlanSpec extends AnyFunSuite {
     assert(countOf(p, "Exchange hashpartitioning") <= 2,
       s"window stack re-shuffles:\n${p.take(3000)}")
   }
+
+  test("cohort retention: no Expand — the 5 distinct counts ride one " +
+    "dedup aggregate, not a ×5 replica of the event stream") {
+    val p = plan("p1_cohort_retention")
+    assert(!p.contains("Expand"),
+      s"cohort retention Expands the events table:\n${p.take(3000)}")
+  }
 }
