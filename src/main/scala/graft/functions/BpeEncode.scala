@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding merge of ONE word against a ranked merges table,
+  * as a native expression: the word starts as its character sequence
+  * and repeatedly merges the adjacent pair with the LOWEST merge rank
+  * (ties broken leftmost), one occurrence per step, until no adjacent
+  * pair appears in the table. That (rank, leftmost-position) priority
+  * is exactly the order a trained BPE tokenizer applies its learned
+  * merges (the priority-queue formulation), so a fixture merges table
+  * plus hand-derived goldens pin the algorithm in BpeEncodeSpec, and
+  * the DuckDB oracle replays the identical recursion.
+  *
+  * Scale shape: pure per-row JVM loop — zero shuffles, the merge
+  * RANKS ride into every task as part of the serialized expression
+  * (the closure plays the role a broadcast variable would for a
+  * production 50k-merge vocabulary; the map is built once per
+  * deserialized instance, not per row). Cost is O(len² · lookup) per
+  * word with len = word length, the same bound as the reference
+  * tokenizer implementations; words are short, so the scan term never
+  * dominates the regex word-split that precedes it.
+  *
+  * The reference pipeline has no tokenizer (out of GLAMR's scope) —
+  * this is an LLM-corpus operator: real token counts for the budget
+  * mix / bin packing stages (`TextOps.bpeMergeCount`).
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  // rank = position in the merges list (a real merges.txt is already
+  // rank-ordered); built lazily once per task deserialization
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      m.putIfAbsent(a + " " + b, r)
+    }
+    m
+  }
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode needs STRING, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val word = v.asInstanceOf[UTF8String].toString
+    val toks = new java.util.ArrayList[String](word.length)
+    // seed with code points (UTF-8 aware, like the oracle's char split)
+    var ci = 0
+    while (ci < word.length) {
+      val cp = word.codePointAt(ci)
+      val n = Character.charCount(cp)
+      toks.add(word.substring(ci, ci + n))
+      ci += n
+    }
+    // merge loop: find the (minRank, leftmost) adjacent pair, fuse it,
+    // rescan. Each step shrinks the list by one, so ≤ len-1 steps.
+    var done = toks.size() <= 1
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestI = -1
+      var i = 0
+      while (i < toks.size() - 1) {
+        val r = rank.get(toks.get(i) + " " + toks.get(i + 1))
+        if (r != null && r < bestRank) { bestRank = r; bestI = i }
+        i += 1
+      }
+      if (bestI < 0) done = true
+      else {
+        toks.set(bestI, toks.get(bestI) + toks.get(bestI + 1))
+        toks.remove(bestI + 1)
+        if (toks.size() <= 1) done = true
+      }
+    }
+    val out = new Array[Any](toks.size())
+    var j = 0
+    while (j < out.length) {
+      out(j) = UTF8String.fromString(toks.get(j))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeEncode =
+    copy(child = c)
+}
+
+object BpeEncode {
+  /** Column-API entry point (GraftColumnBridge wrapping lives here,
+    * like `TokenNgrams.of`). */
+  def of(word: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      BpeEncode(GraftColumnBridge.expression(word), merges))
+  }
+}

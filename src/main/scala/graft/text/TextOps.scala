@@ -261,13 +261,15 @@ object TextOps {
     * source, no driver loop, stable under appends exactly like
     * `splitAssign`. */
   def tokenBudgetMix(docs: DataFrame, idCol: String, textCol: String,
-      sourceCol: String, budget: Column => Column): DataFrame = {
+      sourceCol: String, budget: Column => Column,
+      tokenCount: Column => Column =
+        c => size(tokens(c)).cast("long")): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(sourceCol)
       .orderBy(md5(concat(lit("mix:"), col(idCol).cast("string"))).asc,
         col(idCol).asc)
     docs.select(col(sourceCol), col(idCol),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("cum_before", coalesce(sum("n_tokens").over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, -1)), lit(0L)))
@@ -291,6 +293,64 @@ object TextOps {
       size(tokens(col("text"))).as("n_ws_tokens"),
       regexp_count(col("text"), lit("[^\\w\\s]")).cast("int")
         .as("n_punct"))
+
+  // ---- trained-BPE merge application ----
+
+  /** Fixture merges table (rank = list position, the merges.txt
+    * convention) — 16 hand-picked English pairs with genuine nesting
+    * ((t,h)→(th,e); (t,i)+(o,n)→(ti,on)) so the merge loop's priority
+    * order has real work. The oracle SQL inlines the SAME rows via
+    * `bpeMergesValues`. A production vocabulary swaps in its 50k-row
+    * merges.txt here unchanged. */
+  val bpeMergesFixture: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "an" -> "d", "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n",
+    "o" -> "r", "t" -> "i", "ti" -> "on", "e" -> "s", "o" -> "u",
+    "in" -> "g")
+
+  /** The fixture as SQL VALUES rows, so the DuckDB oracle replays the
+    * literally-identical table. */
+  private def bpeMergesValues: String =
+    bpeMergesFixture.zipWithIndex
+      .map { case ((a, b), r) => s"('$a','$b',$r)" }.mkString(", ")
+
+  /** Apply the ranked merges to one word — array of BPE pieces (see
+    * `functions.BpeEncode` for the algorithm and its scale shape). */
+  def bpeMerge(word: Column,
+      merges: Seq[(String, String)] = bpeMergesFixture): Column =
+    graft.functions.BpeEncode.of(word, merges)
+
+  /** Real-tokenizer token count of a text: Σ pieces over its words.
+    * The budget-mix / bin-packing stages plug this in as their
+    * `tokenCount` so capacities count what the training run will
+    * actually see, not whitespace splits. Per-row, shuffle-free. */
+  def bpeMergeCount(text: Column,
+      merges: Seq[(String, String)] = bpeMergesFixture): Column =
+    coalesce(
+      aggregate(
+        transform(regexp_extract_all(lower(text), lit("[a-z]+"), lit(0)),
+          w => size(bpeMerge(w, merges))),
+        lit(0L), (acc, x) => acc + x),
+      lit(0L))
+
+  /** tx bpe merge: the merge loop over a fixed document slice —
+    * absolute doc_id bound so the gate costs the same at every sf
+    * (recursion depth is the oracle's cost, not the engine's; the
+    * engine side is a scan). One row per word occurrence. */
+  private def txBpeMerge(s: SparkSession, d: String): DataFrame = {
+    val words = t(s, d, "documents").filter(col("doc_id") < 40)
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"),
+        col("col").as("word"))
+      .filter(col("pos") <= 30)
+    words
+      .withColumn("pieces", bpeMerge(col("word")))
+      .select(col("doc_id"), col("pos"), col("word"),
+        concat_ws(" ", col("pieces")).as("bpe"),
+        size(col("pieces")).as("n_pieces"))
+  }
 
   /** Distinct token n-grams via the native expression (one JVM loop
     * per row) — shared entry point in `TokenNgrams.of`. */
@@ -651,6 +711,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_dedup_passages" -> txDedupPassages _,
     "tx_bpe_tokens" -> txBpeTokens _,
+    "tx_bpe_merge" -> txBpeMerge _,
     "tx_token_stats" -> txTokenStats _,
     "tx_quality" -> txQuality _,
     "tx_langid" -> txLangid _,
@@ -882,6 +943,44 @@ object TextOps {
          FROM (SELECT *, row_number() OVER (PARTITION BY lang
            ORDER BY n DESC, token ASC) AS rank FROM c) x
          WHERE rank <= 20""",
+    // replays BpeEncode's exact recursion: per step, the candidate
+    // pairs are ranked via the merges MAP, the (rank, leftmost) min
+    // merges ONE occurrence, and a word is final when no adjacent pair
+    // has a rank. Bounded: ≤ len(word)-1 steps per word.
+    "tx_bpe_merge" ->
+      s"""WITH RECURSIVE
+         m(a, b, r) AS (FROM (VALUES $bpeMergesValues) t(a, b, r)),
+         mm AS (SELECT map(list(a || ' ' || b), list(r)) AS mp FROM m),
+         words AS (
+           SELECT doc_id, CAST(pos AS INT) AS pos, w FROM (
+             SELECT doc_id, generate_subscripts(ws, 1) AS pos,
+               unnest(ws) AS w
+             FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+') AS ws
+                   FROM documents WHERE doc_id < 40) d)
+           WHERE pos <= 30),
+         rec AS (
+           SELECT doc_id, pos, w, string_split(w, '') AS toks FROM words
+           UNION ALL
+           SELECT doc_id, pos, w,
+             toks[1:best.i-1] || [toks[best.i] || toks[best.i+1]] ||
+               toks[best.i+2:]
+           FROM (
+             SELECT doc_id, pos, w, toks,
+               list_sort(list_filter(
+                 list_transform(range(1, len(toks)), i ->
+                   {'r': mp[toks[i] || ' ' || toks[i+1]][1], 'i': i}),
+                 x -> x.r IS NOT NULL))[1] AS best
+             FROM rec, mm) s
+           WHERE best IS NOT NULL)
+         SELECT doc_id, pos, w AS word,
+           array_to_string(toks, ' ') AS bpe,
+           CAST(len(toks) AS INT) AS n_pieces
+         FROM rec, mm
+         WHERE len(list_filter(
+             list_transform(range(1, len(toks)), i ->
+               mp[toks[i] || ' ' || toks[i+1]][1]),
+             x -> x IS NOT NULL)) = 0""",
     "tx_bpe_tokens" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT)
