@@ -118,8 +118,13 @@ object CorpusBuild {
     val pairs = graft.dedup.Dedup.ngramJaccardPairs(
         canon, "doc_id", "text")
       .filter(col("jac") >= nearDupJac).select("doc_a", "doc_b")
-    val clusters = graft.dedup.Dedup.dupClusters(
-        canon, "doc_id", pairs, "doc_a", "doc_b")
+    // components are computed ONCE per batch and staged: keep-best and
+    // every later consumer scan the staged table, the downstream DAG
+    // (which reads `scored` more than once) never replays the
+    // propagation, and the CC label cache is released immediately
+    val clusters = graft.dedup.Dedup.dupClustersStaged(
+        canon, "doc_id", pairs, "doc_a", "doc_b",
+        s"$whDir/stage/clusters")
       .select("doc_id", "cluster_id")
     val best = graft.dedup.Dedup.keepBest(
         canon, "doc_id", clusters, col("quality"))

@@ -373,7 +373,29 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20,
-      checkpointEvery: Option[Int] = None): DataFrame = {
+      checkpointEvery: Option[Int] = None): DataFrame =
+    connectedComponentsReleasable(nodes, idCol, edges, aCol, bCol,
+      maxIter, checkpointEvery)._1
+
+  /** Counts CC loop executions — the label-propagation rounds run
+    * EAGERLY inside the call (each round's convergence sum is an
+    * action), so one call = one CC execution. CorpusBuildSpec asserts
+    * the curation DAG pays exactly one per batch. */
+  private[graft] val ccRuns =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `connectedComponents` plus a release handle: the result's lineage
+    * ends in the persisted final label state, which otherwise outlives
+    * the caller (a cache leak sized by the duplicate surface, held for
+    * the rest of the session). Call `release()` once the result is
+    * durably materialized (staged to the warehouse); after it the
+    * result frame must not be re-executed — recomputing would replay
+    * the whole propagation from the un-truncated RDD chain. */
+  def connectedComponentsReleasable(nodes: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20,
+      checkpointEvery: Option[Int] = None)
+      : (DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
     val spark = nodes.sparkSession
     checkpointEvery.foreach { n =>
@@ -445,9 +467,12 @@ object Dedup {
       s"connectedComponents: not converged after $maxIter rounds " +
         "(raise maxIter; with pointer jumping this bounds component " +
         "sizes near 2^maxIter)")
-    nodes.select(col(idCol).as("id"))
-      .join(labels, Seq("id"), "left")
+    ccRuns.incrementAndGet()
+    val finalLabels = labels
+    val out = nodes.select(col(idCol).as("id"))
+      .join(finalLabels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    (out, () => { finalLabels.unpersist(); () })
   }
 
   /** Exact decimal sum of the `label` column — the CC convergence
@@ -487,6 +512,29 @@ object Dedup {
       checkpointEvery)
       .select(col("id").as(idCol), col("label").as("cluster_id"),
         (col("id") === col("label")).as("is_canonical"))
+
+  /** `dupClusters`, staged: run CC once, write the cluster table to
+    * `path` (crash-safe staged overwrite), release the CC label cache,
+    * and hand back the READ-BACK frame. Every downstream consumer
+    * (keep-best, survivor joins, audits) then scans one small parquet
+    * table instead of dragging the propagation subtree through its
+    * plan — the shape a production curation DAG wants: however many
+    * times the night's jobs consume the clustering, components are
+    * computed exactly once, and a mid-DAG crash resumes from the
+    * staged table. */
+  def dupClustersStaged(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String, path: String,
+      maxIter: Int = 20,
+      checkpointEvery: Option[Int] = None): DataFrame = {
+    val (cc, release) = connectedComponentsReleasable(docs, idCol,
+      pairs, aCol, bCol, maxIter, checkpointEvery)
+    graft.io.Writers.overwriteStaged(
+      cc.select(col("id").as(idCol), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("is_canonical")),
+      path)
+    release()
+    docs.sparkSession.read.parquet(path)
+  }
 
   // ---- gate queries ----
 

@@ -70,4 +70,29 @@ class CorpusBuildSpec extends AnyFunSuite {
     val s1Ids = store1.select("doc_id", "fp")
     assert(s1Ids.exceptAll(store2.select("doc_id", "fp")).isEmpty)
   }
+
+  test("a batch pays exactly one connected-components run, stages the " +
+    "cluster table, and releases every cache it took") {
+    val wh = Files.createTempDirectory("graft_corpus_cc").toString
+    val ccBefore = graft.dedup.Dedup.ccRuns.get()
+    val cachedBefore =
+      spark.sparkContext.getPersistentRDDs.keySet
+    CorpusBuild.run(spark, TestSpark.sf0001, wh)
+    // one CC execution per batch: keep-best and all later consumers
+    // read the staged table, never re-propagate
+    assert(graft.dedup.Dedup.ccRuns.get() == ccBefore + 1)
+    // the clustering is durably staged (crash-safe resume point) and
+    // covers every doc that entered in-batch dedup
+    val staged = spark.read.parquet(s"$wh/stage/clusters")
+    assert(staged.columns.toSet ==
+      Set("doc_id", "cluster_id", "is_canonical"))
+    assert(staged.count() > 0)
+    assert(staged.groupBy("doc_id").count()
+      .filter(col("count") > 1).count() == 0)
+    // no cache outlives the batch — the CC label state (the historical
+    // leak), the batch/canon/scored/sharded persists, all released
+    val leaked =
+      spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"runBatch leaked cached RDDs: $leaked")
+  }
 }
