@@ -217,13 +217,12 @@ object Similarity {
     }
   }
 
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 6, lloydIters: Int = 2): DataFrame = {
-    // nprobe/nlist bounds recall from below on structureless vectors
-    // (synthetic gaussians ≈ no cluster locality: recall ≈ coverage);
-    // clustered embeddings concentrate neighbors in the probed lists
-    // and do much better at the same nprobe — see SimilaritySpec's
-    // planted-cluster recall gate
+  /** The two IVF join inputs — (corpus inverted lists keyed n_id→cid,
+    * broadcast query probes q_id→cid) — shared by `ivfTopK` and the
+    * assignment dump the conditioned oracle reads. */
+  private def ivfListsAndProbes(queries: DataFrame, corpus: DataFrame,
+      nlist: Int, nprobe: Int, lloydIters: Int)
+      : (DataFrame, DataFrame) = {
     val prepared = prepare(corpus)
     val centroids = fitCentroids(prepared, nlist, lloydIters)
     val lists = rankByCentroid(prepared, centroids, "n_id", "n_emb",
@@ -234,6 +233,38 @@ object Similarity {
     val probes = broadcast(
       rankByCentroid(q, centroids, "q_id", "q_emb", "q_norm")
         .filter(col("c_rank") <= nprobe).drop("c_rank"))
+    (lists, probes)
+  }
+
+  /** The engine's IVF state as rows: which inverted list each corpus
+    * vector landed in ('list', n_id, cid) and which lists each query
+    * probes ('probe', q_id, cid). Centroid placement is
+    * engine-specific, but GIVEN this assignment the ANN answer is
+    * fully determined — the x_ann_ivf oracle re-derives it from this
+    * dump exactly (the d_semantic_dedup conditioned-oracle pattern).
+    * Because the dump and the ANN gate run as separate executions,
+    * the compare also proves the Lloyd fit is deterministic across
+    * runs, not just across partitionings. */
+  def ivfAssignments(queries: DataFrame, corpus: DataFrame,
+      nlist: Int = 16, nprobe: Int = 6, lloydIters: Int = 2)
+      : DataFrame = {
+    val (lists, probes) =
+      ivfListsAndProbes(queries, corpus, nlist, nprobe, lloydIters)
+    lists.select(lit("list").as("kind"), col("n_id").as("id"),
+        col("cid"))
+      .unionByName(probes.select(lit("probe").as("kind"),
+        col("q_id").as("id"), col("cid")))
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 6, lloydIters: Int = 2): DataFrame = {
+    // nprobe/nlist bounds recall from below on structureless vectors
+    // (synthetic gaussians ≈ no cluster locality: recall ≈ coverage);
+    // clustered embeddings concentrate neighbors in the probed lists
+    // and do much better at the same nprobe — see SimilaritySpec's
+    // planted-cluster recall gate
+    val (lists, probes) =
+      ivfListsAndProbes(queries, corpus, nlist, nprobe, lloydIters)
 
     val w = Window.partitionBy("q_id")
       .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
@@ -338,12 +369,21 @@ object Similarity {
     lshTopK(queriesSide(s, d), t(s, d, "embeddings"), 3,
       tables = 16, bits = 2)
 
-  /** IVF variant at production params (centroid seeding + Lloyd
-    * refinement engine-specific → rows-only; recall vs brute force,
-    * planted-cluster recall, and partition-determinism asserted in
-    * SimilaritySpec). */
+  /** IVF variant at production params. Centroid placement is
+    * engine-specific, so the oracle is CONDITIONED on the
+    * x_ann_ivf_assign dump: given the engine's inverted lists and
+    * probe sets, DuckDB re-derives the exact top-3 independently —
+    * every rank, id and similarity is fully verified, and because this
+    * gate refits Lloyd in a separate execution from the dump, a
+    * nondeterministic fit would hash-mismatch. Recall quality
+    * (vs brute force, planted clusters) stays in SimilaritySpec. */
   private def xAnnIvf(s: SparkSession, d: String): DataFrame =
     ivfTopK(queriesSide(s, d), t(s, d, "embeddings"), 3)
+
+  /** The IVF assignment dump the x_ann_ivf oracle conditions on (it IS
+    * the dump → rows-only, the s15d pattern). */
+  private def xAnnIvfAssign(s: SparkSession, d: String): DataFrame =
+    ivfAssignments(queriesSide(s, d), t(s, d, "embeddings"))
 
   /** IVF machinery-exactness gate, FULL-oracle: probing every list
     * (nprobe = nlist) must recover brute force exactly — this proves
@@ -470,6 +510,7 @@ object Similarity {
     "x_ann_brute" -> xAnnBrute _,
     "x_ann_lsh" -> xAnnLsh _,
     "x_ann_ivf" -> xAnnIvf _,
+    "x_ann_ivf_assign" -> xAnnIvfAssign _,
     "x_ann_ivf_full" -> xAnnIvfFull _,
     "x_knn_label" -> xKnnLabel _,
     "x_centroid" -> xCentroid _)
@@ -548,6 +589,38 @@ object Similarity {
              list_cosine_similarity(q.q_emb,
                list_transform(c.embedding, x -> CAST(x AS DOUBLE))) AS sim
            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.q_id)
+         SELECT q_id, CAST(rn AS INT) AS rank, n_id,
+           round(sim, 4) AS cos_sim
+         FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+           ORDER BY round(sim, 6) DESC, n_id ASC) AS rn FROM scored) x
+         WHERE rn <= 3""",
+    // conditioned on the engine's dumped IVF state: candidates =
+    // (probe ⋈ list on cid), then exact cosine + the engine's
+    // tie-break re-derive the top-3 independently. The first CTE
+    // doubles as a structural audit: a corpus vector assigned to 0 or
+    // 2+ lists would change candidate multiplicity and hash-mismatch.
+    "x_ann_ivf" ->
+      """WITH asg AS (
+           SELECT id AS n_id, cid
+           FROM parquet_scan('__OUTDIR__/x_ann_ivf_assign/*.parquet')
+           WHERE kind = 'list'),
+         probes AS (
+           SELECT id AS q_id, cid
+           FROM parquet_scan('__OUTDIR__/x_ann_ivf_assign/*.parquet')
+           WHERE kind = 'probe'),
+         q AS (SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+           FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS n_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_emb
+           FROM embeddings),
+         scored AS (
+           SELECT p.q_id, a.n_id,
+             list_cosine_similarity(q.q_emb, c.n_emb) AS sim
+           FROM probes p JOIN asg a USING (cid)
+             JOIN q ON q.q_id = p.q_id
+             JOIN c ON c.n_id = a.n_id
+           WHERE a.n_id <> p.q_id)
          SELECT q_id, CAST(rn AS INT) AS rank, n_id,
            round(sim, 4) AS cos_sim
          FROM (SELECT *, row_number() OVER (PARTITION BY q_id

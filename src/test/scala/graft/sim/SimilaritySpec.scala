@@ -175,4 +175,18 @@ class SimilaritySpec extends AnyFunSuite {
       .select("pred_label").as[Int].collect()
     assert(preds.forall(labels.contains))
   }
+
+  test("IVF assignment dump: every corpus vector in exactly one list, " +
+    "every query probes exactly nprobe lists") {
+    val asg = graft.SparkEntry.queries("x_ann_ivf_assign")(
+      spark, TestSpark.sf0001)
+    val nVecs = t(spark, TestSpark.sf0001, "embeddings").count()
+    val lists = asg.filter(col("kind") === "list")
+    assert(lists.count() == nVecs)
+    assert(lists.select("id").distinct().count() == nVecs)
+    val probes = asg.filter(col("kind") === "probe")
+      .groupBy("id").count().select("count").distinct()
+      .as[Long].collect()
+    assert(probes.toSeq == Seq(6L)) // the production default nprobe
+  }
 }
