@@ -119,6 +119,11 @@ object Warehouse {
     // qualified leaf paths, so a relative/unqualified `path` (the CLI
     // passes one) would never strip and every valuesOf would be wrong
     val root = fs.makeQualified(rawRoot)
+    val staging = new Path(path + ".compact-staging")
+    // a leftover staging dir from an interrupted run may hold the ONLY
+    // copy of a partition (its leaf renamed aside mid-swap): restore
+    // BEFORE walking the tree, so recovered leaves rejoin this cycle
+    recoverStaging(fs, staging)
 
     // walk the fixed-depth partition tree: depth = partitionCols.size
     def leaves(dir: Path, depth: Int): Seq[Path] =
@@ -166,15 +171,16 @@ object Warehouse {
     }
 
     if (toCompact.nonEmpty) {
-      val staging = new Path(path + ".compact-staging")
-      // a non-empty staging dir means a previous run crashed mid-swap
-      // and may hold the ONLY copy of a partition (its leaf was
-      // renamed aside below) — deleting it here would make that loss
-      // permanent and silent. Refuse loudly; recovery is manual.
-      require(!fs.exists(staging) || fs.listStatus(staging).isEmpty,
-        s"compactPartitions: $staging exists from an interrupted run —" +
-          " inspect it (each <i>.old dir is a displaced partition; " +
-          "rename it back to its leaf), then delete the staging dir")
+      // the aside→leaf map, written BEFORE any rename: every displaced
+      // partition is recoverable (and auto-recovered above) from the
+      // staging dir alone. Leaf dir names are Hive-escaped (no control
+      // chars), so newline framing is safe.
+      val marker = new Path(staging, "_leaf_map")
+      val out = fs.create(marker, false)
+      try out.write(toCompact.zipWithIndex
+        .map { case ((leaf, _), i) => s"$i\t$leaf\n" }.mkString
+        .getBytes("UTF-8"))
+      finally out.close()
       toCompact.zipWithIndex.foreach { case ((leaf, needed), i) =>
         // read the leaf directly — its rows only, partition values
         // live in the path and are not part of the file schema
@@ -183,8 +189,8 @@ object Warehouse {
         part.write.parquet(staged.toString)
         // swap via rename-aside, never delete-then-rename: at every
         // instant at least one full copy of the partition exists (the
-        // leaf, or <i>.old inside staging — which the guard above
-        // protects from the next run)
+        // leaf, or <i>.old inside staging — which the marker above
+        // makes self-recovering for the next run)
         val aside = new Path(staging, i.toString + ".old")
         require(fs.rename(leaf, aside),
           s"compactPartitions: rename $leaf -> $aside failed")
@@ -195,5 +201,53 @@ object Warehouse {
       fs.delete(staging, true)
     }
     toCompact.size
+  }
+
+  /** Crash recovery for [[compactPartitions]]: a non-empty staging dir
+    * means a previous run died mid-cycle. The `_leaf_map` marker
+    * (written before any rename) maps each `<i>.old` aside dir to its
+    * leaf, so recovery is automatic: a displaced partition whose leaf
+    * is missing (crash between the two renames) is renamed back; an
+    * aside whose leaf exists (crash after the swap, before cleanup) is
+    * a superseded copy and is dropped with the rest of the staging
+    * dir. Only a pre-marker staging holding asides — unreachable from
+    * this code path, since the marker now precedes all renames — still
+    * refuses loudly rather than guess at leaf paths. */
+  private def recoverStaging(fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (!fs.exists(staging)) return
+    val entries = fs.listStatus(staging).toSeq
+    val asides = entries.filter(s =>
+      s.isDirectory && s.getPath.getName.endsWith(".old"))
+    val marker = new Path(staging, "_leaf_map")
+    if (!fs.exists(marker)) {
+      require(asides.isEmpty,
+        s"compactPartitions: $staging holds displaced partitions but " +
+          "no _leaf_map marker — inspect it (each <i>.old dir is a " +
+          "displaced partition; rename it back to its leaf), then " +
+          "delete the staging dir")
+      // no renames ever happened: staging is partial output only
+      fs.delete(staging, true)
+      return
+    }
+    val in = fs.open(marker)
+    val leafOf: Map[String, String] =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty)
+        .map { line =>
+          val Array(i, leaf) = line.split('\t')
+          i -> leaf
+        }.toMap
+      finally in.close()
+    asides.foreach { a =>
+      val i = a.getPath.getName.stripSuffix(".old")
+      val leaf = new Path(leafOf(i))
+      if (!fs.exists(leaf))
+        require(fs.rename(a.getPath, leaf),
+          s"compactPartitions recovery: rename ${a.getPath} -> $leaf " +
+            "failed")
+    }
+    fs.delete(staging, true)
   }
 }

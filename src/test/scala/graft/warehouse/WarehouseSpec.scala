@@ -194,11 +194,59 @@ class WarehouseSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       Warehouse.compactPartitions(spark, dir, Seq("sample"))
     }
-    assert(e.getMessage.contains("interrupted"))
+    assert(e.getMessage.contains("_leaf_map"))
     // the displaced copy is still there — nothing deleted it
     assert(fs.exists(new org.apache.hadoop.fs.Path(staging, "0.old")))
     // recovery: clear staging, compaction proceeds
     fs.delete(staging, true)
     assert(Warehouse.compactPartitions(spark, dir, Seq("sample")) == 2)
+  }
+
+  test("compactPartitions auto-restores a partition displaced by a " +
+    "crash between the swap renames, using the _leaf_map marker") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact_restore").toString + "/t"
+    val df = graft.Tables.t(spark, TestSpark.sf0001, "lineitem")
+      .withColumn("sample", col("l_suppkey") % 2)
+    (1 to 2).foreach { _ =>
+      df.repartition(4).write.mode("append")
+        .partitionBy("sample").parquet(dir)
+    }
+    val rows = spark.read.parquet(dir).count()
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    val staging = new org.apache.hadoop.fs.Path(dir + ".compact-staging")
+    val fs = staging.getFileSystem(hadoop)
+    val leaf = new org.apache.hadoop.fs.Path(dir + "/sample=0")
+    // simulate the crash window: marker written, leaf renamed aside,
+    // staged dir never swapped in
+    fs.mkdirs(staging)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(staging, "_leaf_map"), false)
+    out.write(s"0\t${fs.makeQualified(leaf)}\n".getBytes("UTF-8"))
+    out.close()
+    assert(fs.rename(leaf, new org.apache.hadoop.fs.Path(staging, "0.old")))
+    assert(!fs.exists(leaf))
+    // next run: partition restored, then both partitions compact
+    assert(Warehouse.compactPartitions(spark, dir, Seq("sample")) == 2)
+    assert(!fs.exists(staging))
+    assert(spark.read.parquet(dir).count() == rows)
+
+    // crash AFTER the swap (leaf present, aside superseded): staging
+    // is dropped, the compacted leaf is untouched
+    (1 to 2).foreach { _ =>
+      df.filter(col("sample") === 0).drop("sample").repartition(4)
+        .write.mode("append").parquet(dir + "/sample=0")
+    }
+    val rows2 = spark.read.parquet(dir).count()
+    fs.mkdirs(staging)
+    val out2 = fs.create(
+      new org.apache.hadoop.fs.Path(staging, "_leaf_map"), false)
+    out2.write(s"0\t${fs.makeQualified(leaf)}\n".getBytes("UTF-8"))
+    out2.close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(staging, "0.old"))
+    assert(Warehouse.compactPartitions(spark, dir, Seq("sample")) >= 1)
+    assert(!fs.exists(staging))
+    assert(spark.read.parquet(dir).count() == rows2)
   }
 }
