@@ -542,8 +542,12 @@ object Similarity {
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
            FROM embeddings WHERE vec_id < 1000),
          j AS (
-           SELECT a.vec_id, a.cid, e.emb
-           FROM asg a JOIN e USING (vec_id)),
+           -- e LEFT JOIN asg, not asg JOIN e: the oracle must be TOTAL
+           -- over the slice, so an engine dump that silently dropped a
+           -- vector yields an extra oracle row and a row-count mismatch
+           -- instead of both sides shrinking in step
+           SELECT e.vec_id, a.cid, e.emb
+           FROM e LEFT JOIN asg a ON a.vec_id = e.vec_id),
          dropped AS (
            SELECT DISTINCT b.vec_id
            FROM j a JOIN j b

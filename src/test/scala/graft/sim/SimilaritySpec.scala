@@ -176,6 +176,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(preds.forall(labels.contains))
   }
 
+  test("ORACLE PRECONDITION — x_ann_lsh's brute-force oracle is valid " +
+    "only while 16×2 LSH has exact recall on the driver fixture; a " +
+    "fixture regeneration that breaks this fails HERE, not as an " +
+    "opaque gate hash-mismatch") {
+    val q = t(spark, TestSpark.sf0001, "embeddings")
+      .filter(col("vec_id") < 10)
+    val c = t(spark, TestSpark.sf0001, "embeddings")
+    val lsh = Similarity.lshTopK(q, c, 3, tables = 16, bits = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val brute = Similarity.bruteForceTopK(q, c, 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(lsh == brute,
+      "16×2 LSH no longer reproduces brute force on the fixture — " +
+        "re-tune x_ann_lsh's params or give it a conditioned oracle")
+  }
+
+  test("ORACLE PRECONDITION — d_embed_neardup's full oracle is valid " +
+    "only while 32×2 bucketing finds every pair ≥ 0.3 on the fixture") {
+    val e = t(spark, TestSpark.sf0001, "embeddings")
+      .filter(col("vec_id") < 1000)
+    val got = graft.dedup.Dedup.embeddingNearDups(
+        e, minCos = 0.3, tables = 32, bits = 2)
+      .select("keep_id", "dup_id").as[(Long, Long)].collect().toSet
+    // brute-force pair truth: every unordered pair with cos ≥ 0.3
+    val prep = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val a = prep.toDF("id_a", "emb_a")
+    val b = prep.toDF("id_b", "emb_b")
+    val want = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        aggregate(zip_with(col("emb_a"), col("emb_b"), _ * _),
+          lit(0.0), _ + _) /
+          (sqrt(aggregate(transform(col("emb_a"), x => x * x),
+            lit(0.0), _ + _)) *
+           sqrt(aggregate(transform(col("emb_b"), x => x * x),
+            lit(0.0), _ + _))))
+      .filter(col("cos") >= 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == want,
+      "32×2 bucketing no longer has exact recall at cos ≥ 0.3 on the " +
+        "fixture — re-tune d_embed_neardup's params before trusting " +
+        "its brute-force oracle")
+  }
+
   test("IVF assignment dump: every corpus vector in exactly one list, " +
     "every query probes exactly nprobe lists") {
     val asg = graft.SparkEntry.queries("x_ann_ivf_assign")(
