@@ -333,24 +333,92 @@ object TextOps {
         lit(0L), (acc, x) => acc + x),
       lit(0L))
 
-  /** tx bpe merge: the merge loop over a fixed document slice —
-    * absolute doc_id bound so the gate costs the same at every sf
-    * (recursion depth is the oracle's cost, not the engine's; the
-    * engine side is a scan). One row per word occurrence. */
-  private def txBpeMerge(s: SparkSession, d: String): DataFrame = {
-    val words = t(s, d, "documents").filter(col("doc_id") < 40)
+  /** Learn `nMerges` BPE merges from a word frame — the TRAIN side of
+    * `bpeMerge`: greedily take the most frequent adjacent token pair,
+    * add it to the merges list, re-segment, repeat (ties → smaller
+    * left token, then smaller right — fixed so both engines agree).
+    * Segmentation during learning uses `BpeEncode` itself, so the
+    * learned table replays EXACTLY under the apply path — learn and
+    * encode can never drift.
+    *
+    * Scale shape: the corpus is touched ONCE to build the distinct-word
+    * histogram (the Sennrich trick — pair counts weight by word
+    * frequency, so every iteration works on the vocabulary, not the
+    * corpus). Each of the nMerges iterations is one vocab-sized
+    * re-encode + pair aggregate, and the only driver traffic is the
+    * ONE argmax row per iteration (the same sanctioned shape as the
+    * T4 set-cover loop). A production trainer at 50k merges would keep
+    * the per-partition pair-delta heaps of the classic algorithm; the
+    * per-iteration DataFrame form here is the honest distributed
+    * formulation and is exact. */
+  def bpeLearn(words: DataFrame, wordCol: String, nMerges: Int,
+      minPairCount: Long = 2L): Seq[(String, String, Long)] = {
+    val vocab = words.groupBy(col(wordCol).as("w"))
+      .agg(count(lit(1)).as("n")).persist()
+    try {
+      val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      var done = false
+      while (!done && out.size < nMerges) {
+        val merges = out.toSeq.map(m => (m._1, m._2))
+        val toks = vocab.select(bpeMerge(col("w"), merges).as("t"),
+          col("n"))
+        val best = toks
+          .select(explode(zip_with(
+            slice(col("t"), lit(1), size(col("t")) - 1),
+            slice(col("t"), lit(2), size(col("t")) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"), col("n"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("n").as("cnt"))
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        if (best.isEmpty || best(0).getLong(2) < minPairCount)
+          done = true
+        else
+          out += ((best(0).getString(0), best(0).getString(1),
+            best(0).getLong(2)))
+      }
+      out.toSeq
+    } finally { vocab.unpersist(); () }
+  }
+
+  /** The gate's word slice, shared by tx_bpe_merge and tx_bpe_learn
+    * (and mirrored in both oracles' `words` CTE). */
+  private def bpeGateWords(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").filter(col("doc_id") < 40)
       .select(col("doc_id"),
         posexplode(regexp_extract_all(lower(col("text")),
           lit("[a-z]+"), lit(0))))
       .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"),
         col("col").as("word"))
       .filter(col("pos") <= 30)
-    words
+
+  /** tx bpe learn: the greedy trainer over the gate slice. The oracle
+    * is CONDITIONED on this dump the way x_ann_ivf's is: for every
+    * step k it re-segments the vocabulary under merges 0..k-1 (the
+    * same recursion as tx_bpe_merge), recounts all pairs, and
+    * re-derives the argmax — so each learned merge is verified to be
+    * exactly the best pair available at its step, given the previous
+    * ones. A trainer that miscounted, broke ties differently, or
+    * drifted from the apply path would hash-mismatch at the first
+    * wrong step. */
+  private def txBpeLearn(s: SparkSession, d: String): DataFrame = {
+    val learned = bpeLearn(bpeGateWords(s, d), "word", 8)
+    import s.implicits._
+    learned.zipWithIndex
+      .map { case ((a, b, c), i) => (i, a, b, c) }
+      .toDF("r", "a", "b", "cnt")
+  }
+
+  /** tx bpe merge: the merge loop over a fixed document slice —
+    * absolute doc_id bound so the gate costs the same at every sf
+    * (recursion depth is the oracle's cost, not the engine's; the
+    * engine side is a scan). One row per word occurrence. */
+  private def txBpeMerge(s: SparkSession, d: String): DataFrame =
+    bpeGateWords(s, d)
       .withColumn("pieces", bpeMerge(col("word")))
       .select(col("doc_id"), col("pos"), col("word"),
         concat_ws(" ", col("pieces")).as("bpe"),
         size(col("pieces")).as("n_pieces"))
-  }
 
   /** Distinct token n-grams via the native expression (one JVM loop
     * per row) — shared entry point in `TokenNgrams.of`. */
@@ -712,6 +780,7 @@ object TextOps {
     "tx_dedup_passages" -> txDedupPassages _,
     "tx_bpe_tokens" -> txBpeTokens _,
     "tx_bpe_merge" -> txBpeMerge _,
+    "tx_bpe_learn" -> txBpeLearn _,
     "tx_token_stats" -> txTokenStats _,
     "tx_quality" -> txQuality _,
     "tx_langid" -> txLangid _,
@@ -981,6 +1050,72 @@ object TextOps {
              list_transform(range(1, len(toks)), i ->
                mp[toks[i] || ' ' || toks[i+1]][1]),
              x -> x IS NOT NULL)) = 0""",
+    // CONDITIONED on the engine's own merges dump (the x_ann_ivf
+    // pattern): for every learned step k, re-segment the distinct-word
+    // vocabulary under merges ranked < k (the SAME BpeEncode recursion
+    // the tx_bpe_merge oracle replays), recount all adjacent pairs
+    // weighted by word frequency, and re-derive the argmax under the
+    // engine's tie order (cnt DESC, a ASC, b ASC). Row k of the dump
+    // must BE that argmax — a trainer that miscounted, broke ties
+    // differently, or whose learn path drifted from the apply path
+    // hash-mismatches at the first wrong step.
+    "tx_bpe_learn" ->
+      """WITH RECURSIVE
+         m AS (SELECT a, b, r
+               FROM parquet_scan('__OUTDIR__/tx_bpe_learn/*.parquet')),
+         steps AS (
+           SELECT unnest(range(0, (SELECT count(*) FROM m))) AS k),
+         mm AS (
+           SELECT s.k,
+             map(coalesce(list(m.a || ' ' || m.b)
+                   FILTER (WHERE m.a IS NOT NULL), []),
+                 coalesce(list(m.r)
+                   FILTER (WHERE m.a IS NOT NULL), [])) AS mp
+           FROM steps s LEFT JOIN m ON m.r < s.k
+           GROUP BY s.k),
+         words AS (
+           SELECT doc_id, CAST(pos AS INT) AS pos, w FROM (
+             SELECT doc_id, generate_subscripts(ws, 1) AS pos,
+               unnest(ws) AS w
+             FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+') AS ws
+                   FROM documents WHERE doc_id < 40) d)
+           WHERE pos <= 30),
+         vocab AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+         rec AS (
+           SELECT s.k, v.w, v.n, string_split(v.w, '') AS toks
+           FROM vocab v, steps s
+           UNION ALL
+           SELECT k, w, n,
+             toks[1:best.i-1] || [toks[best.i] || toks[best.i+1]] ||
+               toks[best.i+2:]
+           FROM (
+             SELECT r2.k, w, n, toks,
+               list_sort(list_filter(
+                 list_transform(range(1, len(toks)), i ->
+                   {'r': mp[toks[i] || ' ' || toks[i+1]][1], 'i': i}),
+                 x -> x.r IS NOT NULL))[1] AS best
+             FROM rec r2 JOIN mm ON mm.k = r2.k) s
+           WHERE best IS NOT NULL),
+         fin AS (
+           SELECT r2.k, w, n, toks
+           FROM rec r2 JOIN mm ON mm.k = r2.k
+           WHERE len(list_filter(
+               list_transform(range(1, len(toks)), i ->
+                 mp[toks[i] || ' ' || toks[i+1]][1]),
+               x -> x IS NOT NULL)) = 0),
+         pairs AS (
+           SELECT k, p.a AS a, p.b AS b, sum(n) AS cnt FROM (
+             SELECT k, n,
+               unnest(list_transform(range(1, len(toks)), i ->
+                 {'a': toks[i], 'b': toks[i+1]})) AS p
+             FROM fin) GROUP BY 1, 2, 3)
+         SELECT CAST(k AS INT) AS r, a, b, CAST(cnt AS BIGINT) AS cnt
+         FROM (SELECT k, a, b, cnt,
+                 row_number() OVER (PARTITION BY k
+                   ORDER BY cnt DESC, a ASC, b ASC) AS rk
+               FROM pairs) x
+         WHERE rk = 1""",
     "tx_bpe_tokens" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT)

@@ -256,4 +256,48 @@ class TextOpsSpec extends AnyFunSuite {
       "text", "source", _ => lit(35L))
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
+
+  // The Sennrich et al. (2016) worked corpus: word frequencies
+  // low×5 lower×2 newest×6 widest×3. Every step below is derived by
+  // hand — pair counts under the previous merges, argmax with the
+  // (cnt DESC, a ASC, b ASC) tie order.
+  private def bpeCorpus = (
+    Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+    Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+    .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    .toDF("id", "word")
+
+  test("bpeLearn: greedy argmax with the fixed tie order, " +
+    "hand-derived on the Sennrich corpus") {
+    val learned = TextOps.bpeLearn(bpeCorpus, "word", 8)
+    assert(learned == Seq(
+      ("e", "s", 9L),   // es:9 ties st:9 → left token wins
+      ("es", "t", 9L),
+      ("l", "o", 7L),   // lo:7 ties ow:7
+      ("lo", "w", 7L),
+      ("e", "w", 6L),   // 3-way tie ew/ne/w·est at 6
+      ("ew", "est", 6L),
+      ("n", "ewest", 6L),
+      ("d", "est", 3L)))
+  }
+
+  test("bpeLearn: minPairCount stops the loop before the cap") {
+    // step 7's best pair has cnt 3 — a floor of 4 ends at 7 merges
+    val learned = TextOps.bpeLearn(bpeCorpus, "word", 8,
+      minPairCount = 4L)
+    assert(learned.size == 7 && learned.last == (("n", "ewest", 6L)))
+  }
+
+  test("bpeLearn: learned table replays exactly under bpeMerge " +
+    "(learn and apply paths cannot drift)") {
+    val merges = TextOps.bpeLearn(bpeCorpus, "word", 8)
+      .map(m => (m._1, m._2))
+    val enc = Seq((1L, "newest"), (2L, "lowest"), (3L, "low"))
+      .toDF("id", "w")
+      .select(col("id"), TextOps.bpeMerge(col("w"), merges).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(enc(1L) == Seq("newest")) // training word → one piece
+    assert(enc(2L) == Seq("low", "est")) // unseen word generalizes
+    assert(enc(3L) == Seq("low"))
+  }
 }
