@@ -20,14 +20,30 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
-      // type for (PARQUET_TYPE_ILLEGAL without the legacy conf). Read the
-      // raw int64 nanos and floor-convert to a micros timestamp — the
-      // same truncation DuckDB applies when casting ns → its µs TIMESTAMP,
-      // so oracle comparisons stay exact.
+      // the generator has produced events.ts in two physical shapes:
+      // parquet TIMESTAMP(NANOS) (no native Spark type — read the raw
+      // int64 via the legacy conf and floor ns → µs, the same truncation
+      // DuckDB applies casting to its µs TIMESTAMP) and plain µs
+      // TIMESTAMP with isAdjustedToUTC=false (Spark TIMESTAMP_NTZ,
+      // DuckDB TIMESTAMP — no conversion needed). Normalize both to
+      // session-TZ TimestampType (UTC session → instant-identical) so
+      // every downstream operator sees one type.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Normalize an events frame's `ts` to TimestampType across the
+    * physical encodings the test generator has emitted (int64 nanos,
+    * TIMESTAMP_NTZ µs, native TIMESTAMP). */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
 }

@@ -565,6 +565,31 @@ object Dedup {
       col("doc_id"),
       simhash(TextOps.tokens(lower(col("text")))).as("simhash"))
 
+  /** MinHash-LSH candidate-pair gate: the real banded bucket join at
+    * 16 hashes × 4 bands. CONDITIONED oracle: the hash space is
+    * engine-specific, so DuckDB re-derives the pair set from the
+    * d_minhash_signature dump — band keys are the signature slices
+    * themselves (bucket-hash equality ⇔ slice equality; an xxhash64
+    * collision could only ADD engine pairs, which would row-count
+    * mismatch) and est_jaccard is recomputed from the dumped
+    * signatures. Banding, the bucket self-join, pair dedup, and the
+    * estimate all verify independently of the dump; the MinHash
+    * hashing itself is pinned by MinHashSigSpec goldens. */
+  private def dMinhashLshPairs(s: SparkSession, d: String): DataFrame =
+    minhashCandidatePairs(t(s, d, "documents"), "doc_id", "text",
+      numHashes = 16, bands = 4)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+
+  /** SimHash pair gate at the hamming ≤ 3 pigeonhole guarantee.
+    * Conditioned on the d_simhash dump but TOTAL over pairs: DuckDB
+    * brute-forces ALL n² dumped sketches with bit_count(xor) ≤ 3, so
+    * the compare proves completeness (every qualifying pair shares a
+    * 16-bit chunk and survives the bucket join) — a missed pair
+    * row-count mismatches, not just the pairs the engine emitted. */
+  private def dSimhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashCandidatePairs(t(s, d, "documents"), "doc_id", "text")
+
   /** n-gram Jaccard near-dup scoring, blocked by (lang, source) — the
     * top OVERLAPPING pair per block. DuckDB-expressible → full oracle.
     * Gate query runs `ngramJaccardPairs` uncapped (exact Jaccard); the
@@ -664,12 +689,44 @@ object Dedup {
     "d_exact_dedup" -> dExact _,
     "d_fingerprint_dedup" -> dFingerprint _,
     "d_minhash_signature" -> dMinhashSig _,
+    "d_minhash_lsh_pairs" -> dMinhashLshPairs _,
     "d_simhash" -> dSimhash _,
+    "d_simhash_pairs" -> dSimhashPairs _,
     "d_ngram_jaccard_top" -> dNgramJaccard _,
     "d_dup_clusters" -> dDupClusters _,
     "d_embed_neardup" -> dEmbedNearDup _)
 
   val oracle: Map[String, String] = Map(
+    "d_minhash_lsh_pairs" ->
+      """WITH sig AS (
+           SELECT doc_id,
+             list_transform(string_split(signature, ','),
+               x -> CAST(x AS BIGINT)) AS sg
+           FROM parquet_scan('__OUTDIR__/d_minhash_signature/*.parquet')),
+         banded AS (
+           SELECT doc_id, r.b AS band,
+             array_to_string(list_slice(sg, r.b*4+1, r.b*4+4), '_')
+               AS bkey
+           FROM sig, range(0, 4) r(b)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bkey = b.bkey
+            AND a.doc_id < b.doc_id)
+         SELECT p.doc_a, p.doc_b,
+           round(len(list_filter(range(1, 17),
+             i -> sa.sg[i] = sb.sg[i])) / 16.0, 6) AS est_jaccard
+         FROM pairs p
+           JOIN sig sa ON sa.doc_id = p.doc_a
+           JOIN sig sb ON sb.doc_id = p.doc_b""",
+    "d_simhash_pairs" ->
+      """WITH sh AS (
+           SELECT doc_id, simhash
+           FROM parquet_scan('__OUTDIR__/d_simhash/*.parquet'))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
     "d_incr_neardup" ->
       """WITH grams AS (
            SELECT lang, source, doc_id,

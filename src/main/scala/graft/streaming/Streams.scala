@@ -18,7 +18,9 @@ import graft.Tables.t
   */
 object Streams {
 
-  /** Schema of events as read with nanos-as-long (see Tables.t). */
+  /** Fallback schema of events as read with nanos-as-long (see
+    * Tables.t); used only when the watched directory has no file yet
+    * to infer the actual physical shape from. */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // nanos
@@ -45,10 +47,15 @@ object Streams {
     * a temp dir to simulate arrival. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // a streaming source needs an explicit schema; infer the physical
+    // ts encoding from the already-staged files (ns int64 vs µs
+    // timestamp — see Tables.normalizeEventTs), falling back to the
+    // legacy ns shape for an empty directory.
+    val sch =
+      try spark.read.parquet(dir).schema
+      catch { case _: Throwable => eventsRawSchema }
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(sch).parquet(dir))
   }
 
   /** Watermarked streaming hourly aggregation (update/append-capable). */

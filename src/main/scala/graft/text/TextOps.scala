@@ -704,6 +704,76 @@ object TextOps {
       .select(col("lang"), col("rank"), col("token"), col("n"))
   }
 
+  /** EXACT per-language heavy hitters (top-k tokens) with BOUNDED
+    * shuffle — the scale path `txVocabTopk`'s full-vocabulary
+    * aggregate cannot take when the vocabulary itself is shuffle-sized
+    * (web-scale corpora: billions of distinct typo/URL/number tokens).
+    *
+    * Two scans, never a full-vocab shuffle:
+    *  1. a per-partition Misra-Gries summary (`m` counters per
+    *     language) over the exploded token stream — pure mapPartitions,
+    *     no shuffle; each partition emits ≤ m rows per language. The
+    *     classic guarantee composes across partitions: a token with
+    *     global count > N_lang/m must exceed its partition-local bound
+    *     n_p/m somewhere, so it SURVIVES into the candidate union.
+    *  2. an exact recount of candidates only: broadcast semi-join on
+    *     the candidate set (≤ partitions×m rows, in practice ≪), then
+    *     a map-side-combined count whose shuffle carries ≤ partitions ×
+    *     |candidates| rows.
+    *
+    * The result is the EXACT top-k by true count provided the k-th
+    * heaviest token's count exceeds N_lang/m (the caller sizes m; the
+    * gate's margin is pinned in HeavyHittersSpec). Ties break token-asc,
+    * so output is deterministic. The final per-language rank windows
+    * the candidate counts — bounded rows — never the corpus. */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int,
+      m: Int): DataFrame = {
+    require(k > 0 && m > k,
+      s"need m > k > 0 (m=$m counters must at least hold the top k=$k)")
+    import docs.sparkSession.implicits._
+    val toks = docs
+      .select(col("lang"), explode(tokens(lower(col(textCol)))).as("token"))
+    val partials = toks.as[(String, String)].mapPartitions { it =>
+      val perLang = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.Map[String, Long]]
+      it.foreach { case (lang, tok) =>
+        val mg = perLang.getOrElseUpdate(lang,
+          scala.collection.mutable.Map.empty[String, Long])
+        if (mg.contains(tok) || mg.size < m) {
+          mg.update(tok, mg.getOrElse(tok, 0L) + 1L)
+        } else {
+          // Misra-Gries decrement: all m counters down one; zeros free
+          // their slot. Each decrement retires m+1 stream items (the m
+          // counted + the arriving one), hence the n_p/m error bound.
+          val dead = mg.iterator
+            .flatMap { case (t, c) => if (c == 1L) Some(t) else None }
+            .toList
+          mg.mapValuesInPlace((_, c) => c - 1L)
+          dead.foreach(mg.remove)
+        }
+      }
+      perLang.iterator.flatMap { case (lang, mg) =>
+        mg.iterator.map { case (tok, c) => (lang, tok, c) }
+      }
+    }.toDF("lang", "token", "c_lb")
+    val candidates = partials.select("lang", "token").distinct()
+    val exact = toks
+      .join(broadcast(candidates), Seq("lang", "token"), "left_semi")
+      .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n").desc, col("token").asc)
+    exact.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("token"), col("n"))
+  }
+
+  /** tx heavy hitters: exact per-language top-15 at m=64 counters.
+    * Guarantee margin on the gate data: the 15th count exceeds
+    * N_lang/64 in every language (pinned by HeavyHittersSpec), so the
+    * bounded-shuffle path provably equals the exact oracle. */
+  private def txHeavyHitters(s: SparkSession, d: String): DataFrame =
+    heavyHitters(t(s, d, "documents"), "text", k = 15, m = 64)
+
   /** Corpus-level duplicated-passage removal — the C4/CCNet dedup rule
     * applied to a token stream: documents tile into NON-overlapping
     * `width`-token passages (the last tile may be shorter); every
@@ -796,6 +866,7 @@ object TextOps {
     "tx_decontam" -> txDecontam _,
     "tx_shard_shuffle" -> txShardShuffle _,
     "tx_vocab_topk" -> txVocabTopk _,
+    "tx_heavy_hitters" -> txHeavyHitters _,
     "tx_chunk_split" -> txChunkSplit _,
     "tx_bm25" -> txBm25 _)
 
@@ -1000,6 +1071,18 @@ object TextOps {
            array_to_string(tok[chunk_id * 48 + 1 : chunk_id * 48 + 64],
              ' ') AS chunk_text
          FROM ex""",
+    "tx_heavy_hitters" ->
+      """WITH tk AS (
+           SELECT lang,
+             unnest(string_split_regex(trim(lower(text)), '\s+'))
+               AS token
+           FROM documents),
+         c AS (SELECT lang, token, count(*) AS n
+           FROM tk GROUP BY lang, token)
+         SELECT lang, CAST(rank AS INT) AS rank, token, n
+         FROM (SELECT *, row_number() OVER (PARTITION BY lang
+           ORDER BY n DESC, token ASC) AS rank FROM c) x
+         WHERE rank <= 15""",
     "tx_vocab_topk" ->
       """WITH tk AS (
            SELECT lang,
