@@ -349,6 +349,149 @@ object Similarity {
         col("__graft_drop").isNull.as("kept"))
   }
 
+  // ---- product quantization (PQ codes + ADC scoring) ----
+
+  /** (n_id, sub, s_emb) subvector rows: each vector split into `mSub`
+    * contiguous subvectors of width dim/mSub. Narrow (explode over a
+    * literal index range + slice), so subvector extraction runs at
+    * scan speed and inherits the input partitioning. */
+  private def subRows(prepared: DataFrame, mSub: Int): DataFrame = {
+    val w = (size(col("n_emb")) / mSub).cast("int")
+    prepared
+      .select(col("n_id"), col("n_emb"),
+        explode(sequence(lit(0), lit(mSub - 1))).as("sub"))
+      .select(col("n_id"), col("sub"),
+        slice(col("n_emb"), col("sub") * w + 1, w).as("s_emb"))
+  }
+
+  /** Sequential-fold squared L2 distance (same fold order in DuckDB's
+    * list functions → bit-exact cross-engine, the dotD discipline). */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Product-quantization codebooks: an independent deterministic
+    * Lloyd fit (hash-ordered seeds, decimal-exact means — the
+    * fitCentroids discipline) in EACH of the `mSub` subspaces, run as
+    * one grouped computation: every step keys by `sub`, so the mSub
+    * fits ride a single plan and the codebook side stays
+    * broadcast-sized (mSub × kCodes rows). Assignment metric is
+    * squared L2, the standard PQ choice. Returns (sub, code, c_emb)
+    * with code = dense 0..kCodes-1 rank of the seed order.
+    *
+    * Scale: each Lloyd pass is corpus-subvectors × kCodes compare +
+    * one decimal mean aggregate — the same cost class as the IVF
+    * coarse fit. A 100 TB deployment fits codebooks on a sample and
+    * encodes the full corpus with them; the encode path (`pqEncode`)
+    * is the part that must and does run corpus-wide. */
+  def pqFitCodebooks(corpus: DataFrame, mSub: Int = 8,
+      kCodes: Int = 16, lloydIters: Int = 2): DataFrame = {
+    val rows = subRows(prepare(corpus), mSub)
+    val wSeed = Window.partitionBy("sub")
+      .orderBy(xxhash64(col("n_id")), col("n_id"))
+    val seed = broadcast(rows
+      .withColumn("rk", row_number().over(wSeed))
+      .filter(col("rk") <= kCodes)
+      .select(col("sub"), (col("rk") - 1).as("code"),
+        col("s_emb").as("c_emb")))
+    val fitted = (1 to lloydIters).foldLeft(seed) { (cents, _) =>
+      val assigned = assignCodes(rows, cents)
+      val means = assigned
+        .select(col("sub"), col("code"),
+          posexplode(col("s_emb")).as(Seq("dim", "v")))
+        .groupBy("sub", "code", "dim")
+        .agg(avg(col("v").cast("decimal(38,18)")).cast("double").as("m"))
+        .groupBy("sub", "code")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("new_emb"))
+      // an emptied code keeps its previous centroid, so the code book
+      // stays dense and kCodes-stable
+      broadcast(cents.join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("new_emb"), col("c_emb")).as("c_emb")))
+    }
+    // THE codebook is 6-dp quantized (the embedNormalize rounding
+    // contract): codeword elements survive a decimal-text round-trip
+    // losslessly, so the dumped index and the live fit are the same
+    // numbers and the conditioned oracle can replay ADC bit-for-bit.
+    broadcast(fitted.select(col("sub"), col("code"),
+      transform(col("c_emb"), x => round(x, 6)).as("c_emb")))
+  }
+
+  /** Nearest-codeword assignment of (n_id, sub, s_emb) rows against a
+    * broadcast codebook: one row per (n_id, sub) with the argmin-L2
+    * code (ties → smaller code). */
+  private def assignCodes(rows: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("n_id", "sub")
+      .orderBy(col("d2").asc, col("code").asc)
+    rows.join(cents, Seq("sub"))
+      .withColumn("d2", sqDist(col("s_emb"), col("c_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("n_id"), col("sub"), col("code"), col("s_emb"))
+  }
+
+  /** PQ-encode a corpus: (n_id, sub, code) — mSub small ints per
+    * vector, the 8-byte-per-vector compressed representation that
+    * makes a 100 TB embedding table fit an ANN serving tier. */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame,
+      mSub: Int = 8): DataFrame =
+    assignCodes(subRows(prepare(corpus), mSub), codebooks)
+      .select(col("n_id"), col("sub"), col("code"))
+
+  /** ADC (asymmetric distance computation) top-k: queries stay exact,
+    * the corpus is represented ONLY by its PQ codes. Per query the
+    * (sub, code) → <q_sub, codeword> lookup table is mSub × kCodes
+    * partial products — broadcast-tiny — and each corpus vector's
+    * approximate cosine reassembles from mSub lookups instead of a
+    * dim-wide dot product:
+    *   cos(q, x) ≈ Σ_sub LUT[sub, code(x, sub)] / (|q| · |x̂|),
+    * with |x̂| the reconstruction norm, also code-derived.
+    *
+    * ENGINE-PORTABLE SUMMATION CONTRACT: the per-(query, vector) sum
+    * over subspaces is a shuffle aggregate whose float order no engine
+    * pins, so each LUT partial (and codeword norm²) is rounded to 6 dp
+    * and summed as DECIMAL(18,6) — exact, order-independent addition;
+    * the 1e-6 quantization is noise against PQ's own approximation
+    * error. The conditioned oracle replays the identical arithmetic
+    * from the x_pq_index dump.
+    *
+    * Scale shape: codes join a broadcast LUT (no corpus shuffle), the
+    * (q_id, n_id) sum partial-aggregates map-side to ≤ queries ×
+    * vectors rows, and the final top-k windows per query. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      mSub: Int = 8, kCodes: Int = 16, lloydIters: Int = 2): DataFrame = {
+    val cb = pqFitCodebooks(corpus, mSub, kCodes, lloydIters)
+    val codes = pqEncode(corpus, cb, mSub)
+    val q = queries.select(col("vec_id").as("q_id"),
+        asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb"))))
+    val qSubs = subRows(
+      q.select(col("q_id").as("n_id"), col("q_emb").as("n_emb")), mSub)
+      .select(col("n_id").as("q_id"), col("sub"), col("s_emb"))
+    val lut = broadcast(qSubs.join(cb, Seq("sub"))
+      .join(q.select(col("q_id"), col("q_norm")), Seq("q_id"))
+      .select(col("q_id"), col("sub"), col("code"), col("q_norm"),
+        round(dotD(col("s_emb"), col("c_emb")), 6)
+          .cast("decimal(18,6)").as("partial"),
+        round(dotD(col("c_emb"), col("c_emb")), 6)
+          .cast("decimal(18,6)").as("cnorm2")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
+    codes.join(lut, Seq("sub", "code"))
+      .filter(col("n_id") =!= col("q_id"))
+      .groupBy("q_id", "n_id")
+      .agg(sum("partial").as("ip"), sum("cnorm2").as("r_norm2"),
+        max("q_norm").as("q_norm"))
+      .withColumn("sim", col("ip").cast("double") /
+        (col("q_norm") * sqrt(col("r_norm2").cast("double"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").cast("int").as("rank"), col("n_id"),
+        round(col("sim"), 4).as("adc_sim"))
+  }
+
   // ---- gate queries ----
 
   private def queriesSide(s: SparkSession, d: String): DataFrame =
@@ -394,6 +537,29 @@ object Similarity {
   private def xAnnIvfFull(s: SparkSession, d: String): DataFrame =
     ivfTopK(queriesSide(s, d), t(s, d, "embeddings"), 3,
       nlist = 16, nprobe = 16)
+
+  /** PQ index dump: the codebooks (kind='cb', id=code, payload =
+    * 6-dp decimal codeword) unioned with every vector's codes
+    * (kind='code', id=vec_id, payload=code) — the engine state the
+    * x_pq_topk oracle conditions on (it IS the dump → rows-only, the
+    * x_ann_ivf_assign pattern; dump and ANN gate refit in separate
+    * executions, so the compare doubles as a determinism proof). */
+  private def xPqIndex(s: SparkSession, d: String): DataFrame = {
+    val corpus = t(s, d, "embeddings")
+    val cb = pqFitCodebooks(corpus)
+    cb.select(lit("cb").as("kind"), col("sub"),
+        col("code").cast("long").as("id"),
+        serDec6(col("c_emb")).as("payload"))
+      .unionByName(pqEncode(corpus, cb)
+        .select(lit("code").as("kind"), col("sub"),
+          col("n_id").as("id"), col("code").cast("string").as("payload")))
+  }
+
+  /** PQ-ADC top-3 at the default 8×16 codebook (64-dim → 8-byte
+    * codes). Oracle: DuckDB replays the LUT build, the decimal
+    * summation, and the top-k from the x_pq_index dump. */
+  private def xPqTopk(s: SparkSession, d: String): DataFrame =
+    pqTopK(queriesSide(s, d), t(s, d, "embeddings"), 3)
 
   /** kNN label vote: majority label of the 5 nearest neighbors,
     * ties → smallest label (deterministic). */
@@ -512,6 +678,8 @@ object Similarity {
     "x_ann_ivf" -> xAnnIvf _,
     "x_ann_ivf_assign" -> xAnnIvfAssign _,
     "x_ann_ivf_full" -> xAnnIvfFull _,
+    "x_pq_index" -> xPqIndex _,
+    "x_pq_topk" -> xPqTopk _,
     "x_knn_label" -> xKnnLabel _,
     "x_centroid" -> xCentroid _)
 
@@ -533,6 +701,53 @@ object Similarity {
        WHERE rn <= 3"""
 
   val oracle: Map[String, String] = Map(
+    // replays pqTopK's exact arithmetic from the x_pq_index dump:
+    // 6-dp codewords (lossless decimal text), LUT partials and
+    // codeword norms² rounded to 6 dp and summed as DECIMAL (order-
+    // independent), final cosine assembled in double. mSub=8, w=8
+    // mirror the gate's defaults on the 64-dim fixture.
+    "x_pq_topk" ->
+      """WITH cb AS (
+           SELECT sub, CAST(id AS INT) AS code,
+             list_transform(string_split(payload, ','),
+               x -> CAST(x AS DOUBLE)) AS c_emb
+           FROM parquet_scan('__OUTDIR__/x_pq_index/*.parquet')
+           WHERE kind = 'cb'),
+         codes AS (
+           SELECT id AS n_id, sub, CAST(payload AS INT) AS code
+           FROM parquet_scan('__OUTDIR__/x_pq_index/*.parquet')
+           WHERE kind = 'code'),
+         qn AS (
+           SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb,
+             sqrt(list_inner_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(embedding, x -> CAST(x AS DOUBLE))))
+               AS q_norm
+           FROM embeddings WHERE vec_id < 10),
+         lut AS (
+           SELECT q_id, sub, code, q_norm,
+             CAST(round(list_inner_product(
+               list_slice(q_emb, sub*8+1, sub*8+8), c_emb), 6)
+               AS DECIMAL(18,6)) AS partial,
+             CAST(round(list_inner_product(c_emb, c_emb), 6)
+               AS DECIMAL(18,6)) AS cnorm2
+           FROM qn CROSS JOIN cb),
+         agg AS (
+           SELECT l.q_id, c.n_id, sum(l.partial) AS ip,
+             sum(l.cnorm2) AS r_norm2, max(l.q_norm) AS q_norm
+           FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+           WHERE c.n_id <> l.q_id
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT q_id, n_id, CAST(ip AS DOUBLE) /
+             (q_norm * sqrt(CAST(r_norm2 AS DOUBLE))) AS sim
+           FROM agg)
+         SELECT q_id, CAST(rn AS INT) AS rank, n_id,
+           round(sim, 4) AS adc_sim
+         FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+           ORDER BY round(sim, 6) DESC, n_id ASC) AS rn FROM scored) x
+         WHERE rn <= 3""",
     "d_semantic_dedup" ->
       """WITH asg AS (
            SELECT vec_id, cid

@@ -1,0 +1,109 @@
+package graft.sim
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.Tables.t
+
+/** Product quantization: encode optimality, reconstruction-error
+  * behavior, ADC retrieval quality, and cross-partitioning
+  * determinism (the properties the conditioned x_pq_topk oracle
+  * cannot see because it takes the engine's codebook as given). */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = t(spark, TestSpark.sf0001, "embeddings")
+
+  test("pqEncode assigns every (vector, subspace) its argmin-L2 " +
+    "codeword (ties to the smaller code)") {
+    val cb = Similarity.pqFitCodebooks(corpus)
+    val codes = Similarity.pqEncode(corpus, cb)
+    // recompute the distance of the CHOSEN code and the true minimum
+    // over all codes, relationally
+    val subs = corpus.select(col("vec_id").as("n_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("emb"))
+      .select(col("n_id"),
+        explode(sequence(lit(0), lit(7))).as("sub"),
+        col("emb"))
+      .select(col("n_id"), col("sub"),
+        slice(col("emb"), col("sub") * 8 + 1, lit(8)).as("s_emb"))
+    val d2 = subs.join(cb, Seq("sub"))
+      .withColumn("d2", aggregate(
+        zip_with(col("s_emb"), col("c_emb"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v))
+    val best = d2.groupBy("n_id", "sub").agg(min("d2").as("min_d2"))
+    val chosen = codes.join(d2, Seq("n_id", "sub", "code"))
+      .join(best, Seq("n_id", "sub"))
+    assert(chosen.filter(col("d2") > col("min_d2")).count() == 0,
+      "a chosen code is not the L2-argmin")
+    // ties (if any) must resolve to the smallest qualifying code
+    val tieBad = d2.join(best, Seq("n_id", "sub"))
+      .filter(col("d2") === col("min_d2"))
+      .groupBy("n_id", "sub").agg(min("code").as("want_code"))
+      .join(codes, Seq("n_id", "sub"))
+      .filter(col("code") =!= col("want_code"))
+    assert(tieBad.count() == 0, "tie not broken to the smaller code")
+  }
+
+  test("reconstruction MSE shrinks as the codebook grows (k=4 → k=32)") {
+    def mse(k: Int): Double = {
+      val cb = Similarity.pqFitCodebooks(corpus, kCodes = k)
+      val codes = Similarity.pqEncode(corpus, cb)
+      val subs = corpus.select(col("vec_id").as("n_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+        .select(col("n_id"),
+          explode(sequence(lit(0), lit(7))).as("sub"), col("emb"))
+        .select(col("n_id"), col("sub"),
+          slice(col("emb"), col("sub") * 8 + 1, lit(8)).as("s_emb"))
+      codes.join(cb, Seq("sub", "code")).join(subs, Seq("n_id", "sub"))
+        .select(aggregate(
+          zip_with(col("s_emb"), col("c_emb"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v).as("d2"))
+        .agg(avg("d2")).as[Double].head()
+    }
+    val (m4, m32) = (mse(4), mse(32))
+    assert(m32 < m4,
+      s"MSE must shrink with codebook size: k=4 → $m4, k=32 → $m32")
+  }
+
+  test("ADC retrieval: ≥ 0.9 of top-10 neighbors share the query's " +
+    "cluster on a planted-cluster corpus") {
+    // NOTE the metric: 8-byte codes collapse every member of a tight
+    // cluster onto (nearly) the same code vector, so ADC cannot — by
+    // design — resolve WITHIN-cluster fine ranking the way exact
+    // cosine does (recall@3 vs brute force is the wrong yardstick for
+    // PQ). What codes must preserve is the coarse geometry: retrieved
+    // neighbors come from the right cluster.
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 600L).map { id =>
+      val c = (id % 30).toInt
+      val emb = Array.fill(64)(rnd.nextGaussian().toFloat * 0.05f)
+      emb((2 * c) % 64) += 8.0f
+      emb((2 * c + 1) % 64) += 8.0f
+      (id, c, emb)
+    }
+    val planted = vecs.toDF("vec_id", "label", "embedding")
+    val queries = planted.filter(col("vec_id") < 20)
+    val labels = planted.select(col("vec_id").as("n_id"),
+      col("label").as("n_label"))
+    val hits = Similarity.pqTopK(queries, planted, 10)
+      .join(labels, Seq("n_id"))
+      .join(planted.select(col("vec_id").as("q_id"), col("label")),
+        Seq("q_id"))
+    val frac = hits.agg(
+      avg((col("n_label") === col("label")).cast("double")))
+      .as[Double].head()
+    assert(frac >= 0.9, s"planted-cluster ADC label consistency: $frac")
+  }
+
+  test("PQ pipeline is deterministic across partitionings") {
+    val queries = corpus.filter(col("vec_id") < 10)
+    val a = Similarity.pqTopK(queries, corpus.repartition(1), 3)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.pqTopK(queries, corpus.repartition(32), 3)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "PQ result depends on partitioning")
+  }
+}
