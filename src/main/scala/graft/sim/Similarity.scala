@@ -464,22 +464,35 @@ object Similarity {
       mSub: Int = 8, kCodes: Int = 16, lloydIters: Int = 2): DataFrame = {
     val cb = pqFitCodebooks(corpus, mSub, kCodes, lloydIters)
     val codes = pqEncode(corpus, cb, mSub)
+    adcTail(codes.join(adcLut(queries, cb, mSub), Seq("sub", "code")), k)
+  }
+
+  /** The broadcast (q_id, sub, code) → partial-product lookup table of
+    * ADC (queries × codebooks — tiny), with the 6-dp DECIMAL rounding
+    * that makes downstream summation order-independent. */
+  private def adcLut(queries: DataFrame, cb: DataFrame,
+      mSub: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"),
         asDouble(col("embedding")).as("q_emb"))
       .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb"))))
     val qSubs = subRows(
       q.select(col("q_id").as("n_id"), col("q_emb").as("n_emb")), mSub)
       .select(col("n_id").as("q_id"), col("sub"), col("s_emb"))
-    val lut = broadcast(qSubs.join(cb, Seq("sub"))
+    broadcast(qSubs.join(cb, Seq("sub"))
       .join(q.select(col("q_id"), col("q_norm")), Seq("q_id"))
       .select(col("q_id"), col("sub"), col("code"), col("q_norm"),
         round(dotD(col("s_emb"), col("c_emb")), 6)
           .cast("decimal(18,6)").as("partial"),
         round(dotD(col("c_emb"), col("c_emb")), 6)
           .cast("decimal(18,6)").as("cnorm2")))
+  }
+
+  /** Shared ADC scoring tail: (q_id, n_id, partial, cnorm2, q_norm)
+    * rows → per-pair decimal sums → approximate cosine → top-k. */
+  private def adcTail(joined: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_id")
       .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
-    codes.join(lut, Seq("sub", "code"))
+    joined
       .filter(col("n_id") =!= col("q_id"))
       .groupBy("q_id", "n_id")
       .agg(sum("partial").as("ip"), sum("cnorm2").as("r_norm2"),
@@ -490,6 +503,33 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("q_id"), col("rn").cast("int").as("rank"), col("n_id"),
         round(col("sim"), 4).as("adc_sim"))
+  }
+
+  /** IVF-PQ: the full similarity-search scale path — the coarse
+    * quantizer prunes the corpus to the `nprobe` probed inverted lists
+    * and ADC scores ONLY those candidates from their 8-byte codes.
+    * Per query the scan cost drops from n×mSub lookups to
+    * ≈ n×(nprobe/nlist)×mSub, and the corpus representation in the
+    * scoring join is codes, not vectors. At nprobe = nlist the pruning
+    * is lossless and the result equals `pqTopK` EXACTLY (pinned by
+    * PqSpec and the x_pq_ivf_full oracle) — the same machinery-
+    * exactness argument as `x_ann_ivf_full`. Both fits are the shared
+    * deterministic Lloyd, so the production-params gate can condition
+    * its oracle on the x_ann_ivf_assign + x_pq_index dumps of separate
+    * executions. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 6, mSub: Int = 8, kCodes: Int = 16,
+      lloydIters: Int = 2): DataFrame = {
+    val (lists, probes) =
+      ivfListsAndProbes(queries, corpus, nlist, nprobe, lloydIters)
+    val cb = pqFitCodebooks(corpus, mSub, kCodes, lloydIters)
+    val codes = pqEncode(corpus, cb, mSub)
+    val cand = lists.select(col("cid"), col("n_id"))
+      .join(probes.select(col("cid"), col("q_id")), Seq("cid"))
+      .select("q_id", "n_id")
+    adcTail(
+      codes.join(cand, Seq("n_id"))
+        .join(adcLut(queries, cb, mSub), Seq("q_id", "sub", "code")), k)
   }
 
   // ---- gate queries ----
@@ -560,6 +600,20 @@ object Similarity {
     * summation, and the top-k from the x_pq_index dump. */
   private def xPqTopk(s: SparkSession, d: String): DataFrame =
     pqTopK(queriesSide(s, d), t(s, d, "embeddings"), 3)
+
+  /** IVF-PQ at production params (nprobe=6 of 16 lists, 8×16 codes).
+    * Oracle conditioned on BOTH existing dumps: candidate pairs from
+    * x_ann_ivf_assign (probe ⨝ list), ADC arithmetic from x_pq_index
+    * — every pruning and scoring decision re-derived cross-engine. */
+  private def xPqIvf(s: SparkSession, d: String): DataFrame =
+    ivfPqTopK(queriesSide(s, d), t(s, d, "embeddings"), 3)
+
+  /** IVF-PQ machinery-exactness gate: probing every list must equal
+    * pqTopK exactly (lossless pruning), so its oracle is x_pq_topk's
+    * replay — independent of where Lloyd puts the coarse centroids. */
+  private def xPqIvfFull(s: SparkSession, d: String): DataFrame =
+    ivfPqTopK(queriesSide(s, d), t(s, d, "embeddings"), 3,
+      nlist = 16, nprobe = 16)
 
   /** kNN label vote: majority label of the 5 nearest neighbors,
     * ties → smallest label (deterministic). */
@@ -680,6 +734,8 @@ object Similarity {
     "x_ann_ivf_full" -> xAnnIvfFull _,
     "x_pq_index" -> xPqIndex _,
     "x_pq_topk" -> xPqTopk _,
+    "x_pq_ivf" -> xPqIvf _,
+    "x_pq_ivf_full" -> xPqIvfFull _,
     "x_knn_label" -> xKnnLabel _,
     "x_centroid" -> xCentroid _)
 
@@ -700,14 +756,41 @@ object Similarity {
          ORDER BY round(sim, 6) DESC, n_id ASC) AS rn FROM scored) x
        WHERE rn <= 3"""
 
-  val oracle: Map[String, String] = Map(
-    // replays pqTopK's exact arithmetic from the x_pq_index dump:
-    // 6-dp codewords (lossless decimal text), LUT partials and
-    // codeword norms² rounded to 6 dp and summed as DECIMAL (order-
-    // independent), final cosine assembled in double. mSub=8, w=8
-    // mirror the gate's defaults on the 64-dim fixture.
-    "x_pq_topk" ->
-      """WITH cb AS (
+  /** Replays pqTopK's exact arithmetic from the x_pq_index dump:
+    * 6-dp codewords (lossless decimal text), LUT partials and codeword
+    * norms² rounded to 6 dp and summed as DECIMAL (order-independent),
+    * final cosine assembled in double. mSub=8, w=8 mirror the gate's
+    * defaults on the 64-dim fixture. With `restrictToProbed` the
+    * scored pairs additionally come from the x_ann_ivf_assign dump's
+    * probe ⨝ list join — the IVF-PQ candidate set. */
+  private def pqReplaySql(restrictToProbed: Boolean): String = {
+    val candCte = if (restrictToProbed) """,
+         cand AS (
+           SELECT DISTINCT p.id AS q_id, l.id AS n_id
+           FROM (SELECT id, cid
+             FROM parquet_scan('__OUTDIR__/x_ann_ivf_assign/*.parquet')
+             WHERE kind = 'probe') p
+           JOIN (SELECT id, cid
+             FROM parquet_scan('__OUTDIR__/x_ann_ivf_assign/*.parquet')
+             WHERE kind = 'list') l USING (cid))""" else ""
+    val aggCte = if (restrictToProbed)
+      """agg AS (
+           SELECT cand.q_id, c.n_id, sum(l.partial) AS ip,
+             sum(l.cnorm2) AS r_norm2, max(l.q_norm) AS q_norm
+           FROM cand
+             JOIN codes c ON c.n_id = cand.n_id
+             JOIN lut l ON l.q_id = cand.q_id AND l.sub = c.sub
+               AND l.code = c.code
+           WHERE c.n_id <> cand.q_id
+           GROUP BY 1, 2)"""
+    else
+      """agg AS (
+           SELECT l.q_id, c.n_id, sum(l.partial) AS ip,
+             sum(l.cnorm2) AS r_norm2, max(l.q_norm) AS q_norm
+           FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+           WHERE c.n_id <> l.q_id
+           GROUP BY 1, 2)"""
+    s"""WITH cb AS (
            SELECT sub, CAST(id AS INT) AS code,
              list_transform(string_split(payload, ','),
                x -> CAST(x AS DOUBLE)) AS c_emb
@@ -732,13 +815,8 @@ object Similarity {
                AS DECIMAL(18,6)) AS partial,
              CAST(round(list_inner_product(c_emb, c_emb), 6)
                AS DECIMAL(18,6)) AS cnorm2
-           FROM qn CROSS JOIN cb),
-         agg AS (
-           SELECT l.q_id, c.n_id, sum(l.partial) AS ip,
-             sum(l.cnorm2) AS r_norm2, max(l.q_norm) AS q_norm
-           FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
-           WHERE c.n_id <> l.q_id
-           GROUP BY 1, 2),
+           FROM qn CROSS JOIN cb)$candCte,
+         $aggCte,
          scored AS (
            SELECT q_id, n_id, CAST(ip AS DOUBLE) /
              (q_norm * sqrt(CAST(r_norm2 AS DOUBLE))) AS sim
@@ -747,7 +825,15 @@ object Similarity {
            round(sim, 4) AS adc_sim
          FROM (SELECT *, row_number() OVER (PARTITION BY q_id
            ORDER BY round(sim, 6) DESC, n_id ASC) AS rn FROM scored) x
-         WHERE rn <= 3""",
+         WHERE rn <= 3"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "x_pq_topk" -> pqReplaySql(restrictToProbed = false),
+    // lossless pruning at nprobe = nlist ⇒ must equal the pqTopK
+    // replay exactly, wherever Lloyd put the coarse centroids
+    "x_pq_ivf_full" -> pqReplaySql(restrictToProbed = false),
+    "x_pq_ivf" -> pqReplaySql(restrictToProbed = true),
     "d_semantic_dedup" ->
       """WITH asg AS (
            SELECT vec_id, cid

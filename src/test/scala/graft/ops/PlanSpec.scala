@@ -235,4 +235,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Expand"),
       s"cohort retention Expands the events table:\n${p.take(3000)}")
   }
+
+  test("heavy hitters: candidate recount is a broadcast semi-join — " +
+    "the token stream itself never shuffles") {
+    val p = plan("tx_heavy_hitters")
+    // the exact recount must probe a BROADCAST candidate set (the
+    // whole point: the full-vocab shuffle of tx_vocab_topk is what
+    // this operator avoids)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidate probe not a broadcast semi-join:\n${p.take(3000)}")
+    // hash exchanges carry only candidates/summaries: the candidate
+    // distinct, the recount aggregate, the top-k window — never the
+    // exploded token stream
+    assert(countOf(p, "Exchange hashpartitioning") <= 3,
+      s"heavy hitters shuffles more than its summaries:\n${p.take(3000)}")
+  }
+
+  test("pq adc: codes join a broadcast LUT; no corpus-side shuffle " +
+    "before the per-pair aggregate") {
+    val p = plan("x_pq_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"ADC LUT join is not broadcast:\n${p.take(3000)}")
+  }
 }

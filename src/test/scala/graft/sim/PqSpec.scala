@@ -98,6 +98,41 @@ class PqSpec extends AnyFunSuite {
     assert(frac >= 0.9, s"planted-cluster ADC label consistency: $frac")
   }
 
+  test("ivfPqTopK at nprobe = nlist equals pqTopK exactly " +
+    "(lossless pruning, identical ADC arithmetic)") {
+    val queries = corpus.filter(col("vec_id") < 10)
+    val full = Similarity.ivfPqTopK(queries, corpus, 3,
+      nlist = 16, nprobe = 16)
+      .collect().map(_.toSeq).toSet
+    val pq = Similarity.pqTopK(queries, corpus, 3)
+      .collect().map(_.toSeq).toSet
+    assert(full == pq, "nprobe=nlist IVF-PQ must equal plain PQ-ADC")
+  }
+
+  test("IVF-PQ production params: ≥ 0.85 of top-10 neighbors share " +
+    "the query's cluster on the planted corpus") {
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 600L).map { id =>
+      val c = (id % 30).toInt
+      val emb = Array.fill(64)(rnd.nextGaussian().toFloat * 0.05f)
+      emb((2 * c) % 64) += 8.0f
+      emb((2 * c + 1) % 64) += 8.0f
+      (id, c, emb)
+    }
+    val planted = vecs.toDF("vec_id", "label", "embedding")
+    val queries = planted.filter(col("vec_id") < 20)
+    val labels = planted.select(col("vec_id").as("n_id"),
+      col("label").as("n_label"))
+    val hits = Similarity.ivfPqTopK(queries, planted, 10)
+      .join(labels, Seq("n_id"))
+      .join(planted.select(col("vec_id").as("q_id"), col("label")),
+        Seq("q_id"))
+    val frac = hits.agg(
+      avg((col("n_label") === col("label")).cast("double")))
+      .as[Double].head()
+    assert(frac >= 0.85, s"planted IVF-PQ label consistency: $frac")
+  }
+
   test("PQ pipeline is deterministic across partitionings") {
     val queries = corpus.filter(col("vec_id") < 10)
     val a = Similarity.pqTopK(queries, corpus.repartition(1), 3)
