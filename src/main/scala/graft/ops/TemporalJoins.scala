@@ -199,6 +199,46 @@ object TemporalJoins {
       .drop("__graft_bucket")
   }
 
+  /** Interval-OVERLAP join: every same-key (a, b) pair whose CLOSED
+    * intervals intersect (aStart ≤ bEnd ∧ bStart ≤ aEnd) — the
+    * two-sided generalization of `bucketedRangeJoin` (sessions ×
+    * incident windows, coverage × outage, etc.). Both sides explode to
+    * the coarse buckets they touch and equi-join on (key, bucket), so
+    * the plan is a hash join keyed by time locality — never an
+    * inequality nested loop.
+    *
+    * A pair whose overlap spans several buckets would match in each;
+    * it is emitted exactly once WITHOUT a distinct: only from the
+    * canonical bucket containing the overlap start
+    * (greatest(aStart, bStart) — both intervals provably touch that
+    * bucket). No post-dedup shuffle of the pair set exists to become
+    * a bottleneck.
+    *
+    * Scale: shuffle is keyed (keys, bucket); long intervals fan out
+    * as their bucket span — size `bucketSeconds` to the typical
+    * interval length, and cap pathological interval lengths upstream
+    * (the maxBucketSize discipline of the LSH joins). */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, keys: Seq[String],
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      bucketSeconds: Long = 3600L): DataFrame = {
+    val overlap = a.columns.toSet.intersect(b.columns.toSet) -- keys
+    require(overlap.isEmpty,
+      s"non-key columns $overlap exist on both sides — rename before " +
+        "joining (the residual filter would be ambiguous)")
+    val usec = lit(bucketSeconds * 1000000L)
+    def bucketed(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("__graft_bucket", explode(sequence(
+        (unix_micros(col(s)) / usec).cast("long"),
+        (unix_micros(col(e)) / usec).cast("long"))))
+    bucketed(a, aStart, aEnd)
+      .join(bucketed(b, bStart, bEnd), keys :+ "__graft_bucket")
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col("__graft_bucket") ===
+        (greatest(unix_micros(col(aStart)), unix_micros(col(bStart)))
+          / usec).cast("long"))
+      .drop("__graft_bucket")
+  }
+
   // ---- gate queries ----
 
   /** As-of gate: each purchase annotated with the user's most recent
@@ -259,7 +299,28 @@ object TemporalJoins {
           .as("sum_value"))
   }
 
+  /** Overlap gate: signup windows (2 h) × error windows (30 min) per
+    * user — every overlapping pair with its exact overlap in µs. */
+  private def jIntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts").as("s_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("s_end"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        col("ts").as("e_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("e_end"))
+    intervalOverlapJoin(signups, errors, Seq("user_id"),
+        "s_start", "s_end", "e_start", "e_end")
+      .select(col("user_id"), col("signup_id"), col("error_id"),
+        (least(unix_micros(col("s_end")), unix_micros(col("e_end"))) -
+          greatest(unix_micros(col("s_start")),
+            unix_micros(col("e_start")))).as("overlap_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j_interval_overlap" -> jIntervalOverlap _,
     "j_asof_click" ->
       ((s, d) => jAsofClick(s, d, Some(86400L))),
     "j_asof_forward" ->
@@ -285,6 +346,20 @@ object TemporalJoins {
          ON c.user_id = p.user_id AND c.ts <= p.ts"""
 
   val oracle: Map[String, String] = Map(
+    "j_interval_overlap" ->
+      """WITH s AS (
+           SELECT user_id, event_id AS signup_id, ts AS s_start,
+             ts + INTERVAL 2 HOUR AS s_end
+           FROM events WHERE event_type = 'signup'),
+         e AS (
+           SELECT user_id, event_id AS error_id, ts AS e_start,
+             ts + INTERVAL 30 MINUTE AS e_end
+           FROM events WHERE event_type = 'error')
+         SELECT s.user_id, signup_id, error_id,
+           epoch_us(least(s_end, e_end)) -
+             epoch_us(greatest(s_start, e_start)) AS overlap_us
+         FROM s JOIN e ON s.user_id = e.user_id
+           AND s_start <= e_end AND e_start <= s_end""",
     "j_asof_click" -> asofClickSql,
     "j_asof_forward" -> asofForwardSql,
     "j_asof_click_plain" -> asofClickSql,

@@ -308,6 +308,74 @@ class TemporalJoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalOverlapJoin == naive inequality join, at several " +
+    "widths (multiset parity proves the canonical-bucket emit is " +
+    "exactly-once)") {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts").as("s_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("s_end"))
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        col("ts").as("e_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("e_end"))
+    val naive = signups
+      .join(errors.withColumnRenamed("user_id", "e_user"),
+        col("user_id") === col("e_user") &&
+          col("s_start") <= col("e_end") &&
+          col("e_start") <= col("s_end"))
+      .select("signup_id", "error_id")
+    for (width <- Seq(600L, 3600L, 7200L, 100000L)) {
+      val fast = TemporalJoins.intervalOverlapJoin(signups, errors,
+        Seq("user_id"), "s_start", "s_end", "e_start", "e_end", width)
+        .select("signup_id", "error_id")
+      assert(fast.exceptAll(naive).isEmpty &&
+        naive.exceptAll(fast).isEmpty,
+        s"overlap at bucket width $width diverges from the naive join")
+    }
+  }
+
+  test("intervalOverlapJoin: touching endpoints overlap (closed " +
+    "intervals), disjoint do not, and zero-length intervals work") {
+    import spark.implicits._
+    def df(rows: Seq[(Long, String, String)], id: String, s: String,
+        e: String) =
+      rows.toDF("k", "s0", "e0")
+        .select(col("k"), monotonically_increasing_id().as(id),
+          col("s0").cast("timestamp").as(s),
+          col("e0").cast("timestamp").as(e))
+    val a = Seq(
+      (1L, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+      (1L, "2024-01-01 05:00:00", "2024-01-01 05:00:00")) // zero-length
+    val b = Seq(
+      (1L, "2024-01-01 01:00:00", "2024-01-01 02:00:00"), // touches a1
+      (1L, "2024-01-01 03:00:00", "2024-01-01 04:00:00"), // disjoint
+      (1L, "2024-01-01 04:30:00", "2024-01-01 05:00:00")) // touches a2
+    val out = TemporalJoins.intervalOverlapJoin(
+      df(a, "a_id", "a_s", "a_e"), df(b, "b_id", "b_s", "b_e"),
+      Seq("k"), "a_s", "a_e", "b_s", "b_e", 600L)
+      .select(col("a_s").cast("string"), col("b_s").cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(out == Set(
+      ("2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+      ("2024-01-01 05:00:00", "2024-01-01 04:30:00")))
+  }
+
+  test("intervalOverlapJoin plans an equi-join, not a nested loop") {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("s_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("s_end"))
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("u2"), col("ts").as("e_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("e_end"))
+      .withColumnRenamed("u2", "user_id")
+    val plan = TemporalJoins.intervalOverlapJoin(signups, errors,
+      Seq("user_id"), "s_start", "s_end", "e_start", "e_end")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"overlap join fell back to a quadratic plan:\n$plan")
+  }
+
   test("bucketedRangeJoin plans an equi-join, not a nested loop") {
     val signups = events.filter(col("event_type") === "signup")
       .select(col("user_id"), col("ts").as("start_ts"),
