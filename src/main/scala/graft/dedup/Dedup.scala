@@ -265,6 +265,72 @@ object Dedup {
           .as("jac")): _*)
   }
 
+  /** Threshold Jaccard pairs via PREFIX FILTERING (the AllPairs /
+    * PPJoin family): every same-block pair with jac ≥ `t`, found
+    * WITHOUT indexing every gram. Each doc's grams sort by a global
+    * (document-frequency, gram) total order; only the first
+    * |A| − ⌈t·|A|⌉ + 1 grams — the PREFIX — enter the candidate
+    * equi-join. The classic completeness theorem: under any shared
+    * total order, jac(A,B) ≥ t forces the prefixes to intersect, so
+    * no qualifying pair is lost, while the frequent grams (which
+    * generate almost all candidate pairs in the plain gram join) sort
+    * to the suffix and never hit the index. Candidates then verify
+    * exactly against the full sorted gram arrays — carried once per
+    * candidate PAIR, not per gram.
+    *
+    * Scale shape: one df aggregate (map-side combined), one gram-keyed
+    * prefix self-join whose fan-out is prefix-bounded (≈ (1−t)·|A| per
+    * doc), and a candidate-keyed verify join. The higher the
+    * threshold, the smaller the index — the inverse of `maxGramDf`,
+    * which caps hot grams but still indexes everything else and
+    * cannot exploit t. Threshold compares use the UNROUNDED double
+    * (both engines divide the same integers); output jac rounds to
+    * the 6-dp contract. */
+  def ngramJaccardThresholdPairs(docs: DataFrame, idCol: String,
+      textCol: String, t: Double, blockCols: Seq[String] = Nil,
+      n: Int = 3): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"threshold t=$t must be in (0, 1]")
+    val bc = blockCols.map(col)
+    val exploded = docs
+      .select(bc :+ col(idCol).as("doc_id") :+
+        tokenNgrams(TextOps.tokens(lower(col(textCol))), n)
+          .as("grams"): _*)
+      .select(bc :+ col("doc_id") :+ explode(col("grams")).as("gram"): _*)
+    // grams are distinct per doc → count per (block, gram) IS df
+    val dfs = exploded.groupBy((blockCols :+ "gram").map(col): _*)
+      .agg(count(lit(1)).as("df"))
+    val ranked = exploded.join(dfs, blockCols :+ "gram")
+      .groupBy((blockCols :+ "doc_id").map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("df"), col("gram")))),
+        s => s.getField("gram")).as("sorted_grams"))
+      .withColumn("n_grams", size(col("sorted_grams")))
+      .withColumn("prefix_len",
+        col("n_grams") - ceil(col("n_grams") * t).cast("int") + 1)
+    val prefix = ranked.select(bc :+ col("doc_id") :+
+      explode(slice(col("sorted_grams"), lit(1), col("prefix_len")))
+        .as("gram"): _*)
+    val cand = prefix
+      .select(bc ++ Seq(col("gram"), col("doc_id").as("doc_a")): _*)
+      .join(prefix.select(
+        bc ++ Seq(col("gram"), col("doc_id").as("doc_b")): _*),
+        blockCols :+ "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(bc ++ Seq(col("doc_a"), col("doc_b")): _*)
+      .distinct()
+    val ga = ranked.select(bc ++ Seq(col("doc_id").as("doc_a"),
+      col("sorted_grams").as("ga"), col("n_grams").as("na")): _*)
+    val gb = ranked.select(bc ++ Seq(col("doc_id").as("doc_b"),
+      col("sorted_grams").as("gb"), col("n_grams").as("nb")): _*)
+    cand.join(ga, blockCols :+ "doc_a").join(gb, blockCols :+ "doc_b")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jac_raw",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac_raw") >= t)
+      .select(bc ++ Seq(col("doc_a"), col("doc_b"),
+        round(col("jac_raw"), 6).as("jac")): _*)
+  }
+
   /** Incremental near-dup probe: a NEW batch against the EXISTING
     * corpus — the nightly-ingest shape. The gram equi-join pairs batch
     * rows with corpus rows only (batch × corpus, never corpus ×
@@ -608,6 +674,15 @@ object Dedup {
       .select("lang", "source", "doc_a", "doc_b", "jac")
   }
 
+  /** Prefix-filter gate: ALL pairs with jac ≥ 0.3 within (lang,
+    * source) blocks via the AllPairs index — the oracle recomputes the
+    * complete threshold pair set from the raw gram sets, so a pair the
+    * prefix index missed row-count-mismatches (completeness), and any
+    * extra pair fails the hash (verification exactness). */
+  private def dNgramJaccardPrefix(s: SparkSession, d: String): DataFrame =
+    ngramJaccardThresholdPairs(t(s, d, "documents"), "doc_id", "text",
+      t = 0.3, blockCols = Seq("lang", "source"), n = 3)
+
   /** Duplicate-cluster resolution gate: overlap pairs (any shared
     * 3-gram within a (lang, source) block — deterministic in both
     * engines, no float threshold) → connected components → canonical
@@ -693,6 +768,7 @@ object Dedup {
     "d_simhash" -> dSimhash _,
     "d_simhash_pairs" -> dSimhashPairs _,
     "d_ngram_jaccard_top" -> dNgramJaccard _,
+    "d_ngram_jaccard_prefix" -> dNgramJaccardPrefix _,
     "d_dup_clusters" -> dDupClusters _,
     "d_embed_neardup" -> dEmbedNearDup _)
 
@@ -794,6 +870,29 @@ object Dedup {
          FROM (SELECT *, row_number() OVER (PARTITION BY lang, source
            ORDER BY jac DESC, doc_a ASC, doc_b ASC) AS rn FROM pairs) x
          WHERE rn = 1""",
+    "d_ngram_jaccard_prefix" ->
+      """WITH grams AS (
+           SELECT lang, source, doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(1, len(string_split_regex(trim(lower(text)),
+                 '\s+')) - 1)),
+               i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+2]))
+               AS g
+           FROM documents),
+         pairs AS (
+           SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.g, b.g)) AS inter,
+             len(a.g) AS na, len(b.g) AS nb
+           FROM grams a JOIN grams b
+             ON a.lang = b.lang AND a.source = b.source
+            AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.g, b.g)) > 0)
+         SELECT lang, source, doc_a, doc_b,
+           round(inter * 1.0 / (na + nb - inter), 6) AS jac
+         FROM pairs
+         WHERE inter * 1.0 / (na + nb - inter) >= 0.3""",
     "d_dup_clusters" ->
       """WITH RECURSIVE grams AS (
            SELECT lang, source, doc_id,

@@ -335,4 +335,54 @@ class DedupSpec extends AnyFunSuite {
     assert(msg.contains("overflow") || msg.contains("out_of_range"),
       s"unexpected failure shape: $msg")
   }
+
+  test("prefix-filter threshold pairs == full gram join filtered, " +
+    "at several thresholds (completeness of the AllPairs prefix)") {
+    val corpus = graft.Tables.t(spark, TestSpark.sf0001, "documents")
+    val full = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      blockCols = Seq("lang", "source"), n = 3)
+    for (t <- Seq(0.1, 0.3, 0.5, 0.9)) {
+      val want = full.filter(col("jac") >= t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val got = Dedup.ngramJaccardThresholdPairs(corpus, "doc_id",
+        "text", t, blockCols = Seq("lang", "source"), n = 3)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got == want, s"threshold $t diverges from the full join")
+    }
+  }
+
+  test("prefix filter: boilerplate-only overlap produces NO candidate " +
+    "(the hot gram sorts to the suffix and never hits the index)") {
+    // every doc shares one boilerplate phrase (3 common grams) but the
+    // unique remainders don't overlap: all pairwise jac < 0.2, and at
+    // t = 0.5 the 3 shared grams (df = 20, the heaviest) sort LAST in
+    // every doc's (df, gram) order while prefixes stop well short —
+    // the pair set must come back empty WITHOUT the verify step ever
+    // rejecting a candidate (jac values here are ≈ 3/35, far below t,
+    // so any surviving candidate would also prove over-indexing).
+    val boiler = "copyright acme corp all rights reserved"
+    val docs = (0 until 20).map { i =>
+      (i.toLong, s"unique${i}a word${i}b token${i}c item${i}d " +
+        s"alpha${i}e beta${i}f gamma${i}g delta${i}h $boiler")
+    }.toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardThresholdPairs(docs, "doc_id", "text",
+      t = 0.5, n = 3)
+    assert(out.count() == 0)
+    // sanity: the PLAIN gram join does pair them (the boilerplate
+    // grams generate all 190 candidate pairs) — the prefix filter is
+    // what avoids that work
+    val plain = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3)
+    assert(plain.count() == 190L)
+  }
+
+  test("prefix-filter pairs: exact-dup and near-dup planted docs " +
+    "surface with jac = 1 and high jac") {
+    val out = Dedup.ngramJaccardThresholdPairs(docs, "doc_id", "text",
+      t = 0.5, n = 3)
+      .select("doc_a", "doc_b", "jac")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b, math.rint(j * 100) / 100) }.toSet
+    assert(out.contains((0L, 1L, 1.0)))
+    assert(out.exists { case (a, b, j) => a == 0L && b == 3L && j > 0.5 })
+  }
 }
