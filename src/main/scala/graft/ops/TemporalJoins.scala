@@ -239,6 +239,40 @@ object TemporalJoins {
       .drop("__graft_bucket")
   }
 
+  /** Regular-grid resample + forward fill — the time-series
+    * normalization step (sensor/metric tables, feature snapshots):
+    * per key, grid points every `stepSeconds` spanning that key's
+    * observed range (floor-aligned to the step), each carrying the
+    * latest observation at-or-before it (null before the first
+    * observation, left-asof semantics). The grid GENERATES from the
+    * key's min/max — one aggregate — and the fill IS `asofJoin`, so
+    * the whole operator is one control-plane aggregate + the as-of
+    * machinery's single full-data shuffle, inheriting its skew-safe
+    * split path via `splitRangeSeconds`. Pass `observations`
+    * deduplicated per (key, ts) if tie-determinism matters
+    * (the asofJoin tie rule applies otherwise). */
+  def resampleFill(observations: DataFrame, keys: Seq[String],
+      tsCol: String, payload: Seq[String], stepSeconds: Long,
+      splitRangeSeconds: Option[Long] = None): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive: $stepSeconds")
+    val usec = stepSeconds * 1000000L
+    // integer `div`, not `/`: double division of epoch-µs magnitudes
+    // can round across the step boundary before the floor-cast
+    val grid = observations
+      .groupBy(keys.map(col): _*)
+      .agg(min(unix_micros(col(tsCol))).as("__mn"),
+        max(unix_micros(col(tsCol))).as("__mx"))
+      .select(keys.map(col) :+ explode(sequence(
+        expr(s"__mn div $usec"), expr(s"__mx div $usec")))
+        .as("__step"): _*)
+      .select(keys.map(col) :+
+        timestamp_micros(col("__step") * lit(usec)).as(tsCol): _*)
+    asofJoin(grid,
+      observations.select((keys :+ tsCol).map(col) ++
+        payload.map(col): _*),
+      keys, tsCol, payload, splitRangeSeconds = splitRangeSeconds)
+  }
+
   // ---- gate queries ----
 
   /** As-of gate: each purchase annotated with the user's most recent
@@ -319,8 +353,30 @@ object TemporalJoins {
             unix_micros(col("e_start")))).as("overlap_us"))
   }
 
+  /** Resample gate: each user's purchase `value` forward-filled onto
+    * a 6-hour grid. Observations dedup per (user, ts) first (max
+    * event wins) so tie order can't move the hash — the asof-gate
+    * discipline. */
+  private def jResampleFfill(s: SparkSession, d: String): DataFrame = {
+    val obs = t(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max("event_id").as("src_event"),
+        max(col("value").cast("decimal(18,2)")).cast("double")
+          .as("value"))
+    resampleFill(obs, Seq("user_id"), "ts",
+        Seq("src_event", "value"), stepSeconds = 21600L)
+      // string-format the grid timestamp (the hourlyAgg discipline:
+      // raw timestamp columns type-diverge across engines — LTZ
+      // parquet vs naive TIMESTAMP)
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("grid_ts"),
+        col("src_event"), col("value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j_interval_overlap" -> jIntervalOverlap _,
+    "j_resample_ffill" -> jResampleFfill _,
     "j_asof_click" ->
       ((s, d) => jAsofClick(s, d, Some(86400L))),
     "j_asof_forward" ->
@@ -346,6 +402,25 @@ object TemporalJoins {
          ON c.user_id = p.user_id AND c.ts <= p.ts"""
 
   val oracle: Map[String, String] = Map(
+    "j_resample_ffill" ->
+      """WITH obs AS (
+           SELECT user_id, ts, max(event_id) AS src_event,
+             CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY 1, 2),
+         bounds AS (
+           SELECT user_id, epoch_us(min(ts)) // 21600000000 AS s0,
+             epoch_us(max(ts)) // 21600000000 AS s1
+           FROM obs GROUP BY 1),
+         grid AS (
+           SELECT user_id,
+             make_timestamp(g.s * 21600000000) AS gts
+           FROM bounds, unnest(range(s0, s1 + 1)) AS g(s))
+         SELECT g.user_id,
+           strftime(g.gts, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+           o.src_event, o.value
+         FROM grid g ASOF LEFT JOIN obs o
+           ON g.user_id = o.user_id AND g.gts >= o.ts""",
     "j_interval_overlap" ->
       """WITH s AS (
            SELECT user_id, event_id AS signup_id, ts AS s_start,

@@ -361,6 +361,64 @@ class TemporalJoinsSpec extends AnyFunSuite {
       ("2024-01-01 05:00:00", "2024-01-01 04:30:00")))
   }
 
+  test("resampleFill == naive per-grid-point argmax; grid is exactly " +
+    "floor(min/step)..floor(max/step) per key") {
+    val obs = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max("event_id").as("src_event"))
+    val step = 21600L
+    val out = TemporalJoins.resampleFill(obs, Seq("user_id"), "ts",
+      Seq("src_event"), step)
+    // grid shape: per key, one row per step index in [⌊mn/U⌋, ⌊mx/U⌋]
+    val shape = out.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        min(unix_micros(col("ts"))).as("gmn"),
+        max(unix_micros(col("ts"))).as("gmx"))
+    val bounds = obs.groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx"))
+    val usec = step * 1000000L
+    val bad = shape.join(bounds, "user_id").filter(
+      col("n") =!= (expr(s"mx div $usec") - expr(s"mn div $usec") + 1) ||
+        col("gmn") =!= expr(s"mn div $usec") * usec ||
+        col("gmx") =!= expr(s"mx div $usec") * usec)
+    assert(bad.count() == 0, "grid shape wrong for some key")
+    // fill parity: every grid row's payload = the argmax obs ≤ grid ts
+    val naive = out.select(col("user_id"), col("ts").as("gts"))
+      .join(obs.select(col("user_id"), col("ts").as("ots"),
+        col("src_event").as("want")),
+        Seq("user_id"), "left")
+      .filter(col("ots") <= col("gts"))
+      .groupBy("user_id", "gts").agg(max(struct(col("ots"),
+        col("want"))).as("b"))
+      .select(col("user_id"), col("gts").as("ts"),
+        col("b.want").as("want"))
+    val joined = out.join(naive, Seq("user_id", "ts"), "left")
+    assert(joined.filter(
+      !(col("src_event") <=> col("want"))).count() == 0,
+      "forward fill diverges from the naive argmax")
+  }
+
+  test("resampleFill: grid points before the first observation get " +
+    "null payload (left-asof), and a single-obs key yields one row") {
+    import spark.implicits._
+    val obs = Seq(
+      (1L, "2024-01-01 00:10:00", 7.0), // mn not step-aligned
+      (1L, "2024-01-01 02:30:00", 9.0),
+      (2L, "2024-01-05 13:00:00", 4.0)  // single obs
+    ).toDF("k", "ts0", "v")
+      .select(col("k"), col("ts0").cast("timestamp").as("ts"), col("v"))
+    val out = TemporalJoins.resampleFill(obs, Seq("k"), "ts",
+      Seq("v"), 3600L)
+      .select(col("k"), col("ts").cast("string"), col("v"))
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(out == Set(
+      (1L, "2024-01-01 00:00:00", None),       // before first obs
+      (1L, "2024-01-01 01:00:00", Some(7.0)),
+      (1L, "2024-01-01 02:00:00", Some(7.0)),
+      (2L, "2024-01-05 13:00:00", Some(4.0))))
+  }
+
   test("intervalOverlapJoin plans an equi-join, not a nested loop") {
     val signups = events.filter(col("event_type") === "signup")
       .select(col("user_id"), col("ts").as("s_start"),
