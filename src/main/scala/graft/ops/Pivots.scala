@@ -99,7 +99,26 @@ object Pivots {
         count(when(col("offset") === 4, lit(1))).as("w4"))
   }
 
+  /** Rollup subtotal cascade over (returnflag, linestatus):
+    * detail rows, per-flag subtotals, grand total — disambiguated by
+    * grouping_id (bit semantics shared with DuckDB's GROUPING()).
+    * One Expand(3 projections) + one aggregate: the multi-level
+    * subtotal costs ONE pass over the fact table, not one scan per
+    * level. Sum carried as decimal so summation order can't move the
+    * hash. */
+  private def p4Rollup(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus")
+      // grouping_id() must live in the agg projection (Catalyst
+      // resolves it against the GroupingSets node, not a later select)
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("gid"), col("n"), col("sum_qty"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p4_rollup" -> p4Rollup _,
     "p1_cohort_retention" -> p1CohortRetention _,
     "p1_pivot_wide" -> p1PivotWide _,
     "p1_conditional_agg" -> p1ConditionalAgg _,
@@ -108,6 +127,14 @@ object Pivots {
     "p3_union_drift" -> p3UnionDrift _)
 
   val oracle: Map[String, String] = Map(
+    "p4_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "p1_cohort_retention" ->
       """WITH ev AS (
            SELECT user_id, date_trunc('week', ts) AS week FROM events),
