@@ -244,6 +244,63 @@ object Streams {
   def docStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(documentsSchema).parquet(dir)
 
+  case class HhState(gen: Long, counts: Map[String, Long])
+  case class HhRow(lang: String, gen: Long, rank: Int, token: String,
+    n_lb: Long)
+
+  /** Streaming heavy hitters: the Misra-Gries sketch of
+    * `TextOps.heavyHitters` kept as PER-LANGUAGE STATE across
+    * micro-batches — feeding arrivals one at a time into the stored
+    * sketch IS Misra-Gries over the concatenated stream, so the
+    * classic guarantee (any token with total count > N/m survives,
+    * counts are lower bounds within N/m) holds for the whole feed at
+    * all times, with state bounded by m counters per language forever.
+    * Emits the current top-k lower bounds after each batch a language
+    * appears in, tagged with a per-language generation number so a
+    * consumer (or test) keeps the latest snapshot per language.
+    *
+    * The exact-recount second pass of the batch operator has no
+    * streaming analog (it would need a second scan of history) — the
+    * streaming form is the approximate-counts variant, which is what
+    * a live "trending tokens" feed wants; run the batch operator over
+    * the archived corpus when exact counts matter. State keys by
+    * language (a bounded domain); for an unbounded key domain, key
+    * the sketch by (key-shard) and merge downstream. */
+  def streamingHeavyHitters(docs: DataFrame, k: Int = 15,
+      m: Int = 64): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.GroupState
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("lang"),
+      explode(graft.text.TextOps.tokens(lower(col("text"))))
+        .as("token")).as[(String, String)]
+    toks.groupByKey(_._1)
+      .flatMapGroupsWithState[HhState, HhRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (lang: String, it: Iterator[(String, String)],
+            state: GroupState[HhState]) =>
+          val mg = scala.collection.mutable.Map.empty[String, Long] ++
+            state.getOption.map(_.counts).getOrElse(Map.empty)
+          it.foreach { case (_, tok) =>
+            if (mg.contains(tok) || mg.size < m) {
+              mg.update(tok, mg.getOrElse(tok, 0L) + 1L)
+            } else {
+              val dead = mg.iterator
+                .flatMap { case (t, c) => if (c == 1L) Some(t) else None }
+                .toList
+              mg.mapValuesInPlace((_, c) => c - 1L)
+              dead.foreach(mg.remove)
+            }
+          }
+          val gen = state.getOption.map(_.gen).getOrElse(0L) + 1L
+          state.update(HhState(gen, mg.toMap))
+          mg.toSeq.sortBy { case (t, c) => (-c, t) }.take(k).zipWithIndex
+            .map { case ((t, c), i) => HhRow(lang, gen, i + 1, t, c) }
+            .iterator
+      }.toDF()
+  }
+
   // ---- gate queries (batch semantics of the same code paths) ----
 
   private def stCurateDocs(s: SparkSession, d: String): DataFrame =

@@ -55,6 +55,58 @@ class StreamsSpec extends AnyFunSuite {
     assert(spark.table("st_curate_dedup").count() == distinctFp)
   }
 
+  test("streaming heavy hitters: one delivery == batch top-k exactly " +
+    "(m exceeds the per-lang vocab → the sketch is exact); a second " +
+    "delivery doubles every count via the kept state") {
+    val d = TestSpark.sf0001
+    val batch = graft.text.TextOps.heavyHitters(
+      graft.Tables.t(spark, d, "documents"), "text", k = 15, m = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3))).toSet
+
+    // checkpointed parquet sink (the exactly-once-arrival pattern):
+    // run 2 restores the run-1 state store and processes ONLY the
+    // newly staged file — the doubling proves genuine state carry,
+    // not reprocessing
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_hh_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hh_ck")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    def run(): Unit = {
+      val q = Streams.streamingHeavyHitters(
+        Streams.docStream(spark, dir.toString))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    import org.apache.spark.sql.functions._
+    def latest() = {
+      val t = spark.read.parquet(outDir.toString)
+      val top = t.groupBy("lang").agg(max("gen").as("gen"))
+      t.join(top, Seq("lang", "gen"))
+        .select("lang", "rank", "token", "n_lb").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+          r.getLong(3))).toSet
+    }
+    run()
+    assert(latest() == batch,
+      "single-delivery streaming sketch must equal the exact batch top-k")
+
+    // re-deliver the same corpus: state carries, every count doubles
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/documents.parquet"),
+      dir.resolve("documents_again.parquet"))
+    run()
+    val doubled = batch.map { case (l, r, t2, n) => (l, r, t2, 2 * n) }
+    assert(latest() == doubled,
+      "second delivery must double every lower bound via kept state")
+  }
+
   test("streaming AvailableNow result == batch result") {
     val d = TestSpark.sf0001
     val batch = Streams.queries("st_window_agg")(spark, d)
