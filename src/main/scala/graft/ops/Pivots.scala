@@ -117,8 +117,21 @@ object Pivots {
       .select(col("l_returnflag"), col("l_linestatus"),
         col("gid"), col("n"), col("sum_qty"))
 
+  /** Cube: all four grouping combinations in one pass (rollup's
+    * superset — adds the per-linestatus margin rollup omits). Same
+    * grouping_id/decimal discipline as p4_rollup. */
+  private def p5Cube(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("gid"), col("n"), col("sum_qty"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p4_rollup" -> p4Rollup _,
+    "p5_cube" -> p5Cube _,
     "p1_cohort_retention" -> p1CohortRetention _,
     "p1_pivot_wide" -> p1PivotWide _,
     "p1_conditional_agg" -> p1ConditionalAgg _,
@@ -135,6 +148,14 @@ object Pivots {
              AS sum_qty
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "p5_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "p1_cohort_retention" ->
       """WITH ev AS (
            SELECT user_id, date_trunc('week', ts) AS week FROM events),
