@@ -217,7 +217,10 @@ object TemporalJoins {
     * Scale: shuffle is keyed (keys, bucket); long intervals fan out
     * as their bucket span — size `bucketSeconds` to the typical
     * interval length, and cap pathological interval lengths upstream
-    * (the maxBucketSize discipline of the LSH joins). */
+    * (the maxBucketSize discipline of the LSH joins). Assumes
+    * post-1970 timestamps: the bucket index truncates toward zero,
+    * which equals floor only for non-negative epoch micros (same
+    * contract as bucketedRangeJoin). */
   def intervalOverlapJoin(a: DataFrame, b: DataFrame, keys: Seq[String],
       aStart: String, aEnd: String, bStart: String, bEnd: String,
       bucketSeconds: Long = 3600L): DataFrame = {
