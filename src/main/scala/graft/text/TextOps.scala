@@ -77,6 +77,61 @@ object TextOps {
         .as("quality"))
   }
 
+  /** Corpus-trained bigram-LM fluency score — the n-gram language-model
+    * quality signal (CCNet/KenLM-style filtering) in its
+    * engine-portable probability form: per document, the MEAN add-one-
+    * smoothed bigram probability
+    *   P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)
+    * under the corpus's own counts (V = corpus distinct-unigram
+    * count). Real KenLM scores sum LOG probs; `ln` is libm-dependent
+    * and would break the bit-exact oracle contract, while the mean
+    * probability is pure integer-derived rational arithmetic and
+    * ranks documents the same way for filtering thresholds at ordinary
+    * lengths. Per-bigram probabilities quantize to 6 dp and sum as
+    * DECIMAL (the ADC discipline) so summation order cannot move the
+    * hash; docs with < 2 tokens score null (no bigrams).
+    *
+    * Scale shape: two corpus-wide count aggregates (map-side
+    * combined — the shuffle carries the VOCAB, not the token stream),
+    * one broadcast of the 1-row V count, and a bigram-keyed join of
+    * the exploded doc stream against the count tables (equi-join on
+    * the bigram; the count side is vocabulary-sized). No window, no
+    * quadratic pairs. */
+  def bigramLmScore(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(lower(col(textCol)))
+      .as("tok"))
+    val bigrams = toks.select(col(idCol),
+        posexplode(expr(
+          "transform(slice(tok, 1, greatest(0, size(tok) - 1)), " +
+            "(x, i) -> struct(x as w1, tok[i + 1] as w2))"))
+          .as(Seq("pos", "bg")))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = toks.select(explode(col("tok")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = broadcast(uni.agg(count(lit(1)).as("v")))
+    val big = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val scored = bigrams
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(vocab)
+      .withColumn("p", round((col("c2") + 1) /
+        (col("c1") + col("v")).cast("double"), 6)
+        .cast("decimal(18,6)"))
+      .groupBy(idCol)
+      .agg(sum("p").as("p_sum"), count(lit(1)).as("n_bigrams"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L))
+        .as("n_bigrams"),
+        round(col("p_sum").cast("double") / col("n_bigrams"), 6)
+          .as("lm_score"))
+  }
+
+  /** tx bigram-LM gate over the documents corpus. */
+  private def txLmScore(s: SparkSession, d: String): DataFrame =
+    bigramLmScore(t(s, d, "documents"), "doc_id", "text")
+
   /** tx language ID: score each language's stopword profile against the
     * document's tokens, argmax with alphabetical tie-break (zero-hit
     * docs fall to the alphabetically-first profile). Oracled: the
@@ -867,6 +922,7 @@ object TextOps {
     "tx_shard_shuffle" -> txShardShuffle _,
     "tx_vocab_topk" -> txVocabTopk _,
     "tx_heavy_hitters" -> txHeavyHitters _,
+    "tx_lm_score" -> txLmScore _,
     "tx_chunk_split" -> txChunkSplit _,
     "tx_bm25" -> txBm25 _)
 
@@ -1071,6 +1127,32 @@ object TextOps {
            array_to_string(tok[chunk_id * 48 + 1 : chunk_id * 48 + 64],
              ' ') AS chunk_text
          FROM ex""",
+    "tx_lm_score" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS tok
+           FROM documents),
+         bg AS (
+           SELECT doc_id, tok[r.i] AS w1, tok[r.i + 1] AS w2
+           FROM tk, unnest(range(1, len(tok))) AS r(i)),
+         uni AS (
+           SELECT w1, count(*) AS c1
+           FROM (SELECT unnest(tok) AS w1 FROM tk) GROUP BY 1),
+         v AS (SELECT count(*) AS v FROM uni),
+         bcnt AS (
+           SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         scored AS (
+           SELECT bg.doc_id,
+             CAST(round((bcnt.c2 + 1) * 1.0 / (uni.c1 + v.v), 6)
+               AS DECIMAL(18,6)) AS p
+           FROM bg JOIN bcnt USING (w1, w2) JOIN uni USING (w1)
+             CROSS JOIN v),
+         agg AS (
+           SELECT doc_id, sum(p) AS p_sum, count(*) AS n_bigrams
+           FROM scored GROUP BY 1)
+         SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+           round(CAST(a.p_sum AS DOUBLE) / a.n_bigrams, 6) AS lm_score
+         FROM documents d LEFT JOIN agg a USING (doc_id)""",
     "tx_heavy_hitters" ->
       """WITH tk AS (
            SELECT lang,

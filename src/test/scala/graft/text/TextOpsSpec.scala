@@ -300,4 +300,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(enc(2L) == Seq("low", "est")) // unseen word generalizes
     assert(enc(3L) == Seq("low"))
   }
+
+  test("bigramLmScore: hand-derived add-one probabilities; " +
+    "sub-2-token docs score null with 0 bigrams") {
+    // corpus: doc 1 = "a b a b", doc 2 = "x".
+    // unigrams: a=2 b=2 x=1 -> V=3. bigrams of doc 1: (a,b) (b,a) (a,b)
+    // p(a,b) = (2+1)/(2+3) = 0.6 ; p(b,a) = (1+1)/(2+3) = 0.4
+    // mean over occurrences = (0.6 + 0.4 + 0.6) / 3 = 0.533333
+    val docs = Seq((1L, "a b a b"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .map { case (id, n, sc) => id -> (n, sc) }.toMap
+    assert(out == Map(1L -> (3L, Some(0.533333)), 2L -> (0L, None)))
+  }
 }
