@@ -642,8 +642,13 @@ object Dedup {
     * estimate all verify independently of the dump; the MinHash
     * hashing itself is pinned by MinHashSigSpec goldens. */
   private def dMinhashLshPairs(s: SparkSession, d: String): DataFrame =
+    // maxBucketSize disabled IN THE GATE ONLY: the oracle re-derives the
+    // pair set from the signature dump unpruned, so a driver-regenerated
+    // testdata shape with one hot band bucket must not become an opaque
+    // ROWCOUNT mismatch. The gate proves band/bucket/pair logic; the
+    // skew guard itself is DedupSpec's job.
     minhashCandidatePairs(t(s, d, "documents"), "doc_id", "text",
-      numHashes = 16, bands = 4)
+      numHashes = 16, bands = 4, maxBucketSize = Int.MaxValue)
       .select(col("doc_a"), col("doc_b"),
         round(col("est_jaccard"), 6).as("est_jaccard"))
 
@@ -654,7 +659,10 @@ object Dedup {
     * 16-bit chunk and survives the bucket join) — a missed pair
     * row-count mismatches, not just the pairs the engine emitted. */
   private def dSimhashPairs(s: SparkSession, d: String): DataFrame =
-    simhashCandidatePairs(t(s, d, "documents"), "doc_id", "text")
+    // maxBucketSize disabled in the gate (oracle is brute n² over the
+    // dump — see dMinhashLshPairs note); skew guard covered in DedupSpec.
+    simhashCandidatePairs(t(s, d, "documents"), "doc_id", "text",
+      maxBucketSize = Int.MaxValue)
 
   /** n-gram Jaccard near-dup scoring, blocked by (lang, source) — the
     * top OVERLAPPING pair per block. DuckDB-expressible → full oracle.

@@ -228,17 +228,22 @@ object TemporalJoins {
     require(overlap.isEmpty,
       s"non-key columns $overlap exist on both sides — rename before " +
         "joining (the residual filter would be ambiguous)")
-    val usec = lit(bucketSeconds * 1000000L)
+    val usecL = bucketSeconds * 1000000L
+    // integer `div`, not double `/` + cast — the resampleFill
+    // discipline: double division of epoch-µs magnitudes can round
+    // across a step boundary, and the explode side and canonical-filter
+    // side must stay exactly consistent under refactoring
+    def bkt(tsExpr: String): Column =
+      expr(s"($tsExpr) div $usecL")
+    def um(c: String): String = s"unix_micros(`$c`)"
     def bucketed(df: DataFrame, s: String, e: String): DataFrame =
-      df.withColumn("__graft_bucket", explode(sequence(
-        (unix_micros(col(s)) / usec).cast("long"),
-        (unix_micros(col(e)) / usec).cast("long"))))
+      df.withColumn("__graft_bucket",
+        explode(sequence(bkt(um(s)), bkt(um(e)))))
     bucketed(a, aStart, aEnd)
       .join(bucketed(b, bStart, bEnd), keys :+ "__graft_bucket")
       .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
       .filter(col("__graft_bucket") ===
-        (greatest(unix_micros(col(aStart)), unix_micros(col(bStart)))
-          / usec).cast("long"))
+        bkt(s"greatest(${um(aStart)}, ${um(bStart)})"))
       .drop("__graft_bucket")
   }
 

@@ -51,9 +51,23 @@ object Streams {
     // ts encoding from the already-staged files (ns int64 vs µs
     // timestamp — see Tables.normalizeEventTs), falling back to the
     // legacy ns shape for an empty directory.
+    // only fall back for a genuinely empty directory — a corrupt or
+    // partially-staged file must surface, not silently misread as the
+    // legacy ns-as-long shape (and never swallow fatal errors).
+    val hasParquet = {
+      val d = new java.io.File(dir)
+      d.isDirectory && d.listFiles != null &&
+        d.listFiles.exists(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
     val sch =
-      try spark.read.parquet(dir).schema
-      catch { case _: Throwable => eventsRawSchema }
+      if (!hasParquet) eventsRawSchema
+      else
+        try spark.read.parquet(dir).schema
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            throw new IllegalStateException(
+              s"eventStream: failed to infer schema from staged parquet in $dir", e)
+        }
     graft.Tables.normalizeEventTs(
       spark.readStream.schema(sch).parquet(dir))
   }
