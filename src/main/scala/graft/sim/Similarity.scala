@@ -189,6 +189,7 @@ object Similarity {
     * broadcast-tagged. */
   private def fitCentroids(prepared: DataFrame, nlist: Int,
       lloydIters: Int): DataFrame = {
+    coarseFitRuns.incrementAndGet()
     val seed = broadcast(prepared
       .orderBy(xxhash64(col("n_id")), col("n_id"))
       .limit(nlist)
@@ -366,6 +367,13 @@ object Similarity {
   private def subRows(prepared: DataFrame, mSub: Int): DataFrame = {
     val w = (size(col("n_emb")) / mSub).cast("int")
     prepared
+      // fail loudly on dim % mSub != 0 — floor(dim/mSub) widths would
+      // silently drop the trailing dimensions from codes, ADC, and MSE
+      .withColumn("n_emb",
+        when(size(col("n_emb")) % mSub === 0, col("n_emb"))
+          .otherwise(raise_error(format_string(
+            s"PQ: embedding dim %d is not divisible by mSub=$mSub",
+            size(col("n_emb"))))))
       .select(col("n_id"), col("n_emb"),
         explode(sequence(lit(0), lit(mSub - 1))).as("sub"))
       .select(col("n_id"), col("sub"),
@@ -394,6 +402,7 @@ object Similarity {
     * is the part that must and does run corpus-wide. */
   def pqFitCodebooks(corpus: DataFrame, mSub: Int = 8,
       kCodes: Int = 16, lloydIters: Int = 2): DataFrame = {
+    pqFitRuns.incrementAndGet()
     val rows = subRows(prepare(corpus), mSub)
     val wSeed = Window.partitionBy("sub")
       .orderBy(xxhash64(col("n_id")), col("n_id"))
@@ -510,9 +519,10 @@ object Similarity {
           .cast("decimal(18,6)").as("cnorm2")))
   }
 
-  /** Shared ADC scoring tail: (q_id, n_id, partial, cnorm2, q_norm)
-    * rows → per-pair decimal sums → approximate cosine → top-k. */
-  private def adcTail(joined: DataFrame, k: Int): DataFrame = {
+  /** Per-pair ADC scores: (q_id, n_id, partial, cnorm2, q_norm) rows
+    * → decimal sums → approximate cosine, ranked per query (round-6
+    * order, n_id tie-break — deterministic). */
+  private def adcScores(joined: DataFrame): DataFrame = {
     val w = Window.partitionBy("q_id")
       .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
     joined
@@ -523,9 +533,54 @@ object Similarity {
       .withColumn("sim", col("ip").cast("double") /
         (col("q_norm") * sqrt(col("r_norm2").cast("double"))))
       .withColumn("rn", row_number().over(w))
+  }
+
+  /** Shared ADC scoring tail: scores → top-k projection. */
+  private def adcTail(joined: DataFrame, k: Int): DataFrame =
+    adcScores(joined)
       .filter(col("rn") <= k)
       .select(col("q_id"), col("rn").cast("int").as("rank"), col("n_id"),
         round(col("sim"), 4).as("adc_sim"))
+
+  /** Exact-cosine re-rank of a (q_id, n_id) shortlist — the refine
+    * stage of IVF-PQ-R (FAISS IndexIVFPQR shape): the ADC shortlist is
+    * cheap but rank-noisy near the top (quantization error), so the
+    * final top-k re-scores the R survivors against their TRUE vectors.
+    * Cost: R exact dot products per query instead of corpus-wide — the
+    * broadcast-query side ships once, the corpus side arrives via an
+    * equi-join on the shortlist ids (no scan of unlisted vectors). */
+  private def refineRerank(shortlist: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+        asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb")))))
+    val c = corpus.select(col("vec_id").as("n_id"),
+        asDouble(col("embedding")).as("n_emb"))
+      .withColumn("n_norm", sqrt(dotD(col("n_emb"), col("n_emb"))))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
+    shortlist.select("q_id", "n_id")
+      .join(c, Seq("n_id"))
+      .join(q, Seq("q_id"))
+      .withColumn("sim", dotD(col("q_emb"), col("n_emb")) /
+        (col("q_norm") * col("n_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").cast("int").as("rank"), col("n_id"),
+        round(col("sim"), 4).as("cos_sim"))
+  }
+
+  /** IVF-PQ-R: coarse pruning → ADC top-`shortlist` → exact re-rank →
+    * top-k. The serving-tier recall fix: ADC ranks carry PQ
+    * quantization error, so production PQ pipelines re-score the small
+    * shortlist exactly; recall at fixed k rises toward the IVF ceiling
+    * while the corpus-wide scan still runs entirely on 8-byte codes. */
+  def ivfPqRefineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int = 12, nlist: Int = 16, nprobe: Int = 6,
+      mSub: Int = 8, kCodes: Int = 16, lloydIters: Int = 2): DataFrame = {
+    val sl = ivfPqTopK(queries, corpus, shortlist, nlist, nprobe, mSub,
+      kCodes, lloydIters)
+    refineRerank(sl, queries, corpus, k)
   }
 
   /** IVF-PQ: the full similarity-search scale path — the coarse
@@ -618,25 +673,144 @@ object Similarity {
           col("n_id").as("id"), col("code").cast("string").as("payload")))
   }
 
-  /** PQ-ADC top-3 at the default 8×16 codebook (64-dim → 8-byte
-    * codes). Oracle: DuckDB replays the LUT build, the decimal
-    * summation, and the top-k from the x_pq_index dump. */
-  private def xPqTopk(s: SparkSession, d: String): DataFrame =
-    pqTopK(queriesSide(s, d), t(s, d, "embeddings"), 3)
+  // ---- staged fit-once index tables ----
+  //
+  // The Lloyd fits (coarse quantizer + PQ codebooks) are index-BUILD
+  // work; serving gates should consume the built index, not refit per
+  // query — exactly the dupClustersStaged shape. Each fit is staged
+  // ONCE per (process, sf dir) via a crash-safe overwrite into tmpdir
+  // and every consumer reads the staged parquet back, so the ADC/probe
+  // gates pay scan cost, not fit cost. x_pq_index (and the x_ann_*
+  // family) still refit in their own executions — the dump each staged
+  // consumer's oracle conditions on therefore comes from a SEPARATE
+  // fit, and a nondeterministic Lloyd would hash-mismatch (the
+  // determinism proof is preserved, just no longer paid 4×).
 
-  /** IVF-PQ at production params (nprobe=6 of 16 lists, 8×16 codes).
-    * Oracle conditioned on BOTH existing dumps: candidate pairs from
-    * x_ann_ivf_assign (probe ⨝ list), ADC arithmetic from x_pq_index
-    * — every pruning and scoring decision re-derived cross-engine. */
+  private val stagedPq =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val stagedIvf =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Fit counters PqSpec pins the fit-once contract with. */
+  private[graft] val pqFitRuns =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val coarseFitRuns =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def stageDir(prefix: String, d: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      prefix + d.replaceAll("[^A-Za-z0-9]", "_")).getPath
+
+  /** The x_pq_index rows, staged once per sf dir and read back. */
+  private def pqIndexStaged(s: SparkSession, d: String): DataFrame = {
+    val path = stagedPq.computeIfAbsent(d, _ => {
+      val dir = stageDir("graft_pq_index_", d)
+      graft.io.Writers.overwriteStaged(xPqIndex(s, d), dir)
+      dir
+    })
+    s.read.parquet(path)
+  }
+
+  /** Staged codebooks as a broadcast LocalRelation (sub, code, c_emb)
+    * — the decimal-text payload round-trips the 6-dp codewords
+    * losslessly, so these are bit-identical to the live fit. Bounded
+    * collect: mSub × kCodes rows by construction. */
+  private def codebooksStaged(s: SparkSession, d: String): DataFrame = {
+    val cb = pqIndexStaged(s, d).filter(col("kind") === "cb")
+      .select(col("sub"), col("id").cast("int").as("code"),
+        transform(split(col("payload"), ","),
+          x => x.cast("double")).as("c_emb"))
+    val rows = cb.collect()
+    broadcast(s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), cb.schema))
+  }
+
+  /** Staged per-vector codes (n_id, sub, code). */
+  private def codesStaged(s: SparkSession, d: String): DataFrame =
+    pqIndexStaged(s, d).filter(col("kind") === "code")
+      .select(col("id").as("n_id"), col("sub"),
+        col("payload").cast("int").as("code"))
+
+  /** Staged coarse-quantizer state at FULL probe rank: list rows
+    * (kind='list', id=n_id, cid) and probe rows carrying c_rank
+    * (kind='probe', id=q_id, cid, rk), so nprobe=6 and nprobe=nlist
+    * consumers share ONE fit — each just filters rk. Inputs are
+    * identical to ivfAssignments' gate params (nlist=16, 2 Lloyd
+    * iters, queries = vec_id<10), so the rk≤6 slice equals the
+    * x_ann_ivf_assign dump the conditioned oracles read. */
+  private def ivfAssignStaged(s: SparkSession, d: String): DataFrame = {
+    val path = stagedIvf.computeIfAbsent(d, _ => {
+      val prepared = prepare(t(s, d, "embeddings"))
+      val centroids = fitCentroids(prepared, 16, 2)
+      val lists = rankByCentroid(prepared, centroids, "n_id", "n_emb",
+        "n_norm").filter(col("c_rank") === 1)
+        .select(lit("list").as("kind"), col("n_id").as("id"),
+          col("cid"), lit(1).as("rk"))
+      val q = queriesSide(s, d).select(col("vec_id").as("q_id"),
+          asDouble(col("embedding")).as("q_emb"))
+        .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb"))))
+      val probes = rankByCentroid(q, centroids, "q_id", "q_emb",
+        "q_norm")
+        .select(lit("probe").as("kind"), col("q_id").as("id"),
+          col("cid"), col("c_rank").as("rk"))
+      val dir = stageDir("graft_ivf_assign_", d)
+      graft.io.Writers.overwriteStaged(lists.unionByName(probes), dir)
+      dir
+    })
+    s.read.parquet(path)
+  }
+
+  /** IVF-PQ over the STAGED index: candidates from the staged coarse
+    * assignment at `nprobe`, ADC from the staged codebooks/codes. The
+    * pruning join, LUT build, decimal summation, and top-k machinery
+    * all still run — only the fits are read, not redone. */
+  private def ivfPqTopKStaged(s: SparkSession, d: String, k: Int,
+      nprobe: Int): DataFrame = {
+    val asg = ivfAssignStaged(s, d)
+    val lists = asg.filter(col("kind") === "list")
+      .select(col("cid"), col("id").as("n_id"))
+    val probes = broadcast(asg
+      .filter(col("kind") === "probe" && col("rk") <= nprobe)
+      .select(col("cid"), col("id").as("q_id")))
+    val cand = lists.join(probes, Seq("cid")).select("q_id", "n_id")
+    adcTail(
+      codesStaged(s, d).join(cand, Seq("n_id"))
+        .join(adcLut(queriesSide(s, d), codebooksStaged(s, d), 8),
+          Seq("q_id", "sub", "code")), k)
+  }
+
+  /** PQ-ADC top-3 at the default 8×16 codebook (64-dim → 8-byte
+    * codes), SERVED from the staged index. Oracle: DuckDB replays the
+    * LUT build, the decimal summation, and the top-k from the
+    * x_pq_index dump — which the x_pq_index gate refits in its own
+    * execution, so fit determinism stays hash-checked. */
+  private def xPqTopk(s: SparkSession, d: String): DataFrame =
+    adcTail(
+      codesStaged(s, d)
+        .join(adcLut(queriesSide(s, d), codebooksStaged(s, d), 8),
+          Seq("sub", "code")), 3)
+
+  /** IVF-PQ at production params (nprobe=6 of 16 lists, 8×16 codes)
+    * over the staged index. Oracle conditioned on BOTH gate dumps:
+    * candidate pairs from x_ann_ivf_assign (probe ⨝ list), ADC
+    * arithmetic from x_pq_index — every pruning and scoring decision
+    * re-derived cross-engine, against dumps fitted in separate
+    * executions. */
   private def xPqIvf(s: SparkSession, d: String): DataFrame =
-    ivfPqTopK(queriesSide(s, d), t(s, d, "embeddings"), 3)
+    ivfPqTopKStaged(s, d, 3, nprobe = 6)
 
   /** IVF-PQ machinery-exactness gate: probing every list must equal
     * pqTopK exactly (lossless pruning), so its oracle is x_pq_topk's
     * replay — independent of where Lloyd puts the coarse centroids. */
   private def xPqIvfFull(s: SparkSession, d: String): DataFrame =
-    ivfPqTopK(queriesSide(s, d), t(s, d, "embeddings"), 3,
-      nlist = 16, nprobe = 16)
+    ivfPqTopKStaged(s, d, 3, nprobe = 16)
+
+  /** IVF-PQ-R gate: staged-index ADC top-10 shortlist (production
+    * nprobe=6) → exact re-rank → top-3. FULL replay oracle: DuckDB
+    * re-derives the probed ADC shortlist from the dumps AND the exact
+    * re-rank from the raw embeddings. */
+  private def xPqRefine(s: SparkSession, d: String): DataFrame =
+    refineRerank(ivfPqTopKStaged(s, d, 10, nprobe = 6),
+      queriesSide(s, d), t(s, d, "embeddings"), 3)
 
   /** kNN label vote: majority label of the 5 nearest neighbors,
     * ties → smallest label (deterministic). */
@@ -759,6 +933,7 @@ object Similarity {
     "x_pq_topk" -> xPqTopk _,
     "x_pq_ivf" -> xPqIvf _,
     "x_pq_ivf_full" -> xPqIvfFull _,
+    "x_pq_refine" -> xPqRefine _,
     "x_knn_label" -> xKnnLabel _,
     "x_centroid" -> xCentroid _)
 
@@ -843,20 +1018,46 @@ object Similarity {
          scored AS (
            SELECT q_id, n_id, CAST(ip AS DOUBLE) /
              (q_norm * sqrt(CAST(r_norm2 AS DOUBLE))) AS sim
-           FROM agg)
-         SELECT q_id, CAST(rn AS INT) AS rank, n_id,
-           round(sim, 4) AS adc_sim
-         FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-           ORDER BY round(sim, 6) DESC, n_id ASC) AS rn FROM scored) x
-         WHERE rn <= 3"""
+           FROM agg),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY round(sim, 6) DESC, n_id ASC) AS rn FROM scored)"""
   }
 
+  private def pqReplayTopK(restrictToProbed: Boolean): String =
+    pqReplaySql(restrictToProbed) + """
+         SELECT q_id, CAST(rn AS INT) AS rank, n_id,
+           round(sim, 4) AS adc_sim
+         FROM ranked WHERE rn <= 3"""
+
+  /** Replays the FULL IVF-PQ-R pipeline from the dumps: the probed ADC
+    * ranking (identical CTEs to the x_pq_ivf replay) truncated to the
+    * R=10 shortlist, then an exact-cosine re-rank against the raw
+    * embeddings — every shortlist admission and every final rank
+    * re-derived cross-engine. */
+  private def pqRefineReplaySql: String =
+    pqReplaySql(restrictToProbed = true) + """,
+         sl AS (SELECT q_id, n_id FROM ranked WHERE rn <= 10),
+         exact AS (
+           SELECT sl.q_id, sl.n_id,
+             list_cosine_similarity(qn.q_emb,
+               list_transform(c.embedding, x -> CAST(x AS DOUBLE)))
+               AS sim
+           FROM sl JOIN qn ON qn.q_id = sl.q_id
+           JOIN embeddings c ON c.vec_id = sl.n_id)
+         SELECT q_id, CAST(rn AS INT) AS rank, n_id,
+           round(sim, 4) AS cos_sim
+         FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+           ORDER BY round(sim, 6) DESC, n_id ASC) AS rn FROM exact) x
+         WHERE rn <= 3"""
+
   val oracle: Map[String, String] = Map(
-    "x_pq_topk" -> pqReplaySql(restrictToProbed = false),
+    "x_pq_topk" -> pqReplayTopK(restrictToProbed = false),
     // lossless pruning at nprobe = nlist ⇒ must equal the pqTopK
     // replay exactly, wherever Lloyd put the coarse centroids
-    "x_pq_ivf_full" -> pqReplaySql(restrictToProbed = false),
-    "x_pq_ivf" -> pqReplaySql(restrictToProbed = true),
+    "x_pq_ivf_full" -> pqReplayTopK(restrictToProbed = false),
+    "x_pq_ivf" -> pqReplayTopK(restrictToProbed = true),
+    "x_pq_refine" -> pqRefineReplaySql,
     "d_semantic_dedup" ->
       """WITH asg AS (
            SELECT vec_id, cid

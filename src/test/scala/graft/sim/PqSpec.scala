@@ -141,4 +141,67 @@ class PqSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(a == b, "PQ result depends on partitioning")
   }
+
+  test("refine re-rank: recall vs brute force ≥ ADC-only recall on " +
+    "the planted corpus (and strictly ordered by exact cosine)") {
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 600L).map { id =>
+      val c = (id % 30).toInt
+      val emb = Array.fill(64)(rnd.nextGaussian().toFloat * 0.3f)
+      emb((2 * c) % 64) += 4.0f
+      emb((2 * c + 1) % 64) += 4.0f
+      (id, c, emb)
+    }
+    val planted = vecs.toDF("vec_id", "label", "embedding")
+    val queries = planted.filter(col("vec_id") < 20)
+    val k = 5
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double = {
+      val truth = Similarity.bruteForceTopK(queries, planted, k)
+        .select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = res.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val adcOnly = recallOf(
+      Similarity.ivfPqTopK(queries, planted, k, nprobe = 16))
+    val refined = recallOf(
+      Similarity.ivfPqRefineTopK(queries, planted, k,
+        shortlist = 4 * k, nprobe = 16))
+    assert(refined >= adcOnly,
+      s"refine lowered recall: adc=$adcOnly refined=$refined")
+    assert(refined >= 0.8, s"refined recall too low: $refined")
+  }
+
+  test("staged serving gates fit once per corpus and match the live " +
+    "refit exactly (x_pq_topk / x_pq_ivf_full == pqTopK)") {
+    val d = TestSpark.sf0001
+    val queries = corpus.filter(col("vec_id") < 10)
+    // warm the staged index (fits once), snapshot, then drive every
+    // staged gate twice — no further fits may happen
+    val staged1 = Similarity.queries("x_pq_topk")(spark, d)
+      .collect().map(_.toSeq).toSet
+    val pqBefore = Similarity.pqFitRuns.get()
+    val coarseBefore = {
+      // x_pq_ivf triggers the coarse staging on first touch
+      Similarity.queries("x_pq_ivf")(spark, d).collect()
+      Similarity.coarseFitRuns.get()
+    }
+    val staged2 = Similarity.queries("x_pq_topk")(spark, d)
+      .collect().map(_.toSeq).toSet
+    val stagedFull = Similarity.queries("x_pq_ivf_full")(spark, d)
+      .collect().map(_.toSeq).toSet
+    Similarity.queries("x_pq_ivf")(spark, d).collect()
+    assert(Similarity.pqFitRuns.get() == pqBefore,
+      "a staged PQ gate refit the codebooks")
+    assert(Similarity.coarseFitRuns.get() == coarseBefore,
+      "a staged IVF-PQ gate refit the coarse quantizer")
+    // the staged index serves the SAME answers as a live fit
+    val live = Similarity.pqTopK(queries, corpus, 3)
+      .collect().map(_.toSeq).toSet
+    assert(staged1 == live, "staged ADC differs from the live fit")
+    assert(staged2 == staged1, "staged ADC not stable across reads")
+    assert(stagedFull == live,
+      "staged nprobe=nlist IVF-PQ must equal plain PQ-ADC")
+  }
 }
