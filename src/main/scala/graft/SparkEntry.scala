@@ -34,6 +34,7 @@ object SparkEntry {
       ops.Glamr.queries ++
       ops.Primers.queries ++
       tax.Lineage.queries ++
+      tax.SetCover.queries ++
       tax.TaxAbund.queries ++
       text.TextOps.queries ++
       dedup.Dedup.queries ++
@@ -60,6 +61,7 @@ object SparkEntry {
       ops.Glamr.oracle ++
       ops.Primers.oracle ++
       tax.Lineage.oracle ++
+      tax.SetCover.oracle ++
       tax.TaxAbund.oracle ++
       text.TextOps.oracle ++
       dedup.Dedup.oracle ++

@@ -30,8 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * this is an LLM-corpus operator: real token counts for the budget
   * mix / bin packing stages (`TextOps.bpeMergeCount`).
   */
-case class BpeEncode(child: Expression, merges: Seq[(String, String)])
-    extends UnaryExpression with CodegenFallback {
+private[functions] trait BpeMergeLoop {
+  def merges: Seq[(String, String)]
 
   // rank = position in the merges list (a real merges.txt is already
   // rank-ordered); built lazily once per task deserialization
@@ -43,28 +43,11 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     m
   }
 
-  override def dataType: DataType =
-    ArrayType(StringType, containsNull = false)
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"bpe_encode needs STRING, got $other")
-  }
-
-  override def nullSafeEval(v: Any): Any = {
-    val word = v.asInstanceOf[UTF8String].toString
-    val toks = new java.util.ArrayList[String](word.length)
-    // seed with code points (UTF-8 aware, like the oracle's char split)
-    var ci = 0
-    while (ci < word.length) {
-      val cp = word.codePointAt(ci)
-      val n = Character.charCount(cp)
-      toks.add(word.substring(ci, ci + n))
-      ci += n
-    }
-    // merge loop: find the (minRank, leftmost) adjacent pair, fuse it,
-    // rescan. Each step shrinks the list by one, so ≤ len-1 steps.
+  /** The deterministic (minRank, leftmost) merge recursion: fuse one
+    * occurrence per step, rescan; each step shrinks the list by one,
+    * so ≤ len-1 steps. Mutates and drains `toks`. */
+  protected def runMerges(
+      toks: java.util.ArrayList[String]): GenericArrayData = {
     var done = toks.size() <= 1
     while (!done) {
       var bestRank = Int.MaxValue
@@ -90,8 +73,75 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     }
     new GenericArrayData(out)
   }
+}
+
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback with BpeMergeLoop {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode needs STRING, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val word = v.asInstanceOf[UTF8String].toString
+    val toks = new java.util.ArrayList[String](word.length)
+    // seed with code points (UTF-8 aware, like the oracle's char split)
+    var ci = 0
+    while (ci < word.length) {
+      val cp = word.codePointAt(ci)
+      val n = Character.charCount(cp)
+      toks.add(word.substring(ci, ci + n))
+      ci += n
+    }
+    runMerges(toks)
+  }
 
   override protected def withNewChildInternal(c: Expression): BpeEncode =
+    copy(child = c)
+}
+
+/** `BpeEncode` seeded from an ALREADY-TOKENIZED array instead of raw
+  * characters — the incremental-training primitive. Running the same
+  * rank recursion from the fixpoint under merges 0..k-1 provably
+  * equals a char-seeded encode under merges 0..k: the char-seeded
+  * procedure applies merge k only when no earlier merge is applicable,
+  * so its trace passes through exactly that fixpoint first (and any
+  * earlier-rank pair a merge-k fusion re-enables is handled by the
+  * same recursion either way). BpeEncodeSpec pins this equivalence on
+  * adversarial fixtures; `TextOps.bpeLearn` uses it to carry the
+  * tokenized vocabulary forward between merge iterations instead of
+  * re-applying the whole stack (O(M) instead of O(M²) in merges). */
+case class BpeEncodeTokens(child: Expression,
+    merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback with BpeMergeLoop {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode_tokens needs ARRAY<STRING>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val toks = new java.util.ArrayList[String](n)
+    var i = 0
+    while (i < n) {
+      toks.add(arr.getUTF8String(i).toString)
+      i += 1
+    }
+    runMerges(toks)
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeEncodeTokens =
     copy(child = c)
 }
 
@@ -103,5 +153,13 @@ object BpeEncode {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(
       BpeEncode(GraftColumnBridge.expression(word), merges))
+  }
+
+  /** Token-array-seeded entry point (see `BpeEncodeTokens`). */
+  def ofTokens(toks: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      BpeEncodeTokens(GraftColumnBridge.expression(toks), merges))
   }
 }

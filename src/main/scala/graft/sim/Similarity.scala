@@ -216,14 +216,22 @@ object Similarity {
           coalesce(col("new_emb"), col("c_emb")).as("c_emb"))
         .withColumn("c_norm", sqrt(dotD(col("c_emb"), col("c_emb")))))
     }
+    // 6-dp quantized centroids (the pqFitCodebooks rounding contract):
+    // centroid elements survive a decimal-text dump round-trip
+    // losslessly, so the x_ann_ivf_assign oracle can re-derive every
+    // list/probe assignment from the dumped centroids with identical
+    // arithmetic; c_norm recomputes from the quantized vector.
+    val quantized = fitted.select(col("cid"),
+        transform(col("c_emb"), x => round(x, 6)).as("c_emb"))
+      .withColumn("c_norm", sqrt(dotD(col("c_emb"), col("c_emb"))))
     // BOUNDED collect — nlist rows by construction (the pqFitCodebooks
     // sanction): pin the fitted centroids as a LocalRelation so the
     // nested Lloyd broadcast lineage does not re-execute under every
     // downstream broadcast boundary (assignment join, probe ranking —
     // the IVF family references the centroid frame 2-3 times each).
-    val cRows = fitted.collect()
+    val cRows = quantized.collect()
     broadcast(prepared.sparkSession.createDataFrame(
-      java.util.Arrays.asList(cRows: _*), fitted.schema))
+      java.util.Arrays.asList(cRows: _*), quantized.schema))
   }
 
   /** The two IVF join inputs — (corpus inverted lists keyed n_id→cid,
@@ -231,7 +239,13 @@ object Similarity {
     * assignment dump the conditioned oracle reads. */
   private def ivfListsAndProbes(queries: DataFrame, corpus: DataFrame,
       nlist: Int, nprobe: Int, lloydIters: Int)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) =
+    ivfListsProbesCents(queries, corpus, nlist, nprobe, lloydIters)
+      match { case (l, p, _) => (l, p) }
+
+  private def ivfListsProbesCents(queries: DataFrame, corpus: DataFrame,
+      nlist: Int, nprobe: Int, lloydIters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val prepared = prepare(corpus)
     val centroids = fitCentroids(prepared, nlist, lloydIters)
     val lists = rankByCentroid(prepared, centroids, "n_id", "n_emb",
@@ -242,7 +256,7 @@ object Similarity {
     val probes = broadcast(
       rankByCentroid(q, centroids, "q_id", "q_emb", "q_norm")
         .filter(col("c_rank") <= nprobe).drop("c_rank"))
-    (lists, probes)
+    (lists, probes, centroids)
   }
 
   /** The engine's IVF state as rows: which inverted list each corpus
@@ -257,12 +271,22 @@ object Similarity {
   def ivfAssignments(queries: DataFrame, corpus: DataFrame,
       nlist: Int = 16, nprobe: Int = 6, lloydIters: Int = 2)
       : DataFrame = {
-    val (lists, probes) =
-      ivfListsAndProbes(queries, corpus, nlist, nprobe, lloydIters)
+    val (lists, probes, cents) =
+      ivfListsProbesCents(queries, corpus, nlist, nprobe, lloydIters)
+    // the dump now ALSO carries the centroids ('cent', payload = 6-dp
+    // decimal text — lossless, see fitCentroids): given them, every
+    // list/probe row is DERIVABLE, so the oracle re-ranks all
+    // corpus×centroid and query×centroid assignments from the dump and
+    // only the engine-specific centroid PLACEMENT is taken as given
+    // (echoed) — the x_pq_index conditioning pattern.
     lists.select(lit("list").as("kind"), col("n_id").as("id"),
-        col("cid"))
+        col("cid"), lit(null).cast("string").as("payload"))
       .unionByName(probes.select(lit("probe").as("kind"),
-        col("q_id").as("id"), col("cid")))
+        col("q_id").as("id"), col("cid"),
+        lit(null).cast("string").as("payload")))
+      .unionByName(cents.select(lit("cent").as("kind"),
+        col("cid").as("id"), col("cid"),
+        serDec6(col("c_emb")).as("payload")))
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
@@ -641,8 +665,10 @@ object Similarity {
   private def xAnnIvf(s: SparkSession, d: String): DataFrame =
     ivfTopK(queriesSide(s, d), t(s, d, "embeddings"), 3)
 
-  /** The IVF assignment dump the x_ann_ivf oracle conditions on (it IS
-    * the dump → rows-only, the s15d pattern). */
+  /** The IVF assignment dump the x_ann_ivf oracle conditions on — now
+    * itself CONDITIONED-oracled: centroid rows ride in the dump, the
+    * oracle echoes them and re-derives every list/probe assignment
+    * (see `ivfAssignReplaySql`). */
   private def xAnnIvfAssign(s: SparkSession, d: String): DataFrame =
     ivfAssignments(queriesSide(s, d), t(s, d, "embeddings"))
 
@@ -659,9 +685,11 @@ object Similarity {
   /** PQ index dump: the codebooks (kind='cb', id=code, payload =
     * 6-dp decimal codeword) unioned with every vector's codes
     * (kind='code', id=vec_id, payload=code) — the engine state the
-    * x_pq_topk oracle conditions on (it IS the dump → rows-only, the
-    * x_ann_ivf_assign pattern; dump and ANN gate refit in separate
-    * executions, so the compare doubles as a determinism proof). */
+    * x_pq_topk oracle conditions on. Now itself CONDITIONED-oracled:
+    * the oracle echoes the codebooks and re-derives every code as the
+    * argmin-L2 codeword (see `pqIndexReplaySql`); the staged serving
+    * gates refit in separate executions, so fit determinism stays
+    * hash-checked. */
   private def xPqIndex(s: SparkSession, d: String): DataFrame = {
     val corpus = t(s, d, "embeddings")
     val cb = pqFitCodebooks(corpus)
@@ -1051,7 +1079,91 @@ object Similarity {
            ORDER BY round(sim, 6) DESC, n_id ASC) AS rn FROM exact) x
          WHERE rn <= 3"""
 
+  /** Conditioned oracle for the x_ann_ivf_assign dump itself: the
+    * centroid rows are echoed (placement is the engine's Lloyd — its
+    * determinism is hash-checked by the separately-executing consumer
+    * gates), but EVERY list and probe row is re-derived from the
+    * dumped centroids with the engine's exact arithmetic
+    * (dot/(|a||b|), rank by sim desc / cid asc). A corpus vector in
+    * the wrong inverted list, a mis-ranked probe, or a corrupted
+    * centroid payload all hash-mismatch. */
+  private val ivfAssignReplaySql =
+    """WITH dump AS (
+         SELECT * FROM
+           parquet_scan('__OUTDIR__/x_ann_ivf_assign/*.parquet')),
+       cn AS (
+         SELECT cid,
+           list_transform(string_split(payload, ','),
+             x -> CAST(x AS DOUBLE)) AS c_emb
+         FROM dump WHERE kind = 'cent'),
+       cnn AS (
+         SELECT cid, c_emb,
+           sqrt(list_inner_product(c_emb, c_emb)) AS c_norm
+         FROM cn),
+       e AS (
+         SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         FROM embeddings),
+       en AS (
+         SELECT vec_id, emb,
+           sqrt(list_inner_product(emb, emb)) AS nrm
+         FROM e),
+       ranked AS (
+         SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_inner_product(v.emb, c.c_emb) / (v.nrm * c.c_norm)
+               DESC, c.cid ASC) AS rk
+         FROM en v CROSS JOIN cnn c)
+       SELECT 'list' AS kind, vec_id AS id, cid,
+         CAST(NULL AS VARCHAR) AS payload
+       FROM ranked WHERE rk = 1
+       UNION ALL
+       SELECT 'probe', vec_id, cid, CAST(NULL AS VARCHAR)
+       FROM ranked WHERE rk <= 6 AND vec_id < 10
+       UNION ALL
+       SELECT 'cent', id, cid, payload FROM dump WHERE kind = 'cent'"""
+
+  /** Conditioned oracle for the x_pq_index dump: codebook rows echoed
+    * (engine Lloyd placement), every CODE re-derived as the argmin-L2
+    * codeword over the dumped codebooks (ties → smaller code) with the
+    * engine's exact squared-distance fold — the assignCodes contract
+    * verified cross-engine for the full corpus. */
+  private val pqIndexReplaySql =
+    """WITH dump AS (
+         SELECT * FROM parquet_scan('__OUTDIR__/x_pq_index/*.parquet')),
+       cb AS (
+         SELECT sub, CAST(id AS INT) AS code,
+           list_transform(string_split(payload, ','),
+             x -> CAST(x AS DOUBLE)) AS c_emb
+         FROM dump WHERE kind = 'cb'),
+       e AS (
+         SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         FROM embeddings),
+       subv AS (
+         SELECT vec_id, CAST(s.sub AS INT) AS sub,
+           list_slice(emb, s.sub * 8 + 1, s.sub * 8 + 8) AS s_emb
+         FROM e CROSS JOIN (SELECT unnest(range(8)) AS sub) s),
+       d2 AS (
+         SELECT v.vec_id, v.sub, c.code,
+           list_inner_product(
+             list_transform(range(8), i -> v.s_emb[i+1] - c.c_emb[i+1]),
+             list_transform(range(8), i -> v.s_emb[i+1] - c.c_emb[i+1]))
+             AS d2
+         FROM subv v JOIN cb c USING (sub)),
+       codes AS (
+         SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+             ORDER BY d2 ASC, code ASC) AS rk
+         FROM d2)
+       SELECT 'cb' AS kind, sub, id, payload FROM dump WHERE kind = 'cb'
+       UNION ALL
+       SELECT 'code', sub, vec_id, CAST(code AS VARCHAR)
+       FROM codes WHERE rk = 1"""
+
   val oracle: Map[String, String] = Map(
+    "x_ann_ivf_assign" -> ivfAssignReplaySql,
+    "x_pq_index" -> pqIndexReplaySql,
     "x_pq_topk" -> pqReplayTopK(restrictToProbed = false),
     // lossless pruning at nprobe = nlist ⇒ must equal the pqTopK
     // replay exactly, wherever Lloyd put the coarse centroids

@@ -317,6 +317,49 @@ object Streams {
 
   // ---- gate queries (batch semantics of the same code paths) ----
 
+  private val hhGateRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** st_heavy_hitters: a REAL stateful streaming run as the gate — the
+    * documents feed is staged into a fresh directory and replayed
+    * under Trigger.AvailableNow through the Misra-Gries
+    * flatMapGroupsWithState stream; the final per-language generation
+    * snapshot is the gate's row set. At m = 2^20 (≫ fixture vocab) the
+    * sketch never evicts, so every surviving lower bound is the exact
+    * stream-total count and the oracle is the exact per-language
+    * top-15 in plain SQL — deterministic however the file source
+    * splits the feed into micro-batches, because the cumulative MG
+    * state is exact at every generation. Eviction semantics at small m
+    * stay pinned by StreamsSpec (single-delivery == batch; restart
+    * carries state). */
+  private def stHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_st_hh")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val name = "graft_st_hh_out_" + hhGateRuns.incrementAndGet()
+    val q = streamingHeavyHitters(docStream(s, dir.toString),
+        k = 15, m = 1 << 20)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(300000),
+      "st_heavy_hitters: stream did not finish in 300s")
+    val wLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val snap = s.table(name)
+      .withColumn("max_gen", max("gen").over(wLang))
+      .filter(col("gen") === col("max_gen"))
+      .select(col("lang"), col("rank"), col("token"), col("n_lb"))
+    // pin the (≤ k × langs)-row snapshot as a LocalRelation and drop
+    // the memory-sink table — repeated gate runs (Determinism, bench
+    // passes) must not accumulate sink tables in the session
+    val rows = snap.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), snap.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   private def stCurateDocs(s: SparkSession, d: String): DataFrame =
     curateDocs(t(s, d, "documents"))
 
@@ -364,6 +407,7 @@ object Streams {
         col("user_id"), col("n_events"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_heavy_hitters" -> stHeavyHitters _,
     "st_window_agg" -> stWindowAgg _,
     "st_sessionize" -> stSessionize _,
     "st_sliding_window" -> stSlidingWindow _,
@@ -402,6 +446,21 @@ object Streams {
   }
 
   val oracle: Map[String, String] = Map(
+    // exact-mode MG (m ≫ vocab → no evictions): the stream's final
+    // per-language snapshot must equal the exact top-15 token counts,
+    // tie-broken (count desc, token asc) like the emission sort
+    "st_heavy_hitters" ->
+      """WITH tk AS (
+           SELECT lang,
+             unnest(string_split_regex(trim(lower(text)), '\s+'))
+               AS token
+           FROM documents),
+         c AS (SELECT lang, token, count(*) AS n_lb
+           FROM tk GROUP BY lang, token)
+         SELECT lang, CAST(rank AS INT) AS rank, token, n_lb
+         FROM (SELECT *, row_number() OVER (PARTITION BY lang
+           ORDER BY n_lb DESC, token ASC) AS rank FROM c) x
+         WHERE rank <= 15""",
     "st_curate_docs" -> curateOracle,
     "st_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id,

@@ -399,24 +399,34 @@ object TextOps {
     * Scale shape: the corpus is touched ONCE to build the distinct-word
     * histogram (the Sennrich trick — pair counts weight by word
     * frequency, so every iteration works on the vocabulary, not the
-    * corpus). Each of the nMerges iterations is one vocab-sized
-    * re-encode + pair aggregate, and the only driver traffic is the
-    * ONE argmax row per iteration (the same sanctioned shape as the
-    * T4 set-cover loop). A production trainer at 50k merges would keep
-    * the per-partition pair-delta heaps of the classic algorithm; the
-    * per-iteration DataFrame form here is the honest distributed
-    * formulation and is exact. */
+    * corpus). The tokenized vocabulary CARRIES FORWARD between
+    * iterations: each round re-runs the rank recursion from the
+    * previous round's fixpoint via `BpeEncodeTokens` (provably equal
+    * to re-encoding from raw characters — see that expression's doc),
+    * so iteration i applies only the newest merge's deltas instead of
+    * re-applying merges 1..i-1, making learn O(M) in merge count
+    * instead of O(M²). Each carried state is persisted with a
+    * truncated plan (the connectedComponents discipline: without
+    * truncation the logical plan nests one projection per merge and
+    * analysis time explodes) and the previous round is released after
+    * the argmax materializes it. The only driver traffic is the ONE
+    * argmax row per iteration (the same sanctioned shape as the T4
+    * set-cover loop). */
   def bpeLearn(words: DataFrame, wordCol: String, nMerges: Int,
       minPairCount: Long = 2L): Seq[(String, String, Long)] = {
-    val vocab = words.groupBy(col(wordCol).as("w"))
-      .agg(count(lit(1)).as("n")).persist()
+    import org.apache.spark.storage.StorageLevel
+    val spark = words.sparkSession
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    // char-seeded fixpoint under zero merges = the code-point split
+    var toks = truncated(words.groupBy(col(wordCol).as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(bpeMerge(col("w"), Nil).as("t"), col("n")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
       var done = false
       while (!done && out.size < nMerges) {
-        val merges = out.toSeq.map(m => (m._1, m._2))
-        val toks = vocab.select(bpeMerge(col("w"), merges).as("t"),
-          col("n"))
         val best = toks
           .select(explode(zip_with(
             slice(col("t"), lit(1), size(col("t")) - 1),
@@ -428,12 +438,22 @@ object TextOps {
           .limit(1).collect()
         if (best.isEmpty || best(0).getLong(2) < minPairCount)
           done = true
-        else
+        else {
           out += ((best(0).getString(0), best(0).getString(1),
             best(0).getLong(2)))
+          val prev = toks
+          toks = truncated(prev.select(
+              graft.functions.BpeEncode.ofTokens(col("t"),
+                out.toSeq.map(m => (m._1, m._2))).as("t"), col("n")))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          // materialize the new state before releasing the old one so
+          // the carried chain never recomputes
+          toks.count()
+          prev.unpersist()
+        }
       }
       out.toSeq
-    } finally { vocab.unpersist(); () }
+    } finally { toks.unpersist(); () }
   }
 
   /** The gate's word slice, shared by tx_bpe_merge and tx_bpe_learn

@@ -16,6 +16,7 @@ class SparkEntrySpec extends AnyFunSuite {
     ops.Amplicon.queries.size, ops.Bins.queries.size,
     ops.Checks.queries.size, ops.Glamr.queries.size,
     ops.Primers.queries.size, tax.Lineage.queries.size,
+    tax.SetCover.queries.size,
     tax.TaxAbund.queries.size, text.TextOps.queries.size,
     dedup.Dedup.queries.size, sim.Similarity.queries.size,
     ingest.Overrides.queries.size,

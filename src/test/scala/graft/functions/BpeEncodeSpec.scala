@@ -96,6 +96,77 @@ class BpeEncodeSpec extends AnyFunSuite {
     }
   }
 
+  test("token-seeded encode from the k-1 fixpoint equals char-seeded " +
+    "encode under merges 0..k (the bpeLearn carry-forward contract), " +
+    "including the rank-preemption fixtures") {
+    val fixtures = Seq(
+      ("abab", Seq("ab" -> "a", "a" -> "b")),
+      ("abab", Seq("a" -> "b", "ab" -> "a")),
+      ("aaa", Seq("a" -> "a")),
+      ("aaaa", Seq("a" -> "a", "aa" -> "aa")),
+      // a merge-k fusion re-enables an EARLIER-rank pair: (c,d) fuses
+      // to "cd", making the rank-0 pair (cd, e) applicable
+      ("acde", Seq("cd" -> "e", "c" -> "d")),
+      ("lowering", Seq("l" -> "o", "lo" -> "w", "e" -> "r",
+        "er" -> "i", "n" -> "g", "eri" -> "ng")))
+    fixtures.foreach { case (word, merges) =>
+      (0 to merges.size).foreach { k =>
+        val charSeeded = Seq(word).toDF("w")
+          .select(graft.functions.BpeEncode.of(col("w"),
+            merges.take(k)).as("t"))
+          .as[Seq[String]].head()
+        val prevFix = Seq(word).toDF("w")
+          .select(graft.functions.BpeEncode.of(col("w"),
+            merges.take(math.max(0, k - 1))).as("t"))
+          .as[Seq[String]].head()
+        val tokenSeeded = Seq(Tuple1(prevFix)).toDF("t")
+          .select(graft.functions.BpeEncode.ofTokens(col("t"),
+            merges.take(k)).as("t"))
+          .as[Seq[String]].head()
+        assert(tokenSeeded == charSeeded,
+          s"carry-forward drift on '$word' at k=$k: " +
+            s"$tokenSeeded != $charSeeded")
+      }
+    }
+  }
+
+  test("bpeLearn (carried tokenization) equals a from-scratch naive " +
+    "greedy trainer on an adversarial vocab") {
+    val rows = Seq(
+      ("abab", 5L), ("aaa", 4L), ("aaaa", 2L), ("banana", 3L),
+      ("lowering", 2L), ("lowest", 2L), ("acde", 1L), ("cdcd", 3L))
+    val words = rows.flatMap { case (w, n) =>
+      Seq.fill(n.toInt)(w) }.toDF("word")
+    def naiveLearn(vocab: Seq[(String, Long)], nMerges: Int,
+        minPairCount: Long): Seq[(String, String, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long)]
+      var done = false
+      while (!done && out.size < nMerges) {
+        val counts = scala.collection.mutable.Map
+          .empty[(String, String), Long]
+        vocab.foreach { case (w, n) =>
+          val t = naive(w, out.toSeq.map(m => (m._1, m._2)))
+          t.zip(t.tail).foreach { p =>
+            counts(p) = counts.getOrElse(p, 0L) + n
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), c) = counts.minBy {
+            case ((a, b), c) => (-c, a, b)
+          }
+          if (c < minPairCount) done = true
+          else out += ((a, b, c))
+        }
+      }
+      out.toSeq
+    }
+    val got = TextOps.bpeLearn(words, "word", 10)
+    val want = naiveLearn(rows, 10, 2L)
+    assert(got == want, s"learn drift:\n got=$got\nwant=$want")
+  }
+
   test("bpeMergeCount: sums pieces across words, 0 for empty/null-ish " +
     "text, and plugs into tokenBudgetMix as its tokenCount") {
     val df = Seq((1L, "the nation!"), (2L, ""), (3L, "42 7"))
