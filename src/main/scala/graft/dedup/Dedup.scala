@@ -193,6 +193,48 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Edit-distance (Levenshtein ≤ k) near-dup pairs within blocks —
+    * the typo-level complement of the Jaccard family (catches
+    * insert/delete/substitution drift that token-set measures dilute).
+    *
+    * Scale shape (PassJoin's first lever): strings within edit
+    * distance k differ in length by ≤ k, so each side explodes to the
+    * k+1 length buckets [len−k .. len] and pairs meet on (block…,
+    * bucket) — an EQUI-join keyed by length locality, never an
+    * inequality nested loop. A pair within the window shares several
+    * buckets; it is emitted exactly once WITHOUT a distinct: only
+    * from the canonical bucket min(len_a, len_b) (both sides provably
+    * emit it — the intervalOverlapJoin trick). Survivors verify with
+    * the built-in codegen'd `levenshtein` (O(l²) per CANDIDATE pair
+    * only; production callers bound text length upstream or compare a
+    * normalized prefix). Blocks + the length window bound the
+    * candidate surface the same way the LSH bucket caps do. */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, blockCols: Seq[String] = Nil): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    val bc = blockCols.map(col)
+    val sized = docs.select(bc :+ col(idCol).as("id") :+
+        col(textCol).as("txt"): _*)
+      .withColumn("len", length(col("txt")))
+    def bucketed(side: String) = sized
+      .select(bc :+ col("id").as(s"doc_$side") :+
+        col("txt").as(s"txt_$side") :+ col("len").as(s"len_$side"): _*)
+      .withColumn("__bucket", explode(sequence(
+        greatest(col(s"len_$side") - maxDist, lit(0)),
+        col(s"len_$side"))))
+    bucketed("a").join(bucketed("b"), blockCols :+ "__bucket")
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .filter(col("__bucket") === least(col("len_a"), col("len_b")))
+      // threshold (banded) Levenshtein: O(k·l) per candidate with
+      // early exit, returns -1 above the threshold — the verify step
+      // costs the band, not the full DP matrix
+      .withColumn("dist",
+        levenshtein(col("txt_a"), col("txt_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(bc :+ col("doc_a") :+ col("doc_b") :+ col("dist"): _*)
+  }
+
   /** n-gram Jaccard candidate pairs within blocks: explode the gram
     * sets and equi-join on (block..., gram), so |A∩B| is a count per
     * pair and zero-overlap pairs are never materialized — the quadratic
@@ -664,6 +706,21 @@ object Dedup {
     simhashCandidatePairs(t(s, d, "documents"), "doc_id", "text",
       maxBucketSize = Int.MaxValue)
 
+  /** Edit-distance pair gate: Levenshtein ≤ 12 over the 64-char
+    * normalized prefix (bounding the per-candidate band to k×64 —
+    * blind within-block verification is the exactness gate; a
+    * production near-dup pipeline feeds this verifier SKETCH
+    * candidates from the minhash/simhash finders instead of whole
+    * blocks), blocked by (lang, source). FULL oracle: DuckDB
+    * brute-forces every within-block pair with the same prefix +
+    * length-window semantics — a pair the bucketed join missed
+    * row-count-mismatches. */
+  private def dEditPairs(s: SparkSession, d: String): DataFrame =
+    editDistancePairs(
+      t(s, d, "documents").select(col("doc_id"), col("lang"),
+        col("source"), substring(col("text"), 1, 64).as("text")),
+      "doc_id", "text", maxDist = 12, blockCols = Seq("lang", "source"))
+
   /** n-gram Jaccard near-dup scoring, blocked by (lang, source) — the
     * top OVERLAPPING pair per block. DuckDB-expressible → full oracle.
     * Gate query runs `ngramJaccardPairs` uncapped (exact Jaccard); the
@@ -767,6 +824,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_edit_pairs" -> dEditPairs _,
     "d_incr_neardup" -> dIncrNearDup _,
     "d_cluster_keep_best" -> dClusterKeepBest _,
     "d_exact_dedup" -> dExact _,
@@ -781,6 +839,19 @@ object Dedup {
     "d_embed_neardup" -> dEmbedNearDup _)
 
   val oracle: Map[String, String] = Map(
+    "d_edit_pairs" ->
+      """WITH p AS (
+           SELECT doc_id, lang, source,
+             substr(text, 1, 64) AS text
+           FROM documents)
+         SELECT a.lang, a.source, a.doc_id AS doc_a,
+           b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS INT) AS dist
+         FROM p a JOIN p b
+           ON a.lang = b.lang AND a.source = b.source
+          AND a.doc_id < b.doc_id
+         WHERE abs(len(a.text) - len(b.text)) <= 12
+           AND levenshtein(a.text, b.text) <= 12""",
     "d_minhash_lsh_pairs" ->
       """WITH sig AS (
            SELECT doc_id,

@@ -96,12 +96,119 @@ object ScaleOps {
           .cast("double").as("sum_qty"))
   }
 
+  /** Deterministic two-pass histogram quantile estimator — the SCALE
+    * form of A4's exact `percentile` (which materializes every group's
+    * values into one sorted array: at 100 TB that is an
+    * executor-memory wall, and Spark's approx_percentile / t-digest
+    * alternatives are order-dependent inside, so their results drift
+    * across partitionings and can never be oracle-checked bit-exact).
+    *
+    * Pass 1 aggregates (min, max, n) per group; pass 2 counts
+    * fixed-width bins (bin index is a pure function of the VALUE, so
+    * the histogram is order-independent and the per-bin counts merge
+    * by addition — partial aggregation, incremental batches, and
+    * cross-partition merges are all exact). The p-quantile reads the
+    * cumulative histogram: the unique non-empty bin where the
+    * cumulative count crosses p·n, linearly interpolated by rank
+    * within the bin. GUARANTEE: the crossing bin contains the
+    * ⌈p·n⌉-th order statistic, so the estimate lands within one bin
+    * width (range/`bins`) of that order statistic — which coincides
+    * with interpolated-percentile conventions whenever the bin grid is
+    * dense relative to the data spacing (a sparse tail can hold
+    * adjacent order statistics many bins apart; the estimate then
+    * tracks the order statistic, not the interpolation between two
+    * distant values). n, the counts, and the crossing bin are EXACT,
+    * so the whole estimate replays bit-for-bit in any engine — the
+    * oracle states the identical arithmetic.
+    *
+    * Scale shape: two aggregate passes (both map-side-combining) and
+    * one ≤ groups×bins-row window — no per-group value collection
+    * anywhere. */
+  def histogramQuantiles(df: DataFrame, keyCols: Seq[String],
+      valueCol: String, probs: Seq[Double],
+      bins: Int = 4096): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must lie in (0, 1]: $probs")
+    val keys = keyCols.map(col)
+    val v = col(valueCol).cast("double")
+    // NULL values are excluded (the percentile() convention): n, the
+    // histogram, and the quantiles all see non-null rows only
+    val stats = df.groupBy(keys: _*).agg(
+      min(v).as("__mn"), max(v).as("__mx"), count(v).as("__n"))
+    val w = (col("__mx") - col("__mn")) / bins
+    val counts = df.filter(v.isNotNull).join(stats, keyCols)
+      .withColumn("__bin",
+        when(col("__mx") === col("__mn"), lit(0)).otherwise(
+          least(floor((v - col("__mn")) / w).cast("int"), lit(bins - 1))))
+      .groupBy((keys :+ col("__bin")): _*)
+      .agg(count(lit(1)).as("__c"), max("__mn").as("__mn"),
+        max("__mx").as("__mx"), max("__n").as("__n"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy("__bin")
+    counts
+      .withColumn("__cum", sum("__c").over(wCum))
+      .withColumn("__before", col("__cum") - col("__c"))
+      .select((keys :+ col("__bin") :+ col("__c") :+ col("__mn")
+        :+ col("__mx") :+ col("__n") :+ col("__cum") :+ col("__before")
+        :+ explode(array(probs.map(lit): _*)).as("p")): _*)
+      // the crossing bin: unique because empty bins have cum == before
+      .filter(col("__cum") >= col("p") * col("__n") &&
+        col("__before") < col("p") * col("__n"))
+      .select((keys :+ col("p") :+
+        round(when(col("__mx") === col("__mn"), col("__mn")).otherwise(
+          col("__mn") + (col("__mx") - col("__mn")) / bins *
+            (col("__bin") +
+              (col("p") * col("__n") - col("__before")) / col("__c"))),
+          4).as("q")): _*)
+  }
+
+  /** Gate: histogram quantiles of events.value per event_type at 256
+    * bins — the oracle replays the binning, the cumulative crossing,
+    * and the interpolation with identical double arithmetic. */
+  private def aQuantileSketch(s: SparkSession, d: String): DataFrame =
+    histogramQuantiles(t(s, d, "events"), Seq("event_type"), "value",
+      probs = Seq(0.25, 0.5, 0.75, 0.99), bins = 256)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a11_quantile_sketch" -> aQuantileSketch _,
     "g_incr_agg_merge" -> gIncrAggMerge _,
     "j5b_bloom_incremental" -> j5bBloomIncremental _,
     "j_salted_skew" -> jSaltedSkew _)
 
   val oracle: Map[String, String] = Map(
+    "a11_quantile_sketch" ->
+      """WITH stats AS (
+           SELECT event_type, min(value) AS mn, max(value) AS mx,
+             count(value) AS n
+           FROM events GROUP BY event_type),
+         binned AS (
+           SELECT e.event_type,
+             CASE WHEN s.mx = s.mn THEN 0
+               ELSE least(CAST(floor((e.value - s.mn) /
+                 ((s.mx - s.mn) / 256)) AS INT), 255) END AS bin
+           FROM events e JOIN stats s USING (event_type)
+           WHERE e.value IS NOT NULL),
+         counts AS (
+           SELECT event_type, bin, count(*) AS c
+           FROM binned GROUP BY event_type, bin),
+         cum AS (
+           SELECT *, sum(c) OVER (PARTITION BY event_type
+             ORDER BY bin) AS cm
+           FROM counts),
+         probes AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.99])
+           AS DOUBLE) AS p),
+         hit AS (
+           SELECT c.event_type, p.p, s.mn, s.mx, s.n, c.bin, c.c,
+             c.cm - c.c AS before
+           FROM cum c JOIN stats s USING (event_type)
+           CROSS JOIN probes p
+           WHERE c.cm >= p.p * s.n AND c.cm - c.c < p.p * s.n)
+         SELECT event_type, p,
+           round(CASE WHEN mx = mn THEN mn
+             ELSE mn + (mx - mn) / 256 *
+               (bin + (p * n - before) / c) END, 4) AS q
+         FROM hit""",
     "g_incr_agg_merge" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

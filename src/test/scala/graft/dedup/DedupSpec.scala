@@ -385,4 +385,43 @@ class DedupSpec extends AnyFunSuite {
     assert(out.contains((0L, 1L, 1.0)))
     assert(out.exists { case (a, b, j) => a == 0L && b == 3L && j > 0.5 })
   }
+
+  test("editDistancePairs == brute force on bucket-edge fixtures " +
+    "(identical, |Δlen| exactly k, same-length-far-apart, k=0, empty)") {
+    val docs = Seq(
+      (0L, "hello world"), (1L, "hello world"),   // dist 0
+      (2L, "hello worl"),                         // dist 1 vs 0/1
+      (3L, "hello world!!!"),                     // Δlen 3 = k edge
+      (4L, "HELLO WORLD"),                        // same len, dist 8
+      (5L, ""), (6L, "abc"),                      // empty vs short: Δlen 3
+      (7L, "xyzzy plugh"))                        // same len as 0, far
+      .toDF("doc_id", "text")
+    def run(k: Int): Set[(Long, Long, Int)] = {
+      val rows = Dedup.editDistancePairs(docs, "doc_id", "text",
+        maxDist = k).as[(Long, Long, Int)].collect()
+      // canonical-bucket exactly-once: no pair may be emitted twice
+      assert(rows.length == rows.toSet.size,
+        s"duplicate pair emission at k=$k")
+      rows.toSet
+    }
+    def brute(k: Int): Set[(Long, Long, Int)] = {
+      val a = docs.select(col("doc_id").as("doc_a"),
+        col("text").as("ta"))
+      val b = docs.select(col("doc_id").as("doc_b"),
+        col("text").as("tb"))
+      a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+        .withColumn("dist", levenshtein(col("ta"), col("tb")))
+        .filter(col("dist") <= k)
+        .select("doc_a", "doc_b", "dist")
+        .as[(Long, Long, Int)].collect().toSet
+    }
+    Seq(0, 3, 8).foreach { k =>
+      assert(run(k) == brute(k), s"mismatch at k=$k")
+    }
+    assert(run(0) == Set((0L, 1L, 0)))
+    // Δlen 3 pairs appear exactly once at k=3 (canonical bucket, no
+    // duplicate emission): multiset size == set size is inherent in
+    // Set compare above; pin one known pair
+    assert(run(3).contains((5L, 6L, 3)))
+  }
 }

@@ -257,4 +257,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"ADC LUT join is not broadcast:\n${p.take(3000)}")
   }
+
+  test("pq refine: the exact re-rank joins the SHORTLIST to the " +
+    "corpus — broadcast query side, no cartesian, no second " +
+    "corpus-wide scoring pass") {
+    val p = plan("x_pq_refine")
+    assert(p.contains("BroadcastHashJoin"),
+      s"refine query side not broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"refine went all-pairs:\n${p.take(3000)}")
+  }
+
+  test("quantile sketch: two aggregate passes, no per-group value " +
+    "collection (no collect_list / percentile sort) in the plan") {
+    val p = plan("a11_quantile_sketch")
+    assert(!p.contains("collect_list") && !p.contains("percentile"),
+      s"quantile sketch materializes group values:\n${p.take(3000)}")
+    // bin counts partial-aggregate map-side before the exchange
+    assert(p.contains("HashAggregate"),
+      s"bin counting is not a hash aggregate:\n${p.take(3000)}")
+  }
 }

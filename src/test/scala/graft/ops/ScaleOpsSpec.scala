@@ -50,4 +50,44 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(merged.select("k").as[String].collect().toSet ==
       Set("only1", "only2"))
   }
+
+  test("histogramQuantiles: within one bin width of the ceil(p*n)-th " +
+    "order statistic on the events fixture, for every group and probe") {
+    val events = graft.Tables.t(spark, TestSpark.sf0001, "events")
+    val bins = 256
+    val probs = Seq(0.25, 0.5, 0.75, 0.99)
+    val est = ScaleOps.histogramQuantiles(events, Seq("event_type"),
+        "value", probs, bins)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getDouble(2)).toMap
+    val groups = events.filter(col("value").isNotNull)
+      .select("event_type", "value")
+      .as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(groups.nonEmpty)
+    groups.foreach { case (k, vs) =>
+      val w = (vs.last - vs.head) / bins
+      probs.foreach { p =>
+        val orderStat = vs(math.ceil(p * vs.length).toInt - 1)
+        val e = est((k, p))
+        assert(math.abs(e - orderStat) <= w + 1e-9,
+          s"$k p=$p: est $e vs order stat $orderStat " +
+            s"exceeds bin width $w")
+      }
+    }
+  }
+
+  test("histogramQuantiles: degenerate constant group returns the " +
+    "constant; p=1 lands within a bin width of the max") {
+    val df = (Seq.fill(50)(("const", 7.5)) ++
+      (1 to 200).map(i => ("ramp", i * 0.5))).toDF("k", "v")
+    val out = ScaleOps.histogramQuantiles(df, Seq("k"), "v",
+        Seq(0.5, 1.0), bins = 64)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getDouble(2)).toMap
+    assert(out(("const", 0.5)) == 7.5 && out(("const", 1.0)) == 7.5)
+    val w = (100.0 - 0.5) / 64
+    assert(math.abs(out(("ramp", 1.0)) - 100.0) <= w + 1e-9)
+    assert(math.abs(out(("ramp", 0.5)) - 50.25) <= w + 1e-9)
+  }
 }
