@@ -738,19 +738,59 @@ object Similarity {
     s.read.parquet(path)
   }
 
-  /** Staged codebooks as a broadcast LocalRelation (sub, code, c_emb)
-    * — the decimal-text payload round-trips the 6-dp codewords
-    * losslessly, so these are bit-identical to the live fit. Bounded
-    * collect: mSub × kCodes rows by construction. */
-  private def codebooksStaged(s: SparkSession, d: String): DataFrame = {
-    val cb = pqIndexStaged(s, d).filter(col("kind") === "cb")
+  /** Parse the codebooks out of a PQ index table (the x_pq_index
+    * schema: kind/sub/id/payload) into the broadcast LocalRelation
+    * shape (sub, code, c_emb) every serving/encode path consumes —
+    * the decimal-text payload round-trips the 6-dp codewords
+    * losslessly, so the loaded codebooks are bit-identical to the
+    * live fit. Bounded collect: mSub × kCodes rows by construction. */
+  def loadPqCodebooks(index: DataFrame): DataFrame = {
+    val cb = index.filter(col("kind") === "cb")
       .select(col("sub"), col("id").cast("int").as("code"),
         transform(split(col("payload"), ","),
           x => x.cast("double")).as("c_emb"))
     val rows = cb.collect()
-    broadcast(s.createDataFrame(
+    broadcast(index.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), cb.schema))
   }
+
+  /** Incremental PQ encode: code a NEW batch against an EXISTING
+    * index's codebooks — the nightly-delta path (deltas never refit;
+    * the fit is index-build work, the encode is the corpus-wide part).
+    * Appending these codes to the stored code table keeps the serving
+    * tier current at delta cost. */
+  def pqEncodeWithIndex(delta: DataFrame, index: DataFrame,
+      mSub: Int = 8): DataFrame =
+    pqEncode(delta, loadPqCodebooks(index), mSub)
+
+  /** Parse the coarse centroids out of an IVF assignment dump (the
+    * x_ann_ivf_assign schema, which carries kind='cent' rows) into
+    * the broadcast (cid, c_emb, c_norm) shape. */
+  def loadIvfCentroids(assign: DataFrame): DataFrame = {
+    val cents = assign.filter(col("kind") === "cent")
+      .select(col("cid"),
+        transform(split(col("payload"), ","),
+          x => x.cast("double")).as("c_emb"))
+      .withColumn("c_norm", sqrt(dotD(col("c_emb"), col("c_emb"))))
+    val rows = cents.collect()
+    broadcast(assign.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), cents.schema))
+  }
+
+  /** Incremental IVF list assignment: place a NEW batch into the
+    * existing inverted lists (nearest dumped centroid, the same
+    * cosine/tie rule as the fit-time assignment) — appended to the
+    * stored list table, the index absorbs deltas without refitting. */
+  def ivfAssignWithIndex(delta: DataFrame, assign: DataFrame): DataFrame = {
+    val prepared = prepare(delta)
+    rankByCentroid(prepared, loadIvfCentroids(assign), "n_id", "n_emb",
+      "n_norm").filter(col("c_rank") === 1)
+      .select(col("n_id"), col("cid"))
+  }
+
+  /** Staged codebooks (fit-once tmpdir staging → loaded LocalRelation). */
+  private def codebooksStaged(s: SparkSession, d: String): DataFrame =
+    loadPqCodebooks(pqIndexStaged(s, d))
 
   /** Staged per-vector codes (n_id, sub, code). */
   private def codesStaged(s: SparkSession, d: String): DataFrame =

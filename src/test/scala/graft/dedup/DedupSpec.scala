@@ -424,4 +424,41 @@ class DedupSpec extends AnyFunSuite {
     // Set compare above; pin one known pair
     assert(run(3).contains((5L, 6L, 3)))
   }
+
+  test("editDistancePairs == an independent driver-side DP over " +
+    "seeded random corpora (lengths 0-15, k 0-4)") {
+    // independent reimplementation: classic two-row DP
+    def lev(a: String, b: String): Int = {
+      var prev = (0 to b.length).toArray
+      for (i <- 1 to a.length) {
+        val cur = new Array[Int](b.length + 1)
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+      prev(b.length)
+    }
+    val rnd = new scala.util.Random(41)
+    (1 to 12).foreach { trial =>
+      val k = rnd.nextInt(5)
+      val strs = (0L until (6 + rnd.nextInt(6)).toLong).map { id =>
+        (id, (0 until rnd.nextInt(16))
+          .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      }
+      val want = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs
+        if ia < ib
+        d = lev(sa, sb) if d <= k
+      } yield (ia, ib, d)).toSet
+      val got = Dedup.editDistancePairs(strs.toDF("doc_id", "text"),
+          "doc_id", "text", maxDist = k)
+        .as[(Long, Long, Int)].collect()
+      assert(got.length == got.toSet.size,
+        s"trial $trial (k=$k): duplicate emission")
+      assert(got.toSet == want,
+        s"trial $trial (k=$k): got ${got.toSet} want $want on $strs")
+    }
+  }
 }

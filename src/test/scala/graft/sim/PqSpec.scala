@@ -173,6 +173,32 @@ class PqSpec extends AnyFunSuite {
     assert(refined >= 0.8, s"refined recall too low: $refined")
   }
 
+  test("incremental encode/assign against a dumped index equal the " +
+    "full fit's own rows for the same vectors (delta path == rebuild)") {
+    val d = TestSpark.sf0001
+    val corpus = t(spark, d, "embeddings")
+    val delta = corpus.filter(col("vec_id") >= 400)
+    val index = Similarity.queries("x_pq_index")(spark, d)
+    val deltaCodes = Similarity.pqEncodeWithIndex(delta, index)
+      .select(col("n_id"), col("sub"), col("code"))
+      .collect().map(_.toSeq).toSet
+    val fullCodes = index
+      .filter(col("kind") === "code" && col("id") >= 400)
+      .select(col("id"), col("sub"), col("payload").cast("int"))
+      .collect().map(_.toSeq).toSet
+    assert(deltaCodes.nonEmpty && deltaCodes == fullCodes,
+      "incremental PQ encode drifted from the fit-time codes")
+    val assign = Similarity.queries("x_ann_ivf_assign")(spark, d)
+    val deltaLists = Similarity.ivfAssignWithIndex(delta, assign)
+      .collect().map(_.toSeq).toSet
+    val fullLists = assign
+      .filter(col("kind") === "list" && col("id") >= 400)
+      .select(col("id"), col("cid"))
+      .collect().map(_.toSeq).toSet
+    assert(deltaLists.nonEmpty && deltaLists == fullLists,
+      "incremental IVF assignment drifted from the fit-time lists")
+  }
+
   test("staged serving gates fit once per corpus and match the live " +
     "refit exactly (x_pq_topk / x_pq_ivf_full == pqTopK)") {
     val d = TestSpark.sf0001
