@@ -337,6 +337,55 @@ object TextOps {
     tokenBudgetMix(t(s, d, "documents"), "doc_id", "text", "source",
       sourceBudget)
 
+  /** Temperature-weighted multilingual mixture (the p_l ∝ n_l^α
+    * sampling rule of multilingual pretraining, α = 0.5): each
+    * language's token budget is total × √n_l / Σ√n_l — upweighting
+    * tail languages relative to raw proportional sampling — and
+    * admission rides the same salted-hash exclusive-prefix-sum window
+    * as `tokenBudgetMix`. α is FIXED at 0.5 because √ is exact IEEE
+    * and therefore engine-portable bit-for-bit; a general pow(α)
+    * rides libm and could not oracle bit-exactly (the tx_lm_score
+    * no-ln discipline). The √ weights are 6-dp-quantized and summed
+    * as DECIMAL so Σ√n_l is independent of summation order.
+    *
+    * Scale: one token-count aggregate (→ languages rows, broadcast
+    * back), one window shuffle on language — append-stable admission
+    * like `splitAssign`. */
+  def temperatureMix(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, totalTokens: Long,
+      tokenCount: Column => Column =
+        c => size(tokens(c)).cast("long")): DataFrame = {
+    require(totalTokens > 0, s"totalTokens must be > 0: $totalTokens")
+    val tk = docs.select(col(langCol), col(idCol),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val mass = tk.groupBy(langCol).agg(sum("n_tokens").as("n_l"))
+      .withColumn("w6", round(sqrt(col("n_l").cast("double")), 6)
+        .cast("decimal(28,6)"))
+    val tot = mass.agg(sum("w6").as("w_tot"))
+    val budgets = broadcast(mass.crossJoin(broadcast(tot))
+      .withColumn("budget",
+        floor(lit(totalTokens.toDouble) * col("w6").cast("double")
+          / col("w_tot").cast("double")).cast("long"))
+      .select(col(langCol), col("budget")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(langCol)
+      .orderBy(md5(concat(lit("mix:"), col(idCol).cast("string"))).asc,
+        col(idCol).asc)
+    tk.withColumn("cum_before", coalesce(sum("n_tokens").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+      .join(budgets, Seq(langCol))
+      .filter(col("cum_before") < col("budget"))
+      .select(col(langCol), col(idCol), col("n_tokens"),
+        col("cum_before"), col("budget"))
+  }
+
+  /** tx temperature mix: α=0.5 language-mixture admission at a 20k
+    * token budget over the documents table. */
+  private def txTemperatureMix(s: SparkSession, d: String): DataFrame =
+    temperatureMix(t(s, d, "documents"), "doc_id", "text", "lang",
+      totalTokens = 20000)
+
   /** tx BPE-ish token counting: word-vs-punctuation segmentation via
     * `\w+|[^\w\s]` (the builder brief's "BPE-ish regex" family) next to
     * the whitespace count — regexp_count keeps it a single scan. */
@@ -936,6 +985,7 @@ object TextOps {
     "tx_stratified_sample" -> txStratifiedSample _,
     "tx_repetition" -> txRepetition _,
     "tx_token_budget_mix" -> txTokenBudgetMix _,
+    "tx_temperature_mix" -> txTemperatureMix _,
     "tx_pii_scrub" -> txPiiScrub _,
     "tx_dup_ngram_frac" -> txDupNgramFrac _,
     "tx_decontam" -> txDecontam _,
@@ -1433,5 +1483,32 @@ object TextOps {
          FROM off
          WHERE cum_before <
            (CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 3 + 1)
-             * 400""")
+             * 400""",
+    "tx_temperature_mix" ->
+      """WITH tk AS (
+           SELECT lang, doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+           FROM documents),
+         mass AS (
+           SELECT lang,
+             CAST(round(sqrt(CAST(sum(n_tokens) AS DOUBLE)), 6)
+               AS DECIMAL(28,6)) AS w6
+           FROM tk GROUP BY lang),
+         tot AS (SELECT sum(w6) AS w_tot FROM mass),
+         bud AS (
+           SELECT lang, CAST(floor(20000.0 * CAST(w6 AS DOUBLE)
+             / CAST(w_tot AS DOUBLE)) AS BIGINT) AS budget
+           FROM mass CROSS JOIN tot),
+         off AS (
+           SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY lang
+             ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)) ASC,
+               doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum_before
+           FROM tk)
+         SELECT o.lang, o.doc_id, o.n_tokens, o.cum_before, b.budget
+         FROM off o JOIN bud b USING (lang)
+         WHERE o.cum_before < b.budget""")
 }

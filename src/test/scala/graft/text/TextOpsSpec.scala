@@ -257,6 +257,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("temperatureMix: α=0.5 upweights the tail language's budget " +
+    "share above its raw token share; budgets sum to ≤ total") {
+    // big: 36 docs × 10 tokens = 360; small: 4 docs × 10 = 40
+    val docs = (1L to 40L)
+      .map(i => (i, if (i <= 36) "en" else "sw", wordsDoc(10)))
+      .toDF("doc_id", "lang", "text")
+    val total = 200L
+    val out = TextOps.temperatureMix(docs, "doc_id", "text", "lang",
+      total)
+    val budgets = out.select("lang", "budget").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(budgets.values.sum <= total)
+    // raw share of sw = 40/400 = 0.10; √-temperature share =
+    // √40/(√360+√40) ≈ 0.25 — the tail must be upweighted
+    val swShare = budgets("sw").toDouble / total
+    assert(swShare > 0.10 && swShare < 0.5,
+      s"sw temperature share $swShare not upweighted above raw 0.10")
+    // admission never exceeds the budget by more than one document's
+    // overshoot: every admitted doc had cum_before < budget
+    assert(out.filter(col("cum_before") >= col("budget")).count() == 0)
+    // append-stable / partition-stable like the budget mix
+    val again = TextOps.temperatureMix(docs.repartition(7), "doc_id",
+      "text", "lang", total)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   // The Sennrich et al. (2016) worked corpus: word frequencies
   // low×5 lower×2 newest×6 widest×3. Every step below is derived by
   // hand — pair counts under the previous merges, argmax with the
