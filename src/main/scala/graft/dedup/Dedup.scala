@@ -208,7 +208,9 @@ object Dedup {
     * the built-in codegen'd `levenshtein` (O(l²) per CANDIDATE pair
     * only; production callers bound text length upstream or compare a
     * normalized prefix). Blocks + the length window bound the
-    * candidate surface the same way the LSH bucket caps do. */
+    * candidate surface the same way the LSH bucket caps do.
+    * Rows with a NULL text never enter the bucket explode and are
+    * silently excluded (the sketch-finder convention). */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int, blockCols: Seq[String] = Nil): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")

@@ -54,10 +54,13 @@ object Streams {
     // only fall back for a genuinely empty directory — a corrupt or
     // partially-staged file must surface, not silently misread as the
     // legacy ns-as-long shape (and never swallow fatal errors).
+    // Hadoop FS, not java.io.File: the directory may live on any
+    // cluster filesystem.
     val hasParquet = {
-      val d = new java.io.File(dir)
-      d.isDirectory && d.listFiles != null &&
-        d.listFiles.exists(f => f.isFile && f.getName.endsWith(".parquet"))
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
     }
     val sch =
       if (!hasParquet) eventsRawSchema
