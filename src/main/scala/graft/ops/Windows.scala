@@ -187,7 +187,51 @@ object Windows {
       .agg(round(max(col("l_quantity")), 2).as("n50"))
   }
 
+  /** W9 rolling z-score — windowed anomaly scoring: each event's value
+    * against the mean/std of its user's trailing-10-event frame.
+    * Moments accumulate as EXACT decimal sums (Σx, Σx² — inputs
+    * explicitly 6-dp-rounded first, the adcLut discipline, so the
+    * decimal cast is identical cross-engine) and convert to double
+    * only in the closed-form variance — no Welford recurrence, whose
+    * float accumulation order no engine pins. Population variance
+    * (÷n); a zero-variance or single-row frame scores NULL, never
+    * ±inf. One shuffle on user_id; state per row is two sums and a
+    * count regardless of frame width — the shape a 100 TB event table
+    * needs (collecting the frame's values would not be). */
+  private def w9RollingZscore(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-9, 0)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        count(col("value")).over(w).as("n_win"),
+        sum(round(col("value"), 6).cast("decimal(28,6)")).over(w)
+          .cast("double").as("sx"),
+        sum(round(col("value") * col("value"), 6)
+          .cast("decimal(38,6)")).over(w)
+          .cast("double").as("sx2"))
+      .withColumn("mean", col("sx") / col("n_win"))
+      .withColumn("variance",
+        greatest((col("sx2") - col("sx") * col("sx") / col("n_win"))
+          / col("n_win"), lit(0.0)))
+      .withColumn("stdv", sqrt(col("variance")))
+      // OUTPUT CONTRACT: sx/sx2 are exact doubles (6-dp decimal sums
+      // < 2^53/1e6 — no rounding, no tie), mean/std stay internal —
+      // round(sx/n, 4) SYSTEMATICALLY lands on decimal ties that
+      // Spark's shortest-repr rounding and DuckDB's binary rounding
+      // resolve differently. The z-score's denominator is a square
+      // root (irrational except degenerate frames), so its 4-dp round
+      // is tie-free; + 0.0 normalizes IEEE −0.
+      .select(col("user_id"), col("event_id"), col("n_win"),
+        col("sx"), col("sx2"),
+        when(col("stdv") > 0,
+          round((col("value") - col("mean")) / col("stdv"), 4)
+            + lit(0.0))
+          .as("zscore"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w9_rolling_zscore" -> w9RollingZscore _,
     "w1_lag_delta" -> w1Lag _,
     "w1_funnel" -> w1Funnel _,
     "w2_top1_per_group" -> w2Top1 _,
@@ -200,6 +244,26 @@ object Windows {
     "a7_n50" -> a7N50 _)
 
   val oracle: Map[String, String] = Map(
+    "w9_rolling_zscore" ->
+      """WITH m AS (
+           SELECT user_id, event_id, value,
+             count(value) OVER w AS n_win,
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6)))
+               OVER w AS DOUBLE) AS sx,
+             CAST(sum(CAST(round(value * value, 6) AS DECIMAL(38,6)))
+               OVER w AS DOUBLE) AS sx2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+         v AS (
+           SELECT *, sx / n_win AS mean,
+             sqrt(greatest((sx2 - sx * sx / n_win) / n_win, 0.0))
+               AS stdv
+           FROM m)
+         SELECT user_id, event_id, n_win, sx, sx2,
+           CASE WHEN stdv > 0
+             THEN round((value - mean) / stdv, 4) + 0.0 END AS zscore
+         FROM v""",
     "w1_lag_delta" ->
       """SELECT event_id, user_id,
          round(value - lag(value) OVER
