@@ -177,5 +177,25 @@ object CorpusBuild {
       .count()
     require(unsplit == 0, s"$unsplit stored docs without a split")
     println(s"[corpus] ok: ${store.count()} docs, invariants hold")
+
+    // 8. training-mix manifest: the α=0.5 temperature admission over
+    //    the CURRENT store, staged for the next training run. The
+    //    store stays the superset (append-only, never rewritten); a
+    //    training run reads the manifest, so rebalancing after a
+    //    skewed crawl is a manifest refresh, not a store rewrite. The
+    //    mix budget scales with the store (half its token mass) so
+    //    the manifest stays meaningful as the corpus grows. One-row
+    //    bounded collect for the mass (the set-cover sanction class).
+    val storeTokens = store
+      .agg(sum(size(TextOps.tokens(col("text")))).cast("long"))
+      .head().getLong(0)
+    val manifest = TextOps.temperatureMix(store, "doc_id", "text",
+      "lang_pred", math.max(1L, storeTokens / 2))
+    graft.io.Writers.overwriteStaged(manifest, s"$whDir/mix")
+    val mix = spark.read.parquet(s"$whDir/mix")
+    val mixTokens = mix.agg(coalesce(sum("n_tokens"), lit(0L)))
+      .head().getLong(0)
+    println(s"[corpus] mix manifest: ${mix.count()} docs / " +
+      s"$mixTokens of ${storeTokens / 2} budgeted tokens")
   }
 }

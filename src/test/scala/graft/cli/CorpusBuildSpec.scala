@@ -95,4 +95,26 @@ class CorpusBuildSpec extends AnyFunSuite {
       spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
     assert(leaked.isEmpty, s"runBatch leaked cached RDDs: $leaked")
   }
+
+  test("the staged mix manifest is a temperature admission over the " +
+    "store: subset ids, budgets respected, every store language " +
+    "represented") {
+    val wh = Files.createTempDirectory("graft_corpus_mix").toString
+    CorpusBuild.run(spark, TestSpark.sf0001, wh)
+    val store = spark.read.parquet(s"$wh/corpus")
+    val mix = spark.read.parquet(s"$wh/mix")
+    assert(mix.count() > 0)
+    // admitted ids ⊆ store ids
+    assert(mix.join(store, Seq("doc_id"), "left_anti").count() == 0)
+    // per-language: admission never starts past the budget, and every
+    // stored language gets a manifest presence (√-temperature gives
+    // every nonempty language a positive budget)
+    assert(mix.filter(col("cum_before") >= col("budget")).count() == 0)
+    val storeLangs = store.select(col("lang_pred")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val mixLangs = mix.select(col("lang_pred")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(mixLangs == storeLangs,
+      s"languages missing from the mix: ${storeLangs -- mixLangs}")
+  }
 }
