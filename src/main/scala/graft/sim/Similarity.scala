@@ -311,6 +311,57 @@ object Similarity {
         round(col("sim"), 4).as("cos_sim"))
   }
 
+  /** Max-inner-product top-k — retrieval scoring when the norm
+    * CARRIES signal (DPR-style dense retrieval, recommender item
+    * popularity): rank by the raw dot product, not the cosine. Brute
+    * form: broadcast queries × corpus, one dot per pair, round-6
+    * ranking with n_id tie-break (the bruteForceTopK discipline). */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("q_emb")))
+    val c = corpus.select(col("vec_id").as("n_id"),
+      asDouble(col("embedding")).as("n_emb"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("ip"), 6).desc, col("n_id").asc)
+    c.crossJoin(q)
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("ip", dotD(col("q_emb"), col("n_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").cast("int").as("rank"),
+        col("n_id"), round(col("ip"), 4).as("inner_prod"))
+  }
+
+  /** The MIPS → cosine reduction (norm augmentation): append
+    * sqrt(M² − |x|²) to every corpus vector (M = the corpus max norm,
+    * a broadcast-singleton stat) and 0 to every query. All augmented
+    * corpus norms equal M, so augmented-COSINE order == inner-product
+    * order and the entire cosine ANN stack (LSH buckets, IVF lists,
+    * PQ codes) serves MIPS unchanged — the standard trick that makes
+    * inner-product retrieval ride bucketed infrastructure at 100 TB
+    * instead of a corpus-wide dot scan. Returns (augmented corpus,
+    * augmented queries). */
+  def augmentForMips(queries: DataFrame, corpus: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val maxNorm = broadcast(corpus
+      .agg(max(sqrt(dotD(asDouble(col("embedding")),
+        asDouble(col("embedding"))))).as("m")))
+    val augC = corpus.crossJoin(maxNorm)
+      .select(col("vec_id"),
+        concat(asDouble(col("embedding")),
+          array(sqrt(greatest(
+            col("m") * col("m") -
+              dotD(asDouble(col("embedding")),
+                asDouble(col("embedding"))),
+            lit(0.0))))).as("embedding"))
+    val augQ = queries
+      .select(col("vec_id"),
+        concat(asDouble(col("embedding")), array(lit(0.0)))
+          .as("embedding"))
+    (augQ, augC)
+  }
+
   /** All-pairs candidate scoring via LSH bucket SELF-join: every pair
     * of corpus vectors sharing ≥1 table bucket, scored with the exact
     * cosine and collapsed per pair. Neither side broadcasts — this is
@@ -880,6 +931,13 @@ object Similarity {
     refineRerank(ivfPqTopKStaged(s, d, 10, nprobe = 6),
       queriesSide(s, d), t(s, d, "embeddings"), 3)
 
+  /** MIPS top-3 for the query slice, FULL oracle (DuckDB ranks by
+    * list_inner_product over all pairs — the exact semantics). The
+    * augmented-cosine scale path is pinned against this exact form in
+    * SimilaritySpec. */
+  private def xMips(s: SparkSession, d: String): DataFrame =
+    mipsTopK(queriesSide(s, d), t(s, d, "embeddings"), 3)
+
   /** kNN label vote: majority label of the 5 nearest neighbors,
     * ties → smallest label (deterministic). */
   private def xKnnLabel(s: SparkSession, d: String): DataFrame = {
@@ -1003,6 +1061,7 @@ object Similarity {
     "x_pq_ivf_full" -> xPqIvfFull _,
     "x_pq_refine" -> xPqRefine _,
     "x_knn_label" -> xKnnLabel _,
+    "x_mips" -> xMips _,
     "x_centroid" -> xCentroid _)
 
   /** Brute-force top-3 in DuckDB — the oracle for every ANN gate that
@@ -1202,6 +1261,21 @@ object Similarity {
        FROM codes WHERE rk = 1"""
 
   val oracle: Map[String, String] = Map(
+    "x_mips" ->
+      """WITH q AS (SELECT vec_id AS q_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+         FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.q_id, c.vec_id AS n_id,
+             list_inner_product(q.q_emb,
+               list_transform(c.embedding, x -> CAST(x AS DOUBLE)))
+               AS ip
+           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.q_id)
+         SELECT q_id, CAST(rn AS INT) AS rank, n_id,
+           round(ip, 4) AS inner_prod
+         FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+           ORDER BY round(ip, 6) DESC, n_id ASC) AS rn FROM scored) x
+         WHERE rn <= 3""",
     "x_ann_ivf_assign" -> ivfAssignReplaySql,
     "x_pq_index" -> pqIndexReplaySql,
     "x_pq_topk" -> pqReplayTopK(restrictToProbed = false),

@@ -234,4 +234,26 @@ class SimilaritySpec extends AnyFunSuite {
       .as[Long].collect()
     assert(probes.toSeq == Seq(6L)) // the production default nprobe
   }
+
+  test("MIPS norm-augmentation: augmented-cosine ranking equals the " +
+    "exact inner-product ranking (the reduction that lets cosine ANN " +
+    "infrastructure serve MIPS)") {
+    val corpus = graft.Tables.t(spark, TestSpark.sf0001, "embeddings")
+    val queries = corpus.filter(col("vec_id") < 10)
+    val exact = Similarity.mipsTopK(queries, corpus, 5)
+      .select("q_id", "rank", "n_id")
+      .collect().map(_.toSeq).toSet
+    val (augQ, augC) = Similarity.augmentForMips(queries, corpus)
+    val viaCosine = Similarity.bruteForceTopK(augQ, augC, 5)
+      .select("q_id", "rank", "n_id")
+      .collect().map(_.toSeq).toSet
+    assert(exact == viaCosine,
+      "augmented-cosine order diverged from inner-product order")
+    // every augmented corpus vector has norm M (the invariant the
+    // reduction rests on)
+    val norms = augC.select(
+        round(Similarity.l2norm(col("embedding")), 6).as("nrm"))
+      .distinct().count()
+    assert(norms == 1, "augmented corpus norms are not all equal")
+  }
 }
