@@ -375,6 +375,73 @@ object Dedup {
         round(col("jac_raw"), 6).as("jac")): _*)
   }
 
+  /** Exact repeated-substring spans — the ExactSubstr dedup of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): any length-`spanLen` character window occurring more
+    * than once ANYWHERE in the corpus (across docs or within one)
+    * marks its characters as duplicated; overlapping marked windows
+    * merge into maximal islands per document. Returns one row per doc:
+    * `n_spans` maximal islands, `dup_chars` characters they cover,
+    * `n_chars` — the span accounting a substring-cut pass consumes
+    * (integer-only output: no FP contract to pin).
+    *
+    * The paper builds a corpus-wide suffix array; the relational
+    * equivalence is that a length-L window repeats iff its suffix-array
+    * neighbor shares an L-prefix — so groupBy(window) HAVING count>1
+    * finds exactly the repeated-window set, and Spark's hash aggregate
+    * replaces the suffix-array sort.
+    *
+    * Scale shape: window extraction is a narrow posexplode at scan
+    * speed; the only corpus-wide shuffle keys on the window — with
+    * `hashWindows=true` (the 100 TB default) windows shuffle as 8-byte
+    * xxhash64 keys, never strings, and the aggregate partial-combines
+    * map-side. Island-merge is one per-doc window over the MARKED
+    * offsets only (≪ corpus size). The gate runs `hashWindows=false`
+    * so DuckDB replays the window equality exactly; DedupSpec pins
+    * hashed == string-keyed on fixtures (the maxBucketSize-gate
+    * precedent: gates prove logic, the hash is the scale lever). */
+  def substringSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 25, hashWindows: Boolean = true): DataFrame = {
+    require(spanLen >= 2, s"spanLen=$spanLen must be >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+    val src = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("txt"), length(col(textCol)).as("len"))
+    // filter, don't clamp: sequence(1, 0) in Spark is the DESCENDING
+    // [1, 0], not empty — sub-spanLen docs must not reach the explode
+    val wins = src
+      .filter(col("len") >= spanLen)
+      .select(col("doc_id"), col("txt"),
+        posexplode(sequence(lit(1), col("len") - (spanLen - 1)))
+          .as(Seq("i", "p")))
+      .select(col("doc_id"), col("p"),
+        col("txt").substr(col("p"), lit(spanLen)).as("g"))
+      .withColumn("k",
+        if (hashWindows) xxhash64(col("g")) else col("g"))
+      .select("doc_id", "p", "k")
+    val dupKeys = wins.groupBy("k").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("k")
+    val marked = wins.join(dupKeys, Seq("k")).select("doc_id", "p")
+    val perDoc = w.partitionBy("doc_id").orderBy("p")
+    val islands = marked
+      .withColumn("prev_end", max(col("p") + spanLen).over(
+        perDoc.rowsBetween(w.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("p") > coalesce(col("prev_end"), lit(-1)), 1)
+          .otherwise(0))
+      .withColumn("island", sum("brk").over(perDoc))
+      .groupBy("doc_id", "island")
+      .agg((max(col("p")) + spanLen - min(col("p"))).as("chars"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        sum("chars").cast("int").as("dup_chars"))
+    src.select(col("doc_id"), col("len").cast("int").as("n_chars"))
+      .join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0)).as("dup_chars"),
+        col("n_chars"))
+  }
+
   /** Incremental near-dup probe: a NEW batch against the EXISTING
     * corpus — the nightly-ingest shape. The gram equi-join pairs batch
     * rows with corpus rows only (batch × corpus, never corpus ×
@@ -825,7 +892,15 @@ object Dedup {
       blockCols = Seq("lang", "source"))
   }
 
+  /** Repeated-substring span accounting over the documents corpus —
+    * string-keyed so the oracle replays window equality exactly
+    * (`hashWindows=true` is the scale path, DedupSpec-pinned equal). */
+  private def dSubstringSpans(s: SparkSession, d: String): DataFrame =
+    substringSpans(t(s, d, "documents"), "doc_id", "text",
+      spanLen = 25, hashWindows = false)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_substring_spans" -> dSubstringSpans _,
     "d_edit_pairs" -> dEditPairs _,
     "d_incr_neardup" -> dIncrNearDup _,
     "d_cluster_keep_best" -> dClusterKeepBest _,
@@ -841,6 +916,38 @@ object Dedup {
     "d_embed_neardup" -> dEmbedNearDup _)
 
   val oracle: Map[String, String] = Map(
+    "d_substring_spans" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len FROM documents),
+         w AS (
+           SELECT doc_id, CAST(r.p AS INT) AS p,
+             substr(text, CAST(r.p AS INT), 25) AS g
+           FROM d, unnest(range(1, greatest(len - 23, 1))) AS r(p)),
+         dup AS (SELECT g FROM w GROUP BY g HAVING count(*) > 1),
+         m AS (SELECT doc_id, p FROM w
+           WHERE g IN (SELECT g FROM dup)),
+         b AS (
+           SELECT doc_id, p,
+             CASE WHEN p > coalesce(max(p + 25) OVER (
+                 PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS brk
+           FROM m),
+         isl AS (
+           SELECT doc_id, p,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+           FROM b),
+         sp AS (
+           SELECT doc_id, island, max(p) + 25 - min(p) AS chars
+           FROM isl GROUP BY doc_id, island),
+         per AS (
+           SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+             CAST(sum(chars) AS INT) AS dup_chars
+           FROM sp GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(per.n_spans, 0) AS n_spans,
+           coalesce(per.dup_chars, 0) AS dup_chars,
+           CAST(d.len AS INT) AS n_chars
+         FROM d LEFT JOIN per USING (doc_id)""",
     "d_edit_pairs" ->
       """WITH p AS (
            SELECT doc_id, lang, source,

@@ -362,6 +362,132 @@ object Similarity {
     (augQ, augC)
   }
 
+  // ---- MMR diversified re-rank ----
+
+  /** 6-dp micro-integer form of a similarity: round-6 → exact decimal
+    * → ×1e6 → long. Every MMR comparison and score is then INTEGER
+    * arithmetic — no FP contract to pin anywhere in the greedy. */
+  private def simMicro(sim: Column): Column =
+    (round(sim, 6).cast("decimal(18,6)") * lit(1000000)).cast("long")
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998)
+    * with a release handle — the serving-side diversification step: an
+    * ANN shortlist is often dominated by near-duplicates of one
+    * result, so the final top-k greedily picks
+    *   argmax_d λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)
+    * (first pick = pure relevance; max over the empty set = 0).
+    * λ = `lambda10`/10 so scores stay exact integers:
+    * score_e7 = lambda10·rel_micro − (10−lambda10)·maxsim_micro.
+    * Ties break by n_id — the greedy is fully deterministic and every
+    * pick is replayable by an argmax over integer scores.
+    *
+    * Scale shape: the expensive part is shortlist scoring (one
+    * corpus × queries scan — swap in the IVF-PQ path at scale) and the
+    * shortlist×shortlist pairwise sims (queries × R² rows, corpus
+    * joined by id — no second scan-wide product). The greedy itself
+    * runs k rounds of shortlist-sized joins with the
+    * connectedComponents iteration discipline: per-round lineage
+    * truncation + persist, previous round released, the pair table
+    * released before return; only the accumulated picks stay cached
+    * for the caller (`release()` once staged). No collect anywhere —
+    * per-query state rides as columns, so a million queries diversify
+    * as one job. */
+  def mmrRerankReleasable(queries: DataFrame, corpus: DataFrame,
+      k: Int, shortlist: Int = 8, lambda10: Int = 7)
+      : (DataFrame, () => Unit) = {
+    require(k >= 1 && k <= shortlist,
+      s"k=$k must be in [1, shortlist=$shortlist]")
+    require(lambda10 >= 0 && lambda10 <= 10,
+      s"lambda10=$lambda10 must be in [0, 10]")
+    import org.apache.spark.storage.StorageLevel
+    val spark = queries.sparkSession
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val q = broadcast(queries
+      .select(col("vec_id").as("q_id"),
+        asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb")))))
+    val c = corpus
+      .select(col("vec_id").as("n_id"),
+        asDouble(col("embedding")).as("n_emb"))
+      .withColumn("n_norm", sqrt(dotD(col("n_emb"), col("n_emb"))))
+    val wTop = Window.partitionBy("q_id")
+      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
+    // shortlist with kept embeddings (for the pair sims), persisted:
+    // the corpus scan runs ONCE, not once per greedy round
+    val sl = truncated(c.crossJoin(q)
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("sim", dotD(col("q_emb"), col("n_emb")) /
+          (col("q_norm") * col("n_norm")))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= shortlist)
+        .select(col("q_id"), col("n_id"),
+          simMicro(col("sim")).as("rel_micro"),
+          col("n_emb"), col("n_norm")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // pairwise sims among each query's shortlist members (q × R²)
+    val pairs = truncated(sl.select(col("q_id"), col("n_id").as("a"),
+        col("n_emb").as("a_emb"), col("n_norm").as("a_norm"))
+      .join(sl.select(col("q_id"), col("n_id").as("b"),
+        col("n_emb").as("b_emb"), col("n_norm").as("b_norm")),
+        Seq("q_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("q_id"), col("a"), col("b"),
+        simMicro(dotD(col("a_emb"), col("b_emb")) /
+          (col("a_norm") * col("b_norm"))).as("sim_micro")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wPick = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("n_id").asc)
+    // rem: remaining candidates with ms = running max sim_micro to the
+    // selected set (null until the first pick lands a real sim — so
+    // score uses the TRUE max, which may be negative, never a 0 floor)
+    var rem = sl.select(col("q_id"), col("n_id"), col("rel_micro"))
+      .withColumn("ms", lit(null).cast("long"))
+    var acc: DataFrame = null
+    var prevAcc: DataFrame = null
+    (1 to k).foreach { r =>
+      val scored = rem.withColumn("score",
+        lit(lambda10) * col("rel_micro") -
+          lit(10 - lambda10) * coalesce(col("ms"), lit(0L)))
+      val pick = scored.withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .select(col("q_id"), lit(r).as("rank"), col("n_id"),
+          col("score").as("mmr_score_e7"))
+      val newAcc = truncated(if (acc == null) pick else acc.union(pick))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      newAcc.count() // materialize before releasing the previous round
+      if (prevAcc != null) prevAcc.unpersist()
+      prevAcc = acc
+      acc = newAcc
+      if (r < k) {
+        val picked = acc.filter(col("rank") === r)
+          .select(col("q_id"), col("n_id").as("pick_id"))
+        rem = rem.join(picked, Seq("q_id"))
+          .filter(col("n_id") =!= col("pick_id"))
+          .join(pairs.select(col("q_id"), col("a").as("n_id"),
+            col("b").as("pick_id"), col("sim_micro")),
+            Seq("q_id", "n_id", "pick_id"))
+          .select(col("q_id"), col("n_id"), col("rel_micro"),
+            greatest(coalesce(col("ms"), col("sim_micro")),
+              col("sim_micro")).as("ms"))
+      }
+    }
+    if (prevAcc != null) prevAcc.unpersist()
+    sl.unpersist()
+    pairs.unpersist()
+    val out = acc.select(col("q_id"), col("rank").cast("int").as("rank"),
+      col("n_id"), col("mmr_score_e7"))
+    val finalAcc = acc
+    (out, () => { finalAcc.unpersist(); () })
+  }
+
+  /** `mmrRerankReleasable` without the handle — callers that stage the
+    * result may unpersist the accumulated picks after (the
+    * connectedComponents convention). */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int = 8, lambda10: Int = 7): DataFrame =
+    mmrRerankReleasable(queries, corpus, k, shortlist, lambda10)._1
+
   /** All-pairs candidate scoring via LSH bucket SELF-join: every pair
     * of corpus vectors sharing ≥1 table bucket, scored with the exact
     * cosine and collapsed per pair. Neither side broadcasts — this is
@@ -685,6 +811,133 @@ object Similarity {
         .join(adcLut(queries, cb, mSub), Seq("q_id", "sub", "code")), k)
   }
 
+  // ---- residual PQ (IVF-PQ with by_residual — the FAISS default) ----
+
+  /** (vec_id, embedding) corpus of COARSE RESIDUALS v − c(list(v)).
+    * Quantizing residuals instead of raw vectors is the classic IVF-PQ
+    * refinement (Jégou et al. 2011): residual energy is much smaller
+    * than vector energy, so the same mSub×kCodes codeword budget
+    * spends itself on the part the coarse quantizer didn't explain and
+    * reconstruction MSE drops (PqSpec pins residual MSE < raw MSE on
+    * the real corpus). Narrow: one broadcast-centroid join + a
+    * zip_with subtract — residual extraction runs at scan speed. */
+  def residualCorpus(corpus: DataFrame, lists: DataFrame,
+      cents: DataFrame): DataFrame =
+    prepare(corpus).join(lists, Seq("n_id")).join(cents, Seq("cid"))
+      .select(col("n_id").as("vec_id"),
+        zip_with(col("n_emb"), col("c_emb"), (v, c) => v - c)
+          .as("embedding"))
+
+  /** Mean squared sub-vector quantization error of a coded corpus —
+    * the PQ quality metric (reconstruction MSE of x equals the
+    * quantization MSE of whatever was coded: raw vectors for plain PQ,
+    * coarse residuals for residual PQ, since the coarse term cancels).
+    * Exact decimal mean so the comparison is order-independent. */
+  def pqMse(vectors: DataFrame, cb: DataFrame, codes: DataFrame,
+      mSub: Int = 8): Double =
+    subRows(prepare(vectors), mSub)
+      .join(codes.select(col("n_id"), col("sub"), col("code")),
+        Seq("n_id", "sub"))
+      .join(cb, Seq("sub", "code"))
+      .select(sqDist(col("s_emb"), col("c_emb"))
+        .cast("decimal(38,18)").as("e2"))
+      .agg(avg("e2").cast("double")).head.getDouble(0)
+
+  /** Residual-PQ ADC top-k over prepared index state. Scoring
+    * reconstructs x̂ = c_list + r̂ entirely from broadcast lookup
+    * terms:
+    *   <q, x̂>  = <q, c> + Σ_sub <q_sub, cw_sub>
+    *   |x̂|²   = |c|² + Σ_sub (2·<c_sub, cw_sub> + |cw_sub|²)
+    * — the per-(query, centroid) terms and the per-(centroid, sub,
+    * code) cross terms are nlist- and nlist×mSub×kCodes-sized
+    * broadcasts; the corpus side still arrives as 8-byte codes. Every
+    * partial is 6-dp DECIMAL (the adcLut summation contract), so the
+    * shuffle-order-free sums replay bit-for-bit cross-engine. */
+  private def residualAdcTopK(queries: DataFrame, cents: DataFrame,
+      lists: DataFrame, probes: DataFrame, cb: DataFrame,
+      codes: DataFrame, k: Int, mSub: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"),
+        asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb"))))
+    val dec6 = (c: Column) => round(c, 6).cast("decimal(18,6)")
+    val qc = broadcast(q.crossJoin(cents)
+      .select(col("q_id"), col("cid"), col("q_norm"),
+        dec6(dotD(col("q_emb"), col("c_emb"))).as("qcip"),
+        dec6(dotD(col("c_emb"), col("c_emb"))).as("cn2")))
+    val cSubs = subRows(cents.select(col("cid").as("n_id"),
+        col("c_emb").as("n_emb")), mSub)
+      .select(col("n_id").as("cid"), col("sub"),
+        col("s_emb").as("c_sub"))
+    val cterm = broadcast(cSubs.join(cb, Seq("sub"))
+      .select(col("cid"), col("sub"), col("code"),
+        (dec6(dotD(col("c_sub"), col("c_emb"))) * 2 +
+          dec6(dotD(col("c_emb"), col("c_emb")))).as("cterm")))
+    val cand = lists.join(probes, Seq("cid"))
+      .select(col("q_id"), col("n_id"), col("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+    val lut = adcLut(q.select(col("q_id").as("vec_id"),
+        col("q_emb").as("embedding")), cb, mSub)
+      .select(col("q_id"), col("sub"), col("code"), col("partial"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
+    codes.join(cand, Seq("n_id"))
+      .join(lut, Seq("q_id", "sub", "code"))
+      .join(cterm, Seq("cid", "sub", "code"))
+      .groupBy("q_id", "n_id", "cid")
+      .agg(sum("partial").as("rp"), sum("cterm").as("ct"))
+      .join(qc, Seq("q_id", "cid"))
+      .withColumn("sim", (col("qcip") + col("rp")).cast("double") /
+        (col("q_norm") * sqrt((col("cn2") + col("ct")).cast("double"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").cast("int").as("rank"),
+        col("n_id"), round(col("sim"), 4).as("adc_sim"))
+  }
+
+  /** Residual-PQ index build in ONE self-contained execution (coarse
+    * fit → lists → residuals → grouped-Lloyd codebooks on residuals →
+    * codes), dumped in the x_pq_index schema. The gate's oracle
+    * conditions on the x_ann_ivf_assign dump (a SEPARATE execution's
+    * coarse fit — determinism hash-checked, as ever) to re-derive
+    * every residual and every argmin-L2 code over the echoed
+    * codebooks. */
+  def pqResidualIndex(corpus: DataFrame, nlist: Int = 16,
+      lloydIters: Int = 2, mSub: Int = 8, kCodes: Int = 16): DataFrame = {
+    val prepared = prepare(corpus)
+    val cents = fitCentroids(prepared, nlist, lloydIters)
+    val lists = rankByCentroid(prepared, cents, "n_id", "n_emb",
+      "n_norm").filter(col("c_rank") === 1).select("n_id", "cid")
+    val res = residualCorpus(corpus, lists, cents)
+    val cb = pqFitCodebooks(res, mSub, kCodes, lloydIters)
+    cb.select(lit("cb").as("kind"), col("sub"),
+        col("code").cast("long").as("id"),
+        serDec6(col("c_emb")).as("payload"))
+      .unionByName(pqEncode(res, cb, mSub)
+        .select(lit("code").as("kind"), col("sub"),
+          col("n_id").as("id"), col("code").cast("string").as("payload")))
+  }
+
+  /** Self-contained residual IVF-PQ top-k (refit path — the library
+    * form; the gate serves from the staged index instead). */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 6, mSub: Int = 8, kCodes: Int = 16,
+      lloydIters: Int = 2): DataFrame = {
+    val prepared = prepare(corpus)
+    val cents = fitCentroids(prepared, nlist, lloydIters)
+    val lists = rankByCentroid(prepared, cents, "n_id", "n_emb",
+      "n_norm").filter(col("c_rank") === 1).select("n_id", "cid")
+    val q = queries.select(col("vec_id").as("q_id"),
+        asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb"))))
+    val probes = broadcast(rankByCentroid(q, cents, "q_id", "q_emb",
+        "q_norm").filter(col("c_rank") <= nprobe)
+      .select(col("cid"), col("q_id")))
+    val res = residualCorpus(corpus, lists, cents)
+    val cb = pqFitCodebooks(res, mSub, kCodes, lloydIters)
+    val codes = pqEncode(res, cb, mSub)
+    residualAdcTopK(queries, cents, lists, probes, cb, codes, k, mSub)
+  }
+
   // ---- gate queries ----
 
   private def queriesSide(s: SparkSession, d: String): DataFrame =
@@ -863,16 +1116,25 @@ object Similarity {
       val lists = rankByCentroid(prepared, centroids, "n_id", "n_emb",
         "n_norm").filter(col("c_rank") === 1)
         .select(lit("list").as("kind"), col("n_id").as("id"),
-          col("cid"), lit(1).as("rk"))
+          col("cid"), lit(1).as("rk"),
+          lit(null).cast("string").as("payload"))
       val q = queriesSide(s, d).select(col("vec_id").as("q_id"),
           asDouble(col("embedding")).as("q_emb"))
         .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb"))))
       val probes = rankByCentroid(q, centroids, "q_id", "q_emb",
         "q_norm")
         .select(lit("probe").as("kind"), col("q_id").as("id"),
-          col("cid"), col("c_rank").as("rk"))
+          col("cid"), col("c_rank").as("rk"),
+          lit(null).cast("string").as("payload"))
+      // centroid vectors ride along (6-dp decimal text — lossless) so
+      // the residual-PQ consumers can subtract the coarse codeword
+      // without refitting
+      val cents = centroids.select(lit("cent").as("kind"),
+        col("cid").as("id"), col("cid"), lit(0).as("rk"),
+        serDec6(col("c_emb")).as("payload"))
       val dir = stageDir("graft_ivf_assign_", d)
-      graft.io.Writers.overwriteStaged(lists.unionByName(probes), dir)
+      graft.io.Writers.overwriteStaged(
+        lists.unionByName(probes).unionByName(cents), dir)
       dir
     })
     s.read.parquet(path)
@@ -931,12 +1193,74 @@ object Similarity {
     refineRerank(ivfPqTopKStaged(s, d, 10, nprobe = 6),
       queriesSide(s, d), t(s, d, "embeddings"), 3)
 
+  private val stagedRpq =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Residual codebooks + codes staged once per (process, sf dir),
+    * fitted over residuals of the STAGED coarse assignment — serving
+    * consumes the built index; only the x_pq_residual_index gate
+    * refits (the determinism proof, the x_pq_index precedent). */
+  private def rpqIndexStaged(s: SparkSession, d: String): DataFrame = {
+    val path = stagedRpq.computeIfAbsent(d, _ => {
+      val asg = ivfAssignStaged(s, d)
+      val cents = loadIvfCentroids(asg)
+      val lists = asg.filter(col("kind") === "list")
+        .select(col("id").as("n_id"), col("cid"))
+      val res = residualCorpus(t(s, d, "embeddings"), lists, cents)
+      val cb = pqFitCodebooks(res)
+      val dump = cb.select(lit("cb").as("kind"), col("sub"),
+          col("code").cast("long").as("id"),
+          serDec6(col("c_emb")).as("payload"))
+        .unionByName(pqEncode(res, cb)
+          .select(lit("code").as("kind"), col("sub"),
+            col("n_id").as("id"), col("code").cast("string").as("payload")))
+      val dir = stageDir("graft_rpq_index_", d)
+      graft.io.Writers.overwriteStaged(dump, dir)
+      dir
+    })
+    s.read.parquet(path)
+  }
+
+  /** Residual-PQ index dump — the refit execution whose conditioned
+    * oracle re-derives every residual (from the x_ann_ivf_assign
+    * dump's centroids + lists) and every argmin-L2 code over the
+    * echoed residual codebooks. */
+  private def xPqResidualIndex(s: SparkSession, d: String): DataFrame =
+    pqResidualIndex(t(s, d, "embeddings"))
+
+  /** Residual IVF-PQ top-3 at production nprobe=6, served from the
+    * staged coarse assignment + staged residual index. Oracle replays
+    * the full reconstruction-ADC arithmetic from both dumps. */
+  private def xPqResidual(s: SparkSession, d: String): DataFrame = {
+    val asg = ivfAssignStaged(s, d)
+    val cents = loadIvfCentroids(asg)
+    val lists = asg.filter(col("kind") === "list")
+      .select(col("id").as("n_id"), col("cid"))
+    val probes = broadcast(asg
+      .filter(col("kind") === "probe" && col("rk") <= 6)
+      .select(col("cid"), col("id").as("q_id")))
+    val idx = rpqIndexStaged(s, d)
+    residualAdcTopK(queriesSide(s, d), cents, lists, probes,
+      loadPqCodebooks(idx),
+      idx.filter(col("kind") === "code").select(col("id").as("n_id"),
+        col("sub"), col("payload").cast("int").as("code")),
+      3, 8)
+  }
+
   /** MIPS top-3 for the query slice, FULL oracle (DuckDB ranks by
     * list_inner_product over all pairs — the exact semantics). The
     * augmented-cosine scale path is pinned against this exact form in
     * SimilaritySpec. */
   private def xMips(s: SparkSession, d: String): DataFrame =
     mipsTopK(queriesSide(s, d), t(s, d, "embeddings"), 3)
+
+  /** MMR-diversified top-5 from an 8-wide shortlist at λ = 0.7.
+    * Conditioned-total oracle: DuckDB re-derives EVERY rank's argmax
+    * from the shortlist + pair sims given only the dump's PRIOR picks
+    * — a wrong pick at any rank mismatches at that rank. */
+  private def xMmr(s: SparkSession, d: String): DataFrame =
+    mmrRerank(queriesSide(s, d), t(s, d, "embeddings"),
+      k = 5, shortlist = 8, lambda10 = 7)
 
   /** kNN label vote: majority label of the 5 nearest neighbors,
     * ties → smallest label (deterministic). */
@@ -1060,8 +1384,11 @@ object Similarity {
     "x_pq_ivf" -> xPqIvf _,
     "x_pq_ivf_full" -> xPqIvfFull _,
     "x_pq_refine" -> xPqRefine _,
+    "x_pq_residual_index" -> xPqResidualIndex _,
+    "x_pq_residual" -> xPqResidual _,
     "x_knn_label" -> xKnnLabel _,
     "x_mips" -> xMips _,
+    "x_mmr" -> xMmr _,
     "x_centroid" -> xCentroid _)
 
   /** Brute-force top-3 in DuckDB — the oracle for every ANN gate that
@@ -1276,6 +1603,54 @@ object Similarity {
          FROM (SELECT *, row_number() OVER (PARTITION BY q_id
            ORDER BY round(ip, 6) DESC, n_id ASC) AS rn FROM scored) x
          WHERE rn <= 3""",
+    "x_mmr" ->
+      """WITH q AS (SELECT vec_id AS q_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS n_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         FROM embeddings),
+         scored AS (
+           SELECT q.q_id, c.n_id,
+             list_cosine_similarity(q.e, c.e) AS sim
+           FROM c CROSS JOIN q WHERE c.n_id <> q.q_id),
+         sl AS (
+           SELECT q_id, n_id,
+             CAST(CAST(round(sim, 6) AS DECIMAL(18,6)) * 1000000
+               AS BIGINT) AS rel_micro
+           FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY round(sim, 6) DESC, n_id ASC) AS rn FROM scored) x
+           WHERE rn <= 8),
+         p AS (
+           SELECT a.q_id, a.n_id AS a, b.n_id AS b,
+             CAST(CAST(round(list_cosine_similarity(ca.e, cb.e), 6)
+               AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS sim_micro
+           FROM sl a JOIN sl b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+           JOIN c ca ON ca.n_id = a.n_id
+           JOIN c cb ON cb.n_id = b.n_id),
+         dump AS (
+           SELECT q_id, rank, n_id
+           FROM parquet_scan('__OUTDIR__/x_mmr/*.parquet')),
+         prior AS (
+           SELECT r.q_id, r.rank,
+             coalesce(list(d.n_id) FILTER (WHERE d.n_id IS NOT NULL),
+               []) AS sel
+           FROM (SELECT DISTINCT q_id, rank FROM dump) r
+           LEFT JOIN dump d ON d.q_id = r.q_id AND d.rank < r.rank
+           GROUP BY r.q_id, r.rank),
+         cand AS (
+           SELECT pr.q_id, pr.rank, s.n_id,
+             7 * s.rel_micro - 3 * coalesce((
+               SELECT max(p.sim_micro) FROM p
+               WHERE p.q_id = pr.q_id AND p.a = s.n_id
+                 AND list_contains(pr.sel, p.b)), 0) AS score
+           FROM prior pr JOIN sl s
+             ON s.q_id = pr.q_id AND NOT list_contains(pr.sel, s.n_id))
+         SELECT q_id, CAST(rank AS INT) AS rank, n_id,
+           CAST(score AS BIGINT) AS mmr_score_e7
+         FROM (SELECT *, row_number() OVER (PARTITION BY q_id, rank
+           ORDER BY score DESC, n_id ASC) AS rk FROM cand) x
+         WHERE rk = 1""",
     "x_ann_ivf_assign" -> ivfAssignReplaySql,
     "x_pq_index" -> pqIndexReplaySql,
     "x_pq_topk" -> pqReplayTopK(restrictToProbed = false),
@@ -1284,6 +1659,131 @@ object Similarity {
     "x_pq_ivf_full" -> pqReplayTopK(restrictToProbed = false),
     "x_pq_ivf" -> pqReplayTopK(restrictToProbed = true),
     "x_pq_refine" -> pqRefineReplaySql,
+    // conditioned-total: every residual re-derived from the
+    // x_ann_ivf_assign dump's centroids+lists (separate execution —
+    // fit determinism stays hash-checked), every code re-derived as
+    // the argmin-L2 codeword over the echoed residual codebooks
+    "x_pq_residual_index" ->
+      """WITH dump AS (
+           SELECT * FROM
+             parquet_scan('__OUTDIR__/x_pq_residual_index/*.parquet')),
+         cb AS (
+           SELECT sub, CAST(id AS INT) AS code,
+             list_transform(string_split(payload, ','),
+               x -> CAST(x AS DOUBLE)) AS c_emb
+           FROM dump WHERE kind = 'cb'),
+         asg AS (
+           SELECT * FROM
+             parquet_scan('__OUTDIR__/x_ann_ivf_assign/*.parquet')),
+         cent AS (
+           SELECT cid, list_transform(string_split(payload, ','),
+             x -> CAST(x AS DOUBLE)) AS c_emb
+           FROM asg WHERE kind = 'cent'),
+         lst AS (SELECT id AS vec_id, cid FROM asg WHERE kind = 'list'),
+         e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         res AS (
+           SELECT e.vec_id,
+             list_transform(range(len(e.emb)),
+               i -> e.emb[i+1] - c.c_emb[i+1]) AS emb
+           FROM e JOIN lst USING (vec_id) JOIN cent c USING (cid)),
+         subv AS (
+           SELECT vec_id, CAST(s.sub AS INT) AS sub,
+             list_slice(emb, s.sub * 8 + 1, s.sub * 8 + 8) AS s_emb
+           FROM res CROSS JOIN (SELECT unnest(range(8)) AS sub) s),
+         d2 AS (
+           SELECT v.vec_id, v.sub, c.code,
+             list_inner_product(
+               list_transform(range(8), i -> v.s_emb[i+1] - c.c_emb[i+1]),
+               list_transform(range(8), i -> v.s_emb[i+1] - c.c_emb[i+1]))
+               AS d2
+           FROM subv v JOIN cb c USING (sub)),
+         codes AS (
+           SELECT vec_id, sub, code,
+             row_number() OVER (PARTITION BY vec_id, sub
+               ORDER BY d2 ASC, code ASC) AS rk
+           FROM d2)
+         SELECT 'cb' AS kind, sub, id, payload FROM dump WHERE kind = 'cb'
+         UNION ALL
+         SELECT 'code', sub, vec_id, CAST(code AS VARCHAR)
+         FROM codes WHERE rk = 1""",
+    // full replay of the reconstruction ADC — LUT, centroid cross
+    // terms, decimal sums, ranking — from the two dumps
+    "x_pq_residual" ->
+      """WITH asg AS (
+           SELECT * FROM
+             parquet_scan('__OUTDIR__/x_ann_ivf_assign/*.parquet')),
+         cent AS (
+           SELECT cid, list_transform(string_split(payload, ','),
+             x -> CAST(x AS DOUBLE)) AS c_emb
+           FROM asg WHERE kind = 'cent'),
+         lst AS (SELECT id AS n_id, cid FROM asg WHERE kind = 'list'),
+         prb AS (SELECT id AS q_id, cid FROM asg WHERE kind = 'probe'),
+         idx AS (
+           SELECT * FROM
+             parquet_scan('__OUTDIR__/x_pq_residual_index/*.parquet')),
+         cb AS (
+           SELECT sub, CAST(id AS INT) AS code,
+             list_transform(string_split(payload, ','),
+               x -> CAST(x AS DOUBLE)) AS c_emb
+           FROM idx WHERE kind = 'cb'),
+         codes AS (
+           SELECT id AS n_id, sub, CAST(payload AS INT) AS code
+           FROM idx WHERE kind = 'code'),
+         qn AS (
+           SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb,
+             sqrt(list_inner_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(embedding, x -> CAST(x AS DOUBLE))))
+               AS q_norm
+           FROM embeddings WHERE vec_id < 10),
+         qc AS (
+           SELECT q.q_id, c.cid, q.q_norm,
+             CAST(round(list_inner_product(q.q_emb, c.c_emb), 6)
+               AS DECIMAL(18,6)) AS qcip,
+             CAST(round(list_inner_product(c.c_emb, c.c_emb), 6)
+               AS DECIMAL(18,6)) AS cn2
+           FROM qn q CROSS JOIN cent c),
+         lut AS (
+           SELECT q_id, sub, code,
+             CAST(round(list_inner_product(
+               list_slice(q_emb, sub*8+1, sub*8+8), cb.c_emb), 6)
+               AS DECIMAL(18,6)) AS partial
+           FROM qn CROSS JOIN cb),
+         ct AS (
+           SELECT c.cid, cb.sub, cb.code,
+             CAST(round(list_inner_product(
+               list_slice(c.c_emb, cb.sub*8+1, cb.sub*8+8), cb.c_emb), 6)
+               AS DECIMAL(18,6)) * 2
+             + CAST(round(list_inner_product(cb.c_emb, cb.c_emb), 6)
+               AS DECIMAL(18,6)) AS cterm
+           FROM cent c CROSS JOIN cb),
+         cand AS (
+           SELECT p.q_id, l.n_id, l.cid
+           FROM prb p JOIN lst l USING (cid)
+           WHERE l.n_id <> p.q_id),
+         agg AS (
+           SELECT cand.q_id, cand.n_id, cand.cid,
+             sum(lut.partial) AS rp, sum(ct.cterm) AS cts
+           FROM cand JOIN codes c2 ON c2.n_id = cand.n_id
+           JOIN lut ON lut.q_id = cand.q_id AND lut.sub = c2.sub
+             AND lut.code = c2.code
+           JOIN ct ON ct.cid = cand.cid AND ct.sub = c2.sub
+             AND ct.code = c2.code
+           GROUP BY 1, 2, 3),
+         scored AS (
+           SELECT a.q_id, a.n_id,
+             CAST(qc.qcip + a.rp AS DOUBLE) /
+               (qc.q_norm * sqrt(CAST(qc.cn2 + a.cts AS DOUBLE))) AS sim
+           FROM agg a JOIN qc ON qc.q_id = a.q_id AND qc.cid = a.cid)
+         SELECT q_id, CAST(rn AS INT) AS rank, n_id,
+           round(sim, 4) AS adc_sim
+         FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+           ORDER BY round(sim, 6) DESC, n_id ASC) AS rn FROM scored) x
+         WHERE rn <= 3""",
     "d_semantic_dedup" ->
       """WITH asg AS (
            SELECT vec_id, cid

@@ -132,6 +132,41 @@ object TextOps {
   private def txLmScore(s: SparkSession, d: String): DataFrame =
     bigramLmScore(t(s, d, "documents"), "doc_id", "text")
 
+  /** CCNet-style fluency bucketing: per-language terciles of the
+    * bigram-LM score (head = most fluent third, then middle, tail) —
+    * the standard corpus-quality partition used to mix or drop slices
+    * by LM fit (Wenzek et al., CCNet; reference analytics tier the
+    * same way with quality quantiles). Ordering is (lm_score DESC
+    * NULLS LAST, id ASC): lm_score is the 6-dp engine-portable score
+    * (hash-green in `tx_lm_score`), so the tercile split replays
+    * bit-for-bit in any engine; scoreless docs (< 2 tokens) sink to
+    * the tail deterministically.
+    *
+    * Scale shape: the LM scoring is the `bigramLmScore` plan (scan +
+    * vocab-sized joins); the bucketing adds ONE per-language window —
+    * `ntile` needs no per-group materialization beyond the sort, and
+    * language is a low-cardinality, high-volume partition key (each
+    * language's slice still distributes across its sort). */
+  def pplBuckets(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, nBuckets: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(langCol)
+      .orderBy(col("lm_score").desc_nulls_last, col(idCol).asc)
+    docs.select(col(idCol), col(langCol))
+      .join(bigramLmScore(docs, idCol, textCol), Seq(idCol))
+      .withColumn("bucket_id", ntile(nBuckets).over(w).cast("int"))
+      .withColumn("ppl_bucket",
+        when(col("bucket_id") === 1, "head")
+          .when(col("bucket_id") === nBuckets, "tail")
+          .otherwise("middle"))
+      .select(col(idCol), col(langCol), col("lm_score"),
+        col("bucket_id"), col("ppl_bucket"))
+  }
+
+  /** tx perplexity-bucket gate: per-language LM-score terciles. */
+  private def txPplBuckets(s: SparkSession, d: String): DataFrame =
+    pplBuckets(t(s, d, "documents"), "doc_id", "text", "lang")
+
   /** tx language ID: score each language's stopword profile against the
     * document's tokens, argmax with alphabetical tie-break (zero-hit
     * docs fall to the alphabetically-first profile). Oracled: the
@@ -993,6 +1028,7 @@ object TextOps {
     "tx_vocab_topk" -> txVocabTopk _,
     "tx_heavy_hitters" -> txHeavyHitters _,
     "tx_lm_score" -> txLmScore _,
+    "tx_ppl_buckets" -> txPplBuckets _,
     "tx_chunk_split" -> txChunkSplit _,
     "tx_bm25" -> txBm25 _)
 
@@ -1223,6 +1259,44 @@ object TextOps {
          SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
            round(CAST(a.p_sum AS DOUBLE) / a.n_bigrams, 6) AS lm_score
          FROM documents d LEFT JOIN agg a USING (doc_id)""",
+    "tx_ppl_buckets" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS tok
+           FROM documents),
+         bg AS (
+           SELECT doc_id, tok[r.i] AS w1, tok[r.i + 1] AS w2
+           FROM tk, unnest(range(1, len(tok))) AS r(i)),
+         uni AS (
+           SELECT w1, count(*) AS c1
+           FROM (SELECT unnest(tok) AS w1 FROM tk) GROUP BY 1),
+         v AS (SELECT count(*) AS v FROM uni),
+         bcnt AS (
+           SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         scored AS (
+           SELECT bg.doc_id,
+             CAST(round((bcnt.c2 + 1) * 1.0 / (uni.c1 + v.v), 6)
+               AS DECIMAL(18,6)) AS p
+           FROM bg JOIN bcnt USING (w1, w2) JOIN uni USING (w1)
+             CROSS JOIN v),
+         agg AS (
+           SELECT doc_id, sum(p) AS p_sum, count(*) AS n_bigrams
+           FROM scored GROUP BY 1),
+         sc AS (
+           SELECT d.doc_id, d.lang,
+             round(CAST(a.p_sum AS DOUBLE) / a.n_bigrams, 6) AS lm_score
+           FROM documents d LEFT JOIN agg a USING (doc_id)),
+         bk AS (
+           SELECT doc_id, lang, lm_score,
+             CAST(ntile(3) OVER (PARTITION BY lang
+               ORDER BY lm_score DESC NULLS LAST, doc_id ASC) AS INT)
+               AS bucket_id
+           FROM sc)
+         SELECT doc_id, lang, lm_score, bucket_id,
+           CASE WHEN bucket_id = 1 THEN 'head'
+                WHEN bucket_id = 3 THEN 'tail'
+                ELSE 'middle' END AS ppl_bucket
+         FROM bk""",
     "tx_heavy_hitters" ->
       """WITH tk AS (
            SELECT lang,

@@ -461,4 +461,59 @@ class DedupSpec extends AnyFunSuite {
         s"trial $trial (k=$k): got ${got.toSet} want $want on $strs")
     }
   }
+
+  test("substringSpans: hand-derived islands — cross-doc repeats, " +
+    "in-doc repeats, overlap merge, clean docs, short docs") {
+    // L=4. doc 1 & 2 share "ABCDEF" -> windows ABCD/BCDE/CDEF at
+    // positions 1..3 merge into ONE island of 6 chars in each.
+    // doc 3 repeats "WXYZ" in-doc at 1 and 9 (no overlap): 2 islands
+    // of 4. doc 4 is unique; doc 5 too short for any window.
+    val docs = Seq(
+      (1L, "ABCDEFgh"),
+      (2L, "xyABCDEF"),
+      (3L, "WXYZqrstWXYZ"),
+      (4L, "nothing here"),
+      (5L, "abc")
+    ).toDF("doc_id", "text")
+    for (hashed <- Seq(false, true)) {
+      val out = Dedup.substringSpans(docs, "doc_id", "text",
+          spanLen = 4, hashWindows = hashed)
+        .as[(Long, Int, Int, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(out.size == 5, s"hashed=$hashed")
+      assert(out(1L) == ((1, 6, 8)), s"hashed=$hashed: ${out(1L)}")
+      assert(out(2L) == ((1, 6, 8)), s"hashed=$hashed")
+      assert(out(3L) == ((2, 8, 12)), s"hashed=$hashed")
+      assert(out(4L) == ((0, 0, 12)), s"hashed=$hashed")
+      assert(out(5L) == ((0, 0, 3)), s"hashed=$hashed")
+    }
+  }
+
+  test("substringSpans: hashed == string-keyed on the documents " +
+    "corpus slice (the scale path computes the gate's answer)") {
+    val docs = graft.Tables.t(spark, graft.TestSpark.sf001, "documents")
+      .filter(col("doc_id") < 120)
+    val a = Dedup.substringSpans(docs, "doc_id", "text",
+        spanLen = 25, hashWindows = false)
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    val b = Dedup.substringSpans(docs, "doc_id", "text",
+        spanLen = 25, hashWindows = true)
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    assert(a.exists(_._2 > 0)) // the slice genuinely has repeats
+  }
+
+  test("substringSpans: adjacent-but-not-overlapping windows still " +
+    "merge (shared exclusive end == next start)") {
+    // L=3, doc A = "abcdef", doc B = "abc", doc C = "def": windows
+    // abc (pos 1) and def (pos 4) both dup'd; island break requires
+    // p > prev_end-1, and 4 > 1+3-1 is FALSE -> one island of 6.
+    val docs = Seq((1L, "abcdef"), (2L, "abcxxx"), (3L, "xxxdef"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringSpans(docs, "doc_id", "text",
+        spanLen = 3, hashWindows = false)
+      .as[(Long, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1, 6))) // abc[1..3] + def[4..6] fuse seamlessly
+  }
 }

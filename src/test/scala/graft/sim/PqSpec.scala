@@ -230,4 +230,55 @@ class PqSpec extends AnyFunSuite {
     assert(stagedFull == live,
       "staged nprobe=nlist IVF-PQ must equal plain PQ-ADC")
   }
+
+  test("residual PQ: quantizing coarse residuals beats quantizing raw " +
+    "vectors at the same codebook budget (the Jégou by_residual claim)") {
+    val prepared = corpus.select(col("vec_id").as("n_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("n_emb"))
+      .withColumn("n_norm",
+        sqrt(aggregate(expr("transform(n_emb, x -> x * x)"),
+          lit(0.0), (a, v) => a + v)))
+    // raw-vector PQ at the gate budget
+    val rawCb = Similarity.pqFitCodebooks(corpus)
+    val rawMse = Similarity.pqMse(corpus, rawCb,
+      Similarity.pqEncode(corpus, rawCb))
+    // residual PQ from the dumped index (cents+lists via the dump
+    // parsers — exercises the exact serving path)
+    val idx = Similarity.pqResidualIndex(corpus)
+    val asg = Similarity.ivfAssignments(
+      corpus.filter(col("vec_id") < 10), corpus)
+    val cents = Similarity.loadIvfCentroids(asg)
+    val lists = asg.filter(col("kind") === "list")
+      .select(col("id").as("n_id"), col("cid"))
+    val res = Similarity.residualCorpus(corpus, lists, cents)
+    val resCb = idx.filter(col("kind") === "cb")
+      .select(col("sub"), col("id").cast("int").as("code"),
+        expr("transform(split(payload, ','), x -> cast(x as double))")
+          .as("c_emb"))
+    val resCodes = idx.filter(col("kind") === "code")
+      .select(col("id").as("n_id"), col("sub"),
+        col("payload").cast("int").as("code"))
+    val resMse = Similarity.pqMse(res, resCb, resCodes)
+    assert(resMse < rawMse,
+      s"residual MSE $resMse must beat raw MSE $rawMse")
+  }
+
+  test("residual IVF-PQ: staged gate equals the self-contained refit " +
+    "path; structural sanity (3 ranks per query, no self-hits)") {
+    val d = TestSpark.sf0001
+    val queries = corpus.filter(col("vec_id") < 10)
+    val staged = Similarity.queries("x_pq_residual")(spark, d)
+      .collect().map(_.toSeq).toSet
+    val live = Similarity.ivfPqResidualTopK(queries, corpus, 3)
+      .collect().map(_.toSeq).toSet
+    assert(staged == live,
+      "staged residual serving differs from the live refit path")
+    val rows = Similarity.queries("x_pq_residual")(spark, d).collect()
+    assert(rows.length == 30)
+    assert(!rows.exists(r =>
+      r.getAs[Long]("q_id") == r.getAs[Long]("n_id")))
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.forall(_._2.map(_.getAs[Int]("rank")).sorted.toSeq ==
+      Seq(1, 2, 3)))
+  }
 }

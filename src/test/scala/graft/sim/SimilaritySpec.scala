@@ -256,4 +256,80 @@ class SimilaritySpec extends AnyFunSuite {
       .distinct().count()
     assert(norms == 1, "augmented corpus norms are not all equal")
   }
+
+  test("mmrRerank: diversification demotes the near-duplicate — the " +
+    "planted orthogonal doc outranks a higher-relevance clone") {
+    // q = x-axis; A and B nearly identical (both ~45° from q,
+    // sim(A,B) ≈ 1), D mirrored (-45°: same relevance class, ~0 sim
+    // to A). Pure relevance ranks A,B,D; MMR at λ=0.7 must rank
+    // A,D,B — rank 2 trades 0.01 of relevance for ~1.0 of diversity.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), "q"),
+      (1L, Array(0.72f, 0.694f, 0.0f), "a"),
+      (2L, Array(0.71f, 0.704f, 0.0f), "b"),
+      (3L, Array(0.70f, -0.714f, 0.0f), "d")
+    ).toDF("vec_id", "embedding", "label")
+    val queries = vecs.filter(col("vec_id") === 0L)
+    val mmr = Similarity.mmrRerank(queries, vecs, k = 3, shortlist = 3)
+      .orderBy("rank").select("rank", "n_id")
+      .as[(Int, Long)].collect().toSeq
+    assert(mmr == Seq((1, 1L), (2, 3L), (3, 2L)),
+      s"got $mmr")
+    val brute = Similarity.bruteForceTopK(queries, vecs, 3)
+      .orderBy("rank").select("n_id").as[Long].collect().toSeq
+    assert(brute == Seq(1L, 2L, 3L)) // relevance alone keeps the clone
+  }
+
+  test("mmrRerank: λ=1 reduces to pure relevance (equals brute " +
+    "top-k ids in order); picks are k distinct shortlist members") {
+    val queries = t(spark, TestSpark.sf0001, "embeddings")
+      .filter(col("vec_id") < 5)
+    val corpus = t(spark, TestSpark.sf0001, "embeddings")
+    val mmr = Similarity.mmrRerank(queries, corpus, k = 4,
+        shortlist = 6, lambda10 = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id")))
+    val brute = Similarity.bruteForceTopK(queries, corpus, 4)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"))).toSet
+    assert(mmr.toSet == brute,
+      "λ=1 MMR must equal relevance-ranked top-k")
+    val byQ = mmr.groupBy(_._1)
+    assert(byQ.size == 5)
+    assert(byQ.values.forall(g => g.map(_._3).distinct.length == 4))
+    assert(byQ.values.forall(g => g.map(_._2).sorted.toSeq ==
+      Seq(1, 2, 3, 4)))
+  }
+
+  test("mmrRerank: rank-1 score is exactly 7×rel_micro of the " +
+    "relevance winner (the integer-score contract)") {
+    val queries = t(spark, TestSpark.sf0001, "embeddings")
+      .filter(col("vec_id") < 3)
+    val corpus = t(spark, TestSpark.sf0001, "embeddings")
+    val top1 = Similarity.bruteForceTopK(queries, corpus, 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    // independent rel_micro: plain Scala cosine, round-6, ×1e6
+    val embs = corpus.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+      .map { case (k, v) => k -> v.map(_.toDouble) }
+    def relMicro(q: Long, n: Long): Long = {
+      val (a, b) = (embs(q), embs(n))
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val sim = dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      // mirror Spark's Round-on-double exactly: BigDecimal.valueOf
+      // (shortest decimal repr), then HALF_UP at scale 6
+      BigDecimal(java.math.BigDecimal.valueOf(sim))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact
+    }
+    val got = Similarity.mmrRerank(queries, corpus, k = 1, shortlist = 4)
+      .select("q_id", "n_id", "mmr_score_e7")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 3)
+    got.foreach { case (q, n, s) =>
+      assert(n == top1(q), s"rank-1 pick for $q is not the rel winner")
+      assert(s == 7L * relMicro(q, n), s"score mismatch for q=$q")
+    }
+  }
 }

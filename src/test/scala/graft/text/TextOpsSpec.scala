@@ -340,4 +340,45 @@ class TextOpsSpec extends AnyFunSuite {
       .map { case (id, n, sc) => id -> (n, sc) }.toMap
     assert(out == Map(1L -> (3L, Some(0.533333)), 2L -> (0L, None)))
   }
+
+  test("pplBuckets: per-language terciles follow (lm_score desc, id) " +
+    "order; scoreless docs sink to the tail; every doc keeps one row") {
+    // lang a: 6 scored docs + 1 single-token (null score) doc;
+    // lang b: 2 docs (ntile(3) on 2 rows -> buckets 1 and 2).
+    val docs = Seq(
+      (1L, "a", "p p p p p p"),   // maximally repetitive = most fluent
+      (2L, "a", "p p p p q r"),
+      (3L, "a", "p q r s t u"),
+      (4L, "a", "q r s t u v"),
+      (5L, "a", "v u t s r q"),
+      (6L, "a", "m n o m n o"),
+      (7L, "a", "solo"),          // no bigrams -> null score -> tail
+      (8L, "b", "p p p"),
+      (9L, "b", "z z9")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextOps.pplBuckets(docs, "doc_id", "text", "lang")
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("lang"), r.getAs[Int]("bucket_id"),
+        r.getAs[String]("ppl_bucket"),
+        Option(r.getAs[Any]("lm_score"))))).toMap
+    assert(rows.size == 9)
+    // the expected assignment replayed from the score itself: sort each
+    // language by (score desc nulls last, id), split into terciles
+    val scores = TextOps.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    for (lang <- Seq("a", "b")) {
+      val ids = rows.filter(_._2._1 == lang).keys.toSeq
+        .sortBy(id => (scores(id).map(-_).getOrElse(Double.MaxValue), id))
+      val n = ids.size
+      ids.zipWithIndex.foreach { case (id, i) =>
+        val expected = (i * 3) / n + 1 // ntile: first buckets get extras
+        assert(rows(id)._2 == expected,
+          s"doc $id in $lang: got ${rows(id)._2}, want $expected")
+      }
+    }
+    assert(rows(7L)._3 == "tail" && rows(7L)._4.isEmpty)
+    assert(rows(1L)._3 == "head")
+    assert(rows(8L)._3 == "head" && rows(9L)._3 == "middle")
+  }
 }
