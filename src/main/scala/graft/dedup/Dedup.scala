@@ -402,10 +402,32 @@ object Dedup {
     * precedent: gates prove logic, the hash is the scale lever). */
   def substringSpans(docs: DataFrame, idCol: String, textCol: String,
       spanLen: Int = 25, hashWindows: Boolean = true): DataFrame = {
+    val src = spanSrc(docs, idCol, textCol)
+    val perDoc = dupIslands(src, spanLen, hashWindows)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        sum(col("e") - col("s")).cast("int").as("dup_chars"))
+    src.select(col("doc_id"), col("len").cast("int").as("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0)).as("dup_chars"),
+        col("n_chars"))
+  }
+
+  private def spanSrc(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("txt"), length(col(textCol)).as("len"))
+
+  /** The maximal duplicated islands behind `substringSpans`/
+    * `substringCut`: (doc_id, s, e) with 1-based inclusive start `s`
+    * and EXCLUSIVE end `e`, non-overlapping and non-adjacent by
+    * construction (adjacent runs fuse). */
+  private def dupIslands(src: DataFrame, spanLen: Int,
+      hashWindows: Boolean): DataFrame = {
     require(spanLen >= 2, s"spanLen=$spanLen must be >= 2")
     val w = org.apache.spark.sql.expressions.Window
-    val src = docs.select(col(idCol).as("doc_id"),
-      col(textCol).as("txt"), length(col(textCol)).as("len"))
     // filter, don't clamp: sequence(1, 0) in Spark is the DESCENDING
     // [1, 0], not empty — sub-spanLen docs must not reach the explode
     val wins = src
@@ -422,7 +444,7 @@ object Dedup {
       .filter(col("c") > 1).select("k")
     val marked = wins.join(dupKeys, Seq("k")).select("doc_id", "p")
     val perDoc = w.partitionBy("doc_id").orderBy("p")
-    val islands = marked
+    marked
       .withColumn("prev_end", max(col("p") + spanLen).over(
         perDoc.rowsBetween(w.unboundedPreceding, -1)))
       .withColumn("brk",
@@ -430,16 +452,43 @@ object Dedup {
           .otherwise(0))
       .withColumn("island", sum("brk").over(perDoc))
       .groupBy("doc_id", "island")
-      .agg((max(col("p")) + spanLen - min(col("p"))).as("chars"))
+      .agg(min(col("p")).cast("int").as("s"),
+        (max(col("p")) + spanLen).cast("int").as("e"))
+  }
+
+  /** APPLY the ExactSubstr cut: every duplicated island's characters
+    * are removed and the remainder re-concatenates in order — the
+    * rewrite pass Lee et al. run after span detection (every repeated
+    * occurrence is cut; a canonical-copy policy would instead exempt
+    * one doc per span cluster). Returns (doc_id, clean_text, n_cut,
+    * n_chars) for every input doc.
+    *
+    * The reconstruction is ONE fold over the doc's sorted island
+    * array (substr-outside-islands concatenation) — per-row after a
+    * collect_list of its own islands, so the rewrite runs at scan
+    * speed and the only shuffles are the span-detection ones. */
+  def substringCut(docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 25, hashWindows: Boolean = true): DataFrame = {
+    val src = spanSrc(docs, idCol, textCol)
+    val arr = dupIslands(src, spanLen, hashWindows)
       .groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("n_spans"),
-        sum("chars").cast("int").as("dup_chars"))
-    src.select(col("doc_id"), col("len").cast("int").as("n_chars"))
-      .join(islands, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_spans"), lit(0)).as("n_spans"),
-        coalesce(col("dup_chars"), lit(0)).as("dup_chars"),
-        col("n_chars"))
+      .agg(array_sort(collect_list(struct(col("s"), col("e"))))
+        .as("isl"))
+    src.join(arr, Seq("doc_id"), "left")
+      .withColumn("isl", coalesce(col("isl"),
+        array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("clean_text", aggregate(col("isl"),
+        struct(lit(1).as("pos"), lit("").as("txt")),
+        (a, i) => struct(i.getField("e").as("pos"),
+          concat(a.getField("txt"),
+            col("txt").substr(a.getField("pos"),
+              i.getField("s") - a.getField("pos"))).as("txt")),
+        a => concat(a.getField("txt"),
+          col("txt").substr(a.getField("pos"),
+            col("len") - a.getField("pos") + 1))))
+      .select(col("doc_id"), col("clean_text"),
+        (col("len") - length(col("clean_text"))).cast("int").as("n_cut"),
+        col("len").cast("int").as("n_chars"))
   }
 
   /** Incremental near-dup probe: a NEW batch against the EXISTING
@@ -899,8 +948,17 @@ object Dedup {
     substringSpans(t(s, d, "documents"), "doc_id", "text",
       spanLen = 25, hashWindows = false)
 
+  /** The applied cut over the same spans — the oracle rebuilds each
+    * clean text per-CHARACTER (kept positions → string_agg), a
+    * deliberately different formulation from the engine's island fold,
+    * so a boundary error in either cannot cancel out. */
+  private def dSubstringCut(s: SparkSession, d: String): DataFrame =
+    substringCut(t(s, d, "documents"), "doc_id", "text",
+      spanLen = 25, hashWindows = false)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_substring_spans" -> dSubstringSpans _,
+    "d_substring_cut" -> dSubstringCut _,
     "d_edit_pairs" -> dEditPairs _,
     "d_incr_neardup" -> dIncrNearDup _,
     "d_cluster_keep_best" -> dClusterKeepBest _,
@@ -948,6 +1006,49 @@ object Dedup {
            coalesce(per.dup_chars, 0) AS dup_chars,
            CAST(d.len AS INT) AS n_chars
          FROM d LEFT JOIN per USING (doc_id)""",
+    "d_substring_cut" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len FROM documents),
+         w AS (
+           SELECT doc_id, CAST(r.p AS INT) AS p,
+             substr(text, CAST(r.p AS INT), 25) AS g
+           FROM d, unnest(range(1, greatest(len - 23, 1))) AS r(p)),
+         dup AS (SELECT g FROM w GROUP BY g HAVING count(*) > 1),
+         m AS (SELECT doc_id, p FROM w
+           WHERE g IN (SELECT g FROM dup)),
+         b AS (
+           SELECT doc_id, p,
+             CASE WHEN p > coalesce(max(p + 25) OVER (
+                 PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS brk
+           FROM m),
+         isl AS (
+           SELECT doc_id, p,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+           FROM b),
+         sp AS (
+           SELECT doc_id, island, min(p) AS s, max(p) + 25 AS e
+           FROM isl GROUP BY doc_id, island),
+         cover AS (
+           SELECT doc_id, CAST(r.p AS INT) AS p
+           FROM sp, unnest(range(s, e)) AS r(p)),
+         allpos AS (
+           SELECT doc_id, CAST(r.p AS INT) AS p,
+             substr(text, CAST(r.p AS INT), 1) AS ch
+           FROM d, unnest(range(1, len + 1)) AS r(p)),
+         kept AS (
+           SELECT a.doc_id,
+             string_agg(a.ch, '' ORDER BY a.p) AS clean_text
+           FROM allpos a LEFT JOIN cover c
+             ON a.doc_id = c.doc_id AND a.p = c.p
+           WHERE c.p IS NULL
+           GROUP BY a.doc_id)
+         SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
+           CAST(d.len - length(coalesce(k.clean_text, '')) AS INT)
+             AS n_cut,
+           CAST(d.len AS INT) AS n_chars
+         FROM d LEFT JOIN kept k USING (doc_id)""",
     "d_edit_pairs" ->
       """WITH p AS (
            SELECT doc_id, lang, source,

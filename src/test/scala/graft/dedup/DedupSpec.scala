@@ -516,4 +516,53 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(out(1L) == ((1, 6))) // abc[1..3] + def[4..6] fuse seamlessly
   }
+
+  test("substringCut: hand-derived clean texts — head cut, tail cut, " +
+    "middle survivor, untouched docs, full-coverage doc") {
+    // Same L=4 fixture as the spans hand test, plus a doc-pair whose
+    // islands cover the WHOLE text (clean_text must be "").
+    val docs = Seq(
+      (1L, "ABCDEFgh"),     // island [1,7)  -> tail "gh" survives
+      (2L, "xyABCDEF"),     // island [3,9)  -> head "xy" survives
+      (3L, "WXYZqrstWXYZ"), // islands [1,5),[9,13) -> middle "qrst"
+      (4L, "nothing here"), // clean doc: unchanged
+      (5L, "abc"),          // sub-spanLen: unchanged
+      (6L, "PQRSTU"),       // full coverage vs doc 7 -> ""
+      (7L, "PQRSTU")
+    ).toDF("doc_id", "text")
+    for (hashed <- Seq(false, true)) {
+      val out = Dedup.substringCut(docs, "doc_id", "text",
+          spanLen = 4, hashWindows = hashed)
+        .as[(Long, String, Int, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(out.size == 7, s"hashed=$hashed")
+      assert(out(1L) == (("gh", 6, 8)), s"hashed=$hashed: ${out(1L)}")
+      assert(out(2L) == (("xy", 6, 8)), s"hashed=$hashed")
+      assert(out(3L) == (("qrst", 8, 12)), s"hashed=$hashed")
+      assert(out(4L) == (("nothing here", 0, 12)), s"hashed=$hashed")
+      assert(out(5L) == (("abc", 0, 3)), s"hashed=$hashed")
+      assert(out(6L) == (("", 6, 6)), s"hashed=$hashed")
+      assert(out(7L) == (("", 6, 6)), s"hashed=$hashed")
+    }
+  }
+
+  test("substringCut: n_cut == substringSpans dup_chars and " +
+    "length(clean_text) + n_cut == n_chars on the corpus slice") {
+    val docs = graft.Tables.t(spark, graft.TestSpark.sf001, "documents")
+      .filter(col("doc_id") < 120)
+    val cut = Dedup.substringCut(docs, "doc_id", "text",
+        spanLen = 25, hashWindows = true)
+      .as[(Long, String, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val spans = Dedup.substringSpans(docs, "doc_id", "text",
+        spanLen = 25, hashWindows = true)
+      .as[(Long, Int, Int, Int)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(cut.keySet == spans.keySet)
+    cut.foreach { case (id, (clean, nCut, nChars)) =>
+      assert(nCut == spans(id), s"doc $id: n_cut vs dup_chars")
+      assert(clean.length + nCut == nChars, s"doc $id: length ledger")
+    }
+    assert(cut.values.exists(_._2 > 0)) // the slice genuinely cuts
+  }
 }
