@@ -230,7 +230,45 @@ object Windows {
           .as("zscore"))
   }
 
+  /** Gap-based sessionization: split each key's ordered event stream
+    * wherever the inter-event gap exceeds `gapUs`, numbering sessions
+    * 1..k per key. The classic lag → break-flag → running-sum
+    * gaps-and-islands; all three stages share one partition key, so
+    * the whole pass is ONE shuffle on `keyCol` at any scale. The gap
+    * test runs on integer epoch-µs (exact, engine-portable — never
+    * interval arithmetic on doubles). `tieCol` makes the in-key order
+    * total so equal-timestamp events sessionize deterministically. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"gapUs=$gapUs must be > 0")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("_tu", unix_micros(col(tsCol)))
+      .withColumn("_brk",
+        when(col("_tu") - lag(col("_tu"), 1).over(w) <= gapUs, 0)
+          .otherwise(1)) // first row's lag is NULL -> comparison NULL -> 1
+      .withColumn("session_seq", sum(col("_brk")).over(w).cast("int"))
+      .drop("_tu", "_brk")
+  }
+
+  /** W10 gate: 30-minute-gap sessions over the event stream, rolled up
+    * to one row per session. Epoch-µs bounds (exact integers) and a
+    * decimal value sum — the w8/w9 cross-engine FP discipline. */
+  private def w10Sessionize(s: SparkSession, d: String): DataFrame =
+    sessionize(t(s, d, "events"), "user_id", "ts", "event_id",
+      gapUs = 1800000000L)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("duration_us"),
+        count(lit(1)).cast("int").as("n_events"),
+        sum(round(col("value"), 6).cast("decimal(28,6)"))
+          .cast("double").as("sum_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w10_sessionize" -> w10Sessionize _,
     "w9_rolling_zscore" -> w9RollingZscore _,
     "w1_lag_delta" -> w1Lag _,
     "w1_funnel" -> w1Funnel _,
@@ -244,6 +282,28 @@ object Windows {
     "a7_n50" -> a7N50 _)
 
   val oracle: Map[String, String] = Map(
+    "w10_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, value, epoch_us(ts) AS tu,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN tu - prev <= 1800000000 THEN 0 ELSE 1
+             END AS brk FROM e),
+         g AS (
+           SELECT *, CAST(sum(brk) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS INT)
+             AS session_seq
+           FROM f)
+         SELECT user_id, session_seq,
+           epoch_us(min(ts)) AS start_us,
+           epoch_us(max(ts)) AS end_us,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+           CAST(count(*) AS INT) AS n_events,
+           CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             AS sum_value
+         FROM g GROUP BY user_id, session_seq""",
     "w9_rolling_zscore" ->
       """WITH m AS (
            SELECT user_id, event_id, value,
