@@ -270,31 +270,40 @@ object Dedup {
       nb: Column): Column =
     round(inter / (na + nb - inter), 6)
 
+  /** `sizedGrams` with the `maxGramDf` hot-gram cap applied (and
+    * per-doc sizes recomputed over the SURVIVING grams) — the shared
+    * prep of the symmetric-Jaccard and containment pair joins. */
+  private def sizedGramsCapped(docs: DataFrame, idCol: String,
+      textCol: String, bc: Seq[Column], blockCols: Seq[String], n: Int,
+      maxGramDf: Int): DataFrame =
+    if (maxGramDf == Int.MaxValue)
+      sizedGrams(docs, idCol, textCol, bc, n, "doc_id", "n_grams")
+    else {
+      val exploded = docs.select(bc :+ col(idCol).as("doc_id") :+
+          tokenNgrams(TextOps.tokens(lower(col(textCol))), n)
+            .as("grams"): _*)
+        .select(bc :+ col("doc_id") :+ explode(col("grams"))
+          .as("gram"): _*)
+      // grams are distinct per doc, so count per (block, gram) IS the
+      // document frequency
+      exploded
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy((blockCols :+ "gram").map(col): _*)))
+        .filter(col("df") <= maxGramDf)
+        .withColumn("n_grams", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy((blockCols :+ "doc_id").map(col): _*)))
+        .select(bc :+ col("doc_id") :+ col("n_grams") :+
+          col("gram"): _*)
+    }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String] = Nil, n: Int = 3,
       maxGramDf: Int = Int.MaxValue): DataFrame = {
     val bc = blockCols.map(col)
-    lazy val grams = docs.select(bc :+ col(idCol).as("doc_id") :+
-      tokenNgrams(TextOps.tokens(lower(col(textCol))), n).as("grams"): _*)
-    val sized =
-      if (maxGramDf == Int.MaxValue)
-        sizedGrams(docs, idCol, textCol, bc, n, "doc_id", "n_grams")
-      else {
-        val exploded = grams.select(bc :+ col("doc_id") :+
-          explode(col("grams")).as("gram"): _*)
-        // grams are distinct per doc, so count per (block, gram) IS the
-        // document frequency
-        exploded
-          .withColumn("df", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy((blockCols :+ "gram").map(col): _*)))
-          .filter(col("df") <= maxGramDf)
-          .withColumn("n_grams", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy((blockCols :+ "doc_id").map(col): _*)))
-          .select(bc :+ col("doc_id") :+ col("n_grams") :+
-            col("gram"): _*)
-      }
+    val sized = sizedGramsCapped(docs, idCol, textCol, bc, blockCols,
+      n, maxGramDf)
     val a = sized.select(bc ++ Seq(col("gram"), col("doc_id").as("doc_a"),
       col("n_grams").as("na")): _*)
     val b = sized.select(bc ++ Seq(col("gram"), col("doc_id").as("doc_b"),
@@ -307,6 +316,45 @@ object Dedup {
       .select(bc ++ Seq(col("doc_a"), col("doc_b"),
         jaccardFromCounts(col("inter"), col("na"), col("nb"))
           .as("jac")): _*)
+  }
+
+  /** ASYMMETRIC shingle-containment pairs: every ordered same-block
+    * pair (sub, sup) with |G(sub) ∩ G(sup)| / |G(sub)| ≥ `t` — the
+    * quote / boilerplate-superset detector. Jaccard misses these by
+    * construction (a 50-gram doc fully inside a 5000-gram doc has
+    * jac ≈ 0.01 but containment = 1.0), so near-dup suites carry both.
+    *
+    * Scale shape: the intersection computes ONCE per unordered pair
+    * (gram equi-join keyed doc_a < doc_b, the ngramJaccardPairs
+    * shuffle); both directions then emit by PROJECTION from that one
+    * count — never a second join. `maxGramDf` caps boilerplate grams
+    * before the pair join, same contract as the Jaccard family.
+    * Threshold compares use the unrounded double (both engines divide
+    * the same integers); output rounds to the 6-dp contract. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      t: Double, blockCols: Seq[String] = Nil, n: Int = 3,
+      maxGramDf: Int = Int.MaxValue): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"threshold t=$t must be in (0, 1]")
+    val bc = blockCols.map(col)
+    val sized = sizedGramsCapped(docs, idCol, textCol, bc, blockCols,
+      n, maxGramDf)
+    val a = sized.select(bc ++ Seq(col("gram"),
+      col("doc_id").as("doc_a"), col("n_grams").as("na")): _*)
+    val b = sized.select(bc ++ Seq(col("gram"),
+      col("doc_id").as("doc_b"), col("n_grams").as("nb")): _*)
+    val inter = a.join(b, blockCols :+ "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy((blockCols ++ Seq("doc_a", "doc_b", "na", "nb"))
+        .map(col): _*)
+      .agg(count(lit(1)).as("inter"))
+    def oriented(sub: String, sup: String, nSub: String) =
+      inter.select(bc ++ Seq(col(s"doc_$sub").as("doc_sub"),
+        col(s"doc_$sup").as("doc_sup"),
+        (col("inter") / col(nSub)).as("c_raw")): _*)
+    oriented("a", "b", "na").unionAll(oriented("b", "a", "nb"))
+      .filter(col("c_raw") >= t)
+      .select(bc ++ Seq(col("doc_sub"), col("doc_sup"),
+        round(col("c_raw"), 6).as("containment")): _*)
   }
 
   /** Threshold Jaccard pairs via PREFIX FILTERING (the AllPairs /
@@ -956,7 +1004,15 @@ object Dedup {
     substringCut(t(s, d, "documents"), "doc_id", "text",
       spanLen = 25, hashWindows = false)
 
+  /** Containment at t=0.05 over (lang, source) blocks — low enough
+    * that the sf0.01 corpus yields both full containments (1.0) and
+    * partial overlaps, so the oracle exercises the whole range. */
+  private def dContainment(s: SparkSession, d: String): DataFrame =
+    containmentPairs(t(s, d, "documents"), "doc_id", "text",
+      t = 0.05, blockCols = Seq("lang", "source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_containment" -> dContainment _,
     "d_substring_spans" -> dSubstringSpans _,
     "d_substring_cut" -> dSubstringCut _,
     "d_edit_pairs" -> dEditPairs _,
@@ -974,6 +1030,25 @@ object Dedup {
     "d_embed_neardup" -> dEmbedNearDup _)
 
   val oracle: Map[String, String] = Map(
+    "d_containment" ->
+      """WITH grams AS (
+           SELECT lang, source, doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(1, len(string_split_regex(trim(lower(text)),
+                 '\s+')) - 1)),
+               i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+2]))
+               AS g
+           FROM documents)
+         SELECT a.lang, a.source, a.doc_id AS doc_sub,
+           b.doc_id AS doc_sup,
+           round(len(list_intersect(a.g, b.g)) * 1.0 / len(a.g), 6)
+             AS containment
+         FROM grams a JOIN grams b
+           ON a.lang = b.lang AND a.source = b.source
+          AND a.doc_id <> b.doc_id
+         WHERE len(list_intersect(a.g, b.g)) * 1.0 / len(a.g) >= 0.05""",
     "d_substring_spans" ->
       """WITH d AS (
            SELECT doc_id, text, length(text) AS len FROM documents),

@@ -517,6 +517,51 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) == ((1, 6))) // abc[1..3] + def[4..6] fuse seamlessly
   }
 
+  test("containmentPairs: asymmetric scores from one symmetric " +
+    "intersection — full containment, partial, threshold, no-overlap") {
+    // n=1 (unigram shingles) for hand math. B = 10 distinct tokens;
+    // A (3 tokens) and C (2 tokens) are subsets of B; A∩C = ∅; D
+    // overlaps nothing.
+    val docs = Seq(
+      (1L, "x y z"),
+      (2L, "x y z p q r s t u w"),
+      (3L, "p q"),
+      (4L, "nothing shared here at all")
+    ).toDF("doc_id", "text")
+    def run(t: Double) =
+      Dedup.containmentPairs(docs, "doc_id", "text", t = t, n = 1)
+        .as[(Long, Long, Double)].collect().toSet
+    // t=0.5: only the two full containments
+    assert(run(0.5) == Set((1L, 2L, 1.0), (3L, 2L, 1.0)))
+    // t=0.25: B->A enters at 3/10; B->C (0.2) still below
+    assert(run(0.25) == Set((1L, 2L, 1.0), (3L, 2L, 1.0),
+      (2L, 1L, 0.3)))
+    // t=0.1: all four ordered overlapping pairs
+    assert(run(0.1) == Set((1L, 2L, 1.0), (3L, 2L, 1.0),
+      (2L, 1L, 0.3), (2L, 3L, 0.2)))
+  }
+
+  test("containmentPairs: containment >= jaccard on every corpus pair " +
+    "and full containments exist in the documents slice") {
+    val docs = graft.Tables.t(spark, graft.TestSpark.sf001, "documents")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+        t = 0.05, blockCols = Seq("lang", "source"))
+      .select("doc_sub", "doc_sup", "containment")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1 min r._2, r._1 max r._2) -> r._3).toMap
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq("lang", "source"))
+      .select("doc_a", "doc_b", "jac")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(cont.nonEmpty)
+    cont.foreach { case (pair, c) =>
+      jac.get(pair).foreach(j =>
+        assert(c >= j - 1e-9, s"$pair: containment $c < jaccard $j"))
+    }
+    assert(cont.values.exists(_ == 1.0)) // genuine full containment
+  }
+
   test("substringCut: hand-derived clean texts — head cut, tail cut, " +
     "middle survivor, untouched docs, full-coverage doc") {
     // Same L=4 fixture as the spans hand test, plus a doc-pair whose
