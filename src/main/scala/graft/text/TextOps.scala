@@ -59,6 +59,44 @@ object TextOps {
       length(col("text")).cast("int").as("n_chars"))
   }
 
+  /** The Gopher document-quality RULE SET (Rae et al. 2021, App. A —
+    * the published web-corpus filter battery), as per-rule flags plus
+    * the conjunction. Complements `qualityScore` (a scalar) and
+    * `repetitionSignals` (two ratios): production filters act on
+    * named rules so rejected docs are attributable.
+    *
+    * Every flag is an INTEGER-ONLY comparison — ratio rules compare
+    * cross-multiplied counts (5·alpha ≥ 4·n), never divided doubles,
+    * so there is no FP tie to pin cross-engine. Per-row and
+    * shuffle-free: filters at scan speed at any corpus size. */
+  def gopherRules(textCol: Column): Seq[Column] = {
+    val tok = tokens(textCol)
+    val n = size(tok)
+    // total non-whitespace chars = Σ token lengths, without an explode
+    val chars = length(regexp_replace(trim(textCol), "\\s+", ""))
+    val alphaW = size(filter(tok, t => t.rlike("[A-Za-z]")))
+    val stopHits = size(filter(tok,
+      t => t.isin(qualityStopwords.map(x => x: Any): _*)))
+    val nDup = n - size(array_distinct(tok))
+    val rN = (n >= 50) && (n <= 100000)        // doc length band
+    val rLen = (chars >= n * 3) && (chars <= n * 10) // mean word len 3-10
+    val rAlpha = alphaW * 5 >= n * 4           // ≥80% words alphabetic
+    val rStop = stopHits >= 2                  // ≥2 stopword hits
+    val rDup = nDup * 2 <= n                   // dup-word frac ≤ 0.5
+    Seq(n.as("n_words"),
+      rN.cast("int").as("r_nwords"),
+      rLen.cast("int").as("r_wordlen"),
+      rAlpha.cast("int").as("r_alpha"),
+      rStop.cast("int").as("r_stop"),
+      rDup.cast("int").as("r_dup"),
+      (rN && rLen && rAlpha && rStop && rDup).cast("int").as("keep"))
+  }
+
+  /** tx gopher rules: the full rule battery over the documents table. */
+  private def txGopherRules(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id") +: gopherRules(col("text")): _*)
+
   /** tx quality score: length/stopword/word-shape heuristics (the
     * C4/Gopher-style quality-signal family). Deterministic closed-form
     * so it is oracle-checkable. */
@@ -1011,6 +1049,7 @@ object TextOps {
     "tx_bpe_merge" -> txBpeMerge _,
     "tx_bpe_learn" -> txBpeLearn _,
     "tx_token_stats" -> txTokenStats _,
+    "tx_gopher_rules" -> txGopherRules _,
     "tx_quality" -> txQuality _,
     "tx_langid" -> txLangid _,
     "tx_fingerprint" -> txFingerprint _,
@@ -1442,6 +1481,32 @@ object TextOps {
            AS INT) AS n_distinct_tokens,
          CAST(length(text) AS INT) AS n_chars
          FROM documents""",
+    "tx_gopher_rules" ->
+      """WITH d AS (
+           SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS tok,
+             length(regexp_replace(trim(text), '\s+', '', 'g')) AS chars
+           FROM documents),
+         m AS (
+           SELECT doc_id, len(tok) AS n, chars,
+             len(list_filter(tok,
+               t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_w,
+             len(list_filter(tok, t -> t IN
+               ('the','a','of','and','in','to','is'))) AS stop_hits,
+             len(tok) - len(list_distinct(tok)) AS n_dup
+           FROM d)
+         SELECT doc_id, CAST(n AS INT) AS n_words,
+           CAST(n BETWEEN 50 AND 100000 AS INT) AS r_nwords,
+           CAST(chars BETWEEN 3 * n AND 10 * n AS INT) AS r_wordlen,
+           CAST(alpha_w * 5 >= n * 4 AS INT) AS r_alpha,
+           CAST(stop_hits >= 2 AS INT) AS r_stop,
+           CAST(n_dup * 2 <= n AS INT) AS r_dup,
+           CAST(n BETWEEN 50 AND 100000
+             AND chars BETWEEN 3 * n AND 10 * n
+             AND alpha_w * 5 >= n * 4
+             AND stop_hits >= 2
+             AND n_dup * 2 <= n AS INT) AS keep
+         FROM m""",
     "tx_quality" ->
       """WITH toks AS (
            SELECT doc_id, text,

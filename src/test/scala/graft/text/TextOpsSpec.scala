@@ -381,4 +381,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows(1L)._3 == "head")
     assert(rows(8L)._3 == "head" && rows(9L)._3 == "middle")
   }
+
+  test("gopherRules: each rule fails on its own engineered doc and " +
+    "the clean doc passes the whole battery") {
+    // 60 distinct 4-letter-ish words incl. two stopwords: passes all
+    val clean = (1 to 58).map(i => f"word$i%02d").mkString(" ") +
+      " the of"
+    val docs = Seq(
+      (1L, clean),
+      (2L, "the of just ten tiny words sit right here now"), // r_nwords
+      (3L, (1 to 48).map(i => f"w$i%02d").mkString(" ") +
+        " the of a b c d e f g h i j"),                      // r_wordlen (many 1-char)
+      (4L, (1 to 40).map(i => f"word$i%02d").mkString(" ") +
+        " the of " + (1 to 18).map(i => s"$i$i$i").mkString(" ")), // r_alpha
+      (5L, (1 to 60).map(i => f"word$i%02d").mkString(" ")), // r_stop
+      (6L, "the of " + Seq.fill(58)("again").mkString(" "))  // r_dup
+    ).toDF("doc_id", "text")
+    val out = docs
+      .select(col("doc_id") +: TextOps.gopherRules(col("text")): _*)
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    def flags(id: Long) = { val r = out(id)
+      (r._3, r._4, r._5, r._6, r._7, r._8) } // (rN,rLen,rAlpha,rStop,rDup,keep)
+    assert(flags(1L) == ((1, 1, 1, 1, 1, 1)))
+    assert(flags(2L)._1 == 0 && flags(2L)._6 == 0) // too short
+    assert(flags(3L)._2 == 0, s"got ${out(3L)}")   // mean word len < 3
+    assert(flags(4L)._3 == 0)                      // numeric tokens > 20%
+    assert(flags(5L)._4 == 0)                      // no stopwords
+    assert(flags(6L)._5 == 0 && flags(6L)._6 == 0) // dup frac > 0.5
+  }
 }
