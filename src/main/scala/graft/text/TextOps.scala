@@ -410,6 +410,52 @@ object TextOps {
     tokenBudgetMix(t(s, d, "documents"), "doc_id", "text", "source",
       sourceBudget)
 
+  /** Systematic PPS (probability-proportional-to-size) sampling: k
+    * draws per stratum, inclusion probability ∝ token count — the
+    * survey-sampling workhorse for "sample documents so expected
+    * TOKEN coverage is uniform" (big docs proportionally likelier; a
+    * doc heavier than the step can be drawn more than once —
+    * `n_hits` is that PPS multiplicity, Σ n_hits = k exactly).
+    *
+    * Items order by salted hash (the stratifiedSample randomization:
+    * deterministic, partition-independent, append-stable where the
+    * hash order is), cumulative token weights accumulate as exact
+    * integers, and the selection count per item is
+    * ⌊W_i·k/T⌋ − ⌊W_{i−1}·k/T⌋ — pure BIGINT multiply + integer
+    * `div` (the resampleFill/intervalOverlapJoin exact-floor
+    * discipline; never float division near a boundary), so there is
+    * no real-valued step or offset to pin cross-engine. W·k must fit
+    * a long: fine to ~2^63/k stratum tokens — at a larger stratum,
+    * pre-scale the weights (PPS is invariant under weight scaling).
+    * One shuffle on the stratum key; window state is one running
+    * sum. */
+  def ppsSystematicSample(docs: DataFrame, idCol: String,
+      textCol: String, strataCol: String, k: Int,
+      tokenCount: Column => Column =
+        c => size(tokens(c)).cast("long")): DataFrame = {
+    require(k > 0, s"k=$k must be > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(md5(concat(lit("pps:"), col(idCol).cast("string"))).asc,
+        col(idCol).asc)
+    docs.select(col(strataCol), col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("total", sum("n_tokens").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(strataCol)))
+      .withColumn("n_hits", expr(
+        s"((cum * ${k}L) div total) - " +
+          s"(((cum - n_tokens) * ${k}L) div total)").cast("int"))
+      .filter(col("n_hits") >= 1)
+      .select(col(strataCol), col(idCol), col("n_tokens"),
+        col("n_hits"))
+  }
+
+  /** tx PPS sample: k=25 token-weighted systematic draws per language. */
+  private def txPpsSample(s: SparkSession, d: String): DataFrame =
+    ppsSystematicSample(t(s, d, "documents"), "doc_id", "text",
+      "lang", k = 25)
+
   /** Temperature-weighted multilingual mixture (the p_l ∝ n_l^α
     * sampling rule of multilingual pretraining, α = 0.5): each
     * language's token budget is total × √n_l / Σ√n_l — upweighting
@@ -1059,6 +1105,7 @@ object TextOps {
     "tx_stratified_sample" -> txStratifiedSample _,
     "tx_repetition" -> txRepetition _,
     "tx_token_budget_mix" -> txTokenBudgetMix _,
+    "tx_pps_sample" -> txPpsSample _,
     "tx_temperature_mix" -> txTemperatureMix _,
     "tx_pii_scrub" -> txPiiScrub _,
     "tx_dup_ngram_frac" -> txDupNgramFrac _,
@@ -1604,6 +1651,29 @@ object TextOps {
              AS dup_word_frac,
            round(top.top_c * 1.0 / top.n_bi, 4) AS top_bigram_frac
          FROM tk LEFT JOIN top ON tk.doc_id = top.doc_id""",
+    "tx_pps_sample" ->
+      """WITH tk AS (
+           SELECT lang, doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT *,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY md5('pps:' || CAST(doc_id AS VARCHAR)) ASC,
+                 doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang) AS BIGINT)
+               AS total
+           FROM tk)
+         SELECT lang, doc_id, n_tokens,
+           CAST((cum * 25) // total
+             - ((cum - n_tokens) * 25) // total AS INT) AS n_hits
+         FROM c
+         WHERE (cum * 25) // total
+             - ((cum - n_tokens) * 25) // total >= 1""",
     "tx_token_budget_mix" ->
       """WITH tk AS (
            SELECT source, doc_id,

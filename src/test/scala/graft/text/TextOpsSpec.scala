@@ -382,6 +382,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows(8L)._3 == "head" && rows(9L)._3 == "middle")
   }
 
+  test("ppsSystematicSample: exactly k hits per stratum, heavy items " +
+    "drawn with PPS multiplicity, zero-weight items never drawn") {
+    // one stratum, T=100, k=4 -> step 25; the 70-token doc must take
+    // >=2 selection points WHEREVER the hash order places it
+    val docs = Seq(
+      (1L, "s", Seq.fill(70)("w").mkString(" ")),
+      (2L, "s", Seq.fill(10)("w").mkString(" ")),
+      (3L, "s", Seq.fill(10)("w").mkString(" ")),
+      (4L, "s", Seq.fill(10)("w").mkString(" "))
+    ).toDF("doc_id", "strat", "text")
+    val out = TextOps.ppsSystematicSample(docs, "doc_id", "text",
+        "strat", k = 4)
+      .select("doc_id", "n_hits").as[(Long, Int)].collect().toMap
+    assert(out.values.sum == 4)
+    assert(out(1L) >= 2, s"heavy doc hits: $out")
+  }
+
+  test("ppsSystematicSample: sum of hits == k in every language " +
+    "stratum of the corpus") {
+    val out = TextOps.ppsSystematicSample(
+        graft.Tables.t(spark, graft.TestSpark.sf001, "documents"),
+        "doc_id", "text", "lang", k = 25)
+      .groupBy("lang").agg(sum("n_hits").as("s"))
+      .as[(String, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (l, s) => assert(s == 25L, s"lang $l: $s") }
+  }
+
   test("gopherRules: each rule fails on its own engineered doc and " +
     "the clean doc passes the whole battery") {
     // 60 distinct 4-letter-ish words incl. two stopwords: passes all
