@@ -357,6 +357,49 @@ object Dedup {
         round(col("c_raw"), 6).as("containment")): _*)
   }
 
+  /** Winnowing-fingerprint match pairs — the MOSS plagiarism-style
+    * local matcher: docs sharing ≥ `minShared` winnowed fingerprint
+    * HASHES (TextOps.winnowFingerprints) are emitted with the shared
+    * count. Catches long shared RUNS between otherwise-different
+    * docs (each shared token run of ≥ window+k−1 tokens guarantees a
+    * shared fingerprint), where set-overlap measures dilute by doc
+    * length.
+    *
+    * Scale shape: the join keys on the fingerprint hash — only
+    * ≈ 2/(window+1) of positions ever enter the index, and
+    * `maxHashDf` drops boilerplate fingerprints (df cap, the
+    * maxGramDf contract) before the pair join. Distinct hashes per
+    * doc first, so a hash repeating INSIDE both docs still counts
+    * once. */
+  def winnowMatchPairs(docs: DataFrame, idCol: String, textCol: String,
+      minShared: Int, blockCols: Seq[String] = Nil, k: Int = 3,
+      window: Int = 4, maxHashDf: Int = Int.MaxValue): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    val bc = blockCols.map(col)
+    val withBlocks = docs.select(bc :+ col(idCol).as("__id") :+
+      col(textCol).as("__txt"): _*)
+    val fp = TextOps.winnowFingerprints(withBlocks, "__id", "__txt",
+        k, window)
+      .join(withBlocks.select(bc :+ col("__id").as("doc_id"): _*),
+        Seq("doc_id"))
+      .select(bc :+ col("doc_id") :+ col("fp_hash"): _*)
+      .distinct()
+    val capped =
+      if (maxHashDf == Int.MaxValue) fp
+      else fp.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy((blockCols :+ "fp_hash").map(col): _*)))
+        .filter(col("df") <= maxHashDf).drop("df")
+    capped.select(bc ++ Seq(col("fp_hash"),
+        col("doc_id").as("doc_a")): _*)
+      .join(capped.select(bc ++ Seq(col("fp_hash"),
+        col("doc_id").as("doc_b")): _*), blockCols :+ "fp_hash")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy((blockCols ++ Seq("doc_a", "doc_b")).map(col): _*)
+      .agg(count(lit(1)).cast("int").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Threshold Jaccard pairs via PREFIX FILTERING (the AllPairs /
     * PPJoin family): every same-block pair with jac ≥ `t`, found
     * WITHOUT indexing every gram. Each doc's grams sort by a global
@@ -1011,7 +1054,15 @@ object Dedup {
     containmentPairs(t(s, d, "documents"), "doc_id", "text",
       t = 0.05, blockCols = Seq("lang", "source"))
 
+  /** Winnow matches at minShared=1 within (lang, source) blocks (any
+    * shared fingerprint is a local-match candidate) — uncapped so the
+    * oracle's brute replay is total. */
+  private def dWinnowPairs(s: SparkSession, d: String): DataFrame =
+    winnowMatchPairs(t(s, d, "documents"), "doc_id", "text",
+      minShared = 1, blockCols = Seq("lang", "source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_winnow_pairs" -> dWinnowPairs _,
     "d_containment" -> dContainment _,
     "d_substring_spans" -> dSubstringSpans _,
     "d_substring_cut" -> dSubstringCut _,
@@ -1030,6 +1081,33 @@ object Dedup {
     "d_embed_neardup" -> dEmbedNearDup _)
 
   val oracle: Map[String, String] = Map(
+    "d_winnow_pairs" ->
+      """WITH d AS (
+           SELECT doc_id, lang, source,
+             string_split_regex(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id, lang, source, CAST(r.p AS INT) AS p,
+             md5(array_to_string(tk[r.p : r.p + 2], ' ')) AS h
+           FROM d, unnest(range(1, len(tk) - 1)) AS r(p)
+           WHERE len(tk) >= 3),
+         sel AS (
+           SELECT doc_id, lang, source, p,
+             min(h || '|' ||
+               lpad(CAST(10000000 - p AS VARCHAR), 8, '0')) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
+           FROM g),
+         fp AS (
+           SELECT DISTINCT doc_id, lang, source, substr(s, 1, 32) AS h
+           FROM sel WHERE p >= 4)
+         SELECT a.lang, a.source, a.doc_id AS doc_a,
+           b.doc_id AS doc_b, CAST(count(*) AS INT) AS n_shared
+         FROM fp a JOIN fp b
+           ON a.lang = b.lang AND a.source = b.source
+          AND a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4
+         HAVING count(*) >= 1""",
     "d_containment" ->
       """WITH grams AS (
            SELECT lang, source, doc_id,

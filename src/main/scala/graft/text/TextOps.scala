@@ -97,6 +97,53 @@ object TextOps {
     t(s, d, "documents")
       .select(col("doc_id") +: gopherRules(col("text")): _*)
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the
+    * MOSS local fingerprinting scheme): hash every positional token
+    * k-gram, slide a width-`window` frame over the hash sequence, and
+    * keep each frame's RIGHTMOST-minimal hash (robust winnowing's
+    * tie rule). Guarantee: any shared token run of ≥ window+k−1
+    * tokens yields a shared fingerprint, while only ≈ 2/(window+1)
+    * of positions are kept — the compact substring-match index
+    * whole-doc fingerprints (`fingerprint`) cannot provide.
+    *
+    * Engine-portable selection trick: (hash, rightmost-position)
+    * ordering is encoded as ONE string `md5hex|(10^7 − p)` so the
+    * frame selector is a plain string `min` — no struct-ordering or
+    * argmin semantics to align cross-engine. Positions must stay
+    * below 10^7 grams/doc (≈40 MB of text); larger docs should chunk
+    * first (`chunkSplit`). Per-doc window over scan-speed hashing:
+    * one shuffle on doc_id, no corpus-wide state. */
+  def winnowFingerprints(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, window: Int = 4): DataFrame = {
+    require(k >= 1 && window >= 1, s"k=$k window=$window must be >= 1")
+    val tk = tokens(lower(col(textCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+      .rowsBetween(-(window - 1), 0)
+    docs
+      .select(col(idCol).as("doc_id"), tk.as("tk"))
+      .withColumn("n", size(col("tk")))
+      // filter, don't clamp: sequence(1, 0) is DESCENDING, not empty
+      .filter(col("n") >= k)
+      .select(col("doc_id"), explode(sequence(lit(1),
+        col("n") - (k - 1))).as("p"), col("tk"))
+      .withColumn("h",
+        md5(concat_ws(" ", slice(col("tk"), col("p"), lit(k)))))
+      .withColumn("key", concat(col("h"), lit("|"),
+        lpad((lit(10000000) - col("p")).cast("string"), 8, "0")))
+      .withColumn("sel", min("key").over(w))
+      .filter(col("p") >= window) // full frames only (the guarantee)
+      .select(col("doc_id"), col("sel")).distinct()
+      .select(col("doc_id"),
+        (lit(10000000) - substring(col("sel"), 34, 8).cast("int"))
+          .as("fp_pos"),
+        substring(col("sel"), 1, 32).as("fp_hash"))
+  }
+
+  /** tx winnow: the fingerprint index over the documents table. */
+  private def txWinnow(s: SparkSession, d: String): DataFrame =
+    winnowFingerprints(t(s, d, "documents"), "doc_id", "text")
+
   /** tx quality score: length/stopword/word-shape heuristics (the
     * C4/Gopher-style quality-signal family). Deterministic closed-form
     * so it is oracle-checkable. */
@@ -1096,6 +1143,7 @@ object TextOps {
     "tx_bpe_learn" -> txBpeLearn _,
     "tx_token_stats" -> txTokenStats _,
     "tx_gopher_rules" -> txGopherRules _,
+    "tx_winnow" -> txWinnow _,
     "tx_quality" -> txQuality _,
     "tx_langid" -> txLangid _,
     "tx_fingerprint" -> txFingerprint _,
@@ -1528,6 +1576,30 @@ object TextOps {
            AS INT) AS n_distinct_tokens,
          CAST(length(text) AS INT) AS n_chars
          FROM documents""",
+    "tx_winnow" ->
+      """WITH d AS (
+           SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id, CAST(r.p AS INT) AS p,
+             md5(array_to_string(tk[r.p : r.p + 2], ' ')) AS h
+           FROM d, unnest(range(1, len(tk) - 1)) AS r(p)
+           WHERE len(tk) >= 3),
+         sel AS (
+           SELECT doc_id, p,
+             min(h || '|' ||
+               lpad(CAST(10000000 - p AS VARCHAR), 8, '0')) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
+           FROM g),
+         fp AS (
+           SELECT DISTINCT doc_id, s FROM sel WHERE p >= 4)
+         SELECT doc_id,
+           CAST(10000000 - CAST(substr(s, 34, 8) AS INT) AS INT)
+             AS fp_pos,
+           substr(s, 1, 32) AS fp_hash
+         FROM fp""",
     "tx_gopher_rules" ->
       """WITH d AS (
            SELECT doc_id,

@@ -517,6 +517,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) == ((1, 6))) // abc[1..3] + def[4..6] fuse seamlessly
   }
 
+  test("winnowMatchPairs: planted shared runs pair up, unrelated docs " +
+    "stay unpaired, and blocks isolate") {
+    val run = (1 to 12).map(i => s"stolen$i").mkString(" ")
+    def junk(seed: Int, n: Int) =
+      (1 to n).map(i => s"u${seed}x$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", junk(1, 40) + " " + run + " " + junk(2, 40)),
+      (2L, "en", junk(3, 30) + " " + run + " " + junk(4, 50)),
+      (3L, "en", junk(5, 80)),                 // unrelated
+      (4L, "de", junk(6, 30) + " " + run)      // same run, other block
+    ).toDF("doc_id", "lang", "text")
+    val out = Dedup.winnowMatchPairs(docs, "doc_id", "text",
+        minShared = 2, blockCols = Seq("lang"))
+      .select("doc_a", "doc_b", "n_shared")
+      .as[(Long, Long, Int)].collect()
+    assert(out.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"got ${out.toSeq}")
+    assert(out.head._3 >= 2) // the 12-token run must winnow >=2 shared
+  }
+
   test("containmentPairs: asymmetric scores from one symmetric " +
     "intersection — full containment, partial, threshold, no-overlap") {
     // n=1 (unigram shingles) for hand math. B = 10 distinct tokens;

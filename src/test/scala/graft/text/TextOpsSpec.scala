@@ -382,6 +382,42 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows(8L)._3 == "head" && rows(9L)._3 == "middle")
   }
 
+  test("winnowFingerprints: the MOSS guarantee — a shared run of " +
+    "window+k-1 tokens always yields a shared fingerprint hash") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 8) {
+      def junk(n: Int) =
+        Seq.fill(n)(s"j${rnd.nextInt(100000)}t$trial").mkString(" ")
+      val run = (1 to 6).map(i => s"shared${trial}w$i").mkString(" ")
+      val docs = Seq(
+        (1L, junk(30) + " " + run + " " + junk(30)),
+        (2L, junk(25) + " " + run + " " + junk(35))
+      ).toDF("doc_id", "text")
+      val fp = TextOps.winnowFingerprints(docs, "doc_id", "text",
+          k = 3, window = 4)
+        .as[(Long, Int, String)].collect()
+      val h1 = fp.filter(_._1 == 1L).map(_._3).toSet
+      val h2 = fp.filter(_._1 == 2L).map(_._3).toSet
+      assert((h1 & h2).nonEmpty, s"trial $trial: no shared fingerprint")
+      // density: winnowing keeps a strict subset of positions
+      assert(fp.count(_._1 == 1L) < 30 + 6 + 30 - 2)
+    }
+  }
+
+  test("winnowFingerprints: boundary sizes — sub-k docs emit nothing, " +
+    "a window+k-1-token doc emits exactly one fingerprint") {
+    val docs = Seq(
+      (1L, "a b"),            // < k tokens
+      (2L, "a b c d e f")     // 6 = window+k-1 -> exactly 1 full frame
+    ).toDF("doc_id", "text")
+    val fp = TextOps.winnowFingerprints(docs, "doc_id", "text",
+        k = 3, window = 4)
+      .as[(Long, Int, String)].collect()
+    assert(!fp.exists(_._1 == 1L))
+    assert(fp.count(_._1 == 2L) == 1)
+    assert(fp.forall(f => f._2 >= 1 && f._2 <= 4)) // pos in gram range
+  }
+
   test("ppsSystematicSample: exactly k hits per stratum, heavy items " +
     "drawn with PPS multiplicity, zero-weight items never drawn") {
     // one stratum, T=100, k=4 -> step 25; the 70-token doc must take
