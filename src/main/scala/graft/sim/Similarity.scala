@@ -1359,6 +1359,94 @@ object Similarity {
       .select(col("vec_id"), col("scale"),
         concat_ws(",", col("q_emb").cast("array<string>")).as("q_emb"))
 
+  /** Covariance MOMENTS of the embedding matrix: for every
+    * upper-triangle dimension pair i ≤ j, the exact sums
+    * (n, Σx_i, Σx_j, Σx_i·x_j) of 6-dp-quantized inputs accumulated
+    * as DECIMALs — the w9_rolling_zscore output contract: moments
+    * ride out exact and cov = (sxy − sx_i·sx_j/n)/n is one
+    * closed-form step downstream, because a DIVIDED covariance
+    * systematically lands on FP ties engines round apart. The PCA /
+    * whitening / Mahalanobis prep pass.
+    *
+    * Scale shape: each row emits its d(d+1)/2 upper-triangle
+    * products as one generated array feeding hash partial-agg
+    * IN-STAGE, so every partition collapses to ≤ d(d+1)/2 running
+    * sums before the exchange — the single shuffle carries
+    * partitions·d²/2 rows regardless of corpus size (d is bounded).
+    * No self-join, no n·d² shuffle, no collect. */
+  def covarianceMoments(e: DataFrame,
+      embCol: String = "embedding"): DataFrame = {
+    val quant = transform(asDouble(col(embCol)), v => round(v, 6))
+    val d = size(col("x"))
+    // the product of two 6-dp values lies EXACTLY on the 12-dp grid,
+    // so the straight decimal(38,12) cast is tie-free in both engines
+    // (round(p, 6) is NOT: the true 12-dp product can sit exactly on
+    // a .xxxxxx5 boundary, which Spark and DuckDB round apart)
+    val pairs = flatten(transform(sequence(lit(0), d - 1), i =>
+      transform(sequence(i, d - 1), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("x"), i + 1) * element_at(col("x"), j + 1))
+            .cast("decimal(38,12)").as("p")))))
+    val m = e.select(quant.as("x"))
+      .select(explode(pairs).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("t.p")).cast("double").as("sxy"))
+    val s = e.select(quant.as("x"))
+      .select(posexplode(col("x")).as(Seq("i", "v")))
+      .groupBy("i")
+      .agg(sum(col("v").cast("decimal(28,6)")).cast("double").as("sx"))
+    m.join(s.select(col("i"), col("sx").as("sx_i")), Seq("i"))
+      .join(s.select(col("i").as("j"), col("sx").as("sx_j")), Seq("j"))
+      .select(col("i"), col("j"), col("n"), col("sx_i"), col("sx_j"),
+        col("sxy"))
+  }
+
+  private def xCovariance(s: SparkSession, d: String): DataFrame =
+    covarianceMoments(t(s, d, "embeddings"))
+
+  /** Top principal component by fixed-iteration POWER METHOD over
+    * `covarianceMoments`. The d×d covariance is bounded (d² doubles),
+    * so the moments collect to the driver — the sanctioned-bounded
+    * collect of the nlist/mSub fit precedent — and the iteration is a
+    * deterministic driver loop: v ← C·v / ‖C·v‖ from v₀ = e₁, T
+    * fixed, final sign normalized so the largest-|·| element is
+    * positive, elements 6-dp-quantized for the dump. The distributed
+    * work is the moments pass; the driver holds only d² + d doubles
+    * at ANY corpus size. */
+  def principalComponent(e: DataFrame, embCol: String = "embedding",
+      iters: Int = 50): DataFrame = {
+    val rows = covarianceMoments(e, embCol)
+      .collect() // bounded: d(d+1)/2 rows
+    val d = rows.map(_.getInt(1)).max + 1
+    val cov = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val n = r.getLong(2).toDouble
+      val c = (r.getDouble(5) - r.getDouble(3) * r.getDouble(4) / n) / n
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      if (nrm > 0) v = w.map(_ / nrm)
+    }
+    val top = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    val sgn = if (v(top) < 0) -1.0 else 1.0
+    val out = v.zipWithIndex.map { case (x, i) =>
+      (i, BigDecimal(sgn * x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val spark = e.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("i", "v")
+  }
+
+  private def xPcaPower(s: SparkSession, d: String): DataFrame =
+    principalComponent(t(s, d, "embeddings"))
+
   /** Semantic-dedup gate: same corpus slice as d_embed_neardup, τ=0.3.
     * The cluster assignment is engine-specific (Lloyd), so the oracle
     * takes (vec_id, cid) from the dumped output and independently
@@ -1374,6 +1462,8 @@ object Similarity {
     "d_semantic_dedup" -> dSemanticDedup _,
     "x_embed_norm" -> xEmbedNorm _,
     "x_embed_quantize" -> xEmbedQuantize _,
+    "x_covariance" -> xCovariance _,
+    "x_pca_power" -> xPcaPower _,
     "x_ann_brute" -> xAnnBrute _,
     "x_ann_lsh" -> xAnnLsh _,
     "x_ann_ivf" -> xAnnIvf _,
@@ -1820,6 +1910,70 @@ object Similarity {
                ELSE emb END,
              x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), ',') AS unit
          FROM s""",
+    "x_pca_power" ->
+      // conditioned oracle (the x_ann_ivf pattern): re-derive the
+      // covariance EXACTLY from the embeddings table, then accept the
+      // dumped vector only if it satisfies the eigen property —
+      // near-unit norm and small relative Rayleigh residual
+      // ||Cv − λv|| ≤ 5%·|λ|. A wrong vector yields zero rows and the
+      // gate row-count-mismatches; thresholds live in the PREDICATE,
+      // never in a value compare.
+      """WITH v AS (
+           SELECT i, v FROM '__OUTDIR__/x_pca_power/*.parquet'),
+         e AS (
+           SELECT list_transform(embedding,
+             x -> round(CAST(x AS DOUBLE), 6)) AS x
+           FROM embeddings),
+         p AS (
+           SELECT ii.i AS i, jj.j AS j,
+             CAST(x[ii.i + 1] * x[jj.j + 1] AS DECIMAL(38,12)) AS p
+           FROM e, unnest(range(0, len(x))) AS ii(i),
+             unnest(range(0, len(x))) AS jj(j)),
+         m AS (
+           SELECT i, j, count(*) AS n,
+             CAST(sum(p) AS DOUBLE) AS sxy
+           FROM p GROUP BY 1, 2),
+         s AS (
+           SELECT ii.i AS i,
+             CAST(sum(CAST(x[ii.i + 1] AS DECIMAL(28,6))) AS DOUBLE)
+               AS sx
+           FROM e, unnest(range(0, len(x))) AS ii(i) GROUP BY 1),
+         c AS (
+           SELECT m.i, m.j,
+             (m.sxy - sa.sx * sb.sx / m.n) / m.n AS cov
+           FROM m JOIN s sa ON m.i = sa.i JOIN s sb ON m.j = sb.i),
+         w AS (
+           SELECT c.i AS i, sum(c.cov * v2.v) AS wv
+           FROM c JOIN v v2 ON c.j = v2.i GROUP BY 1),
+         lam AS (SELECT sum(v.v * w.wv) AS l FROM v JOIN w USING (i)),
+         chk AS (
+           SELECT sqrt(sum((w.wv - lam.l * v.v) * (w.wv - lam.l * v.v)))
+               <= 0.05 * greatest(abs(any_value(lam.l)), 1e-9)
+             AND abs(sum(v.v * v.v) - 1) < 1e-3 AS ok
+           FROM w JOIN v USING (i), lam)
+         SELECT v.i, v.v FROM v, chk WHERE chk.ok""",
+    "x_covariance" ->
+      """WITH e AS (
+           SELECT list_transform(embedding,
+             v -> round(CAST(v AS DOUBLE), 6)) AS x
+           FROM embeddings),
+         p AS (
+           SELECT ii.i AS i, jj.j AS j,
+             CAST(x[ii.i + 1] * x[jj.j + 1] AS DECIMAL(38,12)) AS p
+           FROM e, unnest(range(0, len(x))) AS ii(i),
+             unnest(range(ii.i, len(x))) AS jj(j)),
+         m AS (
+           SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+             count(*) AS n,
+             CAST(sum(p) AS DOUBLE) AS sxy
+           FROM p GROUP BY 1, 2),
+         s AS (
+           SELECT CAST(ii.i AS INT) AS i,
+             CAST(sum(CAST(x[ii.i + 1] AS DECIMAL(28,6))) AS DOUBLE)
+               AS sx
+           FROM e, unnest(range(0, len(x))) AS ii(i) GROUP BY 1)
+         SELECT m.i, m.j, m.n, sa.sx AS sx_i, sb.sx AS sx_j, m.sxy
+         FROM m JOIN s sa ON m.i = sa.i JOIN s sb ON m.j = sb.i""",
     "x_embed_quantize" ->
       """WITH s AS (
            SELECT vec_id,

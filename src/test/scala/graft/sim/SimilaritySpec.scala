@@ -332,4 +332,47 @@ class SimilaritySpec extends AnyFunSuite {
       assert(s == 7L * relMicro(q, n), s"score mismatch for q=$q")
     }
   }
+
+  test("covarianceMoments: exact moments match a driver-side " +
+    "recompute on a hand corpus; upper triangle only; counts total") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, -1.5f)),
+      (2L, Array(0.5f, -1.0f, 3.0f)),
+      (3L, Array(2.25f, 0.0f, 1.0f))
+    )
+    val out = Similarity.covarianceMoments(
+        vecs.toDF("vec_id", "embedding"))
+      .as[(Int, Int, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(out.keySet ==
+      (for (i <- 0 to 2; j <- i to 2) yield (i, j)).toSet)
+    val xs = vecs.map(_._2.map(_.toDouble))
+    for (((i, j), (n, sxi, sxj, sxy)) <- out) {
+      assert(n == 3L)
+      assert(math.abs(sxi - xs.map(_(i)).sum) < 1e-9)
+      assert(math.abs(sxj - xs.map(_(j)).sum) < 1e-9)
+      assert(math.abs(sxy - xs.map(x => x(i) * x(j)).sum) < 1e-9)
+    }
+  }
+
+  test("principalComponent: recovers a planted dominant direction, " +
+    "unit norm, max-|.|-element-positive sign convention") {
+    val d = 8
+    val u = Array.tabulate(d)(i => if (i == 2) 0.8 else 0.15)
+    val un = { val n = math.sqrt(u.map(x => x * x).sum); u.map(_ / n) }
+    val rnd = new scala.util.Random(11)
+    val vecs = (1 to 200).map { id =>
+      val a = rnd.nextGaussian() * 5.0 // dominant axis
+      (id.toLong, Array.tabulate(d)(i =>
+        (a * un(i) + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val v = Similarity.principalComponent(
+        vecs.toDF("vec_id", "embedding"))
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-3)
+    val align = v.zip(un).map { case (a, b) => a * b }.sum
+    assert(math.abs(align) > 0.99, s"alignment $align")
+    val top = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    assert(v(top) > 0, "sign convention violated")
+  }
 }
