@@ -1447,6 +1447,39 @@ object Similarity {
   private def xPcaPower(s: SparkSession, d: String): DataFrame =
     principalComponent(t(s, d, "embeddings"))
 
+  /** Project every embedding onto a component vector: score =
+    * Σ x_i·v_i over the 6-dp-quantized inputs, accumulated on the
+    * exact 12-dp product grid (the covarianceMoments discipline) — the
+    * PCA-score / anomaly-axis / concept-direction pass. `component`
+    * is a bounded (i, v) frame (d rows) that broadcasts; the dot is a
+    * per-row fold over the broadcast array, no shuffle at all. */
+  def pcaProject(e: DataFrame, component: DataFrame,
+      embCol: String = "embedding"): DataFrame = {
+    val v = component.select("i", "v").as[(Int, Double)](
+      org.apache.spark.sql.Encoders.product[(Int, Double)])
+      .collect().sortBy(_._1).map(_._2) // bounded: d doubles
+    val vArr = array(v.map(x => lit(x)): _*)
+    e.select(col("vec_id"),
+      aggregate(
+        // operand precisions chosen so the decimal `+` result is
+        // (38,12) — scale RETAINED: at (38,12)+(38,12) Spark rounds
+        // the sum to scale 11 per step (found live, 5e-12 drift); at
+        // (37,12)+(30,12) the add is exact and the cast-back free
+        zip_with(transform(asDouble(col(embCol)), x => round(x, 6)),
+          vArr, (x, c) => (x * c).cast("decimal(30,12)")),
+        lit(0).cast("decimal(37,12)"),
+        (acc, p) => (acc + p).cast("decimal(37,12)"))
+        .cast("double").as("score"))
+  }
+
+  /** Gate: scores against the SAME deterministic component the
+    * x_pca_power gate dumps (recomputed here — gate independence, the
+    * d_cluster_keep_best precedent); the oracle replays the dot from
+    * the x_pca_power dump on the exact decimal grid. */
+  private def xPcaProject(s: SparkSession, d: String): DataFrame =
+    pcaProject(t(s, d, "embeddings"),
+      principalComponent(t(s, d, "embeddings")))
+
   /** Semantic-dedup gate: same corpus slice as d_embed_neardup, τ=0.3.
     * The cluster assignment is engine-specific (Lloyd), so the oracle
     * takes (vec_id, cid) from the dumped output and independently
@@ -1464,6 +1497,7 @@ object Similarity {
     "x_embed_quantize" -> xEmbedQuantize _,
     "x_covariance" -> xCovariance _,
     "x_pca_power" -> xPcaPower _,
+    "x_pca_project" -> xPcaProject _,
     "x_ann_brute" -> xAnnBrute _,
     "x_ann_lsh" -> xAnnLsh _,
     "x_ann_ivf" -> xAnnIvf _,
@@ -1910,6 +1944,23 @@ object Similarity {
                ELSE emb END,
              x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), ',') AS unit
          FROM s""",
+    "x_pca_project" ->
+      // conditioned on the x_pca_power dump (itself eigen-verified):
+      // the dot replays on the exact 12-dp decimal grid, so scores
+      // hash-compare bit-for-bit
+      """WITH v AS (
+           SELECT i, v FROM '__OUTDIR__/x_pca_power/*.parquet'),
+         e AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> round(CAST(x AS DOUBLE), 6)) AS x
+           FROM embeddings),
+         terms AS (
+           SELECT vec_id, ii.i AS i, x[ii.i + 1] AS xi
+           FROM e, unnest(range(0, len(x))) AS ii(i))
+         SELECT t.vec_id,
+           CAST(sum(CAST(t.xi * v.v AS DECIMAL(38,12))) AS DOUBLE)
+             AS score
+         FROM terms t JOIN v ON t.i = v.i GROUP BY 1""",
     "x_pca_power" ->
       // conditioned oracle (the x_ann_ivf pattern): re-derive the
       // covariance EXACTLY from the embeddings table, then accept the

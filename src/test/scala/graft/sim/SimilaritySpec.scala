@@ -375,4 +375,19 @@ class SimilaritySpec extends AnyFunSuite {
     val top = v.indices.maxBy(i => (math.abs(v(i)), -i))
     assert(v(top) > 0, "sign convention violated")
   }
+
+  test("pcaProject: scores equal the driver-side dot of the " +
+    "quantized inputs with the component") {
+    val comp = Seq((0, 0.6), (1, -0.8), (2, 0.0)).toDF("i", "v")
+    val vecs = Seq(
+      (1L, Array(1.0f, 1.0f, 5.0f)),   // 0.6 - 0.8 = -0.2
+      (2L, Array(0.5f, -0.25f, 0.0f)), // 0.3 + 0.2 = 0.5
+      (3L, Array(0.0f, 0.0f, 9.0f))    // 0.0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pcaProject(vecs, comp)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - -0.2) < 1e-12)
+    assert(math.abs(got(2L) - 0.5) < 1e-12)
+    assert(got(3L) == 0.0)
+  }
 }
