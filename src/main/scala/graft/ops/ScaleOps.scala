@@ -170,13 +170,106 @@ object ScaleOps {
     histogramQuantiles(t(s, d, "events"), Seq("event_type"), "value",
       probs = Seq(0.25, 0.5, 0.75, 0.99), bins = 256)
 
+  /** Morton (Z-order) interleave of two 32-bit keys — the
+    * multi-dimensional data-layout curve: rows sorted/range-bucketed
+    * by the z-key cluster BOTH dimensions at once, so a scan filtered
+    * on either column prunes most files (the Delta/Iceberg OPTIMIZE
+    * ZORDER layout primitive, here as a plain deterministic column).
+    * Bit-spreading is the classic 4-step mask cascade — pure BIGINT
+    * shifts/masks, bit-exact on any engine. Inputs must fit unsigned
+    * 32 bits (callers bucket/rank first; the gate buckets epoch-µs). */
+  def zorderKey(a: Column, b: Column): Column = {
+    def spread(x: Column): Column = {
+      val m = Seq(
+        (16, lit(0x0000FFFF0000FFFFL)),
+        (8,  lit(0x00FF00FF00FF00FFL)),
+        (4,  lit(0x0F0F0F0F0F0F0F0FL)),
+        (2,  lit(0x3333333333333333L)),
+        (1,  lit(0x5555555555555555L)))
+      m.foldLeft(x.cast("long").bitwiseAND(lit(0xFFFFFFFFL))) {
+        case (acc, (s, mask)) =>
+          (acc.bitwiseOR(shiftleft(acc, s))).bitwiseAND(mask)
+      }
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Min-max normalize a key onto the 31-bit range by INTEGER
+    * floor-div (the exact-floor discipline) — what ZORDER writers do
+    * before interleaving, so the curve uses all bit levels whatever
+    * the key's natural range. 31 bits (not 32) keeps every interleave
+    * shift inside signed-64 positive territory: Spark wraps a bit-63
+    * overflow silently but DuckDB raises, so the shared contract
+    * stays where both engines agree. */
+  private def zn(x: String, mn: String, mx: String): Column =
+    when(col(mx) === col(mn), lit(0L))
+      .otherwise(expr(s"(($x - $mn) * 2147483647) div ($mx - $mn)"))
+
+  /** f_zorder gate: z-keys over (user_id, 6-hour time bucket) plus
+    * the top-8-bit range bucket a writer would partition by. Layout
+    * ops are pure key derivation — the only pre-pass is one
+    * broadcast-singleton min/max aggregate; the WRITE that consumes
+    * the key pays the one range exchange. With 31-bit inputs z uses
+    * 62 bits and stays positive; the bucket is the top 6 bits. */
+  private def fZorder(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 21600000000").as("tb"))
+    val stats = ev.agg(
+      min("user_id").as("u0"), max("user_id").as("u1"),
+      min("tb").as("t0"), max("tb").as("t1"))
+    ev.crossJoin(broadcast(stats))
+      .withColumn("z", zorderKey(zn("user_id", "u0", "u1"),
+        zn("tb", "t0", "t1")))
+      .select(col("event_id"), col("user_id"), col("tb"), col("z"),
+        shiftright(col("z"), 56).bitwiseAND(lit(255L)).cast("int")
+          .as("z_bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_zorder" -> fZorder _,
     "a11_quantile_sketch" -> aQuantileSketch _,
     "g_incr_agg_merge" -> gIncrAggMerge _,
     "j5b_bloom_incremental" -> j5bBloomIncremental _,
     "j_salted_skew" -> jSaltedSkew _)
 
   val oracle: Map[String, String] = Map(
+    "f_zorder" ->
+      """WITH e AS (
+           SELECT event_id, user_id,
+             epoch_us(ts) // 21600000000 AS tb
+           FROM events),
+         st AS (
+           SELECT min(user_id) AS u0, max(user_id) AS u1,
+             min(tb) AS t0, max(tb) AS t1
+           FROM e),
+         n AS (
+           SELECT e.event_id, e.user_id, e.tb,
+             CASE WHEN u1 = u0 THEN 0 ELSE
+               ((user_id - u0) * 2147483647) // (u1 - u0) END AS un,
+             CASE WHEN t1 = t0 THEN 0 ELSE
+               ((tb - t0) * 2147483647) // (t1 - t0) END AS tn
+           FROM e, st),
+         s1 AS (
+           SELECT *, (un | (un << 16)) & 281470681808895 AS ua,
+             (tn | (tn << 16)) & 281470681808895 AS ta FROM n),
+         s2 AS (
+           SELECT *, (ua | (ua << 8)) & 71777214294589695 AS ub,
+             (ta | (ta << 8)) & 71777214294589695 AS tb2 FROM s1),
+         s3 AS (
+           SELECT *, (ub | (ub << 4)) & 1085102592571150095 AS uc,
+             (tb2 | (tb2 << 4)) & 1085102592571150095 AS tc FROM s2),
+         s4 AS (
+           SELECT *, (uc | (uc << 2)) & 3689348814741910323 AS ud,
+             (tc | (tc << 2)) & 3689348814741910323 AS td FROM s3),
+         s5 AS (
+           SELECT *, (ud | (ud << 1)) & 6148914691236517205 AS ue,
+             (td | (td << 1)) & 6148914691236517205 AS te FROM s4),
+         z AS (SELECT event_id, user_id, tb,
+             ue | (te << 1) AS z FROM s5)
+         SELECT event_id, user_id, tb, z,
+           CAST((z >> 56) & 255 AS INT) AS z_bucket
+         FROM z""",
     "a11_quantile_sketch" ->
       """WITH stats AS (
            SELECT event_type, min(value) AS mn, max(value) AS mx,

@@ -1480,6 +1480,48 @@ object Similarity {
     pcaProject(t(s, d, "embeddings"),
       principalComponent(t(s, d, "embeddings")))
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) — the
+    * hybrid-retrieval combiner: score(d) = Σ_lists 1/(c + rank_l(d)),
+    * robust to incomparable score scales (BM25 vs cosine) because
+    * only RANKS enter. Contributions are integer micro-units
+    * 10¹² div (c + rank) (the x_mmr discipline) — exact,
+    * engine-portable, no FP ties. Inputs are (id, rank) frames —
+    * already top-R bounded, so the union/group/TakeOrdered is
+    * dimension-sized regardless of corpus scale. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int,
+      c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0 && c >= 0, s"k=$k must be > 0, c=$c >= 0")
+    rankings.map(_.select(col(idCol),
+        expr(s"1000000000000 div (rank + $c)").as("contrib")))
+      .reduce(_ unionAll _)
+      .groupBy(idCol)
+      .agg(sum("contrib").as("rrf_e12"),
+        count(lit(1)).cast("int").as("n_lists"))
+      .orderBy(col("rrf_e12").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Hybrid search gate: BM25 lexical top-20 fused with the cosine
+    * ranking of query vector 0 over the full corpus (doc_id == vec_id
+    * is the declared mapping of the synthetic tables). */
+  private def xRrfFusion(s: SparkSession, d: String): DataFrame = {
+    val lex = graft.text.TextOps.bm25TopK(t(s, d, "documents"),
+        "doc_id", "text", graft.text.TextOps.bm25Terms, 20,
+        logIdf = false)
+      .withColumn("rank", row_number().over(
+        // attribute-derived constant key (the w1Funnel trick): the
+        // frame is the 20-row shortlist, single partition intended
+        Window.partitionBy(pmod(col("doc_id"), lit(1)))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("rank"))
+    val sem = bruteForceTopK(
+        t(s, d, "embeddings").filter(col("vec_id") === 0),
+        t(s, d, "embeddings"), 20)
+      .select(col("n_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, sem), "doc_id", k = 10)
+  }
+
   /** Semantic-dedup gate: same corpus slice as d_embed_neardup, τ=0.3.
     * The cluster assignment is engine-specific (Lloyd), so the oracle
     * takes (vec_id, cid) from the dumped output and independently
@@ -1498,6 +1540,7 @@ object Similarity {
     "x_covariance" -> xCovariance _,
     "x_pca_power" -> xPcaPower _,
     "x_pca_project" -> xPcaProject _,
+    "x_rrf_fusion" -> xRrfFusion _,
     "x_ann_brute" -> xAnnBrute _,
     "x_ann_lsh" -> xAnnLsh _,
     "x_ann_ivf" -> xAnnIvf _,
@@ -1944,6 +1987,71 @@ object Similarity {
                ELSE emb END,
              x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), ',') AS unit
          FROM s""",
+    "x_rrf_fusion" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok
+           FROM documents),
+         sized AS (
+           SELECT doc_id, tok, CAST(len(tok) AS DOUBLE) AS dl FROM tk),
+         stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) AS tot_len,
+             CAST(sum(CASE WHEN list_contains(tok, 'vector')
+               THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+             CAST(sum(CASE WHEN list_contains(tok, 'stream')
+               THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+             CAST(sum(CASE WHEN list_contains(tok, 'merge')
+               THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+           FROM sized),
+         scored AS (
+           SELECT doc_id,
+             ((n_docs - df_0 + 0.5) / (df_0 + 0.5)) *
+               ((CAST(len(list_filter(tok, x -> x = 'vector')) AS DOUBLE)
+                  * (1.2 + 1.0)) /
+                (CAST(len(list_filter(tok, x -> x = 'vector')) AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (tot_len / n_docs)))))
+             + ((n_docs - df_1 + 0.5) / (df_1 + 0.5)) *
+               ((CAST(len(list_filter(tok, x -> x = 'stream')) AS DOUBLE)
+                  * (1.2 + 1.0)) /
+                (CAST(len(list_filter(tok, x -> x = 'stream')) AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (tot_len / n_docs)))))
+             + ((n_docs - df_2 + 0.5) / (df_2 + 0.5)) *
+               ((CAST(len(list_filter(tok, x -> x = 'merge')) AS DOUBLE)
+                  * (1.2 + 1.0)) /
+                (CAST(len(list_filter(tok, x -> x = 'merge')) AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (tot_len / n_docs)))))
+             AS score
+           FROM sized CROSS JOIN stats),
+         lex AS (
+           SELECT doc_id, row_number() OVER (
+               ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scored WHERE score > 0
+           ORDER BY score DESC, doc_id LIMIT 20),
+         q AS (
+           SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+           FROM embeddings WHERE vec_id = 0),
+         cos AS (
+           SELECT c.vec_id AS doc_id,
+             list_cosine_similarity(q.q_emb,
+               list_transform(c.embedding, x -> CAST(x AS DOUBLE)))
+               AS sim
+           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+         sem AS (
+           SELECT doc_id, rn AS rank
+           FROM (SELECT *, row_number() OVER (
+               ORDER BY round(sim, 6) DESC, doc_id ASC) AS rn
+             FROM cos) x
+           WHERE rn <= 20),
+         u AS (
+           SELECT doc_id, 1000000000000 // (rank + 60) AS contrib
+           FROM lex
+           UNION ALL
+           SELECT doc_id, 1000000000000 // (rank + 60) FROM sem)
+         SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_e12,
+           CAST(count(*) AS INT) AS n_lists
+         FROM u GROUP BY doc_id
+         ORDER BY rrf_e12 DESC, doc_id LIMIT 10""",
     "x_pca_project" ->
       // conditioned on the x_pca_power dump (itself eigen-verified):
       // the dot replays on the exact 12-dp decimal grid, so scores

@@ -969,7 +969,7 @@ object TextOps {
       .select(col(idCol), col("score"))
   }
 
-  private val bm25Terms = Seq("vector", "stream", "merge")
+  private[graft] val bm25Terms = Seq("vector", "stream", "merge")
 
   /** tx bm25: top 15 documents for a 3-term query (odds-ratio idf —
     * see `bm25TopK` on why the gate form avoids `ln`). */

@@ -90,4 +90,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(math.abs(out(("ramp", 1.0)) - 100.0) <= w + 1e-9)
     assert(math.abs(out(("ramp", 0.5)) - 50.25) <= w + 1e-9)
   }
+
+  test("zorderKey: bit interleave matches a driver-side Morton code " +
+    "on hand pairs and 200 random 32-bit pairs") {
+    def morton(a: Long, b: Long): Long =
+      (0 until 32).foldLeft(0L) { (z, i) =>
+        z | ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1)
+      }
+    val rnd = new scala.util.Random(5)
+    val pairs = Seq((3L, 5L), (0L, 0L), (0xFFFFFFFFL, 0L),
+      (0L, 0xFFFFFFFFL), (0xFFFFFFFFL, 0xFFFFFFFFL)) ++
+      Seq.fill(200)((rnd.nextLong() & 0xFFFFFFFFL,
+        rnd.nextLong() & 0xFFFFFFFFL))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        ScaleOps.zorderKey(col("a"), col("b")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == pairs.length)
+    got.foreach { case (a, b, z) =>
+      assert(z == morton(a, b), s"($a,$b): got $z want ${morton(a, b)}")
+    }
+    assert(got.find(g => (g._1, g._2) == ((3L, 5L))).get._3 == 39L)
+  }
 }

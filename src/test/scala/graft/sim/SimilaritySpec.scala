@@ -376,6 +376,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(v(top) > 0, "sign convention violated")
   }
 
+  test("rrfFuse: integer micro-unit contributions, dual-list ids " +
+    "outrank single-list ids, deterministic ties") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val got = Similarity.rrfFuse(Seq(a, b), "doc_id", k = 4)
+      .as[(Long, Long, Int)].collect()
+    def cu(r: Int) = 1000000000000L / (r + 60)
+    assert(got.map(_._1).toSeq == Seq(2L, 1L, 4L, 3L))
+    val m = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(2L) == ((cu(2) + cu(1), 2))) // in both lists
+    assert(m(1L) == ((cu(1), 1)))
+    assert(m(4L) == ((cu(2), 1)))
+    assert(m(3L) == ((cu(3), 1)))
+  }
+
   test("pcaProject: scores equal the driver-side dot of the " +
     "quantized inputs with the component") {
     val comp = Seq((0, 0.6), (1, -0.8), (2, 0.0)).toDF("i", "v")
