@@ -494,7 +494,14 @@ object Dedup {
   def substringSpans(docs: DataFrame, idCol: String, textCol: String,
       spanLen: Int = 25, hashWindows: Boolean = true): DataFrame = {
     val src = spanSrc(docs, idCol, textCol)
-    val perDoc = dupIslands(src, spanLen, hashWindows)
+    spansFromIslands(src, dupIslands(src, spanLen, hashWindows))
+  }
+
+  /** The per-doc rollup of `substringSpans`, factored so the two
+    * substring gates can share ONE staged island derivation. */
+  private def spansFromIslands(src: DataFrame,
+      islands: DataFrame): DataFrame = {
+    val perDoc = islands
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_spans"),
         sum(col("e") - col("s")).cast("int").as("dup_chars"))
@@ -561,7 +568,14 @@ object Dedup {
   def substringCut(docs: DataFrame, idCol: String, textCol: String,
       spanLen: Int = 25, hashWindows: Boolean = true): DataFrame = {
     val src = spanSrc(docs, idCol, textCol)
-    val arr = dupIslands(src, spanLen, hashWindows)
+    cutFromIslands(src, dupIslands(src, spanLen, hashWindows))
+  }
+
+  /** The rewrite of `substringCut`, factored for the shared staged
+    * island derivation (see `spansFromIslands`). */
+  private def cutFromIslands(src: DataFrame,
+      islands: DataFrame): DataFrame = {
+    val arr = islands
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("s"), col("e"))))
         .as("isl"))
@@ -1032,20 +1046,43 @@ object Dedup {
       blockCols = Seq("lang", "source"))
   }
 
+  /** Island derivation staged ONCE per (process, sf dir) — the
+    * span-detection shuffles (window aggregate + dup-key join) are
+    * the dominant cost of BOTH substring gates and are identical
+    * between them, so they share one staged derivation (the
+    * pqIndexStaged shape). Safe because both consumers' oracles
+    * re-derive EVERYTHING from raw documents: a stale or corrupt
+    * staged table hash-mismatches immediately. */
+  private val stagedIslands =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def islandsStaged(s: SparkSession, d: String): DataFrame = {
+    val path = stagedIslands.computeIfAbsent(d, _ => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_substr_islands_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        .getPath
+      graft.io.Writers.overwriteStaged(
+        dupIslands(spanSrc(t(s, d, "documents"), "doc_id", "text"),
+          spanLen = 25, hashWindows = false), dir)
+      dir
+    })
+    s.read.parquet(path)
+  }
+
   /** Repeated-substring span accounting over the documents corpus —
     * string-keyed so the oracle replays window equality exactly
     * (`hashWindows=true` is the scale path, DedupSpec-pinned equal). */
   private def dSubstringSpans(s: SparkSession, d: String): DataFrame =
-    substringSpans(t(s, d, "documents"), "doc_id", "text",
-      spanLen = 25, hashWindows = false)
+    spansFromIslands(spanSrc(t(s, d, "documents"), "doc_id", "text"),
+      islandsStaged(s, d))
 
   /** The applied cut over the same spans — the oracle rebuilds each
     * clean text per-CHARACTER (kept positions → string_agg), a
     * deliberately different formulation from the engine's island fold,
     * so a boundary error in either cannot cancel out. */
   private def dSubstringCut(s: SparkSession, d: String): DataFrame =
-    substringCut(t(s, d, "documents"), "doc_id", "text",
-      spanLen = 25, hashWindows = false)
+    cutFromIslands(spanSrc(t(s, d, "documents"), "doc_id", "text"),
+      islandsStaged(s, d))
 
   /** Containment at t=0.05 over (lang, source) blocks — low enough
     * that the sf0.01 corpus yields both full containments (1.0) and

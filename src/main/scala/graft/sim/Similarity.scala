@@ -1426,6 +1426,7 @@ object Similarity {
       val c = (r.getDouble(5) - r.getDouble(3) * r.getDouble(4) / n) / n
       cov(i)(j) = c; cov(j)(i) = c
     }
+    pcaFitRuns.incrementAndGet()
     var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
     for (_ <- 1 to iters) {
       val w = Array.tabulate(d)(i =>
@@ -1446,6 +1447,27 @@ object Similarity {
 
   private def xPcaPower(s: SparkSession, d: String): DataFrame =
     principalComponent(t(s, d, "embeddings"))
+
+  /** The component memoized per (process, sf dir) — the moments pass
+    * is the whole cost and is identical across consumers, so serving
+    * gates read the memo (the staged-fit-once discipline). x_pca_power
+    * deliberately does NOT read it: its per-execution refit is the
+    * determinism proof the x_pca_project oracle conditions on, and
+    * x_covariance recomputes the moments as its own gate content. */
+  private val stagedPca = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Int, Double)]]()
+  /** Fit counter the PCA fit-once spec pins. */
+  private[graft] val pcaFitRuns =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[graft] def principalComponentStaged(s: SparkSession,
+      d: String): DataFrame = {
+    val rows = stagedPca.computeIfAbsent(d, _ =>
+      principalComponent(t(s, d, "embeddings"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1))))
+    import s.implicits._
+    rows.toSeq.toDF("i", "v")
+  }
 
   /** Project every embedding onto a component vector: score =
     * Σ x_i·v_i over the 6-dp-quantized inputs, accumulated on the
@@ -1472,13 +1494,13 @@ object Similarity {
         .cast("double").as("score"))
   }
 
-  /** Gate: scores against the SAME deterministic component the
-    * x_pca_power gate dumps (recomputed here — gate independence, the
-    * d_cluster_keep_best precedent); the oracle replays the dot from
-    * the x_pca_power dump on the exact decimal grid. */
+  /** Gate: scores against the memoized component (identical to the
+    * x_pca_power dump — the fit is deterministic, and the oracle
+    * replays the dot FROM that separately-refit dump, so any memo
+    * staleness or fit drift hash-mismatches here). */
   private def xPcaProject(s: SparkSession, d: String): DataFrame =
     pcaProject(t(s, d, "embeddings"),
-      principalComponent(t(s, d, "embeddings")))
+      principalComponentStaged(s, d))
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) — the
     * hybrid-retrieval combiner: score(d) = Σ_lists 1/(c + rank_l(d)),

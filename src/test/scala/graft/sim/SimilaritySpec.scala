@@ -391,6 +391,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(m(3L) == ((cu(3), 1)))
   }
 
+  test("principalComponentStaged: fit-once per corpus (counter pinned) " +
+    "and staged == live fit") {
+    val d = graft.TestSpark.sf001
+    val before = Similarity.pcaFitRuns.get()
+    val a = Similarity.principalComponentStaged(spark, d)
+      .as[(Int, Double)].collect().sortBy(_._1).toSeq
+    val mid = Similarity.pcaFitRuns.get()
+    val b = Similarity.principalComponentStaged(spark, d)
+      .as[(Int, Double)].collect().sortBy(_._1).toSeq
+    assert(Similarity.pcaFitRuns.get() == mid) // second read: no refit
+    assert(mid - before <= 1) // at most one fit (0 if already memoized)
+    assert(a == b)
+    val live = Similarity.principalComponent(
+        graft.Tables.t(spark, d, "embeddings"))
+      .as[(Int, Double)].collect().sortBy(_._1).toSeq
+    assert(a == live) // the memo serves exactly the live fit
+  }
+
   test("pcaProject: scores equal the driver-side dot of the " +
     "quantized inputs with the component") {
     val comp = Seq((0, 0.6), (1, -0.8), (2, 0.0)).toDF("i", "v")
