@@ -267,7 +267,27 @@ object Windows {
         sum(round(col("value"), 6).cast("decimal(28,6)"))
           .cast("double").as("sum_value"))
 
+  /** W11: the session-scoped funnel — what fraction of SESSIONS reach
+    * each stage (W1's funnel counts events; per-session presence is
+    * the product-analytics form: one purchase per session counts
+    * once). Stage flags aggregate as max(bool) per session, then one
+    * tiny rollup; the only data-sized shuffle is sessionize's. */
+  private def w11SessionFunnel(s: SparkSession, d: String): DataFrame = {
+    val stages = Seq("signup", "view", "click", "purchase")
+    val flags = stages.map(st =>
+      max(when(col("event_type") === st, 1).otherwise(0))
+        .as(s"has_$st"))
+    val sess = sessionize(t(s, d, "events"), "user_id", "ts",
+        "event_id", gapUs = 1800000000L)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(flags.head, flags.tail: _*)
+    sess.agg(
+      count(lit(1)).as("n_sessions"),
+      stages.map(st => sum(col(s"has_$st")).as(s"n_$st")): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w11_session_funnel" -> w11SessionFunnel _,
     "w10_sessionize" -> w10Sessionize _,
     "w9_rolling_zscore" -> w9RollingZscore _,
     "w1_lag_delta" -> w1Lag _,
@@ -282,6 +302,38 @@ object Windows {
     "a7_n50" -> a7N50 _)
 
   val oracle: Map[String, String] = Map(
+    "w11_session_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, event_type,
+             epoch_us(ts) AS tu,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN tu - prev <= 1800000000 THEN 0 ELSE 1
+             END AS brk FROM e),
+         g AS (
+           SELECT *, sum(brk) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)
+             AS session_seq
+           FROM f),
+         sess AS (
+           SELECT user_id, session_seq,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS has_signup,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS has_view,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS has_click,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS has_purchase
+           FROM g GROUP BY user_id, session_seq)
+         SELECT count(*) AS n_sessions,
+           CAST(sum(has_signup) AS BIGINT) AS n_signup,
+           CAST(sum(has_view) AS BIGINT) AS n_view,
+           CAST(sum(has_click) AS BIGINT) AS n_click,
+           CAST(sum(has_purchase) AS BIGINT) AS n_purchase
+         FROM sess""",
     "w10_sessionize" ->
       """WITH e AS (
            SELECT user_id, event_id, ts, value, epoch_us(ts) AS tu,

@@ -1415,9 +1415,15 @@ object Similarity {
     * work is the moments pass; the driver holds only d² + d doubles
     * at ANY corpus size. */
   def principalComponent(e: DataFrame, embCol: String = "embedding",
-      iters: Int = 50): DataFrame = {
-    val rows = covarianceMoments(e, embCol)
-      .collect() // bounded: d(d+1)/2 rows
+      iters: Int = 50): DataFrame =
+    powerIterate(e.sparkSession,
+      covarianceMoments(e, embCol).collect(), iters) // bounded collect
+
+  /** The driver-side power loop over collected moment rows (bounded:
+    * d(d+1)/2). Split out so gates can run it over process-staged
+    * moments without re-deriving them. */
+  private def powerIterate(spark0: SparkSession,
+      rows: Array[org.apache.spark.sql.Row], iters: Int): DataFrame = {
     val d = rows.map(_.getInt(1)).max + 1
     val cov = Array.ofDim[Double](d, d)
     rows.foreach { r =>
@@ -1440,34 +1446,42 @@ object Similarity {
       (i, BigDecimal(sgn * x)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
-    val spark = e.sparkSession
-    import spark.implicits._
+    import spark0.implicits._
     out.toSeq.toDF("i", "v")
   }
 
-  private def xPcaPower(s: SparkSession, d: String): DataFrame =
-    principalComponent(t(s, d, "embeddings"))
-
-  /** The component memoized per (process, sf dir) — the moments pass
-    * is the whole cost and is identical across consumers, so serving
-    * gates read the memo (the staged-fit-once discipline). x_pca_power
-    * deliberately does NOT read it: its per-execution refit is the
-    * determinism proof the x_pca_project oracle conditions on, and
-    * x_covariance recomputes the moments as its own gate content. */
-  private val stagedPca = new java.util.concurrent.ConcurrentHashMap[
-    String, Array[(Int, Double)]]()
-  /** Fit counter the PCA fit-once spec pins. */
+  /** The covariance-moments pass memoized per (process, sf dir) —
+    * the distributed cost of the whole PCA family, identical across
+    * consumers, so gates share one pass (the staged-fit-once
+    * discipline). Verification stays independent of the memo:
+    * x_covariance recomputes the moments as its own full-oracle gate
+    * content every execution, and the x_pca_power oracle re-derives
+    * the covariance from raw embeddings in DuckDB before accepting
+    * the dumped vector — a corrupt memo fails the eigen check or the
+    * x_pca_project dot replay. */
+  private val stagedMoments = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[org.apache.spark.sql.Row]]()
+  /** Counters the PCA fit-once spec pins: distributed moments passes
+    * (the expensive part — once per process+corpus) and power loops
+    * (cheap driver math, once per consumer). */
+  private[graft] val pcaMomentsRuns =
+    new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val pcaFitRuns =
     new java.util.concurrent.atomic.AtomicLong(0)
 
+  private def momentsMemo(s: SparkSession, d: String)
+      : Array[org.apache.spark.sql.Row] =
+    stagedMoments.computeIfAbsent(d, _ => {
+      pcaMomentsRuns.incrementAndGet()
+      covarianceMoments(t(s, d, "embeddings")).collect()
+    })
+
+  private def xPcaPower(s: SparkSession, d: String): DataFrame =
+    powerIterate(s, momentsMemo(s, d), iters = 50)
+
   private[graft] def principalComponentStaged(s: SparkSession,
-      d: String): DataFrame = {
-    val rows = stagedPca.computeIfAbsent(d, _ =>
-      principalComponent(t(s, d, "embeddings"))
-        .collect().map(r => (r.getInt(0), r.getDouble(1))))
-    import s.implicits._
-    rows.toSeq.toDF("i", "v")
-  }
+      d: String): DataFrame =
+    powerIterate(s, momentsMemo(s, d), iters = 50)
 
   /** Project every embedding onto a component vector: score =
     * Σ x_i·v_i over the 6-dp-quantized inputs, accumulated on the
@@ -1501,6 +1515,48 @@ object Similarity {
   private def xPcaProject(s: SparkSession, d: String): DataFrame =
     pcaProject(t(s, d, "embeddings"),
       principalComponentStaged(s, d))
+
+  /** SEMANTIC decontamination — the embedding-level analog of
+    * `tx_decontam`: flag corpus vectors whose cosine against ANY
+    * eval-set vector reaches `tau`, reporting the strongest match
+    * (max sim, ties to the smallest eval id — the x_ann_brute rank
+    * rule). Lexical n-gram decontamination misses paraphrased eval
+    * leakage; this catches it at the embedding layer.
+    *
+    * Scale shape: the eval set is bounded (benchmarks are small), so
+    * it BROADCASTS and the pass is one scan of the corpus — per row a
+    * fold over the broadcast list, no shuffle except the final
+    * per-row argmax aggregate, which is corpus-row-keyed and
+    * partial-combines. */
+  def embedDecontam(corpus: DataFrame, evalSet: DataFrame,
+      tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau=$tau must be in (0, 1]")
+    val e = broadcast(evalSet
+      .select(col("vec_id").as("e_id"),
+        asDouble(col("embedding")).as("e_emb"))
+      .withColumn("e_norm", sqrt(dotD(col("e_emb"), col("e_emb")))))
+    val c = corpus.select(col("vec_id").as("n_id"),
+        asDouble(col("embedding")).as("n_emb"))
+      .withColumn("n_norm", sqrt(dotD(col("n_emb"), col("n_emb"))))
+    val w = Window.partitionBy("n_id")
+      .orderBy(round(col("sim"), 6).desc, col("e_id").asc)
+    c.crossJoin(e)
+      .withColumn("sim",
+        dotD(col("n_emb"), col("e_emb")) /
+          (col("n_norm") * col("e_norm")))
+      .filter(round(col("sim"), 6) >= tau)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("n_id"), col("e_id"),
+        round(col("sim"), 4).as("cos_sim"))
+  }
+
+  /** Gate: eval set = vec_id < 20, corpus = the rest, τ = 0.3. */
+  private def xEmbedDecontam(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    embedDecontam(emb.filter(col("vec_id") >= 20),
+      emb.filter(col("vec_id") < 20), tau = 0.3)
+  }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) — the
     * hybrid-retrieval combiner: score(d) = Σ_lists 1/(c + rank_l(d)),
@@ -1563,6 +1619,7 @@ object Similarity {
     "x_pca_power" -> xPcaPower _,
     "x_pca_project" -> xPcaProject _,
     "x_rrf_fusion" -> xRrfFusion _,
+    "x_embed_decontam" -> xEmbedDecontam _,
     "x_ann_brute" -> xAnnBrute _,
     "x_ann_lsh" -> xAnnLsh _,
     "x_ann_ivf" -> xAnnIvf _,
@@ -2009,6 +2066,25 @@ object Similarity {
                ELSE emb END,
              x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), ',') AS unit
          FROM s""",
+    "x_embed_decontam" ->
+      """WITH ev AS (
+           SELECT vec_id AS e_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e_emb
+           FROM embeddings WHERE vec_id < 20),
+         c AS (
+           SELECT vec_id AS n_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_emb
+           FROM embeddings WHERE vec_id >= 20),
+         scored AS (
+           SELECT c.n_id, ev.e_id,
+             list_cosine_similarity(c.n_emb, ev.e_emb) AS sim
+           FROM c CROSS JOIN ev
+           WHERE round(list_cosine_similarity(c.n_emb, ev.e_emb), 6)
+             >= 0.3)
+         SELECT n_id, e_id, round(sim, 4) AS cos_sim
+         FROM (SELECT *, row_number() OVER (PARTITION BY n_id
+           ORDER BY round(sim, 6) DESC, e_id ASC) AS rn FROM scored) x
+         WHERE rn = 1""",
     "x_rrf_fusion" ->
       """WITH tk AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok

@@ -41,6 +41,33 @@ class SessionizeSpec extends AnyFunSuite {
       6L -> 1, 7L -> 1, 8L -> 1))
   }
 
+  test("session funnel semantics: per-session stage presence counts " +
+    "each session once, however many times the stage repeats") {
+    val ev = mkEvents(Seq(
+      (1L, 1L, "2024-01-01 10:00:00"), // s1: signup
+      (2L, 1L, "2024-01-01 10:05:00"), // s1: view
+      (3L, 1L, "2024-01-01 10:06:00"), // s1: view AGAIN (counts once)
+      (4L, 1L, "2024-01-01 12:00:00"), // s2: view only
+      (5L, 2L, "2024-01-01 09:00:00")  // u2 s1: purchase
+    )).withColumn("event_type",
+      when(col("event_id") === 1, "signup")
+        .when(col("event_id") === 5, "purchase").otherwise("view"))
+    val sess = Windows.sessionize(ev, "user_id", "ts", "event_id",
+        gapUs = 1800000000L)
+      .groupBy("user_id", "session_seq")
+      .agg(
+        max(when(col("event_type") === "signup", 1).otherwise(0))
+          .as("has_signup"),
+        max(when(col("event_type") === "view", 1).otherwise(0))
+          .as("has_view"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("has_purchase"))
+    val agg = sess.agg(count(lit(1)), sum("has_signup"),
+        sum("has_view"), sum("has_purchase"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(agg == ((3L, 1L, 2L, 1L)))
+  }
+
   test("sessionize: session ids are dense per key and every event " +
     "lands in exactly one session on the corpus slice") {
     val ev = graft.Tables.t(spark, graft.TestSpark.sf001, "events")

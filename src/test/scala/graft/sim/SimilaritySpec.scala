@@ -376,6 +376,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(v(top) > 0, "sign convention violated")
   }
 
+  test("embedDecontam: planted eval copy is flagged with the right " +
+    "eval id, orthogonal vectors stay clean, ties to smallest e_id") {
+    val evalSet = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f, 0.0f)) // duplicate direction of e1
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(2.0f, 0.0f, 0.0f)),   // parallel to e1 AND e3 -> tie
+      (11L, Array(0.0f, 0.0f, 5.0f)),   // orthogonal to all
+      (12L, Array(1.0f, 1.0f, 0.0f))    // cos 0.7071 vs e1/e2/e3
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.embedDecontam(corpus, evalSet, tau = 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(10L))
+    assert(got(10L) == ((1L, 1.0))) // tie between e1/e3 -> smallest id
+    val loose = Similarity.embedDecontam(corpus, evalSet, tau = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(loose.keySet == Set(10L, 12L))
+    assert(loose(12L)._1 == 1L && math.abs(loose(12L)._2 - 0.7071) < 1e-9)
+  }
+
   test("rrfFuse: integer micro-unit contributions, dual-list ids " +
     "outrank single-list ids, deterministic ties") {
     val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
@@ -391,17 +415,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(m(3L) == ((cu(3), 1)))
   }
 
-  test("principalComponentStaged: fit-once per corpus (counter pinned) " +
-    "and staged == live fit") {
+  test("principalComponentStaged: ONE distributed moments pass per " +
+    "corpus (counter pinned) and staged == live fit") {
     val d = graft.TestSpark.sf001
-    val before = Similarity.pcaFitRuns.get()
+    val before = Similarity.pcaMomentsRuns.get()
     val a = Similarity.principalComponentStaged(spark, d)
       .as[(Int, Double)].collect().sortBy(_._1).toSeq
-    val mid = Similarity.pcaFitRuns.get()
+    val mid = Similarity.pcaMomentsRuns.get()
     val b = Similarity.principalComponentStaged(spark, d)
       .as[(Int, Double)].collect().sortBy(_._1).toSeq
-    assert(Similarity.pcaFitRuns.get() == mid) // second read: no refit
-    assert(mid - before <= 1) // at most one fit (0 if already memoized)
+    assert(Similarity.pcaMomentsRuns.get() == mid) // no second pass
+    assert(mid - before <= 1) // at most one (0 if already memoized)
     assert(a == b)
     val live = Similarity.principalComponent(
         graft.Tables.t(spark, d, "embeddings"))
