@@ -318,6 +318,92 @@ object Streams {
       }.toDF()
   }
 
+  case class ZState(vals: List[Double])
+  case class ZRow(user_id: Long, event_id: Long, n_win: Long,
+    sx: Double, sx2: Double, zscore: Option[Double])
+
+  /** Streaming rolling z-score — `w9_rolling_zscore` as PER-USER
+    * STATE: the trailing frame is the state (≤ `frame` raw values, a
+    * few doubles per user forever), each arrival scores against its
+    * own trailing moments and rolls the frame forward. The moment
+    * arithmetic replicates the batch operator DIGIT-FOR-DIGIT —
+    * 6-dp HALF_UP quantization (what Spark's `round(col, 6)` does),
+    * exact BigDecimal sums, then the identical double-precision
+    * mean/variance/score steps — so a single-delivery stream equals
+    * the batch query bit-for-bit and the batch oracle IS the
+    * streaming gate's oracle.
+    *
+    * Ordering: arrivals sort by (ts, event_id) WITHIN each
+    * micro-batch (the per-group sort is bounded by the group's batch
+    * slice); across batches the stream assumes in-order arrival per
+    * user — the file-replay / log-compacted contract. Late events
+    * need the batch operator over the archive, same division as
+    * streaming vs batch heavy hitters. Assumes non-null values (the
+    * events contract; the batch form's frame would count them out). */
+  def streamingZscore(events: DataFrame, frame: Int = 10): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.GroupState
+    require(frame >= 1, s"frame=$frame must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def bd6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val src = events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tu"), col("value"))
+      .as[(Long, Long, Long, Double)]
+    src.groupByKey(_._1)
+      .flatMapGroupsWithState[ZState, ZRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long, Double)],
+            state: GroupState[ZState]) =>
+          // most-recent-first; take(frame) drops the oldest
+          var vals = state.getOption.map(_.vals).getOrElse(Nil)
+          val out = it.toSeq.sortBy(r => (r._3, r._2)).map {
+            case (_, eid, _, v) =>
+              vals = (v :: vals).take(frame)
+              val n = vals.size
+              val sx = vals.map(bd6).sum.toDouble
+              val sx2 = vals.map(x => bd6(x * x)).sum.toDouble
+              val mean = sx / n
+              val variance = math.max((sx2 - sx * sx / n) / n, 0.0)
+              val stdv = math.sqrt(variance)
+              val z =
+                if (stdv > 0)
+                  Some(BigDecimal((v - mean) / stdv)
+                    .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                    .toDouble + 0.0)
+                else None
+              ZRow(uid, eid, n, sx, sx2, z)
+          }
+          state.update(ZState(vals))
+          out.iterator
+      }.toDF()
+  }
+
+  /** st_zscore: a REAL stateful streaming run — the events feed
+    * replays under Trigger.AvailableNow through the per-user
+    * frame-state stream into a parquet sink (row count is
+    * corpus-sized, so no memory sink / driver collect). Because the
+    * streaming arithmetic replicates the batch operator exactly, the
+    * oracle IS w9's (single delivery ⇒ stream == batch bit-for-bit);
+    * multi-batch state carry is pinned by StreamsSpec. */
+  private def stZscore(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_st_z")
+    Files.copy(Paths.get(s"$d/events.parquet"),
+      dir.resolve("events.parquet"))
+    val outDir = Files.createTempDirectory("graft_st_z_out").toString
+    val ckpt = Files.createTempDirectory("graft_st_z_ckpt").toString
+    val q = streamingZscore(eventStream(s, dir.toString))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(300000),
+      "st_zscore: stream did not finish in 300s")
+    s.read.parquet(outDir)
+  }
+
   // ---- gate queries (batch semantics of the same code paths) ----
 
   private val hhGateRuns = new java.util.concurrent.atomic.AtomicLong(0)
@@ -411,6 +497,7 @@ object Streams {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_heavy_hitters" -> stHeavyHitters _,
+    "st_zscore" -> stZscore _,
     "st_window_agg" -> stWindowAgg _,
     "st_sessionize" -> stSessionize _,
     "st_sliding_window" -> stSlidingWindow _,
@@ -450,6 +537,9 @@ object Streams {
 
   val oracle: Map[String, String] = Map(
     // exact-mode MG (m ≫ vocab → no evictions): the stream's final
+    // single delivery ⇒ stream == batch bit-for-bit, so the batch
+    // operator's oracle verifies the streaming gate unchanged
+    "st_zscore" -> graft.ops.Windows.oracle("w9_rolling_zscore"),
     // per-language snapshot must equal the exact top-15 token counts,
     // tie-broken (count desc, token asc) like the emission sort
     "st_heavy_hitters" ->

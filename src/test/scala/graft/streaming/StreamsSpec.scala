@@ -274,4 +274,47 @@ class StreamsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
   }
+
+  test("streaming z-score: two-batch checkpointed replay carries the " +
+    "per-user frame state and equals the batch w9 on the full feed") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val full = graft.Tables.t(spark, d, "events")
+    // global ts split keeps every user in-order across the two files
+    val cut = full.select(expr("percentile(unix_micros(ts), 0.5)"))
+      .as[Double].head().toLong
+    val inDir = Files.createTempDirectory("graft_z_in")
+    val ckpt = Files.createTempDirectory("graft_z_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_z_out").toString
+    def runOnce(): Unit = {
+      val q = Streams.streamingZscore(
+          Streams.eventStream(spark, inDir.toString))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+    }
+    full.filter(unix_micros(col("ts")) <= cut).coalesce(1)
+      .write.parquet(inDir.resolve("part1").toString)
+    Files.list(inDir.resolve("part1")).forEach { f =>
+      if (f.toString.endsWith(".parquet"))
+        Files.copy(f, inDir.resolve("e1.parquet"))
+    }
+    runOnce()
+    full.filter(unix_micros(col("ts")) > cut).coalesce(1)
+      .write.parquet(inDir.resolve("part2").toString)
+    Files.list(inDir.resolve("part2")).forEach { f =>
+      if (f.toString.endsWith(".parquet"))
+        Files.copy(f, inDir.resolve("e2.parquet"))
+    }
+    runOnce()
+    val streamed = spark.read.parquet(outDir)
+      .select("user_id", "event_id", "n_win", "sx", "sx2", "zscore")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.Windows.queries("w9_rolling_zscore")(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch) // state carry: frames straddle the cut
+  }
 }
