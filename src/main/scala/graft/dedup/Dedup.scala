@@ -523,7 +523,8 @@ object Dedup {
     * and EXCLUSIVE end `e`, non-overlapping and non-adjacent by
     * construction (adjacent runs fuse). */
   private def dupIslands(src: DataFrame, spanLen: Int,
-      hashWindows: Boolean): DataFrame = {
+      hashWindows: Boolean, restrictTo: Option[DataFrame] = None)
+      : DataFrame = {
     require(spanLen >= 2, s"spanLen=$spanLen must be >= 2")
     val w = org.apache.spark.sql.expressions.Window
     // filter, don't clamp: sequence(1, 0) in Spark is the DESCENDING
@@ -540,7 +541,11 @@ object Dedup {
       .select("doc_id", "p", "k")
     val dupKeys = wins.groupBy("k").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select("k")
-    val marked = wins.join(dupKeys, Seq("k")).select("doc_id", "p")
+    val markedAll = wins.join(dupKeys, Seq("k")).select("doc_id", "p")
+    // incremental form: dup detection sees everything, but only the
+    // restricted docs (the new batch) pay the island window
+    val marked = restrictTo.fold(markedAll)(ids =>
+      markedAll.join(ids.select("doc_id"), Seq("doc_id"), "left_semi"))
     val perDoc = w.partitionBy("doc_id").orderBy("p")
     marked
       .withColumn("prev_end", max(col("p") + spanLen).over(
@@ -552,6 +557,23 @@ object Dedup {
       .groupBy("doc_id", "island")
       .agg(min(col("p")).cast("int").as("s"),
         (max(col("p")) + spanLen).cast("int").as("e"))
+  }
+
+  /** INCREMENTAL ExactSubstr spans — the nightly-batch form: windows
+    * of `batch` docs are marked duplicated if they repeat anywhere in
+    * batch ∪ corpus, but only BATCH docs pay the island window and
+    * appear in the output (the incrementalNearDups cost contract:
+    * per-cycle work tracks the delta plus one corpus window-key
+    * aggregate; at scale the corpus window-key set is the stored
+    * artifact a nightly job joins against instead of re-deriving). */
+  def incrementalSubstringSpans(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, spanLen: Int = 25,
+      hashWindows: Boolean = true): DataFrame = {
+    val bSrc = spanSrc(batch, idCol, textCol)
+    val union = bSrc.unionByName(spanSrc(corpus, idCol, textCol))
+    spansFromIslands(bSrc,
+      dupIslands(union, spanLen, hashWindows,
+        restrictTo = Some(bSrc.select("doc_id"))))
   }
 
   /** APPLY the ExactSubstr cut: every duplicated island's characters
@@ -1098,7 +1120,17 @@ object Dedup {
     winnowMatchPairs(t(s, d, "documents"), "doc_id", "text",
       minShared = 1, blockCols = Seq("lang", "source"))
 
+  /** Incremental spans gate: docs ≥ 400 are tonight's batch, < 400
+    * the loaded corpus (the d_incr_neardup split). */
+  private def dIncrSubstring(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    incrementalSubstringSpans(docs.filter(col("doc_id") >= 400),
+      docs.filter(col("doc_id") < 400), "doc_id", "text",
+      spanLen = 25, hashWindows = false)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_incr_substring" -> dIncrSubstring _,
     "d_winnow_pairs" -> dWinnowPairs _,
     "d_containment" -> dContainment _,
     "d_substring_spans" -> dSubstringSpans _,
@@ -1118,6 +1150,39 @@ object Dedup {
     "d_embed_neardup" -> dEmbedNearDup _)
 
   val oracle: Map[String, String] = Map(
+    "d_incr_substring" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len FROM documents),
+         w AS (
+           SELECT doc_id, CAST(r.p AS INT) AS p,
+             substr(text, CAST(r.p AS INT), 25) AS g
+           FROM d, unnest(range(1, greatest(len - 23, 1))) AS r(p)),
+         dup AS (SELECT g FROM w GROUP BY g HAVING count(*) > 1),
+         m AS (SELECT doc_id, p FROM w
+           WHERE g IN (SELECT g FROM dup) AND doc_id >= 400),
+         b AS (
+           SELECT doc_id, p,
+             CASE WHEN p > coalesce(max(p + 25) OVER (
+                 PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS brk
+           FROM m),
+         isl AS (
+           SELECT doc_id, p,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+           FROM b),
+         sp AS (
+           SELECT doc_id, island, max(p) + 25 - min(p) AS chars
+           FROM isl GROUP BY doc_id, island),
+         per AS (
+           SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+             CAST(sum(chars) AS INT) AS dup_chars
+           FROM sp GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(per.n_spans, 0) AS n_spans,
+           coalesce(per.dup_chars, 0) AS dup_chars,
+           CAST(d.len AS INT) AS n_chars
+         FROM (SELECT * FROM d WHERE doc_id >= 400) d
+         LEFT JOIN per USING (doc_id)""",
     "d_winnow_pairs" ->
       """WITH d AS (
            SELECT doc_id, lang, source,

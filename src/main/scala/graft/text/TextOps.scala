@@ -144,6 +144,40 @@ object TextOps {
   private def txWinnow(s: SparkSession, d: String): DataFrame =
     winnowFingerprints(t(s, d, "documents"), "doc_id", "text")
 
+  /** Corpus DATA CARD: the per-(lang, source) rollup a dataset release
+    * ships — doc/token/char volumes, Gopher-battery pass count, exact
+    * duplicate count (corpus-wide fingerprint), and the quality-score
+    * mass (4-dp scores decimal-summed so the mean derives exactly
+    * downstream; a divided mean would FP-tie). One fingerprint window
+    * + one rollup — two shuffles at any corpus size. */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val keep = gopherRules(col(textCol)).last // the `keep` conjunction
+    docs
+      .withColumn("fp", fingerprint(col(textCol)))
+      .withColumn("is_dup",
+        when(count(lit(1)).over(w) > 1, 1L).otherwise(0L))
+      .select(blockCols.map(col) ++ Seq(
+        size(tokens(col(textCol))).cast("long").as("n_tok"),
+        length(col(textCol)).cast("long").as("n_chr"),
+        keep.cast("long").as("keep"),
+        col("is_dup"),
+        qualityScore(col(textCol)).cast("decimal(18,4)").as("q")): _*)
+      .groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("n_chr").as("n_chars"),
+        sum("keep").as("n_keep"),
+        sum("is_dup").as("n_exact_dup"),
+        sum("q").cast("double").as("sum_quality"))
+  }
+
+  /** tx corpus report: the data card over (lang, source). */
+  private def txCorpusReport(s: SparkSession, d: String): DataFrame =
+    corpusReport(t(s, d, "documents"), "doc_id", "text",
+      Seq("lang", "source"))
+
   /** tx quality score: length/stopword/word-shape heuristics (the
     * C4/Gopher-style quality-signal family). Deterministic closed-form
     * so it is oracle-checkable. */
@@ -1144,6 +1178,7 @@ object TextOps {
     "tx_token_stats" -> txTokenStats _,
     "tx_gopher_rules" -> txGopherRules _,
     "tx_winnow" -> txWinnow _,
+    "tx_corpus_report" -> txCorpusReport _,
     "tx_quality" -> txQuality _,
     "tx_langid" -> txLangid _,
     "tx_fingerprint" -> txFingerprint _,
@@ -1576,6 +1611,48 @@ object TextOps {
            AS INT) AS n_distinct_tokens,
          CAST(length(text) AS INT) AS n_chars
          FROM documents""",
+    "tx_corpus_report" ->
+      """WITH d AS (
+           SELECT lang, source, text,
+             string_split_regex(trim(text), '\s+') AS tok,
+             length(text) AS chars_total,
+             length(regexp_replace(trim(text), '\s+', '', 'g'))
+               AS chars,
+             md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+               '\s+', ' ', 'g'))) AS fp
+           FROM documents),
+         m AS (
+           SELECT lang, source, tok, chars, chars_total,
+             len(tok) AS n,
+             len(list_filter(tok,
+               t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_w,
+             len(list_filter(tok, t -> t IN
+               ('the','a','of','and','in','to','is'))) AS stop_hits,
+             len(tok) - len(list_distinct(tok)) AS n_dup,
+             CASE WHEN count(*) OVER (PARTITION BY fp) > 1
+               THEN 1 ELSE 0 END AS is_dup
+           FROM d),
+         r AS (
+           SELECT lang, source,
+             CAST(n AS BIGINT) AS n_tok,
+             CAST(chars_total AS BIGINT) AS n_chr,
+             CAST(n BETWEEN 50 AND 100000
+               AND chars BETWEEN 3 * n AND 10 * n
+               AND alpha_w * 5 >= n * 4
+               AND stop_hits >= 2
+               AND n_dup * 2 <= n AS BIGINT) AS keep,
+             CAST(is_dup AS BIGINT) AS is_dup,
+             CAST(round(least(1.0, n / 100.0) *
+               (1.0 - stop_hits * 1.0 / n), 4) AS DECIMAL(18,4)) AS q
+           FROM m)
+         SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chr) AS BIGINT) AS n_chars,
+           CAST(sum(keep) AS BIGINT) AS n_keep,
+           CAST(sum(is_dup) AS BIGINT) AS n_exact_dup,
+           CAST(sum(q) AS DOUBLE) AS sum_quality
+         FROM r GROUP BY lang, source""",
     "tx_winnow" ->
       """WITH d AS (
            SELECT doc_id,

@@ -517,6 +517,34 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) == ((1, 6))) // abc[1..3] + def[4..6] fuse seamlessly
   }
 
+  test("incrementalSubstringSpans == full substringSpans restricted " +
+    "to the batch, and a batch-only repeat is still found") {
+    val docs = graft.Tables.t(spark, graft.TestSpark.sf001, "documents")
+      .filter(col("doc_id") < 200)
+    val batch = docs.filter(col("doc_id") >= 150)
+    val corpus = docs.filter(col("doc_id") < 150)
+    val incr = Dedup.incrementalSubstringSpans(batch, corpus,
+        "doc_id", "text", spanLen = 25, hashWindows = true)
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    val full = Dedup.substringSpans(docs, "doc_id", "text",
+        spanLen = 25, hashWindows = true)
+      .filter(col("doc_id") >= 150)
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(incr == full)
+    assert(incr.size == 50)
+
+    // a repeat strictly INSIDE the batch (absent from the corpus)
+    // must still mark: dup detection sees batch ∪ corpus
+    val run = "Z".repeat(30)
+    val b2 = Seq((900L, s"aaaa $run bbbb"), (901L, s"cccc $run dddd"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalSubstringSpans(b2,
+        corpus.select("doc_id", "text"), "doc_id", "text",
+        spanLen = 25, hashWindows = true)
+      .as[(Long, Int, Int, Int)].collect()
+    assert(out.forall(_._2 >= 1), s"batch-internal repeat missed: ${out.toSeq}")
+  }
+
   test("winnowMatchPairs: planted shared runs pair up, unrelated docs " +
     "stay unpaired, and blocks isolate") {
     val run = (1 to 12).map(i => s"stolen$i").mkString(" ")

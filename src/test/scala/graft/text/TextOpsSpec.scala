@@ -382,6 +382,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows(8L)._3 == "head" && rows(9L)._3 == "middle")
   }
 
+  test("corpusReport: hand corpus — dup pair counted on both copies, " +
+    "volumes and quality mass exact, blocks isolate") {
+    val clean = (1 to 58).map(i => f"word$i%02d").mkString(" ") +
+      " the of"
+    val docs = Seq(
+      (1L, "en", clean),            // passes gopher
+      (2L, "en", "the of tiny"),    // fails (short); quality known
+      (3L, "en", "the of tiny"),    // exact dup of 2
+      (4L, "de", "the of tiny")     // same text, other block: STILL a
+                                    // corpus-wide dup (fp is global)
+    ).toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("s"))
+    val out = TextOps.corpusReport(docs, "doc_id", "text",
+        Seq("lang", "source"))
+      .as[(String, String, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val en = out("en")
+    assert(en._3 == 3 && en._7 == 2)       // n_docs, n_exact_dup
+    assert(en._6 == 1)                     // only the clean doc keeps
+    assert(en._4 == 60 + 3 + 3)            // tokens: 60 + 2×3
+    val de = out("de")
+    assert(de._3 == 1 && de._7 == 1)       // cross-block dup counted
+    // quality mass: "the of tiny" = 3 tok, 2 stop →
+    // round(0.03 × (1 − 2/3), 4) = 0.01 each
+    val qTiny = 0.01
+    assert(math.abs(de._8 - qTiny) < 1e-9)
+  }
+
   test("winnowFingerprints: the MOSS guarantee — a shared run of " +
     "window+k-1 tokens always yields a shared fingerprint hash") {
     val rnd = new scala.util.Random(7)
