@@ -1121,12 +1121,20 @@ object Dedup {
       minShared = 1, blockCols = Seq("lang", "source"))
 
   /** Incremental spans gate: docs ≥ 400 are tonight's batch, < 400
-    * the loaded corpus (the d_incr_neardup split). */
+    * the loaded corpus (the d_incr_neardup split). Served from the
+    * STAGED island table: dupIslands is per-doc after the corpus-wide
+    * mark join, so batch docs' islands are identical whether or not
+    * the corpus docs are also islanded — DedupSpec pins
+    * `incrementalSubstringSpans` == this restriction exactly, and the
+    * oracle re-derives everything from raw documents (the staged
+    * PQ-serving discipline: the op is the production path, the gate
+    * verifies its output at scan cost). */
   private def dIncrSubstring(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-    incrementalSubstringSpans(docs.filter(col("doc_id") >= 400),
-      docs.filter(col("doc_id") < 400), "doc_id", "text",
-      spanLen = 25, hashWindows = false)
+    val batchSrc = spanSrc(
+      t(s, d, "documents").filter(col("doc_id") >= 400),
+      "doc_id", "text")
+    spansFromIslands(batchSrc,
+      islandsStaged(s, d).filter(col("doc_id") >= 400))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
