@@ -226,7 +226,46 @@ object ScaleOps {
           .as("z_bucket"))
   }
 
+  /** Grouped closed-form OLS (y = a + b·x per group) from EXACT
+    * moments — the trend-per-segment aggregation, one pass, no ML
+    * machinery. The moment sums (n, Σx, Σy, Σxy, Σx²) accumulate as
+    * decimals over integer x and 6-dp-quantized y (the
+    * w9/covarianceMoments discipline), so they are bit-exact and
+    * mergeable (incremental batches add); slope/intercept then derive
+    * by a FIXED sequence of IEEE ops on the exact moment doubles —
+    * identical operand order ⇒ identical bits on any engine, so the
+    * derived values ship unrounded (the bm25 contract; a 4-dp round
+    * of a ratio would re-open the w9 tie problem). Degenerate groups
+    * (all x equal) yield NULL slope/intercept, never ±inf. */
+  def groupTrend(df: DataFrame, keyCols: Seq[String], xCol: Column,
+      yCol: Column): DataFrame = {
+    val keys = keyCols.map(col)
+    val x = xCol.cast("long")
+    val y = round(yCol.cast("double"), 6)
+    df.groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x.cast("decimal(38,0)")).cast("double").as("sx"),
+        sum(y.cast("decimal(28,6)")).cast("double").as("sy"),
+        sum((x * y).cast("decimal(38,6)")).cast("double").as("sxy"),
+        sum((x * x).cast("decimal(38,0)")).cast("double").as("sxx"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope",
+        when(col("den") > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) / col("den")))
+      .withColumn("intercept",
+        when(col("den") > 0,
+          (col("sy") - col("slope") * col("sx")) / col("n")))
+      .drop("den")
+  }
+
+  /** a12 gate: per-event-type value trend over the day index. */
+  private def a12GroupTrend(s: SparkSession, d: String): DataFrame =
+    groupTrend(t(s, d, "events"), Seq("event_type"),
+      expr("unix_micros(ts) div 86400000000"), col("value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a12_group_trend" -> a12GroupTrend _,
     "f_zorder" -> fZorder _,
     "a11_quantile_sketch" -> aQuantileSketch _,
     "g_incr_agg_merge" -> gIncrAggMerge _,
@@ -234,6 +273,26 @@ object ScaleOps {
     "j_salted_skew" -> jSaltedSkew _)
 
   val oracle: Map[String, String] = Map(
+    "a12_group_trend" ->
+      """WITH e AS (
+           SELECT event_type,
+             epoch_us(ts) // 86400000000 AS x,
+             round(CAST(value AS DOUBLE), 6) AS y
+           FROM events),
+         m AS (
+           SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+           FROM e GROUP BY event_type)
+         SELECT event_type, n, sx, sy, sxy, sxx,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+               / n END AS intercept
+         FROM m""",
     "f_zorder" ->
       """WITH e AS (
            SELECT event_id, user_id,

@@ -91,6 +91,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(math.abs(out(("ramp", 0.5)) - 50.25) <= w + 1e-9)
   }
 
+  test("groupTrend: exact line recovered, degenerate group NULLs, " +
+    "moments exact") {
+    val df = Seq(
+      ("a", 0L, 1.0), ("a", 1L, 3.0), ("a", 2L, 5.0), // y = 1 + 2x
+      ("b", 7L, 4.0), ("b", 7L, 9.0),                 // all x equal
+      ("c", 0L, 2.5), ("c", 4L, 2.5)                  // flat line
+    ).toDF("k", "x", "y")
+    val out = ScaleOps.groupTrend(df, Seq("k"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 3 && a.getDouble(2) == 3.0 &&
+      a.getDouble(3) == 9.0 && a.getDouble(4) == 13.0 &&
+      a.getDouble(5) == 5.0)
+    assert(a.getDouble(6) == 2.0 && a.getDouble(7) == 1.0)
+    assert(out("b").isNullAt(6) && out("b").isNullAt(7))
+    assert(out("c").getDouble(6) == 0.0 &&
+      out("c").getDouble(7) == 2.5)
+  }
+
   test("zorderKey: bit interleave matches a driver-side Morton code " +
     "on hand pairs and 200 random 32-bit pairs") {
     def morton(a: Long, b: Long): Long =
