@@ -144,6 +144,25 @@ object TextOps {
   private def txWinnow(s: SparkSession, d: String): DataFrame =
     winnowFingerprints(t(s, d, "documents"), "doc_id", "text")
 
+  /** Language-ID CONFUSION MATRIX — the evaluation rollup of `langId`
+    * against the labeled column: one (label, predicted, n) cell per
+    * observed pair, plus the per-label hit count so accuracy derives
+    * exactly downstream (a divided rate would FP-tie; counts never
+    * do). The eval surface every classifier-ish curation op needs —
+    * per-row predict + one bounded rollup (|langs|² cells). */
+  def langConfusion(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame =
+    docs.select(col(idCol), col(labelCol).as("lang_label"))
+      .join(langId(docs, idCol, textCol), Seq(idCol))
+      .groupBy("lang_label", "lang_pred")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lang_label") === col("lang_pred"), 1L)
+          .otherwise(0L)).as("n_correct"))
+
+  /** tx langid confusion: prediction quality over the labeled corpus. */
+  private def txLangConfusion(s: SparkSession, d: String): DataFrame =
+    langConfusion(t(s, d, "documents"), "doc_id", "text", "lang")
+
   /** Corpus DATA CARD: the per-(lang, source) rollup a dataset release
     * ships — doc/token/char volumes, Gopher-battery pass count, exact
     * duplicate count (corpus-wide fingerprint), and the quality-score
@@ -1179,6 +1198,7 @@ object TextOps {
     "tx_gopher_rules" -> txGopherRules _,
     "tx_winnow" -> txWinnow _,
     "tx_corpus_report" -> txCorpusReport _,
+    "tx_lang_confusion" -> txLangConfusion _,
     "tx_quality" -> txQuality _,
     "tx_langid" -> txLangid _,
     "tx_fingerprint" -> txFingerprint _,
@@ -1611,6 +1631,14 @@ object TextOps {
            AS INT) AS n_distinct_tokens,
          CAST(length(text) AS INT) AS n_chars
          FROM documents""",
+    "tx_lang_confusion" -> s"""
+         WITH pred AS ($langidOracle)
+         SELECT d.lang AS lang_label, p.lang_pred,
+           count(*) AS n,
+           CAST(sum(CASE WHEN d.lang = p.lang_pred THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct
+         FROM documents d JOIN pred p USING (doc_id)
+         GROUP BY d.lang, p.lang_pred""",
     "tx_corpus_report" ->
       """WITH d AS (
            SELECT lang, source, text,

@@ -382,6 +382,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows(8L)._3 == "head" && rows(9L)._3 == "middle")
   }
 
+  test("langConfusion: known predictions land in the right cells and " +
+    "n_correct counts exact diagonal hits") {
+    val docs = Seq(
+      (1L, "en", "the a of and in"),      // -> en: correct
+      (2L, "en", "der die und ist ein"),  // -> de: off-diagonal
+      (3L, "de", "der die und"),          // -> de: correct
+      (4L, "fr", "zzz qqq www")           // no hits -> fallback "de"
+    ).toDF("doc_id", "lang", "text")
+    val got = TextOps.langConfusion(docs, "doc_id", "text", "lang")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      ("en", "en") -> ((1L, 1L)),
+      ("en", "de") -> ((1L, 0L)),
+      ("de", "de") -> ((1L, 1L)),
+      ("fr", "de") -> ((1L, 0L))))
+  }
+
   test("corpusReport: hand corpus — dup pair counted on both copies, " +
     "volumes and quality mass exact, blocks isolate") {
     val clean = (1 to 58).map(i => f"word$i%02d").mkString(" ") +
