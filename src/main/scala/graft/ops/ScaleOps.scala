@@ -235,34 +235,55 @@ object ScaleOps {
     * by a FIXED sequence of IEEE ops on the exact moment doubles —
     * identical operand order ⇒ identical bits on any engine, so the
     * derived values ship unrounded (the bm25 contract; a 4-dp round
-    * of a ratio would re-open the w9 tie problem). Degenerate groups
-    * (all x equal) yield NULL slope/intercept, never ±inf. */
+    * of a ratio would re-open the w9 tie problem). Also ships the
+    * Pearson correlation from the same moments (y² lands exactly on
+    * the 12-dp grid, the covarianceMoments argument). Degenerate
+    * groups (x or y constant) yield NULL derived values, never ±inf. */
   def groupTrend(df: DataFrame, keyCols: Seq[String], xCol: Column,
       yCol: Column): DataFrame = {
     val keys = keyCols.map(col)
     val x = xCol.cast("long")
     val y = round(yCol.cast("double"), 6)
+    // syy follows the w9 moment contract (round the RAW square to 6,
+    // scale 6): a (6-dp y)² lands exactly on the 12-dp grid, and a
+    // scale-12 decimal whose unscaled value tops 2^53 casts to double
+    // LOSSILY in DuckDB (found live at syy ~1e7·1e12) — scale 6 keeps
+    // group sums exact to ~9e9. Callers keep x small the same way
+    // (the gate centers its day index); moment magnitudes are part of
+    // the cross-engine contract.
+    val yy = round(yCol.cast("double") * yCol.cast("double"), 6)
     df.groupBy(keys: _*)
       .agg(
         count(lit(1)).as("n"),
         sum(x.cast("decimal(38,0)")).cast("double").as("sx"),
         sum(y.cast("decimal(28,6)")).cast("double").as("sy"),
         sum((x * y).cast("decimal(38,6)")).cast("double").as("sxy"),
-        sum((x * x).cast("decimal(38,0)")).cast("double").as("sxx"))
+        sum((x * x).cast("decimal(38,0)")).cast("double").as("sxx"),
+        sum(yy.cast("decimal(38,6)")).cast("double").as("syy"))
       .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("den_y",
+        col("n") * col("syy") - col("sy") * col("sy"))
       .withColumn("slope",
         when(col("den") > 0,
           (col("n") * col("sxy") - col("sx") * col("sy")) / col("den")))
       .withColumn("intercept",
         when(col("den") > 0,
           (col("sy") - col("slope") * col("sx")) / col("n")))
-      .drop("den")
+      .withColumn("corr",
+        when(col("den") > 0 && col("den_y") > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt(col("den") * col("den_y"))))
+      .drop("den", "den_y")
   }
 
-  /** a12 gate: per-event-type value trend over the day index. */
+  /** a12 gate: per-event-type value trend over the CENTERED day index
+    * (epoch-day − 19700 — offsetting the regressor near its range is
+    * standard numerics AND keeps every moment's decimal-unscaled
+    * value inside the exact double range; slope is unchanged,
+    * intercept is at the offset origin by definition). */
   private def a12GroupTrend(s: SparkSession, d: String): DataFrame =
     groupTrend(t(s, d, "events"), Seq("event_type"),
-      expr("unix_micros(ts) div 86400000000"), col("value"))
+      expr("unix_micros(ts) div 86400000000 - 19700"), col("value"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a12_group_trend" -> a12GroupTrend _,
@@ -276,22 +297,29 @@ object ScaleOps {
     "a12_group_trend" ->
       """WITH e AS (
            SELECT event_type,
-             epoch_us(ts) // 86400000000 AS x,
-             round(CAST(value AS DOUBLE), 6) AS y
+             epoch_us(ts) // 86400000000 - 19700 AS x,
+             round(CAST(value AS DOUBLE), 6) AS y,
+             round(CAST(value AS DOUBLE) * CAST(value AS DOUBLE), 6)
+               AS yy
            FROM events),
          m AS (
            SELECT event_type, count(*) AS n,
              CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
              CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
              CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
-             CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+             CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(yy AS DECIMAL(38,6))) AS DOUBLE) AS syy
            FROM e GROUP BY event_type)
-         SELECT event_type, n, sx, sy, sxy, sxx,
+         SELECT event_type, n, sx, sy, sxy, sxx, syy,
            CASE WHEN n * sxx - sx * sx > 0 THEN
              (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
            CASE WHEN n * sxx - sx * sx > 0 THEN
              (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
-               / n END AS intercept
+               / n END AS intercept,
+           CASE WHEN n * sxx - sx * sx > 0
+                 AND n * syy - sy * sy > 0 THEN
+             (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) *
+               (n * syy - sy * sy)) END AS corr
          FROM m""",
     "f_zorder" ->
       """WITH e AS (

@@ -1570,6 +1570,8 @@ object Similarity {
       c: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
     require(k > 0 && c >= 0, s"k=$k must be > 0, c=$c >= 0")
+    require(rankings.forall(_.columns.contains("rank")),
+      "every rrfFuse input needs a 1-based `rank` column")
     rankings.map(_.select(col(idCol),
         expr(s"1000000000000 div (rank + $c)").as("contrib")))
       .reduce(_ unionAll _)

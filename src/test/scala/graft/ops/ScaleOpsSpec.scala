@@ -100,14 +100,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     ).toDF("k", "x", "y")
     val out = ScaleOps.groupTrend(df, Seq("k"), col("x"), col("y"))
       .collect().map(r => r.getString(0) -> r).toMap
-    val a = out("a")
+    val a = out("a") // (k, n, sx, sy, sxy, sxx, syy, slope, b0, corr)
     assert(a.getLong(1) == 3 && a.getDouble(2) == 3.0 &&
       a.getDouble(3) == 9.0 && a.getDouble(4) == 13.0 &&
-      a.getDouble(5) == 5.0)
-    assert(a.getDouble(6) == 2.0 && a.getDouble(7) == 1.0)
-    assert(out("b").isNullAt(6) && out("b").isNullAt(7))
-    assert(out("c").getDouble(6) == 0.0 &&
-      out("c").getDouble(7) == 2.5)
+      a.getDouble(5) == 5.0 && a.getDouble(6) == 35.0)
+    assert(a.getDouble(7) == 2.0 && a.getDouble(8) == 1.0)
+    assert(a.getDouble(9) == 1.0) // exact line -> corr exactly 1
+    assert(out("b").isNullAt(7) && out("b").isNullAt(8) &&
+      out("b").isNullAt(9))
+    assert(out("c").getDouble(7) == 0.0 &&
+      out("c").getDouble(8) == 2.5)
+    assert(out("c").isNullAt(9)) // constant y -> corr NULL, never 0/0
   }
 
   test("zorderKey: bit interleave matches a driver-side Morton code " +
