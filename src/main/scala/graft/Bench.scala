@@ -94,6 +94,16 @@ object Bench {
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+    // per-gate {median, rel_spread} map for bench_full.json, so a
+    // single-gate outlier in a driver run carries its own exoneration
+    // (r9 verdict: a 9.8× p4_rollup inflation cost a re-run to rule
+    // out as a regression — the spread was computed but unpublished)
+    val byName = results.toMap
+    val spreadByName = spreads.toMap
+    val jfull = names.map { n =>
+      "\"" + n + "\":{\"s\":" + fmt(byName(n)) +
+        ",\"rel_spread\":" + fmt(spreadByName(n)) + "}"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // The driver captures only the LAST 2000 chars of output (measured
     // from BENCH_r1-r4: every round's full 115-query line was truncated
@@ -107,11 +117,15 @@ object Bench {
       "p1_pivot_wide", "d_exact_dedup", "d_ngram_jaccard_top",
       "x_ann_lsh", "tx_langid", "st_sessionize", "s1_m8_tophit",
       "d_dup_clusters", "j_asof_click", "g_incr_agg_merge")
-    val byName = results.toMap
     val hs = headline.flatMap(n => byName.get(n).map(n -> _))
+    // output custody (r9 verdict "What's wrong #3"): an ad-hoc run must
+    // not clobber a committed driver record — honor an explicit output
+    // path; the default stays the driver contract (cwd/bench_full.json)
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_full.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm":true,"median_of":$reps,"dispersion":$dispersion,"cold_total_s":${fmt(coldTotal)},"n_queries":${results.size},"queries":${jmap(results)},"sf":"$sfDir"}""")
+      java.nio.file.Paths.get(fullOut),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm":true,"median_of":$reps,"dispersion":$dispersion,"cold_total_s":${fmt(coldTotal)},"n_queries":${results.size},"queries":${jmap(results)},"gates":$jfull,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm":true,"median_of":$reps,"dispersion":$dispersion,"cold_total_s":${fmt(coldTotal)},"n_queries":${results.size},"queries":${jmap(hs)},"sf":"$sfDir"}""")
     spark.stop()

@@ -1236,6 +1236,7 @@ object Dedup {
          FROM grams a JOIN grams b
            ON a.lang = b.lang AND a.source = b.source
           AND a.doc_id <> b.doc_id
+          AND len(a.g) > 0 AND len(b.g) > 0
          WHERE len(list_intersect(a.g, b.g)) * 1.0 / len(a.g) >= 0.05""",
     "d_substring_spans" ->
       """WITH d AS (

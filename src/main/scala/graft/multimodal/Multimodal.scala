@@ -138,6 +138,165 @@ object Multimodal {
       .drop("text")
   }
 
+  // ---- real WAV/PCM codec (pure-JVM — the one genuinely decodable
+  // media format in this container; image/video codecs remain the
+  // declared stub boundary) ----
+
+  /** Deterministic synthetic sample i of doc d — shared by the WAV
+    * synthesizer and the DuckDB oracle (which recomputes it in SQL):
+    * ((d·31 + i·7919) mod 20001) − 10000, always within 16-bit range. */
+  private def synthSample(d: Long, i: Long): Int =
+    (((d * 31L + i * 7919L) % 20001L) - 10000L).toInt
+
+  /** Serialize a canonical 44-byte-header RIFF/WAVE file (PCM, 16-bit
+    * LE, mono) around the synthetic samples — the fixture builder for
+    * the REAL decode path below. */
+  private[multimodal] def wavBytes(docId: Long, nSamples: Int,
+      sampleRate: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+    bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII"))
+    bb.putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(1) // mono
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2)            // block align
+    bb.putShort(16)           // bits
+    bb.put("data".getBytes("US-ASCII"))
+    bb.putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort(synthSample(docId, i.toLong).toShort); i += 1
+    }
+    bb.array()
+  }
+
+  /** Attach a REAL (byte-valid, decoder-parseable) WAV payload to
+    * documents: n_samples = (n_chars mod 30 + 1)·80 at 8 kHz →
+    * 10–300 ms clips, samples from `synthSample`. Runs through the
+    * batched mapPartitions shape (the codec-boundary convention —
+    * serialization is imperative byte work, not relational). */
+  def withWavColumn(docs: DataFrame, sampleRate: Int = 8000): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(docs.schema.fields :+
+      StructField("wav", BinaryType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val dIdx = docs.schema.fieldIndex("doc_id")
+    val nIdx = docs.schema.fieldIndex("n_chars")
+    docs.mapPartitions { it =>
+      it.map { r =>
+        val d = r.get(dIdx).asInstanceOf[Number].longValue
+        val nChars = r.get(nIdx).asInstanceOf[Number].longValue
+        val n = ((nChars % 30 + 1) * 80).toInt
+        Row.fromSeq(r.toSeq :+ wavBytes(d, n, sampleRate))
+      }
+    }(enc)
+  }
+
+  /** REAL RIFF/WAVE parse: walks the chunk list byte-for-byte
+    * (word-aligned skip of unknown chunks, fmt-before-data contract,
+    * PCM/16-bit checks that RAISE on malformed input — no silent
+    * fakes), returning format fields + content aggregates
+    * (n_samples, duration, peak, Σ|sample|). */
+  private[multimodal] def parseWav(bytes: Array[Byte])
+      : (Int, Int, Int, Long, Long, Long, Long) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(tag4() == "RIFF", "wav: missing RIFF magic")
+    bb.getInt() // declared riff size; the chunk walk is authoritative
+    require(tag4() == "WAVE", "wav: missing WAVE form type")
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var out: Option[(Int, Int, Int, Long, Long, Long, Long)] = None
+    while (out.isEmpty && bb.remaining() >= 8) {
+      val id = tag4()
+      val len = bb.getInt()
+      id match {
+        case "fmt " =>
+          val audioFormat = bb.getShort()
+          require(audioFormat == 1, s"wav: not PCM (format=$audioFormat)")
+          val ch = bb.getShort().toInt
+          val rate = bb.getInt()
+          bb.getInt(); bb.getShort() // byte rate, block align
+          val bits = bb.getShort().toInt
+          if (len > 16) bb.position(bb.position() + (len - 16))
+          fmt = Some((ch, rate, bits))
+        case "data" =>
+          val (ch, rate, bits) = fmt.getOrElse(
+            throw new IllegalArgumentException("wav: data before fmt"))
+          require(bits == 16, s"wav: only 16-bit PCM supported ($bits)")
+          require(ch >= 1, s"wav: bad channel count $ch")
+          val nSamples = len.toLong / (2L * ch)
+          var sum = 0L; var peak = 0L; var i = 0L
+          while (i < nSamples * ch) {
+            val a = math.abs(bb.getShort().toLong)
+            sum += a; if (a > peak) peak = a
+            i += 1
+          }
+          out = Some((ch, rate, bits, nSamples,
+            nSamples * 1000L / rate, peak, sum))
+        case _ =>
+          bb.position(bb.position() + len + (len & 1)) // word-aligned
+      }
+    }
+    out.getOrElse(throw new IllegalArgumentException("wav: no data chunk"))
+  }
+
+  /** Batched REAL decode of a WAV binary column — the
+    * `decodeFramesBatched` grouped-iterator shape with an actual codec
+    * behind it: rows decode in fixed-size batches per partition
+    * (amortized setup, bounded memory), payload bytes parsed
+    * chunk-by-chunk. Output is one row per clip with format fields +
+    * content aggregates; the payload column is consumed here and NOT
+    * carried forward, so downstream plans never reread bytes. */
+  def decodeWav(audio: DataFrame, wavCol: String = "wav",
+      batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val idField = audio.schema("doc_id")
+    val outSchema = StructType(Seq(idField,
+      StructField("sample_rate", IntegerType),
+      StructField("n_channels", IntegerType),
+      StructField("bits", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("duration_ms", LongType),
+      StructField("peak_abs", LongType),
+      StructField("sum_abs", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idIdx = audio.schema.fieldIndex("doc_id")
+    val wIdx = audio.schema.fieldIndex(wavCol)
+    audio.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch setup boundary (a native decoder would bind here)
+        batch.iterator.map { r =>
+          val (ch, rate, bits, n, dur, peak, sum) =
+            parseWav(r.getAs[Array[Byte]](wIdx))
+          Row(r.get(idIdx), rate, ch, bits, n, dur, peak, sum)
+        }
+      }
+    }(enc)
+  }
+
+  /** Gate query: REAL codec end-to-end — synthesize byte-valid WAV
+    * clips from documents, then decode them back through the batched
+    * parser. The oracle recomputes every field from the synthesis
+    * arithmetic (n_chars → n_samples, the synthSample recurrence →
+    * peak/Σ|s|) — a header mis-write or parse drift on any doc
+    * hash-mismatches. */
+  private def mAudioDecode(s: SparkSession, d: String): DataFrame =
+    decodeWav(withWavColumn(
+      t(s, d, "documents").select("doc_id", "n_chars")))
+
   /** Gate query: frame sampling end-to-end (explode + per-frame
     * feature), oracled via generate_series on the same metadata. */
   private def mFrameSample(s: SparkSession, d: String): DataFrame =
@@ -161,9 +320,27 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_multimodal_stub" -> mStub _,
     "m_frame_sample" -> mFrameSample _,
-    "m_audio_segments" -> mAudioSegments _)
+    "m_audio_segments" -> mAudioSegments _,
+    "m_audio_decode" -> mAudioDecode _)
 
   val oracle: Map[String, String] = Map(
+    "m_audio_decode" ->
+      """WITH p AS (
+           SELECT doc_id, (n_chars % 30 + 1) * 80 AS n_samples
+           FROM documents),
+         v AS (
+           SELECT doc_id, n_samples,
+             abs((doc_id * 31 + r.i * 7919) % 20001 - 10000) AS a
+           FROM p, unnest(range(0, n_samples)) AS r(i))
+         SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(16 AS INT) AS bits,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(n_samples * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(max(a) AS BIGINT) AS peak_abs,
+           CAST(sum(a) AS BIGINT) AS sum_abs
+         FROM v GROUP BY doc_id, n_samples""",
     "m_audio_segments" ->
       """WITH a AS (
            SELECT doc_id, text,

@@ -397,12 +397,6 @@ object Similarity {
       : (DataFrame, () => Unit) = {
     require(k >= 1 && k <= shortlist,
       s"k=$k must be in [1, shortlist=$shortlist]")
-    require(lambda10 >= 0 && lambda10 <= 10,
-      s"lambda10=$lambda10 must be in [0, 10]")
-    import org.apache.spark.storage.StorageLevel
-    val spark = queries.sparkSession
-    def truncated(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.rdd, df.schema)
     val q = broadcast(queries
       .select(col("vec_id").as("q_id"),
         asDouble(col("embedding")).as("q_emb"))
@@ -413,18 +407,66 @@ object Similarity {
       .withColumn("n_norm", sqrt(dotD(col("n_emb"), col("n_emb"))))
     val wTop = Window.partitionBy("q_id")
       .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
+    val sl0 = c.crossJoin(q)
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", dotD(col("q_emb"), col("n_emb")) /
+        (col("q_norm") * col("n_norm")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= shortlist)
+      .select(col("q_id"), col("n_id"),
+        simMicro(col("sim")).as("rel_micro"),
+        col("n_emb"), col("n_norm"))
+    mmrGreedy(sl0, k, lambda10)
+  }
+
+  /** MMR over a PRECOMPUTED ANN shortlist — the production
+    * composition: at scale the shortlist comes from the staged
+    * IVF-PQ(-R) serving path (`ivfPqRefineTopK` output, or any
+    * (q_id, n_id) frame), so the corpus-wide scan the brute form pays
+    * disappears. This entry point only equi-joins the shortlist ids
+    * back to their true vectors (R rows per query — never a scan of
+    * unlisted vectors) to compute exact relevance and pair sims, then
+    * runs the same integer greedy. Equivalence: whenever the ANN
+    * shortlist contains the brute top-R ids for a query, picks are
+    * IDENTICAL to `mmrRerankReleasable` (pinned in SimilaritySpec);
+    * queries with fewer than k candidates yield picks only up to
+    * their candidate count. */
+  def mmrRerankShortlistReleasable(shortlist: DataFrame,
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      lambda10: Int = 7): (DataFrame, () => Unit) = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val q = broadcast(queries
+      .select(col("vec_id").as("q_id"),
+        asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb")))))
+    val c = corpus
+      .select(col("vec_id").as("n_id"),
+        asDouble(col("embedding")).as("n_emb"))
+      .withColumn("n_norm", sqrt(dotD(col("n_emb"), col("n_emb"))))
+    val sl0 = shortlist.select("q_id", "n_id").distinct()
+      .join(c, Seq("n_id"))
+      .join(q, Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        simMicro(dotD(col("q_emb"), col("n_emb")) /
+          (col("q_norm") * col("n_norm"))).as("rel_micro"),
+        col("n_emb"), col("n_norm"))
+    mmrGreedy(sl0, k, lambda10)
+  }
+
+  /** The shared greedy over a prepared shortlist
+    * (q_id, n_id, rel_micro, n_emb, n_norm) — see
+    * `mmrRerankReleasable` for the scale shape. */
+  private def mmrGreedy(sl0: DataFrame, k: Int, lambda10: Int)
+      : (DataFrame, () => Unit) = {
+    require(lambda10 >= 0 && lambda10 <= 10,
+      s"lambda10=$lambda10 must be in [0, 10]")
+    import org.apache.spark.storage.StorageLevel
+    val spark = sl0.sparkSession
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
     // shortlist with kept embeddings (for the pair sims), persisted:
-    // the corpus scan runs ONCE, not once per greedy round
-    val sl = truncated(c.crossJoin(q)
-        .filter(col("n_id") =!= col("q_id"))
-        .withColumn("sim", dotD(col("q_emb"), col("n_emb")) /
-          (col("q_norm") * col("n_norm")))
-        .withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") <= shortlist)
-        .select(col("q_id"), col("n_id"),
-          simMicro(col("sim")).as("rel_micro"),
-          col("n_emb"), col("n_norm")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the shortlist derivation runs ONCE, not once per greedy round
+    val sl = truncated(sl0).persist(StorageLevel.MEMORY_AND_DISK)
     // pairwise sims among each query's shortlist members (q × R²)
     val pairs = truncated(sl.select(col("q_id"), col("n_id").as("a"),
         col("n_emb").as("a_emb"), col("n_norm").as("a_norm"))
@@ -481,12 +523,32 @@ object Similarity {
     (out, () => { finalAcc.unpersist(); () })
   }
 
-  /** `mmrRerankReleasable` without the handle — callers that stage the
-    * result may unpersist the accumulated picks after (the
-    * connectedComponents convention). */
+  /** `mmrRerankReleasable` without the handle: the picks are
+    * defensively materialized into a localCheckpoint (block storage
+    * the ContextCleaner reclaims on GC — NOT the CacheManager) and
+    * the greedy's accumulated cache is released before return, so
+    * repeated library calls in one process cannot leak cached
+    * partitions. Callers that want to manage the cache themselves use
+    * the releasable form. */
   def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int,
-      shortlist: Int = 8, lambda10: Int = 7): DataFrame =
-    mmrRerankReleasable(queries, corpus, k, shortlist, lambda10)._1
+      shortlist: Int = 8, lambda10: Int = 7): DataFrame = {
+    val (out, release) =
+      mmrRerankReleasable(queries, corpus, k, shortlist, lambda10)
+    val staged = out.localCheckpoint() // eager: materialize, then free
+    release()
+    staged
+  }
+
+  /** `mmrRerankShortlistReleasable` without the handle (same
+    * localCheckpoint-then-release discipline as `mmrRerank`). */
+  def mmrRerankShortlist(shortlist: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int, lambda10: Int = 7): DataFrame = {
+    val (out, release) = mmrRerankShortlistReleasable(
+      shortlist, queries, corpus, k, lambda10)
+    val staged = out.localCheckpoint()
+    release()
+    staged
+  }
 
   /** All-pairs candidate scoring via LSH bucket SELF-join: every pair
     * of corpus vectors sharing ≥1 table bucket, scored with the exact
@@ -1262,6 +1324,22 @@ object Similarity {
     mmrRerank(queriesSide(s, d), t(s, d, "embeddings"),
       k = 5, shortlist = 8, lambda10 = 7)
 
+  /** MMR composed with the STAGED ANN serving stack (the production
+    * shape — the shortlist comes from IVF-PQ-R, not a corpus scan):
+    * staged-index ADC top-10 at nprobe=6 → exact re-rank to an 8-wide
+    * shortlist → shortlist-MMR top-5 at λ = 0.7. Conditioned-total
+    * oracle: DuckDB re-derives the probed ADC shortlist from the
+    * x_ann_ivf_assign + x_pq_index dumps (separate-execution fits),
+    * the exact re-rank from raw embeddings, and then EVERY rank's
+    * greedy argmax given only this dump's prior picks — the x_mmr
+    * discipline over the ANN shortlist. */
+  private def xMmrIvf(s: SparkSession, d: String): DataFrame = {
+    val sl = refineRerank(ivfPqTopKStaged(s, d, 10, nprobe = 6),
+      queriesSide(s, d), t(s, d, "embeddings"), 8)
+    mmrRerankShortlist(sl, queriesSide(s, d), t(s, d, "embeddings"),
+      k = 5, lambda10 = 7)
+  }
+
   /** kNN label vote: majority label of the 5 nearest neighbors,
     * ties → smallest label (deterministic). */
   private def xKnnLabel(s: SparkSession, d: String): DataFrame = {
@@ -1637,6 +1715,7 @@ object Similarity {
     "x_knn_label" -> xKnnLabel _,
     "x_mips" -> xMips _,
     "x_mmr" -> xMmr _,
+    "x_mmr_ivf" -> xMmrIvf _,
     "x_centroid" -> xCentroid _)
 
   /** Brute-force top-3 in DuckDB — the oracle for every ANN gate that
@@ -1752,6 +1831,63 @@ object Similarity {
          FROM (SELECT *, row_number() OVER (PARTITION BY q_id
            ORDER BY round(sim, 6) DESC, n_id ASC) AS rn FROM exact) x
          WHERE rn <= 3"""
+
+  /** Replays the FULL serving-stack MMR: the probed ADC ranking from
+    * the dumps (identical CTEs to the x_pq_ivf replay) → R=10 ADC
+    * shortlist → exact-cosine re-rank to the 8-wide MMR shortlist →
+    * every greedy rank's argmax re-derived given only the x_mmr_ivf
+    * dump's PRIOR picks (the x_mmr conditioning) — a wrong shortlist
+    * admission, a wrong relevance, or a wrong pick at any rank
+    * mismatches at that rank. */
+  private def mmrIvfReplaySql: String =
+    pqReplaySql(restrictToProbed = true) + """,
+         sl10 AS (SELECT q_id, n_id FROM ranked WHERE rn <= 10),
+         ce AS (
+           SELECT vec_id AS n_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         exact AS (
+           SELECT sl10.q_id, sl10.n_id,
+             list_cosine_similarity(qn.q_emb, ce.e) AS sim
+           FROM sl10 JOIN qn ON qn.q_id = sl10.q_id
+           JOIN ce ON ce.n_id = sl10.n_id),
+         sl AS (
+           SELECT q_id, n_id,
+             CAST(CAST(round(sim, 6) AS DECIMAL(18,6)) * 1000000
+               AS BIGINT) AS rel_micro
+           FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY round(sim, 6) DESC, n_id ASC) AS rn2 FROM exact) x
+           WHERE rn2 <= 8),
+         p AS (
+           SELECT a.q_id, a.n_id AS a, b.n_id AS b,
+             CAST(CAST(round(list_cosine_similarity(ca.e, cb.e), 6)
+               AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS sim_micro
+           FROM sl a JOIN sl b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+           JOIN ce ca ON ca.n_id = a.n_id
+           JOIN ce cb ON cb.n_id = b.n_id),
+         dump AS (
+           SELECT q_id, rank, n_id
+           FROM parquet_scan('__OUTDIR__/x_mmr_ivf/*.parquet')),
+         prior AS (
+           SELECT r.q_id, r.rank,
+             coalesce(list(d.n_id) FILTER (WHERE d.n_id IS NOT NULL),
+               []) AS sel
+           FROM (SELECT DISTINCT q_id, rank FROM dump) r
+           LEFT JOIN dump d ON d.q_id = r.q_id AND d.rank < r.rank
+           GROUP BY r.q_id, r.rank),
+         mcand AS (
+           SELECT pr.q_id, pr.rank, s.n_id,
+             7 * s.rel_micro - 3 * coalesce((
+               SELECT max(p.sim_micro) FROM p
+               WHERE p.q_id = pr.q_id AND p.a = s.n_id
+                 AND list_contains(pr.sel, p.b)), 0) AS score
+           FROM prior pr JOIN sl s
+             ON s.q_id = pr.q_id AND NOT list_contains(pr.sel, s.n_id))
+         SELECT q_id, CAST(rank AS INT) AS rank, n_id,
+           CAST(score AS BIGINT) AS mmr_score_e7
+         FROM (SELECT *, row_number() OVER (PARTITION BY q_id, rank
+           ORDER BY score DESC, n_id ASC) AS rk FROM mcand) x
+         WHERE rk = 1"""
 
   /** Conditioned oracle for the x_ann_ivf_assign dump itself: the
     * centroid rows are echoed (placement is the engine's Lloyd — its
@@ -1907,6 +2043,7 @@ object Similarity {
     "x_pq_ivf_full" -> pqReplayTopK(restrictToProbed = false),
     "x_pq_ivf" -> pqReplayTopK(restrictToProbed = true),
     "x_pq_refine" -> pqRefineReplaySql,
+    "x_mmr_ivf" -> mmrIvfReplaySql,
     // conditioned-total: every residual re-derived from the
     // x_ann_ivf_assign dump's centroids+lists (separate execution —
     // fit determinism stays hash-checked), every code re-derived as
@@ -2172,11 +2309,20 @@ object Similarity {
     "x_pca_power" ->
       // conditioned oracle (the x_ann_ivf pattern): re-derive the
       // covariance EXACTLY from the embeddings table, then accept the
-      // dumped vector only if it satisfies the eigen property —
-      // near-unit norm and small relative Rayleigh residual
-      // ||Cv − λv|| ≤ 5%·|λ|. A wrong vector yields zero rows and the
-      // gate row-count-mismatches; thresholds live in the PREDICATE,
-      // never in a value compare.
+      // dumped vector only if it satisfies BOTH
+      //  (1) the eigen property — near-unit norm and small relative
+      //      Rayleigh residual ||Cv − λv|| ≤ 5%·|λ| — and
+      //  (2) DOMINANCE — λ must reach the best lower bounds on λ_max
+      //      the oracle can compute independently: the max diagonal
+      //      entry, trace/d, and 98% of the Rayleigh quotient of a
+      //      3-step power iterate from a SECOND start vector (all-
+      //      ones). Any eigenvector passes (1); a non-dominant one
+      //      (wrong-column indexing, convergence to a minor component)
+      //      fails (2) unless the top eigenvalues are within 2% —
+      //      where "top component" is genuinely ill-posed.
+      // A rejected vector yields zero rows and the gate row-count-
+      // mismatches; thresholds live in the PREDICATE, never in a
+      // value compare.
       """WITH v AS (
            SELECT i, v FROM '__OUTDIR__/x_pca_power/*.parquet'),
          e AS (
@@ -2205,11 +2351,30 @@ object Similarity {
            SELECT c.i AS i, sum(c.cov * v2.v) AS wv
            FROM c JOIN v v2 ON c.j = v2.i GROUP BY 1),
          lam AS (SELECT sum(v.v * w.wv) AS l FROM v JOIN w USING (i)),
+         u1 AS (SELECT c.i, sum(c.cov) AS v FROM c GROUP BY 1),
+         u2 AS (SELECT c.i, sum(c.cov * u1.v) AS v
+           FROM c JOIN u1 ON c.j = u1.i GROUP BY 1),
+         u3 AS (SELECT c.i, sum(c.cov * u2.v) AS v
+           FROM c JOIN u2 ON c.j = u2.i GROUP BY 1),
+         u4 AS (SELECT c.i, sum(c.cov * u3.v) AS v
+           FROM c JOIN u3 ON c.j = u3.i GROUP BY 1),
+         ray AS (
+           SELECT sum(u3.v * u4.v) / nullif(sum(u3.v * u3.v), 0) AS r
+           FROM u3 JOIN u4 USING (i)),
+         diag AS (
+           SELECT max(cov) AS mx, sum(cov) / count(*) AS tr_avg
+           FROM c WHERE i = j),
          chk AS (
            SELECT sqrt(sum((w.wv - lam.l * v.v) * (w.wv - lam.l * v.v)))
                <= 0.05 * greatest(abs(any_value(lam.l)), 1e-9)
-             AND abs(sum(v.v * v.v) - 1) < 1e-3 AS ok
-           FROM w JOIN v USING (i), lam)
+             AND abs(sum(v.v * v.v) - 1) < 1e-3
+             AND any_value(lam.l) >=
+               any_value(diag.mx) -
+                 0.02 * greatest(abs(any_value(lam.l)), 1e-9)
+             AND any_value(lam.l) >= any_value(diag.tr_avg)
+             AND any_value(lam.l) >=
+               0.98 * coalesce(any_value(ray.r), 0) - 1e-9 AS ok
+           FROM w JOIN v USING (i), lam, ray, diag)
          SELECT v.i, v.v FROM v, chk WHERE chk.ok""",
     "x_covariance" ->
       """WITH e AS (

@@ -123,6 +123,16 @@ object TextOps {
     docs
       .select(col(idCol).as("doc_id"), tk.as("tk"))
       .withColumn("n", size(col("tk")))
+      // fail loudly past the 10^7-gram key-encoding range (the subRows
+      // raise_error discipline): beyond it 10^7 − p goes negative and
+      // the string key silently mis-sorts/mis-parses — oversized docs
+      // must chunkSplit first
+      .withColumn("n",
+        when(col("n") - (k - 1) <= 10000000, col("n"))
+          .otherwise(raise_error(format_string(
+            "winnow: doc %s has %d token k-grams (> 1e7); chunkSplit first",
+            col("doc_id").cast("string"),
+            (col("n") - (k - 1)).cast("long")))))
       // filter, don't clamp: sequence(1, 0) is DESCENDING, not empty
       .filter(col("n") >= k)
       .select(col("doc_id"), explode(sequence(lit(1),
@@ -679,19 +689,32 @@ object TextOps {
     * analysis time explodes) and the previous round is released after
     * the argmax materializes it. The only driver traffic is the ONE
     * argmax row per iteration (the same sanctioned shape as the T4
-    * set-cover loop). */
+    * set-cover loop). Below `carryForwardThreshold` merges the carry
+    * is skipped and each round re-derives tokens from the persisted
+    * char split in one expression — the fixed per-round
+    * materialization overhead exceeds the O(M²) recompute it avoids
+    * at small M. */
   def bpeLearn(words: DataFrame, wordCol: String, nMerges: Int,
-      minPairCount: Long = 2L): Seq[(String, String, Long)] = {
+      minPairCount: Long = 2L,
+      carryForwardThreshold: Int = 16): Seq[(String, String, Long)] = {
     import org.apache.spark.storage.StorageLevel
     val spark = words.sparkSession
     def truncated(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
     val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     // char-seeded fixpoint under zero merges = the code-point split
-    var toks = truncated(words.groupBy(col(wordCol).as("w"))
+    val base = truncated(words.groupBy(col(wordCol).as("w"))
         .agg(count(lit(1)).as("n"))
         .select(bpeMerge(col("w"), Nil).as("t"), col("n")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Carry the tokenized vocab forward only when the merge count
+    // amortizes the fixed per-round persist+truncate+materialize cost:
+    // at small M the O(M²) re-derivation from the persisted char split
+    // (one projection, ofTokens applies all merges in one expression)
+    // is cheaper than M materializations (the r9 carry-forward nearly
+    // doubled the 8-merge gate), while large M needs the O(M) carry.
+    val carry = nMerges > carryForwardThreshold
+    var toks: DataFrame = base
     try {
       var done = false
       while (!done && out.size < nMerges) {
@@ -709,19 +732,27 @@ object TextOps {
         else {
           out += ((best(0).getString(0), best(0).getString(1),
             best(0).getLong(2)))
-          val prev = toks
-          toks = truncated(prev.select(
+          if (carry) {
+            val prev = toks
+            toks = truncated(prev.select(
+                graft.functions.BpeEncode.ofTokens(col("t"),
+                  out.toSeq.map(m => (m._1, m._2))).as("t"), col("n")))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            // materialize the new state before releasing the old one
+            // so the carried chain never recomputes
+            toks.count()
+            if (!(prev eq base)) prev.unpersist()
+          } else
+            toks = base.select(
               graft.functions.BpeEncode.ofTokens(col("t"),
-                out.toSeq.map(m => (m._1, m._2))).as("t"), col("n")))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          // materialize the new state before releasing the old one so
-          // the carried chain never recomputes
-          toks.count()
-          prev.unpersist()
+                out.toSeq.map(m => (m._1, m._2))).as("t"), col("n"))
         }
       }
       out.toSeq
-    } finally { toks.unpersist(); () }
+    } finally {
+      if (carry && !(toks eq base)) toks.unpersist()
+      base.unpersist(); ()
+    }
   }
 
   /** The gate's word slice, shared by tx_bpe_merge and tx_bpe_learn

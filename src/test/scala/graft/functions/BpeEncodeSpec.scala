@@ -165,6 +165,12 @@ class BpeEncodeSpec extends AnyFunSuite {
     val got = TextOps.bpeLearn(words, "word", 10)
     val want = naiveLearn(rows, 10, 2L)
     assert(got == want, s"learn drift:\n got=$got\nwant=$want")
+    // the small-M recompute path (default threshold) and the O(M)
+    // carry-forward path (threshold forced to 0) must learn the SAME
+    // merge table — the path split is a constant-factor trade only
+    val carried = TextOps.bpeLearn(words, "word", 10,
+      minPairCount = 2L, carryForwardThreshold = 0)
+    assert(carried == got, "carry-forward path drifted from recompute")
   }
 
   test("bpeMergeCount: sums pieces across words, 0 for empty/null-ish " +

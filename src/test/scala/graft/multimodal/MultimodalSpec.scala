@@ -68,4 +68,59 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getLong(4) + 1000 == dur)
     }
   }
+
+  test("WAV codec: synth → decode roundtrip recovers format fields " +
+    "and exact content aggregates (real byte-level parse)") {
+    import spark.implicits._
+    val d = Seq((7L, "abc", 13L), (8L, "xy", 2L), (9L, "long", 29L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = Multimodal.decodeWav(
+        Multimodal.withWavColumn(d.select("doc_id", "n_chars")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.size == 3)
+    def expect(docId: Long, nChars: Long): (Long, Long, Long, Long) = {
+      val n = (nChars % 30 + 1) * 80
+      val abs = (0L until n).map(i =>
+        math.abs((docId * 31L + i * 7919L) % 20001L - 10000L))
+      (n, n * 1000 / 8000, abs.max, abs.sum)
+    }
+    Seq((7L, 13L), (8L, 2L), (9L, 29L)).foreach { case (id, nc) =>
+      val (n, dur, peak, sum) = expect(id, nc)
+      val r = got(id)
+      assert(r.getAs[Int]("sample_rate") == 8000)
+      assert(r.getAs[Int]("n_channels") == 1)
+      assert(r.getAs[Int]("bits") == 16)
+      assert(r.getAs[Long]("n_samples") == n, s"doc $id")
+      assert(r.getAs[Long]("duration_ms") == dur, s"doc $id")
+      assert(r.getAs[Long]("peak_abs") == peak, s"doc $id")
+      assert(r.getAs[Long]("sum_abs") == sum, s"doc $id")
+    }
+  }
+
+  test("WAV parser: skips unknown chunks (word-aligned), rejects " +
+    "non-PCM and truncated input — a real chunk walk, not a fake") {
+    val base = Multimodal.wavBytes(3L, 160, 8000)
+    val clean = Multimodal.parseWav(base)
+    // splice an odd-length unknown chunk between fmt and data
+    // (RIFF pads odd chunks to word boundaries)
+    val headEnd = 12 + 8 + 16 // RIFF hdr + fmt chunk
+    val junk = java.nio.ByteBuffer.allocate(8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    junk.put("LIST".getBytes("US-ASCII")); junk.putInt(3)
+    junk.put(Array[Byte](1, 2, 3, 0)) // 3 bytes + pad
+    val spliced = base.slice(0, headEnd) ++ junk.array() ++
+      base.drop(headEnd)
+    assert(Multimodal.parseWav(spliced) == clean,
+      "unknown chunk must be skipped without disturbing the decode")
+    // flip the audio-format field to 2 (ADPCM) → must raise
+    val nonPcm = base.clone()
+    nonPcm(20) = 2
+    assertThrows[IllegalArgumentException](Multimodal.parseWav(nonPcm))
+    // garbage magic → must raise
+    assertThrows[IllegalArgumentException](
+      Multimodal.parseWav("nonsense-bytes-here".getBytes("US-ASCII")))
+    // header only, no data chunk → must raise
+    assertThrows[IllegalArgumentException](
+      Multimodal.parseWav(base.slice(0, headEnd)))
+  }
 }

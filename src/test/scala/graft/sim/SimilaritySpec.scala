@@ -301,6 +301,43 @@ class SimilaritySpec extends AnyFunSuite {
       Seq(1, 2, 3, 4)))
   }
 
+  test("mmrRerankShortlist: picks equal the brute path whenever the " +
+    "shortlist contains the brute top-R ids (the serving composition)") {
+    val queries = t(spark, TestSpark.sf0001, "embeddings")
+      .filter(col("vec_id") < 5)
+    val corpus = t(spark, TestSpark.sf0001, "embeddings")
+    // an "ANN" shortlist that happens to be exactly the brute top-8 —
+    // the equivalence precondition — fed through the shortlist entry
+    // point (equi-join back to true vectors, same integer greedy)
+    val sl = Similarity.bruteForceTopK(queries, corpus, 8)
+      .select("q_id", "n_id")
+    def picks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("n_id"),
+        r.getAs[Long]("mmr_score_e7"))).toSet
+    val viaShortlist = picks(
+      Similarity.mmrRerankShortlist(sl, queries, corpus, k = 4))
+    val viaBrute = picks(
+      Similarity.mmrRerank(queries, corpus, k = 4, shortlist = 8))
+    assert(viaShortlist == viaBrute,
+      "shortlist-MMR must replay the brute picks exactly when the " +
+        "shortlist covers the brute top-R")
+    assert(viaShortlist.nonEmpty)
+  }
+
+  test("mmrRerankShortlist: a query with fewer than k candidates " +
+    "yields picks only up to its candidate count") {
+    import spark.implicits._
+    val corpus = t(spark, TestSpark.sf0001, "embeddings")
+    val queries = corpus.filter(col("vec_id") < 2)
+    val sl = Seq((0L, 20L), (0L, 21L), (1L, 20L), (1L, 21L), (1L, 22L))
+      .toDF("q_id", "n_id")
+    val got = Similarity.mmrRerankShortlist(sl, queries, corpus, k = 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank")))
+    assert(got.count(_._1 == 0L) == 2, "q0 has only 2 candidates")
+    assert(got.count(_._1 == 1L) == 3)
+  }
+
   test("mmrRerank: rank-1 score is exactly 7×rel_micro of the " +
     "relevance winner (the integer-score contract)") {
     val queries = t(spark, TestSpark.sf0001, "embeddings")
