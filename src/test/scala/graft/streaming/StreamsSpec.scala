@@ -317,4 +317,146 @@ class StreamsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch) // state carry: frames straddle the cut
   }
+
+  test("streaming z-score: KILL while a 40-batch run is in flight, " +
+    "restart from the checkpoint — exactly-once output equals batch " +
+    "w9 at 10× state (sf0.01 feed)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val d = TestSpark.sf001
+    val full = graft.Tables.t(spark, d, "events")
+    val total = full.count()
+    val inDir = Files.createTempDirectory("graft_zk_in")
+    val ckpt = Files.createTempDirectory("graft_zk_ck").toString
+    val outDir = Files.createTempDirectory("graft_zk_out").toString
+    // 40 slices of the GLOBAL (ts, event_id) order staged as one file
+    // each with ascending mod-times: the file source replays oldest
+    // first, so every user's events arrive in-order across
+    // micro-batches (the streamingZscore contract), and
+    // maxFilesPerTrigger=1 makes the run 40 real micro-batches — wide
+    // enough to land a kill mid-run deterministically
+    val nSlices = 40
+    val sliced = full.withColumn("rn",
+      row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+    (0 until nSlices).foreach { i =>
+      val lo = i.toLong * total / nSlices
+      val hi = (i + 1).toLong * total / nSlices
+      val part = Files.createTempDirectory(s"graft_zk_p$i")
+      sliced.filter(col("rn") > lo && col("rn") <= hi).drop("rn")
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      Files.list(part).forEach { f =>
+        if (f.toString.endsWith(".parquet")) {
+          val dst = inDir.resolve(f"e$i%02d.parquet")
+          Files.copy(f, dst)
+          dst.toFile.setLastModified(1700000000000L + i * 1000L)
+        }
+      }
+    }
+    val sch = spark.read.parquet(inDir.toString).schema
+    def start() = Streams.streamingZscore(graft.Tables.normalizeEventTs(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+          .parquet(inDir.toString)))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    val q1 = start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.recentProgress.length < 3 && q1.isActive &&
+      System.currentTimeMillis() < deadline) Thread.sleep(20)
+    q1.stop() // interrupts the in-flight micro-batch
+    try q1.awaitTermination(120000)
+    catch { case scala.util.control.NonFatal(_) => () }
+    // checked precondition: the kill landed with real work remaining
+    // (the sink manifest exposes only committed batches)
+    val afterKill =
+      try spark.read.parquet(outDir).count()
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    assert(afterKill < total,
+      s"kill landed after completion ($afterKill of $total) — " +
+        "raise nSlices")
+    val q2 = start() // resumes from the checkpoint
+    assert(q2.awaitTermination(240000))
+    val streamed = spark.read.parquet(outDir)
+      .select("user_id", "event_id", "n_win", "sx", "sx2", "zscore")
+      .collect().map(_.toSeq)
+    val batch = graft.ops.Windows.queries("w9_rolling_zscore")(spark, d)
+      .collect().map(_.toSeq)
+    // count equality catches duplicate re-emission; set equality
+    // catches loss/corruption — together: exactly-once
+    assert(streamed.length == batch.length,
+      s"exactly-once violated: ${streamed.length} vs ${batch.length}")
+    assert(streamed.toSet == batch.toSet)
+  }
+
+  test("streaming heavy hitters: KILL mid-run + restart — the final " +
+    "per-language snapshot equals the exact batch top-k at 10× state " +
+    "(sf0.01 corpus, m ≫ vocab)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val d = TestSpark.sf001
+    val docs = graft.Tables.t(spark, d, "documents")
+    val total = docs.count()
+    val batch = graft.text.TextOps.heavyHitters(
+      docs, "text", k = 15, m = 4096)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3))).toSet
+    val inDir = Files.createTempDirectory("graft_hk_in")
+    val ckpt = Files.createTempDirectory("graft_hk_ck").toString
+    val outDir = Files.createTempDirectory("graft_hk_out").toString
+    // MG with m ≫ vocab is exact and order-insensitive, so any slice
+    // order works; 20 slices → 20 micro-batches to kill into
+    val nSlices = 20
+    val sliced = docs.withColumn("rn",
+      row_number().over(Window.orderBy(col("doc_id"))))
+    (0 until nSlices).foreach { i =>
+      val lo = i.toLong * total / nSlices
+      val hi = (i + 1).toLong * total / nSlices
+      val part = Files.createTempDirectory(s"graft_hk_p$i")
+      sliced.filter(col("rn") > lo && col("rn") <= hi).drop("rn")
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      Files.list(part).forEach { f =>
+        if (f.toString.endsWith(".parquet")) {
+          val dst = inDir.resolve(f"d$i%02d.parquet")
+          Files.copy(f, dst)
+          dst.toFile.setLastModified(1700000000000L + i * 1000L)
+        }
+      }
+    }
+    val sch = spark.read.parquet(inDir.toString).schema
+    def start() = Streams.streamingHeavyHitters(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+          .parquet(inDir.toString), k = 15, m = 4096)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    val q1 = start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.recentProgress.length < 3 && q1.isActive &&
+      System.currentTimeMillis() < deadline) Thread.sleep(20)
+    q1.stop()
+    try q1.awaitTermination(120000)
+    catch { case scala.util.control.NonFatal(_) => () }
+    val gensAfterKill =
+      try spark.read.parquet(outDir).agg(max("gen")).head.getLong(0)
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    assert(gensAfterKill < nSlices,
+      s"kill landed after completion (gen $gensAfterKill) — raise nSlices")
+    val q2 = start()
+    assert(q2.awaitTermination(240000))
+    // the latest generation per language reflects the COMPLETE feed's
+    // state (checkpointed sketch + exactly-once batch replay), and MG
+    // at m ≫ vocab is exact → must equal the batch top-k bit-for-bit
+    val t = spark.read.parquet(outDir)
+    val top = t.groupBy("lang").agg(max("gen").as("gen"))
+    val latest = t.join(top, Seq("lang", "gen"))
+      .select("lang", "rank", "token", "n_lb").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(latest == batch,
+      "post-restart snapshot must equal the exact batch top-k")
+  }
 }
