@@ -12,13 +12,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // scan-split sizing for soak corpora (sf1 single-file tables carry
+    // 16 MB row groups — the default 128 MB split would serialize each
+    // scan on one core); unset = Spark default, the driver contract
+    sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES").foreach(v =>
+      builder.config("spark.sql.files.maxPartitionBytes", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Warmup: touch every table (footer + dictionary reads), then run
@@ -48,6 +53,26 @@ object Bench {
         System.err.println(f"[bench] $name%-24s $sec%8.2fs")
         name -> sec
       }
+    // post-pass residue report: persisted RDDs + storage blocks left
+    // behind by the pass — a growing number across passes means some
+    // gate leaks cache and later string-heavy gates pay for it in
+    // evictions/spill (the warm-pass inflation signature)
+    def residue(tag: String): Unit = {
+      val rdds = spark.sparkContext.getPersistentRDDs
+      val st = org.apache.spark.SparkEnv.get.blockManager.master
+        .getStorageStatus.map(s => s.maxMem - s.memRemaining).sum
+      System.err.println(
+        s"[bench] residue $tag: persistent_rdds=${rdds.size} " +
+          s"storage_used_bytes=$st")
+    }
+    // optional inter-pass hygiene (dev diagnostic): drop any leaked
+    // cache entries + force a full GC so dead broadcast/checkpoint
+    // blocks are reclaimed before the next pass measures
+    val hygiene = sys.env.contains("SPARK_GRAFT_PASS_HYGIENE")
+    def interPass(): Unit = if (hygiene) {
+      spark.catalog.clearCache()
+      System.gc()
+    }
     Tables.names.foreach { n =>
       try Tables.t(spark, sfDir, n).count()
       catch { case _: Throwable => () }
@@ -56,6 +81,7 @@ object Bench {
     // process-lifetime compilation cost visible across rounds next to
     // the warm (steady-state) per-query numbers
     val coldTotal = runAll().map(_._2).sum
+    residue("cold")
 
     // MEDIAN-OF-N warm timing: a single warm pass conflates the plan
     // with whatever else the box was doing that second — r7/r8 driver
@@ -68,7 +94,10 @@ object Bench {
     val passes: Seq[Map[String, Double]] =
       (1 to reps).map { i =>
         System.err.println(s"[bench] warm pass $i/$reps")
-        runAll().toMap
+        interPass()
+        val m = runAll().toMap
+        residue(s"warm$i")
+        m
       }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

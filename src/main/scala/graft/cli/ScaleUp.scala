@@ -1,0 +1,143 @@
+package graft.cli
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic N× corpus synthesizer for scale soaks: unions
+  * `factor` key-salted replicas of every test table so the gate suite
+  * can run an order of magnitude past the largest driver fixture
+  * (sf0.1 × 10 ≈ sf1: 6M lineitem, 1M events, 50k documents, 20k
+  * embeddings).
+  *
+  * Salting is designed so the DUPLICATE/CLUSTER SURFACES stay
+  * realistic — a verbatim union would hand every doc `factor−1` exact
+  * clones and every embedding `factor−1` cosine-1 twins, inflating
+  * every pair-finding gate quadratically (a corpus-construction
+  * artifact, not a plan property). Instead:
+  *  - dims (region, nation) are copied once, NOT salted — a 10×
+  *    corpus has 10× facts, not 10× countries;
+  *  - entity/fact keys shift by replica·10^7: keyspaces are disjoint
+  *    across replicas, foreign keys stay consistent within one;
+  *  - document text is Caesar-rotated per replica: byte length,
+  *    token structure, and within-replica duplicate relations are
+  *    preserved EXACTLY (the same rotation applies to a dup pair),
+  *    while cross-replica n-gram / edit / winnow / containment
+  *    similarity is destroyed; `source` additionally carries a
+  *    replica suffix so (lang, source)-bucketed pair finders are
+  *    provably within-replica;
+  *  - embeddings get a per-replica cyclic DIMENSION rotation: norms
+  *    and all within-replica distances/cosines are exactly
+  *    preserved, cross-replica cosine decorrelates.
+  * Replica 0 is the identity, so absolute-id gate slices (the
+  * vec_id<10 query set, doc_id<40 word slices) keep their original
+  * content and stay constant-cost by construction.
+  *
+  * Usage: graft.cli.ScaleUp <srcDir> <dstDir> <factor>
+  */
+object ScaleUp {
+  val keyStride = 10000000L // > any source key; replica keyspaces disjoint
+
+  private val lower = "abcdefghijklmnopqrstuvwxyz"
+  private val upper = lower.toUpperCase
+
+  /** Caesar-rotate letters by r (case-preserving, all else fixed). */
+  def caesar(c: Column, r: Int): Column = {
+    val k = ((r % 26) + 26) % 26
+    if (k == 0) c
+    else translate(c, lower + upper,
+      lower.drop(k) + lower.take(k) + upper.drop(k) + upper.take(k))
+  }
+
+  /** Cyclic dimension rotation by r positions (exact within-replica
+    * isometry; decorrelates across replicas). */
+  def rotateDims(e: Column, r: Int): Column = {
+    if (r == 0) e
+    else {
+      val d = size(e)
+      val k = lit(r) % d
+      concat(slice(e, k + 1, d - k), slice(e, lit(1), k))
+    }
+  }
+
+  private def shift(c: Column, r: Int): Column = c + lit(r * keyStride)
+
+  /** One salted replica of one table (replica 0 = identity). */
+  def replica(name: String, df: DataFrame, r: Int): DataFrame =
+    name match {
+      case "region" | "nation" => df // global dims do not scale
+      case "customer" => df.withColumn("c_custkey", shift(col("c_custkey"), r))
+      case "supplier" => df.withColumn("s_suppkey", shift(col("s_suppkey"), r))
+      case "part" => df.withColumn("p_partkey", shift(col("p_partkey"), r))
+      case "orders" => df
+        .withColumn("o_orderkey", shift(col("o_orderkey"), r))
+        .withColumn("o_custkey", shift(col("o_custkey"), r))
+      case "lineitem" => df
+        .withColumn("l_orderkey", shift(col("l_orderkey"), r))
+        .withColumn("l_partkey", shift(col("l_partkey"), r))
+        .withColumn("l_suppkey", shift(col("l_suppkey"), r))
+      case "events" => df
+        .withColumn("event_id", shift(col("event_id"), r))
+        .withColumn("user_id", shift(col("user_id"), r))
+      case "documents" => df
+        .withColumn("doc_id", shift(col("doc_id"), r))
+        .withColumn("text", caesar(col("text"), r))
+        .withColumn("source",
+          if (r == 0) col("source")
+          else concat(col("source"), lit(s"_r$r")))
+      case "embeddings" => df
+        .withColumn("vec_id", shift(col("vec_id"), r))
+        .withColumn("embedding", rotateDims(col("embedding"), r))
+      case other =>
+        throw new IllegalArgumentException(s"no salting rule for $other")
+    }
+
+  def scaleTable(name: String, df: DataFrame, factor: Int): DataFrame =
+    name match {
+      case "region" | "nation" => df
+      case _ => (0 until factor).map(replica(name, df, _))
+        .reduce(_ unionByName _)
+    }
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, dstDir, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 1 && factor * keyStride > 0, s"bad factor $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.names.foreach { name =>
+      val src = graft.Tables.t(spark, srcDir, name)
+      // emit ONE file per table, exactly the driver-testdata layout —
+      // consumers treat `$dir/$name.parquet` as a plain file (the
+      // streaming gates Files.copy it; the fs-catalog gates stat it),
+      // so a directory here would silently empty those paths
+      val stage = s"$dstDir/_stage_$name"
+      scaleTable(name, src, factor)
+        .coalesce(1).write.mode("overwrite")
+        // 16 MB row groups: a single-file table is still SPLITTABLE at
+        // read time (parquet splits on row-group boundaries — one
+        // default 128 MB group would serialize the whole scan on one
+        // core at sf1); pair with a ≤16 MB maxPartitionBytes reader
+        // setting to actually spread the groups (Bench:
+        // SPARK_GRAFT_MAX_PARTITION_BYTES)
+        .option("parquet.block.size", (16 * 1024 * 1024).toString)
+        .parquet(stage)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(s"$dstDir/$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // remove the staging residue (marker files + dir)
+      java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .forEach(p => java.nio.file.Files.delete(p))
+      java.nio.file.Files.delete(java.nio.file.Paths.get(stage))
+      System.err.println(s"[scaleup] $name done")
+    }
+    spark.stop()
+  }
+}

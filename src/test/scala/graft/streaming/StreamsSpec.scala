@@ -328,8 +328,6 @@ class StreamsSpec extends AnyFunSuite {
     val full = graft.Tables.t(spark, d, "events")
     val total = full.count()
     val inDir = Files.createTempDirectory("graft_zk_in")
-    val ckpt = Files.createTempDirectory("graft_zk_ck").toString
-    val outDir = Files.createTempDirectory("graft_zk_out").toString
     // 40 slices of the GLOBAL (ts, event_id) order staged as one file
     // each with ascending mod-times: the file source replays oldest
     // first, so every user's events arrive in-order across
@@ -354,28 +352,40 @@ class StreamsSpec extends AnyFunSuite {
       }
     }
     val sch = spark.read.parquet(inDir.toString).schema
-    def start() = Streams.streamingZscore(graft.Tables.normalizeEventTs(
-        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
-          .parquet(inDir.toString)))
-      .writeStream.format("parquet").option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    val q1 = start()
-    val deadline = System.currentTimeMillis() + 120000
-    while (q1.recentProgress.length < 3 && q1.isActive &&
-      System.currentTimeMillis() < deadline) Thread.sleep(20)
-    q1.stop() // interrupts the in-flight micro-batch
-    try q1.awaitTermination(120000)
-    catch { case scala.util.control.NonFatal(_) => () }
-    // checked precondition: the kill landed with real work remaining
-    // (the sink manifest exposes only committed batches)
-    val afterKill =
-      try spark.read.parquet(outDir).count()
-      catch { case scala.util.control.NonFatal(_) => 0L }
-    assert(afterKill < total,
-      s"kill landed after completion ($afterKill of $total) — " +
-        "raise nSlices")
-    val q2 = start() // resumes from the checkpoint
+    def start(ck: String, out: String) =
+      Streams.streamingZscore(graft.Tables.normalizeEventTs(
+          spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+            .parquet(inDir.toString)))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+    // land a genuine mid-run kill: stop() once a few batches have
+    // committed; under a contended box the whole run can slip past
+    // the poll, so retry with a fresh checkpoint and an earlier kill
+    var (ckpt, outDir) = ("", "")
+    var killed = false
+    var attempt = 0
+    while (!killed && attempt < 4) {
+      attempt += 1
+      ckpt = Files.createTempDirectory("graft_zk_ck").toString
+      outDir = Files.createTempDirectory("graft_zk_out").toString
+      val q1 = start(ckpt, outDir)
+      val wantBatches = if (attempt == 1) 3 else 1
+      val deadline = System.currentTimeMillis() + 120000
+      while (q1.recentProgress.length < wantBatches && q1.isActive &&
+        System.currentTimeMillis() < deadline) Thread.sleep(10)
+      q1.stop() // interrupts the in-flight micro-batch
+      try q1.awaitTermination(120000)
+      catch { case scala.util.control.NonFatal(_) => () }
+      // precondition: real work remained (the sink manifest exposes
+      // only committed batches)
+      val afterKill =
+        try spark.read.parquet(outDir).count()
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      killed = afterKill < total
+    }
+    assert(killed, "could not land a mid-run kill in 4 attempts")
+    val q2 = start(ckpt, outDir) // resumes from the checkpoint
     assert(q2.awaitTermination(240000))
     val streamed = spark.read.parquet(outDir)
       .select("user_id", "event_id", "n_win", "sx", "sx2", "zscore")
@@ -404,8 +414,6 @@ class StreamsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getInt(1), r.getString(2),
         r.getLong(3))).toSet
     val inDir = Files.createTempDirectory("graft_hk_in")
-    val ckpt = Files.createTempDirectory("graft_hk_ck").toString
-    val outDir = Files.createTempDirectory("graft_hk_out").toString
     // MG with m ≫ vocab is exact and order-insensitive, so any slice
     // order works; 20 slices → 20 micro-batches to kill into
     val nSlices = 20
@@ -426,26 +434,37 @@ class StreamsSpec extends AnyFunSuite {
       }
     }
     val sch = spark.read.parquet(inDir.toString).schema
-    def start() = Streams.streamingHeavyHitters(
+    def start(ck: String, out: String) = Streams.streamingHeavyHitters(
         spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
           .parquet(inDir.toString), k = 15, m = 4096)
       .writeStream.outputMode("append")
-      .format("parquet").option("path", outDir)
-      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow()).start()
-    val q1 = start()
-    val deadline = System.currentTimeMillis() + 120000
-    while (q1.recentProgress.length < 3 && q1.isActive &&
-      System.currentTimeMillis() < deadline) Thread.sleep(20)
-    q1.stop()
-    try q1.awaitTermination(120000)
-    catch { case scala.util.control.NonFatal(_) => () }
-    val gensAfterKill =
-      try spark.read.parquet(outDir).agg(max("gen")).head.getLong(0)
-      catch { case scala.util.control.NonFatal(_) => 0L }
-    assert(gensAfterKill < nSlices,
-      s"kill landed after completion (gen $gensAfterKill) — raise nSlices")
-    val q2 = start()
+    // land a genuine mid-run kill (retry with an earlier kill point if
+    // a contended box let the whole run slip past the poll)
+    var (ckpt, outDir) = ("", "")
+    var killed = false
+    var attempt = 0
+    while (!killed && attempt < 4) {
+      attempt += 1
+      ckpt = Files.createTempDirectory("graft_hk_ck").toString
+      outDir = Files.createTempDirectory("graft_hk_out").toString
+      val q1 = start(ckpt, outDir)
+      val wantBatches = if (attempt == 1) 3 else 1
+      val deadline = System.currentTimeMillis() + 120000
+      while (q1.recentProgress.length < wantBatches && q1.isActive &&
+        System.currentTimeMillis() < deadline) Thread.sleep(10)
+      q1.stop()
+      try q1.awaitTermination(120000)
+      catch { case scala.util.control.NonFatal(_) => () }
+      val gensAfterKill =
+        try spark.read.parquet(outDir).agg(max("gen")).head.getLong(0)
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      killed = gensAfterKill < nSlices
+    }
+    assert(killed, "could not land a mid-run kill in 4 attempts")
+    val q2 = start(ckpt, outDir)
     assert(q2.awaitTermination(240000))
     // the latest generation per language reflects the COMPLETE feed's
     // state (checkpointed sketch + exactly-once batch replay), and MG
