@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   *    similarity is destroyed; `source` additionally carries a
   *    replica suffix so (lang, source)-bucketed pair finders are
   *    provably within-replica;
-  *  - embeddings get a per-replica cyclic DIMENSION rotation: norms
-  *    and all within-replica distances/cosines are exactly
-  *    preserved, cross-replica cosine decorrelates.
+  *  - embeddings get a per-replica cyclic DIMENSION rotation: the
+  *    coordinate multiset is unchanged, so norms and within-replica
+  *    distances/cosines keep their real values (double folds visit
+  *    terms in rotated order — last-ulp only, far below the engine's
+  *    round-6 grid), while cross-replica cosine decorrelates.
   * Replica 0 is the identity, so absolute-id gate slices (the
   * vec_id<10 query set, doc_id<40 word slices) keep their original
   * content and stay constant-cost by construction.
@@ -48,8 +50,8 @@ object ScaleUp {
       lower.drop(k) + lower.take(k) + upper.drop(k) + upper.take(k))
   }
 
-  /** Cyclic dimension rotation by r positions (exact within-replica
-    * isometry; decorrelates across replicas). */
+  /** Cyclic dimension rotation by r positions (within-replica
+    * isometry up to fold order; decorrelates across replicas). */
   def rotateDims(e: Column, r: Int): Column = {
     if (r == 0) e
     else {

@@ -1480,8 +1480,135 @@ object Similarity {
         col("sxy"))
   }
 
+  /** `covarianceMoments`, FUSED: the same exact moments from ONE
+    * mapPartitions scan of integer arithmetic on the quantization
+    * grid. Each embedding quantizes once to 6-dp unscaled longs
+    * (k = round(x·10⁶) — the exact integers Spark's `round(x, 6)`
+    * denotes); every upper-triangle product is then k_i·k_j, which IS
+    * the decimal(38,12) value the explode form casts from the double
+    * product (the true product lies on the 12-dp grid; the double
+    * error is ≪ half a grid step), and per-partition cells accumulate
+    * in overflow-guarded longs (spilled to BigDecimal near ±2⁶²), so
+    * the exchange carries ≤ partitions·(d²/2 + d) decimal partials
+    * whose exact decimal sum reproduces the explode form BIT-FOR-BIT
+    * (CovMomentsSpec pins equality; the x_covariance full oracle
+    * checks it cross-engine every round). The d²-bounded cell table
+    * collects for local assembly — the momentsMemo precedent.
+    *
+    * Motivation (sf1 soak): the explode form materializes n·d²/2
+    * struct rows before partial-agg — 41M rows and 61 s, the single
+    * largest gate at 10×; the fused pass is a scan (the
+    * mapPartitions-partials class the MG sketch already uses). */
+  def covarianceMomentsFused(e: DataFrame,
+      embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = e.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("i", IntegerType), StructField("j", IntegerType),
+      StructField("n", LongType),
+      StructField("part", DecimalType(38, 12))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val partials = e.select(asDouble(col(embCol)).as("x"))
+      .mapPartitions { it =>
+        var d = -1
+        var n = 0L
+        var sxy: Array[Long] = null
+        var spill: Array[java.math.BigDecimal] = null
+        var sx: Array[Long] = null
+        var ks: Array[Long] = null
+        val lim = Long.MaxValue / 2
+        it.foreach { r =>
+          val x = r.getSeq[Double](0)
+          if (d < 0) {
+            d = x.length
+            sxy = new Array[Long](d * (d + 1) / 2)
+            spill = new Array[java.math.BigDecimal](d * (d + 1) / 2)
+            sx = new Array[Long](d)
+            ks = new Array[Long](d)
+          }
+          require(x.length == d,
+            s"covariance: ragged dims ${x.length} vs $d")
+          var i = 0
+          while (i < d) {
+            // the exact unscaled 6-dp integer round(x, 6) denotes
+            val k = java.math.BigDecimal.valueOf(x(i))
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact()
+            // loud guard (the subRows discipline): |k| ≤ 1e9 keeps
+            // every product ≤ 1e18 and the guarded sums overflow-free
+            require(math.abs(k) <= 1000000000L,
+              s"covariance: |value| ${x(i)} past the 6-dp grid bound")
+            ks(i) = k
+            sx(i) += k
+            i += 1
+          }
+          n += 1
+          var c = 0
+          i = 0
+          while (i < d) {
+            val ki = ks(i)
+            var j = i
+            while (j < d) {
+              if (sxy(c) > lim || sxy(c) < -lim) {
+                val prev = if (spill(c) == null) java.math.BigDecimal.ZERO
+                  else spill(c)
+                spill(c) = prev.add(java.math.BigDecimal.valueOf(sxy(c)))
+                sxy(c) = 0L
+              }
+              sxy(c) += ki * ks(j)
+              c += 1; j += 1
+            }
+            i += 1
+          }
+        }
+        if (d < 0) Iterator.empty
+        else {
+          val out = Array.newBuilder[Row]
+          var c = 0
+          var i = 0
+          while (i < d) {
+            var j = i
+            while (j < d) {
+              val tot = (if (spill(c) == null) java.math.BigDecimal.ZERO
+                else spill(c)).add(java.math.BigDecimal.valueOf(sxy(c)))
+              out += Row(i, j, n, tot.movePointLeft(12))
+              c += 1; j += 1
+            }
+            i += 1
+          }
+          i = 0
+          while (i < d) {
+            // Σx_i rides the same schema at j = −1 (6-dp grid)
+            out += Row(i, -1, n, java.math.BigDecimal.valueOf(sx(i), 6))
+            i += 1
+          }
+          out.result().iterator
+        }
+      }(enc)
+    // one distributed pass; the d²-bounded cell table assembles
+    // locally (the sanctioned momentsMemo collect)
+    val cells = partials.groupBy("i", "j")
+      .agg(sum("n").as("n"), sum("part").as("p"))
+      .collect()
+    val outSchema2 = StructType(Seq(
+      StructField("i", IntegerType), StructField("j", IntegerType),
+      StructField("n", LongType), StructField("sx_i", DoubleType),
+      StructField("sx_j", DoubleType), StructField("sxy", DoubleType)))
+    val sxByDim = cells.filter(_.getInt(1) == -1)
+      .map(r => r.getInt(0) -> r.getDecimal(3).doubleValue).toMap
+    val rows: java.util.List[Row] = java.util.Arrays.asList(
+      cells.filter(_.getInt(1) >= 0).map { r =>
+        Row(r.getInt(0), r.getInt(1), r.getLong(2),
+          sxByDim(r.getInt(0)), sxByDim(r.getInt(1)),
+          r.getDecimal(3).doubleValue): Row
+      }: _*)
+    spark.createDataFrame(rows, outSchema2)
+  }
+
   private def xCovariance(s: SparkSession, d: String): DataFrame =
-    covarianceMoments(t(s, d, "embeddings"))
+    covarianceMomentsFused(t(s, d, "embeddings"))
 
   /** Top principal component by fixed-iteration POWER METHOD over
     * `covarianceMoments`. The d×d covariance is bounded (d² doubles),
@@ -1551,7 +1678,7 @@ object Similarity {
       : Array[org.apache.spark.sql.Row] =
     stagedMoments.computeIfAbsent(d, _ => {
       pcaMomentsRuns.incrementAndGet()
-      covarianceMoments(t(s, d, "embeddings")).collect()
+      covarianceMomentsFused(t(s, d, "embeddings")).collect()
     })
 
   private def xPcaPower(s: SparkSession, d: String): DataFrame =

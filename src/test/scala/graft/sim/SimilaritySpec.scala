@@ -392,6 +392,34 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("covarianceMomentsFused == covarianceMoments BIT-FOR-BIT on " +
+    "the real corpus and on a rounding-adversarial hand corpus") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Int, Long, Double, Double, Double)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    val real = t(spark, TestSpark.sf0001, "embeddings")
+    assert(canon(Similarity.covarianceMomentsFused(real)) ==
+      canon(Similarity.covarianceMoments(real)),
+      "fused moments drifted from the explode form on the corpus")
+    // values sitting ON .xxxxxx5 rounding boundaries and at negative
+    // half-ties — the exact-grid contract's hard cases
+    val hand = Seq(
+      (1L, Array(1.2345675f, -0.0000005f, 2.5f, 0.1f)),
+      (2L, Array(-1.9999995f, 3.1415927f, -2.7182818f, 0.33333f)),
+      (3L, Array(0.0f, -0.5f, 0.0000015f, 7.125f)),
+      (4L, Array(123.456f, -98.7654f, 0.000001f, -0.000001f))
+    ).toDF("vec_id", "embedding")
+    assert(canon(Similarity.covarianceMomentsFused(hand)) ==
+      canon(Similarity.covarianceMoments(hand)),
+      "fused moments drifted on the rounding-adversarial corpus")
+    // the loud guard: values past the 1e9-unscaled bound must raise,
+    // not silently overflow the integer grid
+    val big = Seq((1L, Array(2000.0f, 1.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception](
+      Similarity.covarianceMomentsFused(big).collect())
+    assert(ex.getMessage != null)
+  }
+
   test("principalComponent: recovers a planted dominant direction, " +
     "unit norm, max-|.|-element-positive sign convention") {
     val d = 8
