@@ -285,7 +285,27 @@ object ScaleOps {
     groupTrend(t(s, d, "events"), Seq("event_type"),
       expr("unix_micros(ts) div 86400000000 - 19700"), col("value"))
 
+  /** Mergeable-sketch distinct counting: per-group
+    * `approx_count_distinct` (Spark's HyperLogLog++) at rsd = 2% over
+    * a fact-scale key. The 100 TB cardinality path — an exact
+    * distinct shuffles every key once per query; the sketch is a
+    * fixed ~kB register array per group that partial-merges map-side
+    * and unions across days/shards (the a11 fixed-bin-quantile
+    * mergeability contract, for cardinality). Deterministic: the
+    * estimator is a pure hash fold, no RNG. Oracle: CONDITIONED
+    * predicate (the x_pca_power pattern) — DuckDB computes the EXACT
+    * per-group distinct and echoes a dumped row only when the sketch
+    * estimate sits within 5·rsd of it, so an estimator bug or sketch
+    * nondeterminism row-count-mismatches; the bound lives in the
+    * predicate, never in a value compare. */
+  private def a13HllDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02)
+        .as("approx_distinct"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a13_hll_distinct" -> a13HllDistinct _,
     "a12_group_trend" -> a12GroupTrend _,
     "f_zorder" -> fZorder _,
     "a11_quantile_sketch" -> aQuantileSketch _,
@@ -294,6 +314,18 @@ object ScaleOps {
     "j_salted_skew" -> jSaltedSkew _)
 
   val oracle: Map[String, String] = Map(
+    "a13_hll_distinct" ->
+      """WITH dump AS (
+           SELECT l_returnflag, approx_distinct
+           FROM parquet_scan('__OUTDIR__/a13_hll_distinct/*.parquet')),
+         exact AS (
+           SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS ex
+           FROM lineitem GROUP BY 1)
+         SELECT d.l_returnflag, d.approx_distinct
+         FROM dump d JOIN exact e USING (l_returnflag)
+         WHERE abs(d.approx_distinct - e.ex) <=
+           greatest(0.10 * e.ex, 5)""",
     "a12_group_trend" ->
       """WITH e AS (
            SELECT event_type,

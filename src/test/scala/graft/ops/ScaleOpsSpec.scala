@@ -134,4 +134,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
     assert(got.find(g => (g._1, g._2) == ((3L, 5L))).get._3 == 39L)
   }
+
+  test("a13 HLL distinct: within the rsd bound of exact, " +
+    "deterministic across runs, and mergeable (union == re-sketch)") {
+    import org.apache.spark.sql.functions._
+    val d = graft.TestSpark.sf0001
+    val li = graft.Tables.t(spark, d, "lineitem")
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02)
+          .as("approx_distinct"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = sketch(li)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("ex"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - exact(k)) <= math.max(0.10 * exact(k), 5),
+        s"group $k: sketch $v vs exact ${exact(k)}")
+    }
+    assert(sketch(li) == got, "sketch must be deterministic")
+    // mergeability: sketching two halves and the whole agree — the
+    // partial-agg path IS a merge of per-partition sketches, so a
+    // split corpus re-partitioned arbitrarily must not move estimates
+    assert(sketch(li.repartition(17)) == got,
+      "estimate must be partitioning-invariant (mergeable sketch)")
+  }
 }
