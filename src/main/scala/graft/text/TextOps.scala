@@ -1078,6 +1078,43 @@ object TextOps {
       .select(col("lang"), col("rank"), col("token"), col("n"))
   }
 
+  /** Count-Min SKETCH of a token stream (Cormode & Muthukrishnan
+    * 2005) — the point-frequency companion to Misra-Gries top-k: a
+    * depth×width counter grid (~80 kB) built in one pass that answers
+    * "how often does token t occur" for ANY t without a shuffle,
+    * merges across shards/days (counter adds commute, so estimates
+    * are partitioning-invariant EXACTLY), and NEVER undercounts
+    * (est ≥ true is deterministic; overcount is the bounded ε·N
+    * collision mass). Spark's built-in distributed builder
+    * (`df.stat.countMinSketch`), seeded → deterministic. */
+  def cmsTokenSketch(docs: DataFrame, textCol: String,
+      depth: Int = 5, width: Int = 2048, seed: Int = 42)
+      : org.apache.spark.util.sketch.CountMinSketch =
+    docs.select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .stat.countMinSketch("tok", depth, width, seed)
+
+  /** tx cms freq: CMS estimates for the exact top-30 tokens (a
+    * bounded probe set — production probes arrive from the query
+    * side; the exact pick here is gate scaffolding, the sketch build
+    * is the library op). Oracle: CONDITIONED predicate — DuckDB
+    * recomputes exact counts, re-derives the same probe set, and
+    * echoes a dumped row only when est ∈ [exact, exact +
+    * max(50, 8N/width)], so an undercount (impossible for a correct
+    * CMS), probe-set drift, or sketch nondeterminism
+    * row-count-mismatches. Bounds live in the predicate. */
+  private def txCmsFreq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents")
+    val cms = cmsTokenSketch(docs, "text")
+    val probes = docs
+      .select(explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(30)
+      .select("tok").as[String].collect() // bounded: 30 probe tokens
+    probes.toSeq.map(p => (p, cms.estimateCount(p)))
+      .toDF("token", "est_freq")
+  }
+
   /** EXACT per-language heavy hitters (top-k tokens) with BOUNDED
     * shuffle — the scale path `txVocabTopk`'s full-vocabulary
     * aggregate cannot take when the vocabulary itself is shuffle-sized
@@ -1246,6 +1283,7 @@ object TextOps {
     "tx_decontam" -> txDecontam _,
     "tx_shard_shuffle" -> txShardShuffle _,
     "tx_vocab_topk" -> txVocabTopk _,
+    "tx_cms_freq" -> txCmsFreq _,
     "tx_heavy_hitters" -> txHeavyHitters _,
     "tx_lm_score" -> txLmScore _,
     "tx_ppl_buckets" -> txPplBuckets _,
@@ -1529,6 +1567,24 @@ object TextOps {
          FROM (SELECT *, row_number() OVER (PARTITION BY lang
            ORDER BY n DESC, token ASC) AS rank FROM c) x
          WHERE rank <= 15""",
+    "tx_cms_freq" ->
+      """WITH tk AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+             AS tok
+           FROM documents),
+         exact AS (
+           SELECT tok, count(*) AS ex FROM tk GROUP BY 1),
+         probes AS (
+           SELECT tok, ex FROM exact
+           ORDER BY ex DESC, tok ASC LIMIT 30),
+         n AS (SELECT count(*) AS total FROM tk),
+         dump AS (
+           SELECT token, est_freq
+           FROM parquet_scan('__OUTDIR__/tx_cms_freq/*.parquet'))
+         SELECT d.token, d.est_freq
+         FROM dump d JOIN probes p ON p.tok = d.token, n
+         WHERE d.est_freq >= p.ex
+           AND d.est_freq <= p.ex + greatest(50, 8.0 * n.total / 2048)""",
     "tx_vocab_topk" ->
       """WITH tk AS (
            SELECT lang,

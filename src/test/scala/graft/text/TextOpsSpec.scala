@@ -520,4 +520,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(flags(5L)._4 == 0)                      // no stopwords
     assert(flags(6L)._5 == 0 && flags(6L)._6 == 0) // dup frac > 0.5
   }
+
+  test("CMS token sketch: never undercounts any token, overcounts " +
+    "within the collision bound, and merges exactly (halves == whole)") {
+    import org.apache.spark.sql.functions._
+    val d = graft.TestSpark.sf0001
+    val docs = graft.Tables.t(spark, d, "documents")
+    val cms = TextOps.cmsTokenSketch(docs, "text")
+    val exact = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect()
+    val total = exact.map(_._2).sum
+    val bound = math.max(50.0, 8.0 * total / 2048)
+    exact.foreach { case (t, n) =>
+      val est = cms.estimateCount(t)
+      assert(est >= n, s"CMS undercounted '$t': $est < $n")
+      assert(est <= n + bound, s"CMS overcount on '$t': $est vs $n")
+    }
+    // mergeability: sketches of two disjoint halves merged == the
+    // whole-corpus sketch, estimate-for-estimate (counter adds
+    // commute — the shard/day union path is exact)
+    val lo = docs.filter(col("doc_id") % 2 === 0)
+    val hi = docs.filter(col("doc_id") % 2 === 1)
+    val merged = TextOps.cmsTokenSketch(lo, "text")
+      .mergeInPlace(TextOps.cmsTokenSketch(hi, "text"))
+    exact.foreach { case (t, _) =>
+      assert(merged.estimateCount(t) == cms.estimateCount(t),
+        s"merged sketch diverged on '$t'")
+    }
+  }
 }
