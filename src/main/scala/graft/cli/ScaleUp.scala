@@ -18,18 +18,23 @@ import org.apache.spark.sql.functions._
   *    corpus has 10× facts, not 10× countries;
   *  - entity/fact keys shift by replica·10^7: keyspaces are disjoint
   *    across replicas, foreign keys stay consistent within one;
-  *  - document text is Caesar-rotated per replica: byte length,
+  *  - document text goes through a per-replica alphabet PERMUTATION
+  *    (seeded Fisher-Yates — a Caesar rotation would cycle at factor
+  *    26 and hand replicas r and r+26 identical text): byte length,
   *    token structure, and within-replica duplicate relations are
-  *    preserved EXACTLY (the same rotation applies to a dup pair),
-  *    while cross-replica n-gram / edit / winnow / containment
-  *    similarity is destroyed; `source` additionally carries a
-  *    replica suffix so (lang, source)-bucketed pair finders are
-  *    provably within-replica;
-  *  - embeddings get a per-replica cyclic DIMENSION rotation: the
-  *    coordinate multiset is unchanged, so norms and within-replica
-  *    distances/cosines keep their real values (double folds visit
-  *    terms in rotated order — last-ulp only, far below the engine's
-  *    round-6 grid), while cross-replica cosine decorrelates.
+  *    preserved EXACTLY (the same substitution applies to a dup
+  *    pair; n-grams map bijectively), while cross-replica n-gram /
+  *    edit / winnow / containment similarity is destroyed; `source`
+  *    additionally carries a replica suffix so (lang, source)-
+  *    bucketed pair finders are provably within-replica;
+  *  - embeddings get a per-replica cyclic DIMENSION rotation composed
+  *    with a per-replica sign-flip mask (distinct transform for every
+  *    replica up to factor 100 even past the rotation's period d):
+  *    the coordinate multiset is unchanged up to sign, so norms and
+  *    within-replica distances/cosines keep their real values (sign
+  *    flips are IEEE-exact; double folds visit terms in rotated
+  *    order — last-ulp only, far below the engine's round-6 grid),
+  *    while cross-replica cosine decorrelates.
   * Replica 0 is the identity, so absolute-id gate slices (the
   * vec_id<10 query set, doc_id<40 word slices) keep their original
   * content and stay constant-cost by construction.
@@ -42,22 +47,58 @@ object ScaleUp {
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase
 
-  /** Caesar-rotate letters by r (case-preserving, all else fixed). */
-  def caesar(c: Column, r: Int): Column = {
-    val k = ((r % 26) + 26) % 26
-    if (k == 0) c
-    else translate(c, lower + upper,
-      lower.drop(k) + lower.take(k) + upper.drop(k) + upper.take(k))
+  /** Deterministic per-replica alphabet permutation (seeded
+    * Fisher-Yates; replica 0 = identity). A Caesar rotation would
+    * cycle at factor 26 — replicas r and r+26 would carry IDENTICAL
+    * text, handing the pair finders an artificial cross-replica
+    * duplicate surface. A full permutation is distinct for every
+    * replica (collision odds ~factor²/26!), while keeping every
+    * within-replica property a monoalphabetic substitution gives:
+    * byte length, case structure, token boundaries, and a BIJECTION
+    * on n-grams (within-replica Jaccard/edit/winnow relations are
+    * preserved exactly). */
+  def letterPerm(r: Int): String = {
+    if (r == 0) return lower
+    val a = lower.toCharArray
+    val rng = new scala.util.Random(0x5ca1eL * 31 + r)
+    var i = a.length - 1
+    while (i > 0) { // Fisher-Yates, fixed seed per replica
+      val j = rng.nextInt(i + 1)
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    new String(a)
   }
 
-  /** Cyclic dimension rotation by r positions (within-replica
-    * isometry up to fold order; decorrelates across replicas). */
+  /** Substitute letters by the replica-r permutation
+    * (case-preserving, all else fixed). */
+  def permuteLetters(c: Column, r: Int): Column = {
+    if (r == 0) c
+    else {
+      val p = letterPerm(r)
+      translate(c, lower + upper, p + p.toUpperCase)
+    }
+  }
+
+  /** Per-replica isometry on the embedding space: cyclic dimension
+    * rotation (exact up to double fold order) composed with a
+    * deterministic per-replica sign-flip mask (EXACT — squares and
+    * same-mask products are unchanged in IEEE). The rotation alone
+    * cycles at factor d; the mask keeps transforms distinct for every
+    * replica r <= 100 regardless of d, so no two replicas are cosine-1
+    * twins of each other. */
   def rotateDims(e: Column, r: Int): Column = {
     if (r == 0) e
     else {
       val d = size(e)
       val k = lit(r) % d
-      concat(slice(e, k + 1, d - k), slice(e, lit(1), k))
+      val rotated = concat(slice(e, k + 1, d - k), slice(e, lit(1), k))
+      // flip dim i iff ((i+1)·(r+1)·1000003 mod 101) < 40 — the same
+      // mask for every vector of replica r (dot products within the
+      // replica pick up (−1)² per flipped term: exact isometry)
+      val m = lit(((r.toLong + 1L) * 1000003L) % 101L)
+      transform(rotated, (x, i) =>
+        when(pmod((i + 1) * m, lit(101L)) < 40, -x).otherwise(x))
     }
   }
 
@@ -82,7 +123,7 @@ object ScaleUp {
         .withColumn("user_id", shift(col("user_id"), r))
       case "documents" => df
         .withColumn("doc_id", shift(col("doc_id"), r))
-        .withColumn("text", caesar(col("text"), r))
+        .withColumn("text", permuteLetters(col("text"), r))
         .withColumn("source",
           if (r == 0) col("source")
           else concat(col("source"), lit(s"_r$r")))
@@ -103,7 +144,9 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, dstDir, factorS) = args
     val factor = factorS.toInt
-    require(factor >= 1 && factor * keyStride > 0, s"bad factor $factor")
+    require(factor >= 1 && factor <= 100 && factor * keyStride > 0,
+      s"bad factor $factor (embedding sign-mask distinctness is only " +
+        "guaranteed up to 100 replicas)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -287,6 +287,232 @@ object Multimodal {
     }(enc)
   }
 
+  // ---- real BMP codec + resize (pure-JVM image path: uncompressed
+  // 24-bit Windows bitmaps are byte-decodable with no codec library;
+  // compressed formats remain the declared stub boundary) ----
+
+  /** Deterministic synthetic channel value of pixel (x,y), channel c
+    * (0=R,1=G,2=B) of doc d — shared by the BMP synthesizer and the
+    * DuckDB oracle, which recomputes it in SQL. */
+  private def synthPixel(d: Long, x: Int, y: Int, c: Int): Int =
+    ((d * 31L + x * 7L + y * 13L + c * 101L) % 256L).toInt
+
+  /** Image dims from doc metadata: width 2..14 (mostly NOT a multiple
+    * of 4, so BMP row padding is actually exercised), height 2..8. */
+  private def bmpDims(nChars: Long): (Int, Int) =
+    (((nChars % 13) + 2).toInt, ((nChars % 7) + 2).toInt)
+
+  /** Serialize a canonical 54-byte-header uncompressed 24-bit BMP
+    * (bottom-up rows, BGR byte order, rows padded to 4-byte stride —
+    * the real on-disk format) around the synthetic pixels. */
+  private[multimodal] def bmpBytes(docId: Long, w: Int, h: Int)
+      : Array[Byte] = {
+    val stride = ((w * 3) + 3) / 4 * 4
+    val dataLen = stride * h
+    val bb = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(54 + dataLen) // file size
+    bb.putInt(0)            // reserved
+    bb.putInt(54)           // pixel data offset
+    bb.putInt(40)           // BITMAPINFOHEADER size
+    bb.putInt(w)
+    bb.putInt(h)            // positive → bottom-up row order
+    bb.putShort(1)          // planes
+    bb.putShort(24)         // bits per pixel
+    bb.putInt(0)            // BI_RGB (uncompressed)
+    bb.putInt(dataLen)
+    bb.putInt(2835); bb.putInt(2835) // 72 dpi
+    bb.putInt(0); bb.putInt(0)       // palette
+    var j = 0
+    while (j < h) {
+      val y = h - 1 - j // file rows run bottom-up
+      var x = 0
+      while (x < w) {
+        bb.put(synthPixel(docId, x, y, 2).toByte) // B
+        bb.put(synthPixel(docId, x, y, 1).toByte) // G
+        bb.put(synthPixel(docId, x, y, 0).toByte) // R
+        x += 1
+      }
+      var p = w * 3
+      while (p < stride) { bb.put(0.toByte); p += 1 } // row padding
+      j += 1
+    }
+    bb.array()
+  }
+
+  /** Attach a REAL (byte-valid) BMP payload to documents, dims from
+    * `bmpDims(n_chars)`. Batched mapPartitions shape (codec-boundary
+    * convention — byte serialization is imperative, not relational). */
+  def withBmpColumn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(docs.schema.fields :+
+      StructField("bmp", BinaryType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val dIdx = docs.schema.fieldIndex("doc_id")
+    val nIdx = docs.schema.fieldIndex("n_chars")
+    docs.mapPartitions { it =>
+      it.map { r =>
+        val d = r.get(dIdx).asInstanceOf[Number].longValue
+        val (w, h) = bmpDims(r.get(nIdx).asInstanceOf[Number].longValue)
+        Row.fromSeq(r.toSeq :+ bmpBytes(d, w, h))
+      }
+    }(enc)
+  }
+
+  /** REAL BMP parse: validates magic/header/bpp/compression (RAISES on
+    * malformed input — no silent fakes), then walks the padded
+    * bottom-up rows into a top-down row-major RGB byte array. */
+  private[multimodal] def parseBmp(bytes: Array[Byte])
+      : (Int, Int, Array[Byte]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte,
+      "bmp: missing BM magic")
+    bb.getInt(); bb.getInt() // file size, reserved
+    val dataOffset = bb.getInt()
+    val hdrSize = bb.getInt()
+    require(hdrSize >= 40, s"bmp: unsupported header size $hdrSize")
+    val w = bb.getInt()
+    val h = bb.getInt()
+    require(w > 0 && h > 0,
+      s"bmp: only positive (bottom-up) dims supported (${w}x$h)")
+    bb.getShort() // planes
+    val bpp = bb.getShort().toInt
+    require(bpp == 24, s"bmp: only 24-bit supported ($bpp)")
+    val compression = bb.getInt()
+    require(compression == 0, s"bmp: compressed ($compression)")
+    val stride = ((w * 3) + 3) / 4 * 4
+    require(bytes.length >= dataOffset + stride * h,
+      "bmp: truncated pixel data")
+    val px = new Array[Byte](w * h * 3) // top-down RGB
+    var j = 0
+    while (j < h) {
+      val y = h - 1 - j
+      var x = 0
+      while (x < w) {
+        val src = dataOffset + j * stride + x * 3
+        val dst = (y * w + x) * 3
+        px(dst) = bytes(src + 2)     // R (file order is BGR)
+        px(dst + 1) = bytes(src + 1) // G
+        px(dst + 2) = bytes(src)     // B
+        x += 1
+      }
+      j += 1
+    }
+    (w, h, px)
+  }
+
+  /** Batched REAL decode of a BMP binary column: one row per image
+    * with format fields + per-channel content sums. Payload consumed
+    * here, not carried forward. */
+  def decodeBmp(images: DataFrame, bmpCol: String = "bmp",
+      batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val idField = images.schema("doc_id")
+    val outSchema = StructType(Seq(idField,
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("bpp", IntegerType),
+      StructField("n_pixels", LongType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idIdx = images.schema.fieldIndex("doc_id")
+    val bIdx = images.schema.fieldIndex(bmpCol)
+    images.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch setup boundary (a native decoder would bind here)
+        batch.iterator.map { r =>
+          val (w, h, px) = parseBmp(r.getAs[Array[Byte]](bIdx))
+          var sr = 0L; var sg = 0L; var sb = 0L; var i = 0
+          while (i < w * h) {
+            sr += px(i * 3) & 0xff
+            sg += px(i * 3 + 1) & 0xff
+            sb += px(i * 3 + 2) & 0xff
+            i += 1
+          }
+          Row(r.get(idIdx), w, h, 24, (w.toLong * h), sr, sg, sb)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL nearest-neighbor resize over decoded pixels: every output
+    * pixel (x,y) of the WxH target samples source pixel
+    * (x·w div W, y·h div H). Emits per-image aggregates of the RESIZED
+    * image — per-channel sums plus a position-weighted checksum
+    * (Σ (1+x+W·y)·(r+2g+3b)) that catches transposed/shifted sampling
+    * a plain sum would miss. */
+  def resizeBmpNearest(images: DataFrame, targetW: Int, targetH: Int,
+      bmpCol: String = "bmp", batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(targetW > 0 && targetH > 0, "resize target must be positive")
+    val idField = images.schema("doc_id")
+    val outSchema = StructType(Seq(idField,
+      StructField("src_w", IntegerType),
+      StructField("src_h", IntegerType),
+      StructField("dst_w", IntegerType),
+      StructField("dst_h", IntegerType),
+      StructField("rs_sum_r", LongType),
+      StructField("rs_sum_g", LongType),
+      StructField("rs_sum_b", LongType),
+      StructField("rs_check", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idIdx = images.schema.fieldIndex("doc_id")
+    val bIdx = images.schema.fieldIndex(bmpCol)
+    images.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (w, h, px) = parseBmp(r.getAs[Array[Byte]](bIdx))
+          var sr = 0L; var sg = 0L; var sb = 0L; var chk = 0L
+          var y = 0
+          while (y < targetH) {
+            val sy = y * h / targetH
+            var x = 0
+            while (x < targetW) {
+              val sx = x * w / targetW
+              val o = (sy * w + sx) * 3
+              val pr = px(o) & 0xff
+              val pg = px(o + 1) & 0xff
+              val pb = px(o + 2) & 0xff
+              sr += pr; sg += pg; sb += pb
+              chk += (1L + x + targetW.toLong * y) *
+                (pr + 2L * pg + 3L * pb)
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.get(idIdx), w, h, targetW, targetH, sr, sg, sb, chk)
+        }
+      }
+    }(enc)
+  }
+
+  /** Gate query: REAL image codec end-to-end — synthesize byte-valid
+    * 24-bit BMPs from documents, decode them back through the batched
+    * parser. The oracle recomputes dims + channel sums from the
+    * synthesis arithmetic — a header mis-write, BGR/RGB swap, row-
+    * order or padding drift on any doc hash-mismatches. */
+  private def mImageDecode(s: SparkSession, d: String): DataFrame =
+    decodeBmp(withBmpColumn(
+      t(s, d, "documents").select("doc_id", "n_chars")))
+
+  /** Gate query: REAL resize on decoded pixels (5x4 nearest-neighbor;
+    * targets share no common factor with most source dims). Oracle
+    * replays the index arithmetic ((x·w div 5, y·h div 4)) over the
+    * synthetic pixel formula, including the position-weighted check. */
+  private def mImageResize(s: SparkSession, d: String): DataFrame =
+    resizeBmpNearest(withBmpColumn(
+      t(s, d, "documents").select("doc_id", "n_chars")), 5, 4)
+
   /** Gate query: REAL codec end-to-end — synthesize byte-valid WAV
     * clips from documents, then decode them back through the batched
     * parser. The oracle recomputes every field from the synthesis
@@ -321,9 +547,53 @@ object Multimodal {
     "m_multimodal_stub" -> mStub _,
     "m_frame_sample" -> mFrameSample _,
     "m_audio_segments" -> mAudioSegments _,
-    "m_audio_decode" -> mAudioDecode _)
+    "m_audio_decode" -> mAudioDecode _,
+    "m_image_decode" -> mImageDecode _,
+    "m_image_resize" -> mImageResize _)
 
   val oracle: Map[String, String] = Map(
+    "m_image_decode" ->
+      """WITH p AS (
+           SELECT doc_id, (n_chars % 13) + 2 AS w, (n_chars % 7) + 2 AS h
+           FROM documents),
+         v AS (
+           SELECT doc_id, w, h, x.x AS x, y.y AS y
+           FROM p, unnest(range(0, w)) AS x(x),
+                   unnest(range(0, h)) AS y(y))
+         SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(24 AS INT) AS bpp,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id*31 + x*7 + y*13 + 101) % 256) AS BIGINT)
+             AS sum_g,
+           CAST(sum((doc_id*31 + x*7 + y*13 + 202) % 256) AS BIGINT)
+             AS sum_b
+         FROM v GROUP BY doc_id, w, h""",
+    "m_image_resize" ->
+      """WITH p AS (
+           SELECT doc_id, (n_chars % 13) + 2 AS w, (n_chars % 7) + 2 AS h
+           FROM documents),
+         g AS (
+           SELECT doc_id, w, h, x.x AS x, y.y AS y,
+             (x.x * w) // 5 AS sx, (y.y * h) // 4 AS sy
+           FROM p, unnest(range(0, 5)) AS x(x),
+                   unnest(range(0, 4)) AS y(y)),
+         c AS (
+           SELECT doc_id, w, h, x, y,
+             (doc_id*31 + sx*7 + sy*13) % 256 AS r,
+             (doc_id*31 + sx*7 + sy*13 + 101) % 256 AS gr,
+             (doc_id*31 + sx*7 + sy*13 + 202) % 256 AS b
+           FROM g)
+         SELECT doc_id,
+           CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+           CAST(5 AS INT) AS dst_w, CAST(4 AS INT) AS dst_h,
+           CAST(sum(r) AS BIGINT) AS rs_sum_r,
+           CAST(sum(gr) AS BIGINT) AS rs_sum_g,
+           CAST(sum(b) AS BIGINT) AS rs_sum_b,
+           CAST(sum((1 + x + 5*y) * (r + 2*gr + 3*b)) AS BIGINT)
+             AS rs_check
+         FROM c GROUP BY doc_id, w, h""",
     "m_audio_decode" ->
       """WITH p AS (
            SELECT doc_id, (n_chars % 30 + 1) * 80 AS n_samples

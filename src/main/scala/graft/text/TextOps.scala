@@ -1257,6 +1257,145 @@ object TextOps {
   private def txDedupPassages(s: SparkSession, d: String): DataFrame =
     dedupPassages(t(s, d, "documents"), "doc_id", "text", 8)
 
+  // ---- URL hygiene (web-corpus curation: canonicalize source URLs,
+  // then cap documents per registered domain) ----
+
+  /** Deterministic MESSY-URL fixture shared with the DuckDB oracle:
+    * scheme/host case noise, www. prefixes, default :443 ports,
+    * utm_* tracking params mixed into real ones, fragments, trailing
+    * slashes — every normalizer-relevant shape, varied by doc_id.
+    * (The test tables carry no URL column; the op under test is the
+    * normalization, so both engines derive the same mess.) */
+  def synthUrl(docId: Column, lang: Column, source: Column): Column = {
+    val m2 = pmod(docId, lit(2)); val m3 = pmod(docId, lit(3))
+    val m4 = pmod(docId, lit(4)); val m5 = pmod(docId, lit(5))
+    concat(
+      when(m2 === 0, "https").otherwise(lit("HTTPS")), lit("://"),
+      when(m3 === 0, "WWW.").otherwise(lit("")), source,
+      when(m3 === 0, ".COM").when(m3 === 1, ".com").otherwise(lit(".Org")),
+      when(m5 === 0, ":443").otherwise(lit("")),
+      lit("/"), lang, lit("/item/"), pmod(docId, lit(50)),
+      when(m4 === 0, "/").otherwise(lit("")),
+      when(m2 === 0, concat(lit("?utm_source=feed&id="), pmod(docId, lit(7))))
+        .when(m5 === 1, concat(lit("?id="), pmod(docId, lit(7)),
+          lit("&utm_medium=m")))
+        .otherwise(lit("")),
+      when(m3 > 0, concat(lit("#sec"), m3)).otherwise(lit("")))
+  }
+
+  /** URL canonicalization — the web-pipeline dedup key derivation:
+    * lowercase scheme+host, strip `www.`, drop the port when it is the
+    * scheme default (keep a non-default one), drop the fragment, drop
+    * `utm_*` tracking params (preserving the remaining params' order),
+    * strip the trailing slash off non-root paths, and extract the
+    * registered domain (last two host labels). Pure per-row regex +
+    * higher-order array work — shuffle-free, codegen-friendly, scans at
+    * parquet speed at any corpus size. */
+  def normalizeUrl(df: DataFrame, urlCol: String): DataFrame = {
+    val url = col(urlCol)
+    val scheme = lower(regexp_extract(url,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val rest = regexp_replace(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val path = regexp_extract(rest, "^([^?#]*)", 1)
+    val query = regexp_extract(rest, "\\?([^#]*)", 1)
+    val port = regexp_extract(auth, ":(\\d+)$", 1)
+    val host = regexp_replace(regexp_replace(auth, ":\\d+$", ""),
+      "^www\\.", "")
+    val defPort = when(scheme === "https", "443")
+      .when(scheme === "http", "80").otherwise(lit(""))
+    val keptParams = filter(split(query, "&"),
+      p => p =!= "" && substring(p, 1, 4) =!= "utm_")
+    val pathNorm = when(path === "", "/")
+      .when(length(path) > 1, regexp_replace(path, "/$", ""))
+      .otherwise(path)
+    df.withColumn("host", host)
+      .withColumn("domain",
+        regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+      .withColumn("url_norm", concat(
+        scheme, lit("://"), host,
+        when(port =!= "" && port =!= defPort, concat(lit(":"), port))
+          .otherwise(lit("")),
+        pathNorm,
+        when(size(keptParams) > 0,
+          concat(lit("?"), array_join(keptParams, "&")))
+          .otherwise(lit(""))))
+  }
+
+  /** tx url normalize: canonicalize the synthetic messy URLs. The
+    * oracle rebuilds the same mess in SQL and normalizes it with its
+    * own string ops — a regex drift on any of the five noise shapes
+    * (case, www, port, utm, trailing slash) mismatches. */
+  private def txUrlNormalize(s: SparkSession, d: String): DataFrame =
+    normalizeUrl(
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          synthUrl(col("doc_id"), col("lang"), col("source")).as("url")),
+      "url")
+      .select("doc_id", "url", "url_norm", "host", "domain")
+
+  /** Per-domain document cap — the web-corpus anti-spam curation op
+    * ("no domain contributes more than k documents"), ranked by size
+    * then id so the kept set is deterministic. One shuffle on the
+    * domain key; at 100 TB the rank-k window beats a global sort by
+    * never materializing beyond each domain's partition. */
+  def capPerDomain(docs: DataFrame, domainCol: String, k: Int,
+      orderBy: Seq[Column]): DataFrame = {
+    require(k > 0, s"cap k=$k must be > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(domainCol).orderBy(orderBy: _*)
+    docs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** tx domain cap: ≤25 docs per registered domain (largest first,
+    * doc_id tiebreak) over the normalized synthetic URLs. */
+  private def txDomainCap(s: SparkSession, d: String): DataFrame =
+    capPerDomain(
+      normalizeUrl(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            synthUrl(col("doc_id"), col("lang"), col("source"))
+              .as("url")),
+        "url").select("doc_id", "n_chars", "domain"),
+      "domain", 25,
+      Seq(col("n_chars").desc, col("doc_id").asc))
+      .withColumn("rnk", col("rnk").cast("int"))
+
+  /** Nucleus (top-p) vocabulary cut: per language, the smallest
+    * count-descending prefix of the vocabulary whose cumulative mass
+    * reaches p — the tokenizer-vocab / decoding-nucleus analysis op.
+    * Admission is an EXCLUSIVE integer prefix test (keep while
+    * cum_before·10 < total·9 for p=0.9): exact integer arithmetic on
+    * both engines, no float cumprob near a boundary. One token-count
+    * aggregate (map-side partial), two windows on the language key. */
+  def vocabTopP(docs: DataFrame, langCol: String, textCol: String,
+      pNumer: Int, pDenom: Int): DataFrame = {
+    require(pNumer > 0 && pNumer < pDenom,
+      s"p = $pNumer/$pDenom must be in (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs
+      .select(col(langCol), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(langCol, "token").agg(count(lit(1)).as("cnt"))
+    val ord = Window.partitionBy(langCol)
+      .orderBy(col("cnt").desc, col("token").asc)
+    cnt
+      .withColumn("rnk", row_number().over(ord).cast("int"))
+      .withColumn("cum_before", coalesce(sum("cnt").over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total",
+        sum("cnt").over(Window.partitionBy(langCol)))
+      .filter(col("cum_before") * pDenom < col("total") * pNumer)
+      .select(col(langCol), col("token"), col("cnt"), col("rnk"))
+  }
+
+  /** tx vocab top-p: the p=0.9 nucleus of each language's unigram
+    * distribution (count desc, token asc tiebreak). */
+  private def txVocabTopp(s: SparkSession, d: String): DataFrame =
+    vocabTopP(t(s, d, "documents"), "lang", "text", 9, 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_dedup_passages" -> txDedupPassages _,
     "tx_bpe_tokens" -> txBpeTokens _,
@@ -1288,7 +1427,61 @@ object TextOps {
     "tx_lm_score" -> txLmScore _,
     "tx_ppl_buckets" -> txPplBuckets _,
     "tx_chunk_split" -> txChunkSplit _,
-    "tx_bm25" -> txBm25 _)
+    "tx_bm25" -> txBm25 _,
+    "tx_url_normalize" -> txUrlNormalize _,
+    "tx_domain_cap" -> txDomainCap _,
+    "tx_vocab_topp" -> txVocabTopp _)
+
+  /** DuckDB fragment rebuilding the synthUrl mess + the parse stages
+    * of normalizeUrl (shared by the two URL oracles). Yields columns:
+    * doc_id, n_chars, url, scheme, port, defport, host, params,
+    * path_norm. */
+  private def urlOracleCte: String =
+    """u AS (
+         SELECT doc_id, n_chars,
+           (CASE WHEN doc_id%2=0 THEN 'https' ELSE 'HTTPS' END)
+           || '://' ||
+           (CASE WHEN doc_id%3=0 THEN 'WWW.' ELSE '' END) || source ||
+           (CASE WHEN doc_id%3=0 THEN '.COM'
+                 WHEN doc_id%3=1 THEN '.com' ELSE '.Org' END) ||
+           (CASE WHEN doc_id%5=0 THEN ':443' ELSE '' END) ||
+           '/' || lang || '/item/' || CAST(doc_id%50 AS VARCHAR) ||
+           (CASE WHEN doc_id%4=0 THEN '/' ELSE '' END) ||
+           (CASE WHEN doc_id%2=0 THEN '?utm_source=feed&id='
+                   || CAST(doc_id%7 AS VARCHAR)
+                 WHEN doc_id%5=1 THEN '?id='
+                   || CAST(doc_id%7 AS VARCHAR) || '&utm_medium=m'
+                 ELSE '' END) ||
+           (CASE WHEN doc_id%3>0 THEN '#sec'
+              || CAST(doc_id%3 AS VARCHAR) ELSE '' END) AS url
+         FROM documents),
+       pp AS (
+         SELECT *,
+           lower(regexp_extract(url,
+             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+           regexp_replace(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+         FROM u),
+       qq AS (
+         SELECT *,
+           regexp_extract(rest, '^([^?#]*)', 1) AS pth,
+           regexp_extract(rest, '\?([^#]*)', 1) AS qry,
+           regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+           regexp_replace(regexp_replace(auth, ':[0-9]+$', ''),
+             '^www\.', '') AS host
+         FROM pp),
+       rr AS (
+         SELECT *,
+           CASE WHEN scheme='https' THEN '443'
+                WHEN scheme='http' THEN '80' ELSE '' END AS defport,
+           list_filter(string_split(qry, '&'),
+             x -> x <> '' AND x[1:4] <> 'utm_') AS params,
+           CASE WHEN pth='' THEN '/'
+                WHEN length(pth)>1 THEN regexp_replace(pth, '/$', '')
+                ELSE pth END AS path_norm
+         FROM qq)"""
 
   private def langidOracle: String = {
     val vals = stopwords.toSeq.sortBy(_._1)
@@ -1417,6 +1610,51 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "tx_url_normalize" ->
+      s"""WITH $urlOracleCte
+         SELECT doc_id, url,
+           scheme || '://' || host ||
+           CASE WHEN port <> '' AND port <> defport
+                THEN ':' || port ELSE '' END ||
+           path_norm ||
+           CASE WHEN len(params) > 0
+                THEN '?' || array_to_string(params, '&')
+                ELSE '' END AS url_norm,
+           host,
+           regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
+         FROM rr""",
+    "tx_domain_cap" ->
+      s"""WITH $urlOracleCte,
+         dom AS (
+           SELECT doc_id, n_chars,
+             regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
+           FROM rr),
+         rk AS (
+           SELECT doc_id, n_chars, domain,
+             CAST(row_number() OVER (PARTITION BY domain
+               ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rnk
+           FROM dom)
+         SELECT * FROM rk WHERE rnk <= 25""",
+    "tx_vocab_topp" ->
+      """WITH toks AS (
+           SELECT lang,
+             unnest(string_split_regex(trim(text), '\s+')) AS token
+           FROM documents),
+         c AS (
+           SELECT lang, token, count(*) AS cnt
+           FROM toks WHERE token <> '' GROUP BY 1, 2),
+         w AS (
+           SELECT lang, token, cnt,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY cnt DESC, token ASC) AS INT) AS rnk,
+             coalesce(sum(cnt) OVER (PARTITION BY lang
+               ORDER BY cnt DESC, token ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before,
+             sum(cnt) OVER (PARTITION BY lang) AS total
+           FROM c)
+         SELECT lang, token, cnt, rnk FROM w
+         WHERE cum_before * 10 < total * 9""",
     "tx_dedup_passages" ->
       """WITH tk AS (
            SELECT doc_id,

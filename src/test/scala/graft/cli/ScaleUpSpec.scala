@@ -38,9 +38,9 @@ class ScaleUpSpec extends AnyFunSuite {
       5 * t("events").count())
   }
 
-  test("documents: Caesar rotation preserves length and WITHIN-replica " +
-    "duplicate structure exactly, destroys CROSS-replica n-gram " +
-    "similarity; replica 0 is the identity") {
+  test("documents: the letter permutation preserves length and WITHIN-" +
+    "replica duplicate structure exactly, destroys CROSS-replica " +
+    "n-gram similarity; replica 0 is the identity") {
     val base = t("documents")
     val scaled = ScaleUp.scaleTable("documents", base, 2)
     val k = ScaleUp.keyStride
@@ -75,6 +75,29 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(scaledPairs == 2 * basePairs,
       s"exact-dup pair surface must scale linearly: " +
         s"$scaledPairs vs 2×$basePairs")
+  }
+
+  test("past the old Caesar period: every replica's transform is " +
+    "distinct (text r=1 vs r=27; embeddings r=0 vs r=d) — no " +
+    "artificial cross-replica duplicate surface at factor > 26") {
+    // text: the same doc under replicas 1 and 27 must differ (a
+    // Caesar scheme would make them byte-identical)
+    assert(ScaleUp.letterPerm(1) != ScaleUp.letterPerm(27))
+    assert(ScaleUp.letterPerm(27) != ScaleUp.letterPerm(0))
+    val perms = (0 until 100).map(ScaleUp.letterPerm)
+    assert(perms.distinct.size == 100, "letter permutations collide")
+    // embeddings: at replica r = d the rotation is the identity again;
+    // the sign mask must still decorrelate vs replica 0
+    val base = t("embeddings")
+    val dim = base.select(size(col("embedding"))).head.getInt(0)
+    val sameRot = base.select(col("vec_id"),
+        col("embedding").as("e0"),
+        ScaleUp.rotateDims(col("embedding"), dim).as("ed"))
+      .select(graft.sim.Similarity.cosine(col("e0"), col("ed")).as("cos"))
+    val avgAbsD = sameRot.agg(avg(abs(col("cos")))).head.getDouble(0)
+    assert(avgAbsD < 0.5,
+      s"replica d shares the rotation with replica 0 and the sign " +
+        s"mask failed to decorrelate: $avgAbsD")
   }
 
   test("embeddings: dimension rotation preserves norms (same real " +

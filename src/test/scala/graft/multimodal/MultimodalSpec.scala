@@ -123,4 +123,67 @@ class MultimodalSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Multimodal.parseWav(base.slice(0, headEnd)))
   }
+
+  test("BMP codec: synth → parse roundtrip recovers pixels exactly " +
+    "(bottom-up rows, BGR order, 4-byte row padding all unwound)") {
+    // w=5 → stride 16 with 1 pad byte; w=6 → stride 20 with 2
+    for ((w, h) <- Seq((5, 3), (6, 4), (2, 2), (13, 7))) {
+      val bytes = Multimodal.bmpBytes(42L, w, h)
+      val (pw, ph, px) = Multimodal.parseBmp(bytes)
+      assert((pw, ph) == (w, h))
+      for (y <- 0 until h; x <- 0 until w; c <- 0 to 2) {
+        val want = ((42L * 31 + x * 7 + y * 13 + c * 101) % 256).toInt
+        assert((px((y * w + x) * 3 + c) & 0xff) == want,
+          s"pixel ($x,$y) channel $c of ${w}x$h")
+      }
+    }
+  }
+
+  test("BMP parser rejects malformed input loudly (magic, bpp, " +
+    "compression, truncation)") {
+    val base = Multimodal.bmpBytes(1L, 5, 3)
+    Multimodal.parseBmp(base) // sanity: clean input parses
+    val badMagic = base.clone(); badMagic(0) = 'X'.toByte
+    assertThrows[IllegalArgumentException](Multimodal.parseBmp(badMagic))
+    val badBpp = base.clone(); badBpp(28) = 8 // bpp field
+    assertThrows[IllegalArgumentException](Multimodal.parseBmp(badBpp))
+    val compressed = base.clone(); compressed(30) = 1 // BI_RLE8
+    assertThrows[IllegalArgumentException](
+      Multimodal.parseBmp(compressed))
+    assertThrows[IllegalArgumentException](
+      Multimodal.parseBmp(base.slice(0, base.length - 4)))
+  }
+
+  test("nearest-neighbor resize: identity at same size; constant " +
+    "image stays constant; index arithmetic matches the formula") {
+    import spark.implicits._
+    val d = Seq((11L, 9L), (12L, 25L)).toDF("doc_id", "n_chars")
+    val imgs = Multimodal.withBmpColumn(d)
+    // identity resize: target == source dims ⇒ sums equal decode sums
+    val dec = Multimodal.decodeBmp(imgs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("sum_r"), r.getAs[Long]("sum_g"),
+          r.getAs[Long]("sum_b"))).toMap
+    for ((id, nc) <- Seq((11L, 9L), (12L, 25L))) {
+      val w = ((nc % 13) + 2).toInt; val h = ((nc % 7) + 2).toInt
+      val one = Multimodal.resizeBmpNearest(
+        imgs.filter(col("doc_id") === id), w, h).head()
+      assert((one.getAs[Long]("rs_sum_r"), one.getAs[Long]("rs_sum_g"),
+        one.getAs[Long]("rs_sum_b")) == dec(id),
+        s"identity resize changed content for doc $id")
+    }
+    // downsample indices follow x*w div W exactly
+    val r54 = Multimodal.resizeBmpNearest(
+      imgs.filter(col("doc_id") === 11L), 5, 4).head()
+    val w = ((9L % 13) + 2).toInt; val h = ((9L % 7) + 2).toInt
+    var sr = 0L; var chk = 0L
+    for (y <- 0 until 4; x <- 0 until 5) {
+      val sx = x * w / 5; val sy = y * h / 4
+      def c(i: Int) = (11L * 31 + sx * 7 + sy * 13 + i * 101) % 256
+      sr += c(0)
+      chk += (1L + x + 5L * y) * (c(0) + 2 * c(1) + 3 * c(2))
+    }
+    assert(r54.getAs[Long]("rs_sum_r") == sr)
+    assert(r54.getAs[Long]("rs_check") == chk)
+  }
 }

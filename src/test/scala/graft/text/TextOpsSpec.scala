@@ -550,4 +550,70 @@ class TextOpsSpec extends AnyFunSuite {
         s"merged sketch diverged on '$t'")
     }
   }
+
+  test("normalizeUrl: every noise shape canonicalizes — case, www, " +
+    "default vs non-default port, utm params, fragment, trailing " +
+    "slash, root path") {
+    val cases = Seq(
+      // (raw, url_norm, host, domain)
+      ("HTTPS://WWW.News.Example.COM:443/a/b/?utm_source=x&id=3#frag",
+        "https://news.example.com/a/b?id=3",
+        "news.example.com", "example.com"),
+      ("http://site.org:8080/p", // non-default port KEPT
+        "http://site.org:8080/p", "site.org", "site.org"),
+      ("http://site.org:80/p", // default port for http stripped
+        "http://site.org/p", "site.org", "site.org"),
+      ("https://a.b.c.net/x/?utm_a=1&utm_b=2", // all params tracking
+        "https://a.b.c.net/x", "a.b.c.net", "c.net"),
+      ("https://Host.Com", // no path at all → root
+        "https://host.com/", "host.com", "host.com"),
+      ("https://h.io/", // root path: trailing slash KEPT (root stays /)
+        "https://h.io/", "h.io", "h.io"),
+      ("https://h.io/x?id=1&q=2#s", // order of kept params preserved
+        "https://h.io/x?id=1&q=2", "h.io", "h.io"))
+    val df = cases.zipWithIndex
+      .map { case ((raw, _, _, _), i) => (i, raw) }.toDF("i", "url")
+    val got = TextOps.normalizeUrl(df, "url").collect()
+      .map(r => r.getAs[Int]("i") ->
+        (r.getAs[String]("url_norm"), r.getAs[String]("host"),
+          r.getAs[String]("domain"))).toMap
+    cases.zipWithIndex.foreach { case ((raw, n, h, d), i) =>
+      assert(got(i) == ((n, h, d)), s"case $i: $raw")
+    }
+  }
+
+  test("capPerDomain keeps exactly min(k, |domain|) rows per domain " +
+    "in the declared order") {
+    val docs = (1L to 60L).map(i => (i, s"dom${i % 3}.com", i * 10))
+      .toDF("doc_id", "domain", "sz")
+    val out = TextOps.capPerDomain(docs, "domain", 5,
+      Seq(col("sz").desc, col("doc_id").asc))
+    val byDom = out.collect().groupBy(_.getAs[String]("domain"))
+    assert(byDom.keySet.size == 3)
+    byDom.foreach { case (dom, rows) =>
+      assert(rows.length == 5, s"$dom")
+      // kept = the 5 largest sz of that domain
+      val keptSz = rows.map(_.getAs[Long]("sz")).sorted.reverse
+      val wantSz = (1L to 60L).filter(i => s"dom${i % 3}.com" == dom)
+        .map(_ * 10).sorted.reverse.take(5)
+      assert(keptSz.toSeq == wantSz, s"$dom kept wrong docs")
+    }
+  }
+
+  test("vocabTopP: the nucleus is the minimal count-desc prefix " +
+    "reaching p, exclusive-prefix admission (first token always in; " +
+    "mass-p boundary token included)") {
+    // lang L: counts a=6, b=2, c=1, d=1 (total 10). p=0.7 ⇒ keep while
+    // cum_before*10 < total*7: a (0<70), b (60<70); c has cum_before 80.
+    val docs = Seq(
+      ("L", ("a " * 6 + "b " * 2 + "c " + "d ").trim),
+      ("M", "z")) // single-token language: its whole mass is z
+    .toDF("lang", "text")
+    val out = TextOps.vocabTopP(docs, "lang", "text", 7, 10)
+      .collect().map(r => (r.getAs[String]("lang"),
+        r.getAs[String]("token"), r.getAs[Long]("cnt"),
+        r.getAs[Int]("rnk"))).toSet
+    assert(out == Set(("L", "a", 6L, 1), ("L", "b", 2L, 2),
+      ("M", "z", 1L, 1)))
+  }
 }
