@@ -357,6 +357,60 @@ object Dedup {
         round(col("c_raw"), 6).as("containment")): _*)
   }
 
+  /** WEIGHTED-Jaccard pairs over token term frequencies:
+    * Σ_g min(tf_a, tf_b) / Σ_g max(tf_a, tf_b) — the bag-of-words
+    * near-dup measure. Set-Jaccard treats "spark spark spark query"
+    * and "spark query query query" as identical ({spark, query} both
+    * sides); the weighted form scores them 2/6 — repetition-heavy
+    * boilerplate stops aliasing with its one-mention cousins.
+    *
+    * Scale shape: Σmax never materializes — it is wa + wb − Σmin
+    * (totals distribute over the union), so the join only touches
+    * SHARED tokens, exactly the ngramJaccardPairs equi-join shuffle
+    * keyed (block, token); `maxTokenDf` caps stopword-grade tokens
+    * before the pair join (per-doc totals recomputed over survivors,
+    * so the measure stays a true weighted Jaccard of the capped
+    * bags). Thresholding uses the raw double (same integer division
+    * both engines); output rounds to the 6-dp contract. */
+  def weightedJaccardPairs(docs: DataFrame, idCol: String,
+      textCol: String, t: Double, blockCols: Seq[String] = Nil,
+      maxTokenDf: Int = Int.MaxValue): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"threshold t=$t must be in (0, 1]")
+    val bc = blockCols.map(col)
+    val tfRaw = docs
+      .select(bc :+ col(idCol).as("doc_id") :+
+        explode(TextOps.tokens(lower(col(textCol)))).as("tok"): _*)
+      .filter(col("tok") =!= "")
+      .groupBy((blockCols ++ Seq("doc_id", "tok")).map(col): _*)
+      .agg(count(lit(1)).as("tf"))
+    val tfCapped =
+      if (maxTokenDf == Int.MaxValue) tfRaw
+      else tfRaw // one row per (doc, tok) ⇒ the window count IS the df
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy((blockCols :+ "tok").map(col): _*)))
+        .filter(col("df") <= maxTokenDf).drop("df")
+    val sized = tfCapped.withColumn("w", sum("tf").over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy((blockCols :+ "doc_id").map(col): _*)))
+    val a = sized.select(bc ++ Seq(col("tok"),
+      col("doc_id").as("doc_a"), col("tf").as("tfa"),
+      col("w").as("wa")): _*)
+    val b = sized.select(bc ++ Seq(col("tok"),
+      col("doc_id").as("doc_b"), col("tf").as("tfb"),
+      col("w").as("wb")): _*)
+    a.join(b, blockCols :+ "tok")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy((blockCols ++ Seq("doc_a", "doc_b", "wa", "wb"))
+        .map(col): _*)
+      .agg(sum(least(col("tfa"), col("tfb"))).as("smin"))
+      .withColumn("raw",
+        col("smin") / (col("wa") + col("wb") - col("smin")))
+      .filter(col("raw") >= t)
+      .select(bc ++ Seq(col("doc_a"), col("doc_b"),
+        round(col("raw"), 6).as("wjac")): _*)
+  }
+
   /** Winnowing-fingerprint match pairs — the MOSS plagiarism-style
     * local matcher: docs sharing ≥ `minShared` winnowed fingerprint
     * HASHES (TextOps.winnowFingerprints) are emitted with the shared
@@ -1113,6 +1167,14 @@ object Dedup {
     containmentPairs(t(s, d, "documents"), "doc_id", "text",
       t = 0.05, blockCols = Seq("lang", "source"))
 
+  /** Weighted Jaccard at t=0.3 over (lang, source) blocks — planted
+    * exact dups score 1.0, shared-vocabulary docs populate the
+    * partial range; token tf (not n-grams) keeps the oracle's brute
+    * bag intersection total. */
+  private def dWjaccardPairs(s: SparkSession, d: String): DataFrame =
+    weightedJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+      t = 0.3, blockCols = Seq("lang", "source"))
+
   /** Winnow matches at minShared=1 within (lang, source) blocks (any
     * shared fingerprint is a local-match candidate) — uncapped so the
     * oracle's brute replay is total. */
@@ -1141,6 +1203,7 @@ object Dedup {
     "d_incr_substring" -> dIncrSubstring _,
     "d_winnow_pairs" -> dWinnowPairs _,
     "d_containment" -> dContainment _,
+    "d_wjaccard_pairs" -> dWjaccardPairs _,
     "d_substring_spans" -> dSubstringSpans _,
     "d_substring_cut" -> dSubstringCut _,
     "d_edit_pairs" -> dEditPairs _,
@@ -1218,6 +1281,34 @@ object Dedup {
           AND a.h = b.h AND a.doc_id < b.doc_id
          GROUP BY 1, 2, 3, 4
          HAVING count(*) >= 1""",
+    "d_wjaccard_pairs" ->
+      """WITH toks AS (
+           SELECT lang, source, doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         tf AS (
+           SELECT lang, source, doc_id, tok, count(*) AS tf
+           FROM toks WHERE tok <> '' GROUP BY 1, 2, 3, 4),
+         tot AS (
+           SELECT lang, source, doc_id,
+             CAST(sum(tf) AS BIGINT) AS w
+           FROM tf GROUP BY 1, 2, 3),
+         smin AS (
+           SELECT a.lang, a.source, a.doc_id AS doc_a,
+             b.doc_id AS doc_b,
+             CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS smin
+           FROM tf a JOIN tf b
+             ON a.lang = b.lang AND a.source = b.source
+            AND a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT s.lang, s.source, s.doc_a, s.doc_b,
+           round(s.smin * 1.0 / (ta.w + tb.w - s.smin), 6) AS wjac
+         FROM smin s
+         JOIN tot ta ON ta.lang = s.lang AND ta.source = s.source
+           AND ta.doc_id = s.doc_a
+         JOIN tot tb ON tb.lang = s.lang AND tb.source = s.source
+           AND tb.doc_id = s.doc_b
+         WHERE s.smin * 1.0 / (ta.w + tb.w - s.smin) >= 0.3""",
     "d_containment" ->
       """WITH grams AS (
            SELECT lang, source, doc_id,

@@ -138,6 +138,80 @@ object Similarity {
         round(col("sim"), 4).as("cos_sim"))
   }
 
+  /** Brute-force cosine top-k over LOW-BIT-QUANTIZED embeddings
+    * (scale = max|x|/levels per vector, q = round-half-up(x/scale)) —
+    * the memory-bound serving shape where the index holds small
+    * integers instead of floats. Every arithmetic step is exact in
+    * IEEE doubles (integer products ≪ 2^53 sum exactly in ANY fold
+    * order), so the ranking is bit-reproducible across engines with
+    * no rounding contract needed on the sim itself (the round-6 rank
+    * key stays for the house tie-break). Pair with `rankMetrics`
+    * against the float ranking to measure what the quantization costs
+    * in recall. */
+  def quantizedBruteTopK(queries: DataFrame, corpus: DataFrame,
+      k: Int, levels: Int = 3): DataFrame = {
+    require(levels >= 1, s"levels=$levels must be >= 1")
+    def quant(df: DataFrame, idName: String, qName: String,
+        normName: String): DataFrame =
+      df.select(col("vec_id").as(idName),
+          asDouble(col("embedding")).as("e"))
+        .withColumn("scale",
+          array_max(transform(col("e"), x => abs(x))) / levels)
+        .withColumn(qName, transform(col("e"),
+          x => floor(x / col("scale") + 0.5).cast("double")))
+        .withColumn(normName, sqrt(dotD(col(qName), col(qName))))
+        .drop("e", "scale")
+    val q = broadcast(quant(queries, "q_id", "q_emb", "q_norm"))
+    val c = quant(corpus, "n_id", "n_emb", "n_norm")
+    val scored = c.crossJoin(q)
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim",
+        dotD(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").as("rank"), col("n_id"),
+        round(col("sim"), 4).as("cos_sim"))
+  }
+
+  /** IR evaluation of a retrieval run against a ground-truth ranking
+    * — the index-quality harness every ANN/quantization deployment
+    * needs before it swaps retrievers: per query, recall@k
+    * (|run ∩ truth| / k), precision@5 over the run's first 5 ranks,
+    * and reciprocal rank of the TRUE nearest neighbor (0.0 when the
+    * run misses it entirely). Both inputs use the (q_id, rank, n_id)
+    * shape every top-k op here emits, so any retriever composes.
+    *
+    * Metric arithmetic stays on exact rationals evaluated identically
+    * by both engines (hits/k, 1/rank — no logs, the tx_lm_score
+    * discipline; nDCG's log2 would not oracle bit-exactly). Scale:
+    * one equi-join on (q_id, n_id) + one groupBy(q_id) — both sides
+    * are k rows per query, never corpus-sized. */
+  def rankMetrics(run: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be > 0")
+    val r = run.select(col("q_id"), col("rank").as("r_rank"),
+      col("n_id"))
+    val tr = truth.select(col("q_id"), col("rank").as("t_rank"),
+      col("n_id"))
+    val agg = r.join(tr, Seq("q_id", "n_id"))
+      .groupBy("q_id").agg(
+        count(lit(1)).cast("int").as("n_hits"),
+        sum(when(col("r_rank") <= 5, 1).otherwise(0)).cast("int")
+          .as("h5"),
+        max(when(col("t_rank") === 1, lit(1.0) / col("r_rank")))
+          .as("rr0"))
+    tr.select("q_id").distinct()
+      .join(agg, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0)) / k.toDouble, 6)
+          .as("recall_at_k"),
+        round(coalesce(col("h5"), lit(0)) / 5.0, 6)
+          .as("precision_at_5"),
+        coalesce(col("rr0"), lit(0.0)).as("rr"))
+  }
+
   /** IVF-flat ANN — the second scale path next to LSH: a coarse
     * quantizer of `nlist` centroids partitions the corpus into
     * inverted lists; each query probes its `nprobe` nearest lists and
@@ -1009,6 +1083,20 @@ object Similarity {
   private def xAnnBrute(s: SparkSession, d: String): DataFrame =
     bruteForceTopK(queriesSide(s, d), t(s, d, "embeddings"), 3)
 
+  /** Quantization-quality evaluation gate: the 3-level integer
+    * ranking (quantizedBruteTopK — deliberately coarse so recall
+    * visibly degrades) scored against the float top-10 via
+    * rankMetrics. FULL oracle: both runs and the metric join
+    * re-derive end-to-end in DuckDB — the quantized run's integer
+    * arithmetic is fold-order-exact, the float run rides the
+    * round-6 rank contract of x_ann_brute. */
+  private def xRankMetrics(s: SparkSession, d: String): DataFrame =
+    rankMetrics(
+      quantizedBruteTopK(queriesSide(s, d), t(s, d, "embeddings"),
+        10, levels = 3),
+      bruteForceTopK(queriesSide(s, d), t(s, d, "embeddings"), 10),
+      10)
+
   /** LSH variant, FULL-oracle: at 16 tables × 2 bits the collision
     * probability of a top-3 neighbor (cos ≈ 0.45 ⇒ per-table ≈ 0.43)
     * gives a miss probability ≈ 1e-4 per pair — empirically recall is
@@ -1828,6 +1916,7 @@ object Similarity {
     "x_rrf_fusion" -> xRrfFusion _,
     "x_embed_decontam" -> xEmbedDecontam _,
     "x_ann_brute" -> xAnnBrute _,
+    "x_rank_metrics" -> xRankMetrics _,
     "x_ann_lsh" -> xAnnLsh _,
     "x_ann_ivf" -> xAnnIvf _,
     "x_ann_ivf_assign" -> xAnnIvfAssign _,
@@ -2538,6 +2627,54 @@ object Similarity {
                x -> CAST(floor(x / scale + 0.5) AS INT))
              ELSE list_transform(emb, x -> 0) END, ',') AS q_emb
          FROM s""",
+    "x_rank_metrics" ->
+      """WITH q AS (
+           SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings WHERE vec_id < 10),
+         c AS (
+           SELECT vec_id AS n_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         truth AS (
+           SELECT q_id, n_id, rn FROM (
+             SELECT q.q_id, c.n_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(q.e, c.e), 6)
+                   DESC, c.n_id ASC) AS rn
+             FROM c CROSS JOIN q WHERE c.n_id <> q.q_id) x
+           WHERE rn <= 10),
+         qq AS (
+           SELECT q_id, list_transform(e, x -> floor(x /
+             (list_max(list_transform(e, y -> abs(y))) / 3.0) + 0.5))
+             AS qe
+           FROM q),
+         cq AS (
+           SELECT n_id, list_transform(e, x -> floor(x /
+             (list_max(list_transform(e, y -> abs(y))) / 3.0) + 0.5))
+             AS qe
+           FROM c),
+         run AS (
+           SELECT q_id, n_id, rn FROM (
+             SELECT qq.q_id, cq.n_id,
+               row_number() OVER (PARTITION BY qq.q_id
+                 ORDER BY round(list_cosine_similarity(qq.qe, cq.qe), 6)
+                   DESC, cq.n_id ASC) AS rn
+             FROM cq CROSS JOIN qq WHERE cq.n_id <> qq.q_id) x
+           WHERE rn <= 10),
+         h AS (
+           SELECT r.q_id, count(*) AS n,
+             sum(CASE WHEN r.rn <= 5 THEN 1 ELSE 0 END) AS h5,
+             max(CASE WHEN t.rn = 1 THEN 1.0 / r.rn END) AS rr
+           FROM run r JOIN truth t USING (q_id, n_id)
+           GROUP BY 1)
+         SELECT q.q_id,
+           CAST(coalesce(h.n, 0) AS INT) AS n_hits,
+           round(coalesce(h.n, 0) / 10.0, 6) AS recall_at_k,
+           round(coalesce(h.h5, 0) / 5.0, 6) AS precision_at_5,
+           coalesce(h.rr, 0.0) AS rr
+         FROM (SELECT DISTINCT q_id FROM truth) q
+         LEFT JOIN h USING (q_id)""",
     "x_ann_lsh" -> bruteTop3Sql,
     "x_ann_ivf_full" -> bruteTop3Sql,
     "x_ann_brute" ->

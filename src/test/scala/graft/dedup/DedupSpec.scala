@@ -639,6 +639,44 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedJaccardPairs: hand math — repetition discriminates " +
+    "where set-Jaccard saturates; exact dups score 1.0; the df cap " +
+    "drops stopword-grade tokens") {
+    val docs = Seq(
+      (1L, "spark spark spark query"), // bag {spark:3, query:1}
+      (2L, "spark query query query"), // Σmin=2, Σmax=6 → 1/3
+      (3L, "spark spark spark query"), // exact dup of 1 → 1.0
+      (4L, "unrelated words only here")
+    ).toDF("doc_id", "text")
+    def run(t: Double, cap: Int = Int.MaxValue) =
+      Dedup.weightedJaccardPairs(docs, "doc_id", "text", t = t,
+        maxTokenDf = cap)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(run(0.3) == Set((1L, 3L, 1.0), (1L, 2L, 0.333333),
+      (2L, 3L, 0.333333)))
+    // set-Jaccard on unigrams would call (1,2) identical (jac 1.0) —
+    // the weighted form is the one that separates them
+    assert(run(0.5) == Set((1L, 3L, 1.0)))
+    // df cap at 2: "spark"/"query" appear in 3 docs → dropped; doc
+    // pairs (1,2)/(2,3) lose all shared mass; (1,3) still pairs on
+    // nothing — capped bags are empty, no pairs at all
+    assert(run(0.3, cap = 2).isEmpty)
+  }
+
+  test("weightedJaccardPairs on the corpus slice: scores in (0, 1], " +
+    "and the planted near-dups push the top of the range past 0.9") {
+    val docs = graft.Tables.t(spark, graft.TestSpark.sf001, "documents")
+    val w = Dedup.weightedJaccardPairs(docs, "doc_id", "text",
+        t = 0.3, blockCols = Seq("lang", "source"))
+      .select("doc_a", "doc_b", "wjac")
+      .as[(Long, Long, Double)].collect()
+    assert(w.nonEmpty)
+    assert(w.forall(p => p._3 > 0.0 && p._3 <= 1.0 + 1e-9))
+    // the corpus has no EXACT text dups (md5-distinct throughout), so
+    // 1.0 is unreachable — but its planted near-dups score ≥ 0.9
+    assert(w.exists(_._3 >= 0.9), "no near-dup pair in the top range")
+  }
+
   test("substringCut: n_cut == substringSpans dup_chars and " +
     "length(clean_text) + n_cut == n_chars on the corpus slice") {
     val docs = graft.Tables.t(spark, graft.TestSpark.sf001, "documents")

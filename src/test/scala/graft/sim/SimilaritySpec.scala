@@ -512,4 +512,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(got(2L) - 0.5) < 1e-12)
     assert(got(3L) == 0.0)
   }
+
+  test("rankMetrics: hand math — perfect run scores 1.0 everywhere, " +
+    "a rank-shifted run pays in rr/precision, a miss of the true " +
+    "top-1 zeroes rr, an empty-overlap query appears with zeros") {
+    def df(rows: (Long, Int, Long)*) =
+      rows.toDF("q_id", "rank", "n_id")
+    val truth = df((1L, 1, 101L), (1L, 2, 102L), (1L, 3, 103L),
+      (2L, 1, 201L), (2L, 2, 202L), (2L, 3, 203L),
+      (3L, 1, 301L), (3L, 2, 302L), (3L, 3, 303L))
+    // q1: perfect. q2: true #1 found at rank 3, one miss.
+    // q3: zero overlap.
+    val run = df((1L, 1, 101L), (1L, 2, 102L), (1L, 3, 103L),
+      (2L, 1, 203L), (2L, 2, 999L), (2L, 3, 201L),
+      (3L, 1, 777L), (3L, 2, 888L), (3L, 3, 999L))
+    val got = Similarity.rankMetrics(run, truth, 3).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Int]("n_hits"), r.getAs[Double]("recall_at_k"),
+          r.getAs[Double]("precision_at_5"), r.getAs[Double]("rr"))))
+      .toMap
+    assert(got(1L) == ((3, 1.0, 0.6, 1.0))) // 3 hits in first 5 → 3/5
+    assert(got(2L) == ((2, 0.666667, 0.4, 1.0 / 3))) // rr unrounded
+    assert(got(3L) == ((0, 0.0, 0.0, 0.0)))
+  }
+
+  test("quantizedBruteTopK: at high levels the quantized ranking " +
+    "converges to the float ranking; at levels=1 it coarsens (gate " +
+    "non-triviality); determinism across runs") {
+    val emb = t(spark, TestSpark.sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val fine = Similarity.quantizedBruteTopK(q, emb, 5, levels = 1000)
+      .select("q_id", "rank", "n_id")
+    val float = Similarity.bruteForceTopK(q, emb, 5)
+      .select("q_id", "rank", "n_id")
+    val m = Similarity.rankMetrics(fine, float, 5)
+      .agg(avg("recall_at_k")).head.getDouble(0)
+    assert(m > 0.95, s"1000-level quantization lost recall: $m")
+    val coarse1 = Similarity.quantizedBruteTopK(q, emb, 5, levels = 1)
+    val coarse2 = Similarity.quantizedBruteTopK(q, emb, 5, levels = 1)
+    assert(coarse1.collect().map(_.toSeq).toSeq ==
+      coarse2.collect().map(_.toSeq).toSeq, "nondeterministic ranking")
+    val mc = Similarity.rankMetrics(
+      coarse1.select("q_id", "rank", "n_id"), float, 5)
+      .agg(avg("recall_at_k")).head.getDouble(0)
+    assert(mc < 1.0, "1-level (sign-only) quantization should visibly " +
+      s"degrade recall on real data, got $mc")
+  }
 }
