@@ -318,6 +318,56 @@ object Streams {
       }.toDF()
   }
 
+  case class FsState(keepId: Long, nCopies: Long, gen: Long)
+  case class FsRow(fp: String, gen: Long, keep_id: Long, n_copies: Long)
+
+  /** Streaming FIRST-SEEN dedup ledger — the stateful twin of the
+    * batch fingerprint dedup (`d_fingerprint_dedup`): state keys by
+    * normalized-text fingerprint, the keeper is pinned FOREVER at the
+    * first batch that delivers the fingerprint (min doc_id within
+    * that batch — deterministic however the batch's partitions race),
+    * and every later duplicate only bumps the copy count. Where the
+    * built-in `dropDuplicates`/`dropDuplicatesWithinWatermark` merely
+    * suppresses rows (arbitrary survivor, no audit trail), this emits
+    * the LEDGER a curation pipeline logs: (fp, keeper, copies-so-far)
+    * after each batch the fingerprint appears in, generation-tagged
+    * so consumers keep the latest snapshot per fp.
+    *
+    * State is one (long, long, long) per distinct fingerprint —
+    * bounded by the DISTINCT corpus, not the stream; for bounded
+    * retention under event time, compose the watermark variant the
+    * dedupedStream path uses. Under a single-delivery feed the final
+    * snapshot equals the batch operator bit-for-bit (the st_zscore
+    * equivalence discipline). */
+  def streamingFirstSeen(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.GroupState
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        graft.text.TextOps.fingerprint(col("text")).as("fp"),
+        col("doc_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FsState, FsRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: String, it: Iterator[(String, Long)],
+            state: GroupState[FsState]) =>
+          var n = 0L
+          var mn = Long.MaxValue
+          it.foreach { case (_, id) =>
+            n += 1L; if (id < mn) mn = id
+          }
+          val prev = state.getOption
+          val next = FsState(
+            prev.map(_.keepId).getOrElse(mn), // first batch pins it
+            prev.map(_.nCopies).getOrElse(0L) + n,
+            prev.map(_.gen).getOrElse(0L) + 1L)
+          state.update(next)
+          Iterator.single(
+            FsRow(fp, next.gen, next.keepId, next.nCopies))
+      }.toDF()
+  }
+
   case class ZState(vals: List[Double])
   case class ZRow(user_id: Long, event_id: Long, n_win: Long,
     sx: Double, sx2: Double, zscore: Option[Double])
@@ -449,6 +499,40 @@ object Streams {
     out
   }
 
+  private val fsGateRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** st_dedup_docs: a REAL stateful streaming run — the documents
+    * feed replays under Trigger.AvailableNow through the first-seen
+    * ledger; the gate keeps the final generation per fingerprint.
+    * Single delivery ⇒ the snapshot equals the batch fingerprint
+    * dedup exactly, so `d_fingerprint_dedup`'s oracle verifies the
+    * stream unchanged. Multi-batch keeper pinning (first arrival
+    * wins over a later smaller doc_id) is StreamsSpec-pinned. */
+  private def stDedupDocs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_st_fs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val name = "graft_st_fs_out_" + fsGateRuns.incrementAndGet()
+    val q = streamingFirstSeen(docStream(s, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(300000),
+      "st_dedup_docs: stream did not finish in 300s")
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val snap = s.table(name)
+      .withColumn("max_gen", max("gen").over(wFp))
+      .filter(col("gen") === col("max_gen"))
+      .select(col("fp"), col("keep_id"), col("n_copies"))
+    val rows = snap.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), snap.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   private def stCurateDocs(s: SparkSession, d: String): DataFrame =
     curateDocs(t(s, d, "documents"))
 
@@ -504,6 +588,7 @@ object Streams {
     "st_session_window" -> stSessionWindow _,
     "st_stream_join" -> stStreamJoin _,
     "st_enrich" -> stEnrich _,
+    "st_dedup_docs" -> stDedupDocs _,
     "st_curate_docs" -> stCurateDocs _)
 
   private def curateOracle: String = {
@@ -540,6 +625,9 @@ object Streams {
     // single delivery ⇒ stream == batch bit-for-bit, so the batch
     // operator's oracle verifies the streaming gate unchanged
     "st_zscore" -> graft.ops.Windows.oracle("w9_rolling_zscore"),
+    // single delivery ⇒ final ledger snapshot == batch fingerprint
+    // dedup bit-for-bit; the batch gate's oracle verifies the stream
+    "st_dedup_docs" -> graft.dedup.Dedup.oracle("d_fingerprint_dedup"),
     // per-language snapshot must equal the exact top-15 token counts,
     // tie-broken (count desc, token asc) like the emission sort
     "st_heavy_hitters" ->

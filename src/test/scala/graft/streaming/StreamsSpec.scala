@@ -478,4 +478,59 @@ class StreamsSpec extends AnyFunSuite {
     assert(latest == batch,
       "post-restart snapshot must equal the exact batch top-k")
   }
+
+  test("streamingFirstSeen: the keeper is pinned at FIRST arrival — " +
+    "a later batch's smaller doc_id bumps the count but never steals " +
+    "the keeper; single-batch delivery == batch fingerprint dedup") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft_fs_stream")
+    // batch 1: docs 10, 11 (same normalized text "a b"); batch 2:
+    // doc 3 — SMALLER id, same fingerprint — plus a fresh fp
+    val b1 = Seq((10L, "a b"), (11L, "A  b.")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "a b"), (20L, "zz")).toDF("doc_id", "text")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String) = {
+      val tmp = Files.createTempDirectory("graft_fs_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, inDir.resolve(name))
+    }
+    stage(b1, "b1.parquet")
+    val ckpt = Files.createTempDirectory("graft_fs_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_fs_out").toString
+    def runOnce(): Unit = {
+      val q = Streams.streamingFirstSeen(
+          spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inDir.toString))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+    }
+    runOnce()
+    val after1 = spark.read.parquet(outDir)
+      .select("fp", "gen", "keep_id", "n_copies")
+      .as[(String, Long, Long, Long)].collect()
+    assert(after1.length == 1 && after1.head._3 == 10L &&
+      after1.head._4 == 2L, s"batch 1 ledger wrong: ${after1.toSeq}")
+    val fpAB = after1.head._1
+    // second file arrives; restart from the checkpoint (state carries)
+    stage(b2, "b2.parquet")
+    runOnce()
+    val all = spark.read.parquet(outDir)
+    val ledger = all
+      .groupBy("fp")
+      .agg(org.apache.spark.sql.functions.max("gen").as("gen"))
+      .join(all, Seq("fp", "gen"))
+      .select("fp", "keep_id", "n_copies")
+      .as[(String, Long, Long)].collect().toSet
+    // keeper for fpAB stays 10 (first-seen), count grows to 3;
+    // doc 3's smaller id did NOT steal it
+    assert(ledger.exists(r => r._1 == fpAB && r._2 == 10L && r._3 == 3L),
+      s"first-seen keeper stolen or count wrong: $ledger")
+    assert(ledger.size == 2, s"expected 2 fingerprints: $ledger")
+  }
 }
