@@ -9,6 +9,35 @@ import org.apache.spark.sql.SparkSession
   * runs before timing so per-query numbers measure the query, not JVM
   * start — mirroring how a long-lived cluster session behaves. */
 object Bench {
+
+  /** Times one gate run. A THROWN gate becomes `Left(exception class)`,
+    * never a duration: soak records have no oracle behind them, so a
+    * gate that only breaks at scale must surface as an error in the
+    * record — a time-to-failure number is indistinguishable from a
+    * fast gate (r11 verdict "What's wrong #1"). */
+  def timeGate(name: String, run: () => Unit): Either[String, Double] = {
+    val t0 = System.nanoTime()
+    try {
+      run()
+      Right((System.nanoTime() - t0) / 1e9)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] ERROR $name: ${e.getClass.getName}: " +
+          String.valueOf(e.getMessage).linesIterator.take(1).mkString.take(300))
+        Left(e.getClass.getName)
+    }
+  }
+
+  /** Per-gate JSON fragment for bench_full.json: a measurement carries
+    * `{"s":…,"rel_spread":…}`, a failed gate carries `{"err":"<class>"}`
+    * so it can never be read as a number. */
+  def gateJson(name: String, v: Either[String, (Double, Double)]): String =
+    v match {
+      case Left(cls) => "\"" + name + "\":{\"err\":\"" + cls + "\"}"
+      case Right((s, spread)) =>
+        f""""$name":{"s":$s%.3f,"rel_spread":$spread%.3f}"""
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -39,19 +68,17 @@ object Bench {
     // (unset = the full driver contract, unchanged)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    def runAll(): Seq[(String, Double)] =
+    def runAll(): Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }
         .map { case (name, fn) =>
-        val t0 = System.nanoTime()
         // noop write (not count): count() lets Catalyst prune the
         // computed columns, timing a cheaper plan than the query builds
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        val sec = (System.nanoTime() - t0) / 1e9
+        val r = timeGate(name,
+          () => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         // progress to stderr (stdout stays the one-JSON-line contract)
-        System.err.println(f"[bench] $name%-24s $sec%8.2fs")
-        name -> sec
+        r.foreach(sec => System.err.println(f"[bench] $name%-24s $sec%8.2fs"))
+        name -> r
       }
     // post-pass residue report: persisted RDDs + storage blocks left
     // behind by the pass — a growing number across passes means some
@@ -80,7 +107,8 @@ object Bench {
     // cold pass: timed too, reported as one number — keeps the
     // process-lifetime compilation cost visible across rounds next to
     // the warm (steady-state) per-query numbers
-    val coldTotal = runAll().map(_._2).sum
+    val coldPass = runAll()
+    val coldTotal = coldPass.flatMap(_._2.toOption).sum
     residue("cold")
 
     // MEDIAN-OF-N warm timing: a single warm pass conflates the plan
@@ -91,7 +119,7 @@ object Bench {
     // summary says how noisy the box was, so a reader can tell
     // measurement spread from a real plan change.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
-    val passes: Seq[Map[String, Double]] =
+    val passes: Seq[Map[String, Either[String, Double]]] =
       (1 to reps).map { i =>
         System.err.println(s"[bench] warm pass $i/$reps")
         interPass()
@@ -105,11 +133,19 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val names = passes.head.keys.toSeq.sorted
+    // a gate that threw in ANY pass (cold included) is an ERROR row —
+    // a flaky failure is as worth surfacing as a deterministic one
+    val coldErrs = coldPass.collect { case (n, Left(c)) => n -> c }.toMap
+    val errGates: Map[String, String] = names.flatMap { n =>
+      val warmErr = passes.flatMap(_(n).left.toOption).headOption
+      coldErrs.get(n).orElse(warmErr).map(n -> _)
+    }.toMap
+    val okNames = names.filterNot(errGates.contains)
     val results: Seq[(String, Double)] =
-      names.map(n => n -> median(passes.map(_(n))))
+      okNames.map(n => n -> median(passes.map(_(n).toOption.get)))
     // per-gate relative spread (max-min)/median, summarized at p50/max
-    val spreads = names.map { n =>
-      val xs = passes.map(_(n))
+    val spreads = okNames.map { n =>
+      val xs = passes.map(_(n).toOption.get)
       val m = median(xs)
       n -> (if (m > 0) (xs.max - xs.min) / m else 0.0)
     }
@@ -130,10 +166,20 @@ object Bench {
     val byName = results.toMap
     val spreadByName = spreads.toMap
     val jfull = names.map { n =>
-      "\"" + n + "\":{\"s\":" + fmt(byName(n)) +
-        ",\"rel_spread\":" + fmt(spreadByName(n)) + "}"
+      gateJson(n, errGates.get(n).toLeft(
+        (byName.getOrElse(n, 0.0), spreadByName.getOrElse(n, 0.0))))
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // error summary: a failed gate must be impossible to mistake for a
+    // fast gate — n_errs in the summary line, names+classes in the
+    // record, and stderr noise at the end of the run
+    val nErrs = errGates.size
+    val jErrs = errGates.toSeq.sortBy(_._1)
+      .map { case (n, c) => "\"" + n + "\":\"" + c + "\"" }
+      .mkString("{", ",", "}")
+    if (nErrs > 0)
+      System.err.println(s"[bench] $nErrs GATE(S) FAILED: " +
+        errGates.keys.toSeq.sorted.mkString(", "))
     // The driver captures only the LAST 2000 chars of output (measured
     // from BENCH_r1-r4: every round's full 115-query line was truncated
     // mid-JSON and recorded as parsed:null). The stdout line therefore
@@ -154,9 +200,9 @@ object Bench {
       "bench_full.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullOut),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm":true,"median_of":$reps,"dispersion":$dispersion,"cold_total_s":${fmt(coldTotal)},"n_queries":${results.size},"queries":${jmap(results)},"gates":$jfull,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm":true,"median_of":$reps,"dispersion":$dispersion,"cold_total_s":${fmt(coldTotal)},"n_queries":${results.size},"n_errs":$nErrs,"errs":$jErrs,"queries":${jmap(results)},"gates":$jfull,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm":true,"median_of":$reps,"dispersion":$dispersion,"cold_total_s":${fmt(coldTotal)},"n_queries":${results.size},"queries":${jmap(hs)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm":true,"median_of":$reps,"dispersion":$dispersion,"cold_total_s":${fmt(coldTotal)},"n_queries":${results.size},"n_errs":$nErrs,"errs":$jErrs,"queries":${jmap(hs)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

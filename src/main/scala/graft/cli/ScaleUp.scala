@@ -84,9 +84,13 @@ object ScaleUp {
     * rotation (exact up to double fold order) composed with a
     * deterministic per-replica sign-flip mask (EXACT — squares and
     * same-mask products are unchanged in IEEE). The rotation alone
-    * cycles at factor d; the mask keeps transforms distinct for every
-    * replica r <= 100 regardless of d, so no two replicas are cosine-1
-    * twins of each other. */
+    * cycles at factor d; the mask breaks that cycle, and ScaleUpSpec
+    * ENUMERATES (r mod d, mask restricted to d dims) distinctness for
+    * r = 0..99 against the actual corpus dimension — the guarantee is
+    * dimension-DEPENDENT (e.g. at d=16 replica 48 would get rotation 0
+    * with an empty flip mask, a cosine-1 twin of replica 0), so a
+    * corpus dimension change must fail that spec loudly, not silently
+    * reintroduce duplicate embeddings. */
   def rotateDims(e: Column, r: Int): Column = {
     if (r == 0) e
     else {
@@ -145,8 +149,9 @@ object ScaleUp {
     val Array(srcDir, dstDir, factorS) = args
     val factor = factorS.toInt
     require(factor >= 1 && factor <= 100 && factor * keyStride > 0,
-      s"bad factor $factor (embedding sign-mask distinctness is only " +
-        "guaranteed up to 100 replicas)")
+      s"bad factor $factor (embedding transform distinctness is " +
+        "spec-verified only for <= 100 replicas at the corpus " +
+        "dimension — see ScaleUpSpec)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -1175,6 +1175,17 @@ object Dedup {
     weightedJaccardPairs(t(s, d, "documents"), "doc_id", "text",
       t = 0.3, blockCols = Seq("lang", "source"))
 
+  /** The CAPPED production form of the weighted-Jaccard finder —
+    * `maxTokenDf = 10` is below the gate corpus's max in-block token
+    * df (15 at sf0.01), so the cap path genuinely fires (882 of the
+    * 1022 uncapped pairs survive) and the oracle is CONDITIONED on
+    * the same cap (the `d_ngram_jaccard_top` precedent). This is the
+    * form a 100 TB run must use: without the df cap a stopword-grade
+    * token in a million-doc block is a quadratic pair generator. */
+  private def dWjaccardCapped(s: SparkSession, d: String): DataFrame =
+    weightedJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+      t = 0.3, blockCols = Seq("lang", "source"), maxTokenDf = 10)
+
   /** Winnow matches at minShared=1 within (lang, source) blocks (any
     * shared fingerprint is a local-match candidate) — uncapped so the
     * oracle's brute replay is total. */
@@ -1204,6 +1215,7 @@ object Dedup {
     "d_winnow_pairs" -> dWinnowPairs _,
     "d_containment" -> dContainment _,
     "d_wjaccard_pairs" -> dWjaccardPairs _,
+    "d_wjaccard_capped" -> dWjaccardCapped _,
     "d_substring_spans" -> dSubstringSpans _,
     "d_substring_cut" -> dSubstringCut _,
     "d_edit_pairs" -> dEditPairs _,
@@ -1289,6 +1301,43 @@ object Dedup {
          tf AS (
            SELECT lang, source, doc_id, tok, count(*) AS tf
            FROM toks WHERE tok <> '' GROUP BY 1, 2, 3, 4),
+         tot AS (
+           SELECT lang, source, doc_id,
+             CAST(sum(tf) AS BIGINT) AS w
+           FROM tf GROUP BY 1, 2, 3),
+         smin AS (
+           SELECT a.lang, a.source, a.doc_id AS doc_a,
+             b.doc_id AS doc_b,
+             CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS smin
+           FROM tf a JOIN tf b
+             ON a.lang = b.lang AND a.source = b.source
+            AND a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT s.lang, s.source, s.doc_a, s.doc_b,
+           round(s.smin * 1.0 / (ta.w + tb.w - s.smin), 6) AS wjac
+         FROM smin s
+         JOIN tot ta ON ta.lang = s.lang AND ta.source = s.source
+           AND ta.doc_id = s.doc_a
+         JOIN tot tb ON tb.lang = s.lang AND tb.source = s.source
+           AND tb.doc_id = s.doc_b
+         WHERE s.smin * 1.0 / (ta.w + tb.w - s.smin) >= 0.3""",
+    // oracle CONDITIONED on maxTokenDf=10: the tf bag drops tokens in
+    // > 10 docs of their (lang, source) block, per-doc totals are
+    // recomputed over the survivors, then the same brute Σmin/Σmax
+    "d_wjaccard_capped" ->
+      """WITH toks AS (
+           SELECT lang, source, doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         tf0 AS (
+           SELECT lang, source, doc_id, tok, count(*) AS tf
+           FROM toks WHERE tok <> '' GROUP BY 1, 2, 3, 4),
+         tf AS (
+           SELECT lang, source, doc_id, tok, tf FROM (
+             SELECT tf0.*, count(*) OVER (
+               PARTITION BY lang, source, tok) AS df
+             FROM tf0) x
+           WHERE df <= 10),
          tot AS (
            SELECT lang, source, doc_id,
              CAST(sum(tf) AS BIGINT) AS w

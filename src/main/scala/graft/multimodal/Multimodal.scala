@@ -384,9 +384,18 @@ object Multimodal {
     require(bpp == 24, s"bmp: only 24-bit supported ($bpp)")
     val compression = bb.getInt()
     require(compression == 0, s"bmp: compressed ($compression)")
-    val stride = ((w * 3) + 3) / 4 * 4
-    require(bytes.length >= dataOffset + stride * h,
+    // dataOffset bounded to [54, len] and all size checks in LONG: a
+    // malformed header with huge w/h must hit a loud require here,
+    // not overflow stride*h (or w*3) in Int — which could pass a
+    // negative product and then throw ArrayIndexOutOfBounds or read
+    // header bytes as pixels
+    val strideL = ((w.toLong * 3) + 3) / 4 * 4
+    require(dataOffset >= 54 && dataOffset <= bytes.length,
+      s"bmp: pixel data offset $dataOffset out of range")
+    require(bytes.length.toLong >=
+        dataOffset.toLong + strideL * h.toLong,
       "bmp: truncated pixel data")
+    val stride = strideL.toInt // safe: strideL*h fits the byte array
     val px = new Array[Byte](w * h * 3) // top-down RGB
     var j = 0
     while (j < h) {

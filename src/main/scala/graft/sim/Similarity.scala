@@ -157,16 +157,27 @@ object Similarity {
           asDouble(col("embedding")).as("e"))
         .withColumn("scale",
           array_max(transform(col("e"), x => abs(x))) / levels)
-        .withColumn(qName, transform(col("e"),
-          x => floor(x / col("scale") + 0.5).cast("double")))
+        // all-zero vectors quantize to zeros (the embedQuantizeInt8
+        // guard): an unguarded x/0 is NULL on Spark but inf/NaN on
+        // the oracle engine — a latent gate desync (no corpus vector
+        // triggers it today; min max|x| is 0.23)
+        .withColumn(qName,
+          when(col("scale") > 0, transform(col("e"),
+            x => floor(x / col("scale") + 0.5).cast("double")))
+            .otherwise(transform(col("e"), _ => lit(0.0))))
         .withColumn(normName, sqrt(dotD(col(qName), col(qName))))
         .drop("e", "scale")
     val q = broadcast(quant(queries, "q_id", "q_emb", "q_norm"))
     val c = quant(corpus, "n_id", "n_emb", "n_norm")
     val scored = c.crossJoin(q)
       .filter(col("n_id") =!= col("q_id"))
+      // zero-norm guard: under ANSI mode (the Spark 4 default) x/0
+      // THROWS — an all-zero vector must rank by the id tie-break
+      // with a NULL sim, not kill the job
       .withColumn("sim",
-        dotD(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")))
+        when(col("q_norm") * col("n_norm") > 0,
+          dotD(col("q_emb"), col("n_emb")) /
+            (col("q_norm") * col("n_norm"))))
     val w = Window.partitionBy("q_id")
       .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -2645,14 +2656,18 @@ object Similarity {
              FROM c CROSS JOIN q WHERE c.n_id <> q.q_id) x
            WHERE rn <= 10),
          qq AS (
-           SELECT q_id, list_transform(e, x -> floor(x /
-             (list_max(list_transform(e, y -> abs(y))) / 3.0) + 0.5))
-             AS qe
+           SELECT q_id, CASE
+             WHEN list_max(list_transform(e, y -> abs(y))) > 0
+             THEN list_transform(e, x -> floor(x /
+               (list_max(list_transform(e, y -> abs(y))) / 3.0) + 0.5))
+             ELSE list_transform(e, x -> 0.0) END AS qe
            FROM q),
          cq AS (
-           SELECT n_id, list_transform(e, x -> floor(x /
-             (list_max(list_transform(e, y -> abs(y))) / 3.0) + 0.5))
-             AS qe
+           SELECT n_id, CASE
+             WHEN list_max(list_transform(e, y -> abs(y))) > 0
+             THEN list_transform(e, x -> floor(x /
+               (list_max(list_transform(e, y -> abs(y))) / 3.0) + 0.5))
+             ELSE list_transform(e, x -> 0.0) END AS qe
            FROM c),
          run AS (
            SELECT q_id, n_id, rn FROM (

@@ -430,6 +430,40 @@ object Streams {
       }.toDF()
   }
 
+  /** Per-process scratch root for streaming-gate staging, sink, and
+    * checkpoint directories — created ONCE (first use; a bench run's
+    * cold pass pays it, warm passes don't), so each gate run does a
+    * cheap mkdir under an existing root instead of a fresh /tmp
+    * tempdir allocation PLUS Spark's own implicit `temporary-*`
+    * checkpoint creation inside the timed region. The r11 driver
+    * record's two extreme dispersion outliers (rel_spread 9–36 on
+    * sub-second streaming gates) were exactly that directory I/O
+    * catching a slow filesystem moment. */
+  private lazy val scratchRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_st_scratch")
+  private val scratchRuns = new java.util.concurrent.atomic.AtomicLong(0)
+  private def scratch(tag: String): java.nio.file.Path = {
+    val p = scratchRoot.resolve(tag + "_" + scratchRuns.incrementAndGet())
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+
+  /** Runs a streaming gate's query with the setup (staging + planning
+    * up to `start()`) and drain (micro-batch execution) costs split to
+    * stderr — a noisy bench record then shows WHICH side caught the
+    * slow filesystem moment instead of one conflated number. */
+  private def runStream(name: String)(
+      build: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val t0 = System.nanoTime()
+    val q = build
+    val t1 = System.nanoTime()
+    require(q.awaitTermination(300000),
+      s"$name: stream did not finish in 300s")
+    val t2 = System.nanoTime()
+    System.err.println(f"[stream] $name setup=${(t1 - t0) / 1e9}%.2fs " +
+      f"drain=${(t2 - t1) / 1e9}%.2fs")
+  }
+
   /** st_zscore: a REAL stateful streaming run — the events feed
     * replays under Trigger.AvailableNow through the per-user
     * frame-state stream into a parquet sink (row count is
@@ -440,17 +474,18 @@ object Streams {
   private def stZscore(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import java.nio.file.{Files, Paths}
-    val dir = Files.createTempDirectory("graft_st_z")
+    val run = scratch("z")
+    val dir = Files.createDirectories(run.resolve("in"))
     Files.copy(Paths.get(s"$d/events.parquet"),
       dir.resolve("events.parquet"))
-    val outDir = Files.createTempDirectory("graft_st_z_out").toString
-    val ckpt = Files.createTempDirectory("graft_st_z_ckpt").toString
-    val q = streamingZscore(eventStream(s, dir.toString))
-      .writeStream.format("parquet").option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    require(q.awaitTermination(300000),
-      "st_zscore: stream did not finish in 300s")
+    val outDir = run.resolve("out").toString
+    val ckpt = run.resolve("ckpt").toString
+    runStream("st_zscore") {
+      streamingZscore(eventStream(s, dir.toString))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
     s.read.parquet(outDir)
   }
 
@@ -472,18 +507,20 @@ object Streams {
     * carries state). */
   private def stHeavyHitters(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val dir = java.nio.file.Files.createTempDirectory("graft_st_hh")
+    val run = scratch("hh")
+    val dir = java.nio.file.Files.createDirectories(run.resolve("in"))
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$d/documents.parquet"),
       dir.resolve("documents.parquet"))
     val name = "graft_st_hh_out_" + hhGateRuns.incrementAndGet()
-    val q = streamingHeavyHitters(docStream(s, dir.toString),
-        k = 15, m = 1 << 20)
-      .writeStream.outputMode("append")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    require(q.awaitTermination(300000),
-      "st_heavy_hitters: stream did not finish in 300s")
+    runStream("st_heavy_hitters") {
+      streamingHeavyHitters(docStream(s, dir.toString),
+          k = 15, m = 1 << 20)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", run.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+    }
     val wLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
     val snap = s.table(name)
       .withColumn("max_gen", max("gen").over(wLang))
@@ -510,17 +547,19 @@ object Streams {
     * wins over a later smaller doc_id) is StreamsSpec-pinned. */
   private def stDedupDocs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val dir = java.nio.file.Files.createTempDirectory("graft_st_fs")
+    val run = scratch("fs")
+    val dir = java.nio.file.Files.createDirectories(run.resolve("in"))
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$d/documents.parquet"),
       dir.resolve("documents.parquet"))
     val name = "graft_st_fs_out_" + fsGateRuns.incrementAndGet()
-    val q = streamingFirstSeen(docStream(s, dir.toString))
-      .writeStream.outputMode("append")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    require(q.awaitTermination(300000),
-      "st_dedup_docs: stream did not finish in 300s")
+    runStream("st_dedup_docs") {
+      streamingFirstSeen(docStream(s, dir.toString))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", run.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+    }
     val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
     val snap = s.table(name)
       .withColumn("max_gen", max("gen").over(wFp))

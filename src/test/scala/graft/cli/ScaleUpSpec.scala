@@ -134,4 +134,57 @@ class ScaleUpSpec extends AnyFunSuite {
     val avgAbs = pairs.agg(avg(abs(col("cos")))).head.getDouble(0)
     assert(avgAbs < 0.5, s"cross-replica cosine too high: $avgAbs")
   }
+
+  test("embedding transform distinctness ENUMERATED at the corpus " +
+    "dimension: (rotation r mod d, flip mask over d dims) is unique " +
+    "for every replica r = 0..99 — and the enumeration has teeth " +
+    "(at d=16 it would catch the replica-48 ≡ replica-0 collision)") {
+    // pure-Scala mirror of rotateDims' mask: flip rotated dim i iff
+    // ((i+1)·m mod 101) < 40 with m = ((r+1)·1000003) mod 101;
+    // replica 0 short-circuits to the identity (no rotation, no mask)
+    def maskOf(r: Int, d: Int): Seq[Boolean] =
+      if (r == 0) Seq.fill(d)(false)
+      else {
+        val m = ((r.toLong + 1L) * 1000003L) % 101L
+        (0 until d).map(i => ((i + 1) * m) % 101L < 40L)
+      }
+    def transformOf(r: Int, d: Int): (Int, Seq[Boolean]) =
+      (if (r == 0) 0 else r % d, maskOf(r, d))
+    val dim = t("embeddings")
+      .select(size(col("embedding"))).head.getInt(0)
+    val ts = (0 until 100).map(transformOf(_, dim))
+    assert(ts.distinct.size == 100,
+      s"replica transforms collide at corpus dimension $dim — a " +
+        "dimension change reintroduced cross-replica cosine-1 twins")
+    // negative control: the claim is dimension-DEPENDENT, not
+    // universal — at d=16 replica 48 gets rotation 0 with an empty
+    // flip mask (identical to replica 0), which this enumeration
+    // style catches
+    val t16 = (0 until 100).map(transformOf(_, 16))
+    assert(t16.distinct.size < 100,
+      "expected the d=16 counterexample — the enumeration lost its " +
+        "teeth")
+  }
+
+  test("replica-0 identity contract: for EVERY table the replica-0 " +
+    "slice of a scaled output equals the source rows exactly — the " +
+    "contract that keeps absolute-id gate slices (vec_id<10 queries, " +
+    "doc_id<40 word slices) byte-comparable across scale factors") {
+    val keyCol = Map(
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey",
+      "lineitem" -> "l_orderkey", "events" -> "event_id",
+      "documents" -> "doc_id", "embeddings" -> "vec_id")
+    graft.Tables.names.foreach { name =>
+      val src = t(name)
+      val scaled = ScaleUp.scaleTable(name, src, 3)
+      val r0 = keyCol.get(name) match {
+        case Some(k) => scaled.filter(col(k) < ScaleUp.keyStride)
+        case None => scaled // unscaled dims: the whole table
+      }
+      assert(r0.exceptAll(src).count() == 0 &&
+        src.exceptAll(r0).count() == 0,
+        s"$name: replica-0 slice is not the identity")
+    }
+  }
 }

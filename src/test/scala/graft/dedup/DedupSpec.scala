@@ -696,4 +696,46 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(cut.values.exists(_._2 > 0)) // the slice genuinely cuts
   }
+
+  test("capped production forms: a df cap above the corpus max is a " +
+    "no-op (capped code path ≡ uncapped output on the gate corpus); " +
+    "the d_wjaccard_capped gate cap genuinely bites") {
+    val corpus = graft.Tables.t(spark, graft.TestSpark.sf001, "documents")
+    def wj(cap: Int) = Dedup.weightedJaccardPairs(corpus, "doc_id",
+      "text", t = 0.3, blockCols = Seq("lang", "source"),
+      maxTokenDf = cap)
+    // sf0.01 max in-block token df is 15 — cap 1000 exercises the cap
+    // CODE PATH (df window + filter) while dropping nothing
+    val un = wj(Int.MaxValue)
+    val noop = wj(1000)
+    assert(noop.exceptAll(un).count() == 0 &&
+      un.exceptAll(noop).count() == 0,
+      "a non-biting cap changed the wjaccard output")
+    // the gate's cap (10) is below the corpus max df (15): it must
+    // genuinely drop pairs (these counts pin the gate corpus)
+    assert(un.count() == 1022 && wj(10).count() == 882)
+  }
+
+  test("winnowMatchPairs maxHashDf: boilerplate fingerprints shared " +
+    "by a whole block are dropped before the pair join; a cap above " +
+    "the max df is a no-op") {
+    // 8 docs sharing ONLY an 11-token boilerplate prefix: every
+    // selected fingerprint inside the prefix is identical across all
+    // 8 (df = 8), the per-doc tails share nothing
+    val boiler = "copyright acme corporation all rights reserved do " +
+      "not redistribute this file"
+    val docs8 = (0 until 8).map(i => (i.toLong,
+      s"$boiler alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+      .toDF("doc_id", "text")
+    def wn(cap: Int) = Dedup.winnowMatchPairs(docs8, "doc_id", "text",
+      minShared = 1, maxHashDf = cap)
+    assert(wn(Int.MaxValue).count() == 28) // all C(8,2) pairs match
+    assert(wn(4).count() == 0,
+      "df cap 4 must kill every df-8 boilerplate fingerprint")
+    val wnUn = wn(Int.MaxValue)
+    val wnNoop = wn(1000)
+    assert(wnNoop.exceptAll(wnUn).count() == 0 &&
+      wnUn.exceptAll(wnNoop).count() == 0,
+      "a non-biting cap changed the winnow output")
+  }
 }

@@ -154,6 +154,34 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.parseBmp(base.slice(0, base.length - 4)))
   }
 
+  test("BMP parser: header-overflow shapes (huge dims, out-of-range " +
+    "pixel offset) raise the loud IllegalArgumentException — never " +
+    "Int-overflow into index-out-of-bounds or header-as-pixels reads") {
+    val base = Multimodal.bmpBytes(1L, 5, 3)
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val b = base.clone()
+      java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(off, v)
+      b
+    }
+    // width 2^30: w*3 and stride*h overflow Int — the Long-arithmetic
+    // size check must reject, not wrap negative and pass
+    assertThrows[IllegalArgumentException](
+      Multimodal.parseBmp(patched(18, 0x40000000)))
+    // height 2^30: stride*h overflows Int
+    assertThrows[IllegalArgumentException](
+      Multimodal.parseBmp(patched(22, 0x40000000)))
+    // negative pixel-data offset: would read header bytes as pixels
+    assertThrows[IllegalArgumentException](
+      Multimodal.parseBmp(patched(10, -100)))
+    // offset pointing past the buffer
+    assertThrows[IllegalArgumentException](
+      Multimodal.parseBmp(patched(10, base.length + 1000)))
+    // offset inside the header (< 54): header-as-pixels read
+    assertThrows[IllegalArgumentException](
+      Multimodal.parseBmp(patched(10, 20)))
+  }
+
   test("nearest-neighbor resize: identity at same size; constant " +
     "image stays constant; index arithmetic matches the formula") {
     import spark.implicits._
