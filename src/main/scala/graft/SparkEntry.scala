@@ -31,6 +31,9 @@ object SparkEntry {
       ops.Amplicon.queries ++
       ops.Bins.queries ++
       ops.Checks.queries ++
+      ops.Cdc.queries ++
+      ops.Expectations.queries ++
+      ops.WebGraph.queries ++
       ops.Glamr.queries ++
       ops.Primers.queries ++
       tax.Lineage.queries ++
@@ -58,6 +61,9 @@ object SparkEntry {
       ops.Amplicon.oracle ++
       ops.Bins.oracle ++
       ops.Checks.oracle ++
+      ops.Cdc.oracle ++
+      ops.Expectations.oracle ++
+      ops.WebGraph.oracle ++
       ops.Glamr.oracle ++
       ops.Primers.oracle ++
       tax.Lineage.oracle ++

@@ -411,6 +411,107 @@ object Dedup {
         round(col("raw"), 6).as("wjac")): _*)
   }
 
+  /** Sorted-neighborhood (SNM) candidate pairs — the Hernández/Stolfo
+    * merge/purge blocking method: sort each block on a cheap
+    * normalized key (here the first 16 alphanumeric characters of the
+    * lowercased text), slide a fixed window of `w` positions over the
+    * sort order, and verify only pairs whose ranks fall inside one
+    * window. Near-dups that agree on their opening text land on
+    * adjacent ranks; the candidate surface is exactly (w−1)·n pairs —
+    * LINEAR by construction, with no similarity join at all.
+    *
+    * This is the family's third blocking geometry (LSH buckets hash
+    * the whole doc; prefix filters bound by df; SNM bounds by sort
+    * adjacency) and the cheapest at 100 TB: one range-partitioned
+    * sort per block plus `w−1` window leads — no gram shuffle, no
+    * bucket skew. Its price is recall (a near-dup pair that differs
+    * in the first words never meets), which is what
+    * `blockingQuality` measures against the brute ground truth.
+    *
+    * Verify step: each candidate is scored with the family's word
+    * 3-gram Jaccard by joining the candidate list through the
+    * per-doc gram rows — candidate-driven, so the verify cost is
+    * (w−1)·Σ|grams| rows, never an all-pairs product. Zero-gram or
+    * zero-overlap candidates emit jac = 0 (the window proposed them;
+    * the verdict is the verifier's). */
+  def snmPairs(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 5, blockCols: Seq[String] = Nil, n: Int = 3): DataFrame = {
+    require(w >= 2, s"window w=$w must be >= 2")
+    val bc = blockCols.map(col)
+    val key = substring(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""), 1, 16)
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(bc: _*).orderBy(col("__k"), col("doc_id"))
+    val keyed = docs.select(bc :+ col(idCol).as("doc_id") :+
+      key.as("__k"): _*)
+    // leads computed in a plain projection first (window expressions
+    // may not sit inside a generator argument), then exploded
+    val withLeads = keyed.select(bc ++ Seq(col("doc_id")) ++
+      (1 until w).map(o =>
+        lead(col("doc_id"), o).over(ord).as(s"__l$o")): _*)
+    val leads = withLeads.select(bc ++ Seq(col("doc_id"), explode(array(
+      (1 until w).map(o => struct(col(s"__l$o").as("other"),
+        lit(o).as("dist"))): _*)).as("cand")): _*)
+      .filter(col("cand.other").isNotNull)
+      .select(bc ++ Seq(
+        least(col("doc_id"), col("cand.other")).as("doc_a"),
+        greatest(col("doc_id"), col("cand.other")).as("doc_b"),
+        col("cand.dist").as("dist")): _*)
+    // verify: candidate-driven 3-gram Jaccard (gram sets distinct per
+    // doc — the sizedGrams contract), zero-gram docs score 0
+    val grams = sizedGrams(docs, idCol, textCol, bc, n, "doc_id",
+      "n_grams")
+    val gcnt = docs.select(bc :+ col(idCol).as("doc_id"): _*)
+      .join(grams.select(bc ++ Seq(col("doc_id"),
+        col("n_grams")): _*).distinct(), blockCols :+ "doc_id", "left")
+      .select(bc ++ Seq(col("doc_id"),
+        coalesce(col("n_grams"), lit(0)).as("n_grams")): _*)
+    val shared = leads
+      .join(grams.select(bc ++ Seq(col("doc_id").as("doc_a"),
+        col("gram")): _*), blockCols :+ "doc_a")
+      .join(grams.select(bc ++ Seq(col("doc_id").as("doc_b"),
+        col("gram")): _*), blockCols ++ Seq("doc_b", "gram"))
+      .groupBy((blockCols ++ Seq("doc_a", "doc_b", "dist")).map(col): _*)
+      .agg(count(lit(1)).as("inter"))
+    leads
+      .join(shared, blockCols ++ Seq("doc_a", "doc_b", "dist"), "left")
+      .join(gcnt.select(bc ++ Seq(col("doc_id").as("doc_a"),
+        col("n_grams").as("na")): _*), blockCols :+ "doc_a")
+      .join(gcnt.select(bc ++ Seq(col("doc_id").as("doc_b"),
+        col("n_grams").as("nb")): _*), blockCols :+ "doc_b")
+      .withColumn("i", coalesce(col("inter"), lit(0L)))
+      .select(bc ++ Seq(col("doc_a"), col("doc_b"), col("dist"),
+        when(col("na") + col("nb") - col("i") > 0,
+          jaccardFromCounts(col("i"), col("na"), col("nb")))
+          .otherwise(lit(0.0)).as("jac")): _*)
+  }
+
+  /** Recall/precision of a blocking method's candidate pairs against
+    * the brute similarity ground truth (pairs with verified 3-gram
+    * Jaccard ≥ `t` within blocks) — the evaluation every blocking
+    * swap needs before it ships (the `rankMetrics` discipline applied
+    * to dedup): a blocking change that silently costs recall must
+    * fail a gate, not a production corpus. Counts are exact longs;
+    * the two ratios are single exact divisions rounded to the 6-dp
+    * contract. */
+  def blockingQuality(truth: DataFrame, cand: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val tr = truth.select(keyCols.map(col): _*).distinct()
+    val cd = cand.select(keyCols.map(col): _*).distinct()
+    val hit = tr.join(cd, keyCols)
+    val nT = tr.agg(count(lit(1)).as("n_truth"))
+    val nC = cd.agg(count(lit(1)).as("n_cand"))
+    val nH = hit.agg(count(lit(1)).as("n_hit"))
+    nT.crossJoin(nC).crossJoin(nH) // three 1-row frames: broadcast singletons
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        when(col("n_truth") > 0,
+          round(col("n_hit") / col("n_truth"), 6)).otherwise(lit(0.0))
+          .as("recall"),
+        when(col("n_cand") > 0,
+          round(col("n_hit") / col("n_cand"), 6)).otherwise(lit(0.0))
+          .as("precision"))
+  }
+
   /** Winnowing-fingerprint match pairs — the MOSS plagiarism-style
     * local matcher: docs sharing ≥ `minShared` winnowed fingerprint
     * HASHES (TextOps.winnowFingerprints) are emitted with the shared
@@ -1186,6 +1287,29 @@ object Dedup {
     weightedJaccardPairs(t(s, d, "documents"), "doc_id", "text",
       t = 0.3, blockCols = Seq("lang", "source"), maxTokenDf = 10)
 
+  /** SNM gate: window 5 (rank distance ≤ 4) over (lang, source)
+    * blocks — planted near-dups share opening text, so the window
+    * catches them; the jac column spans 0 (sort-adjacent strangers)
+    * to ~1 (planted pairs), exercising the verifier's whole range. */
+  private def dSnmPairs(s: SparkSession, d: String): DataFrame =
+    snmPairs(t(s, d, "documents"), "doc_id", "text", w = 5,
+      blockCols = Seq("lang", "source"))
+
+  /** Blocking-quality gate: SNM candidates scored against the brute
+    * 3-gram Jaccard ≥ 0.2 ground truth (the threshold sits where the
+    * gate corpus holds both window-adjacent and window-missed truth
+    * pairs, so recall is genuinely inside (0, 1) — a metric the data
+    * exercises, not saturates). */
+  private def dBlockingQuality(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val truth = ngramJaccardPairs(docs, "doc_id", "text",
+      blockCols = Seq("lang", "source"), n = 3)
+      .filter(col("jac") >= 0.2)
+    val cand = snmPairs(docs, "doc_id", "text", w = 5,
+      blockCols = Seq("lang", "source"))
+    blockingQuality(truth, cand, Seq("lang", "source", "doc_a", "doc_b"))
+  }
+
   /** Winnow matches at minShared=1 within (lang, source) blocks (any
     * shared fingerprint is a local-match candidate) — uncapped so the
     * oracle's brute replay is total. */
@@ -1212,6 +1336,8 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_incr_substring" -> dIncrSubstring _,
+    "d_snm_pairs" -> dSnmPairs _,
+    "d_blocking_quality" -> dBlockingQuality _,
     "d_winnow_pairs" -> dWinnowPairs _,
     "d_containment" -> dContainment _,
     "d_wjaccard_pairs" -> dWjaccardPairs _,
@@ -1293,6 +1419,98 @@ object Dedup {
           AND a.h = b.h AND a.doc_id < b.doc_id
          GROUP BY 1, 2, 3, 4
          HAVING count(*) >= 1""",
+    "d_snm_pairs" ->
+      """WITH d AS (
+           SELECT lang, source, doc_id,
+             substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+               1, 16) AS k
+           FROM documents),
+         r AS (
+           SELECT lang, source, doc_id,
+             row_number() OVER (PARTITION BY lang, source
+               ORDER BY k, doc_id) AS rn
+           FROM d),
+         cand AS (
+           SELECT a.lang, a.source,
+             least(a.doc_id, b.doc_id) AS doc_a,
+             greatest(a.doc_id, b.doc_id) AS doc_b,
+             CAST(b.rn - a.rn AS INT) AS dist
+           FROM r a JOIN r b
+             ON a.lang = b.lang AND a.source = b.source
+            AND b.rn - a.rn BETWEEN 1 AND 4),
+         grams AS (
+           SELECT lang, source, doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(1, len(string_split_regex(trim(lower(text)),
+                 '\s+')) - 1)),
+               i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+2]))
+               AS g
+           FROM documents)
+         SELECT c.lang, c.source, c.doc_a, c.doc_b, c.dist,
+           CASE WHEN len(ga.g) + len(gb.g)
+                  - len(list_intersect(ga.g, gb.g)) > 0
+             THEN round(len(list_intersect(ga.g, gb.g)) * 1.0 /
+               (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))), 6)
+             ELSE 0.0 END AS jac
+         FROM cand c
+         JOIN grams ga ON ga.lang = c.lang AND ga.source = c.source
+           AND ga.doc_id = c.doc_a
+         JOIN grams gb ON gb.lang = c.lang AND gb.source = c.source
+           AND gb.doc_id = c.doc_b""",
+    "d_blocking_quality" ->
+      """WITH grams AS (
+           SELECT lang, source, doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(1, len(string_split_regex(trim(lower(text)),
+                 '\s+')) - 1)),
+               i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+2]))
+               AS g
+           FROM documents),
+         truth AS (
+           SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM grams a JOIN grams b
+             ON a.lang = b.lang AND a.source = b.source
+            AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.g, b.g)) > 0
+             AND round(len(list_intersect(a.g, b.g)) * 1.0 /
+               (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
+               >= 0.2),
+         d AS (
+           SELECT lang, source, doc_id,
+             substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+               1, 16) AS k
+           FROM documents),
+         r AS (
+           SELECT lang, source, doc_id,
+             row_number() OVER (PARTITION BY lang, source
+               ORDER BY k, doc_id) AS rn
+           FROM d),
+         cand AS (
+           SELECT DISTINCT a.lang, a.source,
+             least(a.doc_id, b.doc_id) AS doc_a,
+             greatest(a.doc_id, b.doc_id) AS doc_b
+           FROM r a JOIN r b
+             ON a.lang = b.lang AND a.source = b.source
+            AND b.rn - a.rn BETWEEN 1 AND 4),
+         hit AS (
+           SELECT t.lang, t.source, t.doc_a, t.doc_b
+           FROM truth t JOIN cand c
+             ON c.lang = t.lang AND c.source = t.source
+            AND c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+         SELECT
+           (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM cand) AS n_cand,
+           (SELECT count(*) FROM hit) AS n_hit,
+           CASE WHEN (SELECT count(*) FROM truth) > 0
+             THEN round((SELECT count(*) FROM hit) * 1.0 /
+               (SELECT count(*) FROM truth), 6) ELSE 0.0 END AS recall,
+           CASE WHEN (SELECT count(*) FROM cand) > 0
+             THEN round((SELECT count(*) FROM hit) * 1.0 /
+               (SELECT count(*) FROM cand), 6) ELSE 0.0 END AS precision""",
     "d_wjaccard_pairs" ->
       """WITH toks AS (
            SELECT lang, source, doc_id,

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Snapshot differencing — the change-data-capture view a warehouse
+  * derives when a source re-delivers a full table and only the delta
+  * should flow downstream (the complement of `ingest.Incremental`,
+  * which consumes a known-new batch: here NOTHING marks the changes,
+  * so the diff itself must find adds, deletes, and per-column
+  * updates).
+  *
+  * Scale shape: ONE full-outer sort-merge join on the key — both
+  * sides shuffle once on the key they would be bucketed by in a real
+  * warehouse (bucketed snapshots co-locate and the shuffle
+  * disappears). Column comparison happens inside the join projection
+  * via two structs (null-safe, codegen'd); nothing is collected and
+  * no per-column pass re-reads either snapshot. Unchanged rows are
+  * dropped before anything downstream sees them — at 100 TB the diff
+  * output is delta-sized, never snapshot-sized.
+  */
+object Cdc {
+
+  /** Diff `curr` against `base` on `keys`. Emits one row per key
+    * whose row was added, removed, or changed — with the CHANGED
+    * COLUMN LIST (base-column order) so downstream consumers can
+    * subscribe per column. The full before/after rows ride along as
+    * structs for consumers that need values, not just names. */
+  def snapshotDiff(base: DataFrame, curr: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val dataCols = base.columns.filterNot(keys.contains)
+      .filter(curr.columns.contains).toSeq
+    require(dataCols.nonEmpty, "no shared non-key columns to diff")
+    val b = base.select(keys.map(col) :+
+      struct(dataCols.map(col): _*).as("b_row"): _*)
+    val c = curr.select(keys.map(col) :+
+      struct(dataCols.map(col): _*).as("c_row"): _*)
+    val diffs = dataCols.map(cn =>
+      when(!(col(s"b_row.$cn") <=> col(s"c_row.$cn")), lit(cn)))
+    b.join(c, keys, "full_outer")
+      .withColumn("change",
+        when(col("b_row").isNull, lit("added"))
+          .when(col("c_row").isNull, lit("removed"))
+          .when(!(col("b_row") <=> col("c_row")), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change") =!= "unchanged")
+      .withColumn("changed_cols",
+        when(col("change") === "changed", concat_ws(",", diffs: _*)))
+  }
+
+  /** Gate: two deterministic snapshots of `orders` (both engines
+    * rebuild them from the same table — the MESSY-url fixture
+    * precedent): base drops keys ≡ 0 (mod 97), curr drops keys ≡ 0
+    * (mod 89) and mutates o_totalprice on keys ≡ 0 (mod 13) and
+    * o_orderpriority on keys ≡ 0 (mod 31) — so the diff exercises
+    * adds, removes, one-column and two-column changes. */
+  private def cdcSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+    val base = orders.filter(col("o_orderkey") % 97 =!= 0)
+    val curr = orders.filter(col("o_orderkey") % 89 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 31 === 0, lit("9-RUSH"))
+          .otherwise(col("o_orderpriority")))
+    snapshotDiff(base, curr, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("change"), col("changed_cols"),
+        col("b_row.o_totalprice").as("old_totalprice"),
+        col("c_row.o_totalprice").as("new_totalprice"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_snapshot_diff" -> cdcSnapshotDiff _)
+
+  val oracle: Map[String, String] = Map(
+    "cdc_snapshot_diff" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 97 <> 0),
+         curr AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+               ELSE o_totalprice END AS o_totalprice,
+             o_orderdate,
+             CASE WHEN o_orderkey % 31 = 0 THEN '9-RUSH'
+               ELSE o_orderpriority END AS o_orderpriority
+           FROM orders WHERE o_orderkey % 89 <> 0),
+         j AS (
+           SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+             b.o_orderkey IS NULL AS is_add,
+             c.o_orderkey IS NULL AS is_rem,
+             b.o_custkey IS DISTINCT FROM c.o_custkey AS d_cust,
+             b.o_orderstatus IS DISTINCT FROM c.o_orderstatus AS d_stat,
+             b.o_totalprice IS DISTINCT FROM c.o_totalprice AS d_price,
+             b.o_orderdate IS DISTINCT FROM c.o_orderdate AS d_date,
+             b.o_orderpriority IS DISTINCT FROM c.o_orderpriority AS d_prio,
+             b.o_totalprice AS old_totalprice,
+             c.o_totalprice AS new_totalprice
+           FROM base b FULL OUTER JOIN curr c
+             ON b.o_orderkey = c.o_orderkey)
+         SELECT o_orderkey,
+           CASE WHEN is_add THEN 'added'
+                WHEN is_rem THEN 'removed'
+                ELSE 'changed' END AS change,
+           CASE WHEN NOT is_add AND NOT is_rem THEN concat_ws(',',
+             CASE WHEN d_cust THEN 'o_custkey' END,
+             CASE WHEN d_stat THEN 'o_orderstatus' END,
+             CASE WHEN d_price THEN 'o_totalprice' END,
+             CASE WHEN d_date THEN 'o_orderdate' END,
+             CASE WHEN d_prio THEN 'o_orderpriority' END) END
+             AS changed_cols,
+           old_totalprice, new_totalprice
+         FROM j
+         WHERE is_add OR is_rem
+            OR d_cust OR d_stat OR d_price OR d_date OR d_prio""")
+}

@@ -1,0 +1,69 @@
+package graft.dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Sorted-neighborhood blocking: window adjacency, verify scores,
+  * the recall gap it trades for linearity, and blockingQuality's
+  * exact accounting of that gap. */
+class SnmSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // sort keys (first 16 alnum chars) order the docs:
+  // 0,1 (same prefix, near-dups) | 7 "hi" | 3 | 4,5 (near-dups) | 6 | 8 | 2
+  // the (2,3) near-dup pair lands 5 ranks apart -> outside window 5
+  private lazy val docs = Seq(
+    (0L, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+    (1L, "alpha bravo charlie delta echo foxtrot golf hotel juliet"),
+    (2L, "zulu yankee xray whiskey victor uniform tango sierra"),
+    (3L, "whiskey victor uniform tango sierra zulu yankee xray"),
+    (4L, "xavier one two three four five six"),
+    (5L, "xylophone one two three four five six"),
+    (6L, "yak yodel yurt yam yew yolk yard"),
+    (7L, "hi"),
+    (8L, "yucca yam one more filler words here")
+  ).toDF("doc_id", "text")
+
+  private lazy val pairs =
+    Dedup.snmPairs(docs, "doc_id", "text", w = 5).cache()
+
+  test("same-prefix near-dups are adjacent and verified") {
+    val r = pairs.filter(col("doc_a") === 0 && col("doc_b") === 1)
+      .select("dist", "jac").as[(Int, Double)].collect()
+    assert(r.toSeq == Seq((1, 0.75))) // 6 shared of 8 distinct grams
+  }
+
+  test("candidate count is the exact window arithmetic") {
+    // 9 ranks, dist 1..4: sum(min(4, 9-r)) = 26
+    assert(pairs.count() == 26)
+  }
+
+  test("a near-dup pair outside the window is NOT proposed") {
+    assert(pairs.filter(col("doc_a") === 2 && col("doc_b") === 3)
+      .count() == 0)
+  }
+
+  test("zero-gram docs score 0, not null, not crash") {
+    val j = pairs.filter(col("doc_a") === 7 || col("doc_b") === 7)
+      .select("jac").as[Double].collect()
+    assert(j.nonEmpty && j.forall(_ == 0.0))
+  }
+
+  test("blockingQuality: exact recall/precision of the window trade") {
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .filter(col("jac") >= 0.2)
+    val q = Dedup.blockingQuality(truth,
+      pairs.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"))
+    val r = q.select("n_truth", "n_cand", "n_hit", "recall", "precision")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(r == ((3L, 26L, 2L, 0.666667, 0.076923)))
+  }
+
+  test("window widening recovers the missed pair") {
+    val wide = Dedup.snmPairs(docs, "doc_id", "text", w = 6)
+    assert(wide.filter(col("doc_a") === 2 && col("doc_b") === 3)
+      .count() == 1)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Snapshot diff semantics: add/remove/changed classification,
+  * per-column change lists, null-safe comparison, unchanged rows
+  * dropped. */
+class CdcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val base = Seq(
+    (1L, Some("a"), Some(10.0)), // unchanged
+    (2L, Some("b"), Some(20.0)), // price changes
+    (3L, Some("c"), Some(30.0)), // removed
+    (4L, None: Option[String], Some(40.0)), // name null -> value
+    (5L, Some("e"), Some(50.0)) // both columns change
+  ).toDF("k", "name", "price")
+
+  private lazy val curr = Seq(
+    (1L, Some("a"), Some(10.0)),
+    (2L, Some("b"), Some(21.0)),
+    (4L, Some("d"), Some(40.0)),
+    (5L, Some("E"), Some(55.0)),
+    (6L, Some("f"), Some(60.0)) // added
+  ).toDF("k", "name", "price")
+
+  private lazy val out =
+    Cdc.snapshotDiff(base, curr, Seq("k")).cache()
+
+  test("classification: added/removed/changed, unchanged dropped") {
+    val m = out.select("k", "change").as[(Long, String)].collect().toMap
+    assert(m == Map(2L -> "changed", 3L -> "removed", 4L -> "changed",
+      5L -> "changed", 6L -> "added"))
+  }
+
+  test("changed_cols lists exactly the differing columns, base order") {
+    val m = out.filter(col("change") === "changed")
+      .select("k", "changed_cols").as[(Long, String)].collect().toMap
+    assert(m == Map(2L -> "price", 4L -> "name", 5L -> "name,price"))
+  }
+
+  test("changed_cols is null for adds and removes") {
+    assert(out.filter(col("change").isin("added", "removed"))
+      .filter(col("changed_cols").isNotNull).count() == 0)
+  }
+
+  test("before/after rows ride along for value consumers") {
+    val r = out.filter(col("k") === 2)
+      .select(col("b_row.price"), col("c_row.price"))
+      .as[(Double, Double)].head()
+    assert(r == ((20.0, 21.0)))
+  }
+
+  test("null-to-null column is not a change") {
+    val b = Seq((1L, None: Option[String])).toDF("k", "v")
+    val c = Seq((1L, None: Option[String])).toDF("k", "v")
+    assert(Cdc.snapshotDiff(b, c, Seq("k")).count() == 0)
+  }
+
+  test("gate: every change class present at sf0.001") {
+    val g = graft.SparkEntry.queries("cdc_snapshot_diff")(
+      spark, "/root/testdata/sf0.001")
+    val classes = g.select("change").distinct()
+      .as[String].collect().toSet
+    assert(classes == Set("added", "removed", "changed"))
+    // two-column changes exist (keys divisible by 13 and 31)
+    assert(g.filter(col("changed_cols") ===
+      "o_totalprice,o_orderpriority").count() > 0)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Exact-integer PageRank: graph construction, the integer
+  * recurrence's mass invariant, hand-checked one-round values, and
+  * degraded-corpus robustness. */
+class WebGraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val fullDocs =
+    (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+
+  test("domain graph: 50 nodes, designed degrees {2,4,5}, 182 edges") {
+    val nodes = WebGraph.domainNodes(fullDocs)
+    assert(nodes.count() == 50)
+    val edges = WebGraph.domainEdges(nodes)
+    assert(edges.count() == 17 * 2 + 17 * 4 + 16 * 5)
+    val degs = edges.groupBy("src").count()
+      .select("count").distinct().as[Long].collect().toSet
+    assert(degs == Set(2L, 4L, 5L))
+    // multiplier m = L / deg everywhere: m * deg == L on every edge
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    assert(edges.join(deg, "src")
+      .filter(col("m") * col("deg") =!= WebGraph.L).count() == 0)
+  }
+
+  test("mass invariant: sum of numerators = N * B^K exactly") {
+    val nodes = WebGraph.domainNodes(fullDocs)
+    val pr = WebGraph.pagerankExact(nodes, WebGraph.domainEdges(nodes))
+    val total = pr.agg(sum(col("n")).cast("string")).as[String].head()
+    val expected = BigInt(50) * BigInt(WebGraph.B).pow(WebGraph.Iters)
+    assert(BigInt(total) == expected)
+  }
+
+  test("scores are genuinely non-uniform and rank deterministically") {
+    val nodes = WebGraph.domainNodes(fullDocs)
+    val pr = WebGraph.pagerankExact(nodes, WebGraph.domainEdges(nodes))
+    val distinct = pr.select("n").distinct().count()
+    assert(distinct > 5, s"only $distinct distinct scores")
+  }
+
+  test("one round matches hand arithmetic on a 3-node graph") {
+    // a->b, a->c (deg 2, m=10); b->c (deg 1, m=20); c dangling
+    val nodes = Seq(0, 1, 2).toDF("node")
+    val edges = Seq((0, 1, 10L), (0, 2, 10L), (1, 2, 20L))
+      .toDF("src", "dst", "m")
+    val r1 = WebGraph.pagerankExact(nodes, edges, iters = 1)
+      .orderBy("node").select(col("n").cast("long")).as[Long].collect()
+    // n1 = 60 + 17 * sum(m_j * 1) over in-edges
+    assert(r1.toSeq == Seq(60L, 60L + 17 * 10, 60L + 17 * (10 + 20)))
+  }
+
+  test("degraded corpus (missing residues) still runs; teleport floor") {
+    val docs = Seq(0L, 1L, 2L, 5L).map(i => (i, "t")).toDF("doc_id", "text")
+    val nodes = WebGraph.domainNodes(docs)
+    val pr = WebGraph.pagerankExact(nodes, WebGraph.domainEdges(nodes))
+    assert(pr.count() == 4)
+    // every node keeps at least the teleport mass at every round
+    assert(pr.filter(col("n") <= 0).count() == 0)
+  }
+
+  test("gate output: pr sums to ~1, auth_rank is a permutation") {
+    val out = graft.SparkEntry.queries("wg_pagerank")(
+      spark, "/root/testdata/sf0.001")
+    val n = out.count()
+    val prSum = out.agg(sum("pr")).as[Double].head()
+    assert(math.abs(prSum - 1.0) < 1e-3)
+    assert(out.select("auth_rank").distinct().count() == n)
+    // exact numerators are integers in string form
+    assert(out.filter(!col("pr_num").rlike("^[0-9]+$")).count() == 0)
+  }
+}
