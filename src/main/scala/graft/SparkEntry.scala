@@ -20,62 +20,50 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ops.Abundance.tpm(spark, "/root/testdata/sf0.001")
 
+  /** The single source of truth for which modules contribute gates.
+    * `queries` folds over THIS sequence, and SparkEntrySpec's
+    * no-key-collision guard derives its declared sum from it too — a
+    * new module added here is covered by the guard automatically; a
+    * module added anywhere else cannot reach the driver at all. */
+  val queryModules: Seq[Map[String, (SparkSession, String) => DataFrame]] =
+    Seq(
+      ops.Relational.queries, ops.ScaleOps.queries,
+      ops.TemporalJoins.queries, ops.Windows.queries,
+      ops.Pivots.queries, ops.Abundance.queries,
+      ops.Amplicon.queries, ops.Bins.queries,
+      ops.Checks.queries, ops.Cdc.queries,
+      ops.Expectations.queries, ops.WebGraph.queries,
+      ops.Glamr.queries, ops.Primers.queries,
+      tax.Lineage.queries, tax.SetCover.queries,
+      tax.TaxAbund.queries, text.TextOps.queries,
+      dedup.Dedup.queries, sim.Similarity.queries,
+      ingest.Overrides.queries, io.SourceQueries.queries,
+      io.WarehouseIngest.queries, io.CatalogIngest.queries,
+      streaming.Streams.queries, multimodal.Multimodal.queries)
+
+  /** Same discipline for the oracles (paired with queryModules). */
+  val oracleModules: Seq[Map[String, String]] =
+    Seq(
+      ops.Relational.oracle, ops.ScaleOps.oracle,
+      ops.TemporalJoins.oracle, ops.Windows.oracle,
+      ops.Pivots.oracle, ops.Abundance.oracle,
+      ops.Amplicon.oracle, ops.Bins.oracle,
+      ops.Checks.oracle, ops.Cdc.oracle,
+      ops.Expectations.oracle, ops.WebGraph.oracle,
+      ops.Glamr.oracle, ops.Primers.oracle,
+      tax.Lineage.oracle, tax.SetCover.oracle,
+      tax.TaxAbund.oracle, text.TextOps.oracle,
+      dedup.Dedup.oracle, sim.Similarity.oracle,
+      ingest.Overrides.oracle, io.SourceQueries.oracle,
+      io.WarehouseIngest.oracle, io.CatalogIngest.oracle,
+      streaming.Streams.oracle, multimodal.Multimodal.oracle)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++
-      ops.ScaleOps.queries ++
-      ops.TemporalJoins.queries ++
-      ops.Windows.queries ++
-      ops.Pivots.queries ++
-      ops.Abundance.queries ++
-      ops.Amplicon.queries ++
-      ops.Bins.queries ++
-      ops.Checks.queries ++
-      ops.Cdc.queries ++
-      ops.Expectations.queries ++
-      ops.WebGraph.queries ++
-      ops.Glamr.queries ++
-      ops.Primers.queries ++
-      tax.Lineage.queries ++
-      tax.SetCover.queries ++
-      tax.TaxAbund.queries ++
-      text.TextOps.queries ++
-      dedup.Dedup.queries ++
-      sim.Similarity.queries ++
-      ingest.Overrides.queries ++
-      io.SourceQueries.queries ++
-      io.WarehouseIngest.queries ++
-      io.CatalogIngest.queries ++
-      streaming.Streams.queries ++
-      multimodal.Multimodal.queries
+    queryModules.reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracle ++
-      ops.ScaleOps.oracle ++
-      ops.TemporalJoins.oracle ++
-      ops.Windows.oracle ++
-      ops.Pivots.oracle ++
-      ops.Abundance.oracle ++
-      ops.Amplicon.oracle ++
-      ops.Bins.oracle ++
-      ops.Checks.oracle ++
-      ops.Cdc.oracle ++
-      ops.Expectations.oracle ++
-      ops.WebGraph.oracle ++
-      ops.Glamr.oracle ++
-      ops.Primers.oracle ++
-      tax.Lineage.oracle ++
-      tax.SetCover.oracle ++
-      tax.TaxAbund.oracle ++
-      text.TextOps.oracle ++
-      dedup.Dedup.oracle ++
-      sim.Similarity.oracle ++
-      ingest.Overrides.oracle ++
-      io.SourceQueries.oracle ++
-      io.WarehouseIngest.oracle ++
-      io.CatalogIngest.oracle ++
-      streaming.Streams.oracle ++
-      multimodal.Multimodal.oracle
+    oracleModules.reduce(_ ++ _)
 }

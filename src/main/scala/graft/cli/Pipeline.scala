@@ -33,10 +33,36 @@ object Pipeline {
     spark.stop()
   }
 
+  /** The publish-gate expectation suite: row-local only, so the gate
+    * costs ONE projection on the scan it already pays — no shuffle.
+    * Holds on clean driver data; a dirty batch's violating rows land
+    * in `$whDir/quarantine` instead of the warehouse (PipelineSpec
+    * feeds one and asserts the hold-back). */
+  private val publishRules = Seq(
+    graft.ops.Expectations.NotNull("p1_orderkey", "l_orderkey"),
+    graft.ops.Expectations.InRange("p2_quantity", "l_quantity",
+      1.0, 50.0),
+    graft.ops.Expectations.NotNull("p3_sample", "sample"))
+
   def run(spark: SparkSession, sfDir: String, whDir: String): Unit = {
-    // 1. incremental ingest: lineitem keyed by l_suppkey ("sample")
-    val facts = graft.Tables.t(spark, sfDir, "lineitem")
+    // 0. publish gate: the incoming batch is split on the expectation
+    //    suite BEFORE anything lands — violating rows are quarantined
+    //    (with the rules they broke) for triage, the clean side flows
+    //    on. The reference's embedded checks abort the whole load; the
+    //    quarantine form keeps the good rows moving, which is what a
+    //    nightly at scale actually wants.
+    val rawFacts = graft.Tables.t(spark, sfDir, "lineitem")
       .withColumn("sample", col("l_suppkey"))
+    val marked = graft.ops.Expectations.mark(rawFacts, publishRules)
+    graft.io.Writers.overwriteStaged(
+      marked.filter(col("violated_rules") =!= ""),
+      s"$whDir/quarantine")
+    val nQuar = spark.read.parquet(s"$whDir/quarantine").count()
+    println(s"[pipeline] publish gate: $nQuar rows quarantined")
+
+    // 1. incremental ingest: lineitem keyed by l_suppkey ("sample")
+    val facts = marked.filter(col("violated_rules") === "")
+      .drop("violated_rules")
     // samples that are genuinely new THIS cycle — captured before the
     // append makes them "loaded" (drives the partition-scoped tpm2
     // refresh below); sample counts are bounded (SURVEY §1.1), so the

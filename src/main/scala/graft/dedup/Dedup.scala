@@ -434,9 +434,13 @@ object Dedup {
     * (w−1)·Σ|grams| rows, never an all-pairs product. Zero-gram or
     * zero-overlap candidates emit jac = 0 (the window proposed them;
     * the verdict is the verifier's). */
-  def snmPairs(docs: DataFrame, idCol: String, textCol: String,
+  def snmPairs(docs0: DataFrame, idCol: String, textCol: String,
       w: Int = 5, blockCols: Seq[String] = Nil, n: Int = 3): DataFrame = {
     require(w >= 2, s"window w=$w must be >= 2")
+    // NULL-text rows are excluded (the editDistancePairs convention) —
+    // a NULL sort key would also rank differently per engine (Spark
+    // windows put NULLs first, DuckDB ORDER BY defaults NULLS LAST)
+    val docs = docs0.filter(col(textCol).isNotNull)
     val bc = blockCols.map(col)
     val key = substring(
       regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""), 1, 16)
@@ -555,6 +559,62 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Per-doc grams in the global (document-frequency, gram) prefix
+    * order, with the prefix length for threshold `t` — the shared
+    * core of the AllPairs/PPJoin prefix scheme. */
+  private def prefixRanked(docs: DataFrame, idCol: String,
+      textCol: String, t: Double, blockCols: Seq[String],
+      n: Int): DataFrame = {
+    val bc = blockCols.map(col)
+    val exploded = docs
+      .select(bc :+ col(idCol).as("doc_id") :+
+        tokenNgrams(TextOps.tokens(lower(col(textCol))), n)
+          .as("grams"): _*)
+      .select(bc :+ col("doc_id") :+ explode(col("grams")).as("gram"): _*)
+    // grams are distinct per doc → count per (block, gram) IS df
+    val dfs = exploded.groupBy((blockCols :+ "gram").map(col): _*)
+      .agg(count(lit(1)).as("df"))
+    exploded.join(dfs, blockCols :+ "gram")
+      .groupBy((blockCols :+ "doc_id").map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("df"), col("gram")))),
+        s => s.getField("gram")).as("sorted_grams"))
+      .withColumn("n_grams", size(col("sorted_grams")))
+      .withColumn("prefix_len",
+        col("n_grams") - ceil(col("n_grams") * t).cast("int") + 1)
+  }
+
+  /** Candidate pairs from a `prefixRanked` frame: docs sharing ≥1
+    * PREFIX gram within a block. */
+  private def candFromRanked(ranked: DataFrame,
+      blockCols: Seq[String]): DataFrame = {
+    val bc = blockCols.map(col)
+    val prefix = ranked.select(bc :+ col("doc_id") :+
+      explode(slice(col("sorted_grams"), lit(1), col("prefix_len")))
+        .as("gram"): _*)
+    prefix
+      .select(bc ++ Seq(col("gram"), col("doc_id").as("doc_a")): _*)
+      .join(prefix.select(
+        bc ++ Seq(col("gram"), col("doc_id").as("doc_b")): _*),
+        blockCols :+ "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(bc ++ Seq(col("doc_a"), col("doc_b")): _*)
+      .distinct()
+  }
+
+  /** The prefix filter's CANDIDATE surface (pre-verification) —
+    * exposed so `blockingQuality` can grade the blocking geometry
+    * itself against the other blockers (SNM sort-adjacency, LSH band
+    * buckets): the candidates, not the verified output, are what a
+    * blocking method costs and what its recall spends. */
+  def prefixFilterCandidates(docs: DataFrame, idCol: String,
+      textCol: String, t: Double, blockCols: Seq[String] = Nil,
+      n: Int = 3): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"threshold t=$t must be in (0, 1]")
+    candFromRanked(prefixRanked(docs, idCol, textCol, t, blockCols, n),
+      blockCols)
+  }
+
   /** Threshold Jaccard pairs via PREFIX FILTERING (the AllPairs /
     * PPJoin family): every same-block pair with jac ≥ `t`, found
     * WITHOUT indexing every gram. Each doc's grams sort by a global
@@ -581,33 +641,8 @@ object Dedup {
       n: Int = 3): DataFrame = {
     require(t > 0.0 && t <= 1.0, s"threshold t=$t must be in (0, 1]")
     val bc = blockCols.map(col)
-    val exploded = docs
-      .select(bc :+ col(idCol).as("doc_id") :+
-        tokenNgrams(TextOps.tokens(lower(col(textCol))), n)
-          .as("grams"): _*)
-      .select(bc :+ col("doc_id") :+ explode(col("grams")).as("gram"): _*)
-    // grams are distinct per doc → count per (block, gram) IS df
-    val dfs = exploded.groupBy((blockCols :+ "gram").map(col): _*)
-      .agg(count(lit(1)).as("df"))
-    val ranked = exploded.join(dfs, blockCols :+ "gram")
-      .groupBy((blockCols :+ "doc_id").map(col): _*)
-      .agg(transform(
-        array_sort(collect_list(struct(col("df"), col("gram")))),
-        s => s.getField("gram")).as("sorted_grams"))
-      .withColumn("n_grams", size(col("sorted_grams")))
-      .withColumn("prefix_len",
-        col("n_grams") - ceil(col("n_grams") * t).cast("int") + 1)
-    val prefix = ranked.select(bc :+ col("doc_id") :+
-      explode(slice(col("sorted_grams"), lit(1), col("prefix_len")))
-        .as("gram"): _*)
-    val cand = prefix
-      .select(bc ++ Seq(col("gram"), col("doc_id").as("doc_a")): _*)
-      .join(prefix.select(
-        bc ++ Seq(col("gram"), col("doc_id").as("doc_b")): _*),
-        blockCols :+ "gram")
-      .filter(col("doc_a") < col("doc_b"))
-      .select(bc ++ Seq(col("doc_a"), col("doc_b")): _*)
-      .distinct()
+    val ranked = prefixRanked(docs, idCol, textCol, t, blockCols, n)
+    val cand = candFromRanked(ranked, blockCols)
     val ga = ranked.select(bc ++ Seq(col("doc_id").as("doc_a"),
       col("sorted_grams").as("ga"), col("n_grams").as("na")): _*)
     val gb = ranked.select(bc ++ Seq(col("doc_id").as("doc_b"),
@@ -1158,7 +1193,12 @@ object Dedup {
     val docs = t(s, d, "documents")
     val pairs = ngramJaccardPairs(docs, "doc_id", "text",
       blockCols = Seq("lang", "source"), n = 3)
-    dupClusters(docs, "doc_id", pairs, "doc_a", "doc_b")
+    val (cc, release) = connectedComponentsReleasable(
+      docs, "doc_id", pairs, "doc_a", "doc_b")
+    graft.io.Scratch.stageAndRelease(
+      cc.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("is_canonical")),
+      release, "d_dup_clusters")
   }
 
   /** Embedding-cosine near-dup pairs over the embeddings table,
@@ -1208,8 +1248,13 @@ object Dedup {
     val docs = t(s, d, "documents")
     val pairs = ngramJaccardPairs(docs, "doc_id", "text",
       blockCols = Seq("lang", "source"), n = 3)
-    val clusters = dupClusters(docs, "doc_id", pairs, "doc_a", "doc_b")
-      .select("doc_id", "cluster_id")
+    // scratch-staged release of the CC label cache (ResidueSpec:
+    // repeated gate runs must leave the persisted-RDD census flat)
+    val (cc, release) = connectedComponentsReleasable(
+      docs, "doc_id", pairs, "doc_a", "doc_b")
+    val clusters = graft.io.Scratch.stageAndRelease(
+      cc.select(col("id").as("doc_id"), col("label").as("cluster_id")),
+      release, "d_cluster_keep_best")
     keepBest(docs, "doc_id", clusters,
       TextOps.qualityScore(col("text")))
   }
@@ -1310,6 +1355,40 @@ object Dedup {
     blockingQuality(truth, cand, Seq("lang", "source", "doc_a", "doc_b"))
   }
 
+  /** Blocking-method comparison gate: ONE table grading every blocking
+    * geometry the family ships — LSH band buckets, prefix filter, SNM
+    * sort-adjacency — against the same brute in-block ground truth
+    * (3-gram Jaccard ≥ 0.2), so blocker selection is data, not lore.
+    * Expected shape on any corpus: prefix_filter recall = 1.0 exactly
+    * (the completeness theorem at t = truth threshold), LSH high
+    * recall / low precision (16 hashes, 4 bands), SNM recall strictly
+    * inside (0, 1) — the price of the cheapest geometry. The truth
+    * table is scratch-staged once; three method evaluations scan it.
+    * Oracle: SNM + prefix replay fully in SQL; LSH candidates replay
+    * from the d_minhash_signature dump via band-slice equality (the
+    * d_minhash_lsh_pairs conditioning). */
+  private def dBlockingMethods(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val blocks = Seq("lang", "source")
+    val truth = graft.io.Scratch.stageAndRelease(
+      ngramJaccardPairs(docs, "doc_id", "text", blockCols = blocks,
+        n = 3).filter(col("jac") >= 0.2).select("doc_a", "doc_b"),
+      () => (), "d_blocking_truth")
+    val methods = Seq(
+      "minhash_lsh" -> minhashCandidatePairs(docs, "doc_id", "text",
+          numHashes = 16, bands = 4, maxBucketSize = Int.MaxValue)
+        .select("doc_a", "doc_b"),
+      "prefix_filter" -> prefixFilterCandidates(docs, "doc_id", "text",
+          t = 0.2, blockCols = blocks).select("doc_a", "doc_b"),
+      "snm_w5" -> snmPairs(docs, "doc_id", "text", w = 5,
+          blockCols = blocks).select("doc_a", "doc_b"))
+    methods.map { case (name, cand) =>
+      blockingQuality(truth, cand, Seq("doc_a", "doc_b"))
+        .select(lit(name).as("method"), col("n_truth"), col("n_cand"),
+          col("n_hit"), col("recall"), col("precision"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Winnow matches at minShared=1 within (lang, source) blocks (any
     * shared fingerprint is a local-match candidate) — uncapped so the
     * oracle's brute replay is total. */
@@ -1338,6 +1417,7 @@ object Dedup {
     "d_incr_substring" -> dIncrSubstring _,
     "d_snm_pairs" -> dSnmPairs _,
     "d_blocking_quality" -> dBlockingQuality _,
+    "d_blocking_methods" -> dBlockingMethods _,
     "d_winnow_pairs" -> dWinnowPairs _,
     "d_containment" -> dContainment _,
     "d_wjaccard_pairs" -> dWjaccardPairs _,
@@ -1424,7 +1504,7 @@ object Dedup {
            SELECT lang, source, doc_id,
              substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
                1, 16) AS k
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
          r AS (
            SELECT lang, source, doc_id,
              row_number() OVER (PARTITION BY lang, source
@@ -1483,7 +1563,7 @@ object Dedup {
            SELECT lang, source, doc_id,
              substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
                1, 16) AS k
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
          r AS (
            SELECT lang, source, doc_id,
              row_number() OVER (PARTITION BY lang, source
@@ -1511,6 +1591,103 @@ object Dedup {
            CASE WHEN (SELECT count(*) FROM cand) > 0
              THEN round((SELECT count(*) FROM hit) * 1.0 /
                (SELECT count(*) FROM cand), 6) ELSE 0.0 END AS precision""",
+    "d_blocking_methods" ->
+      """WITH grams AS (
+           SELECT lang, source, doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(1, len(string_split_regex(trim(lower(text)),
+                 '\s+')) - 1)),
+               i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+2]))
+               AS g
+           FROM documents),
+         truth AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM grams a JOIN grams b
+             ON a.lang = b.lang AND a.source = b.source
+            AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.g, b.g)) > 0
+             AND round(len(list_intersect(a.g, b.g)) * 1.0 /
+               (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
+               >= 0.2),
+         gx AS (
+           SELECT lang, source, doc_id, unnest(g) AS gram FROM grams),
+         dfs AS (
+           SELECT lang, source, gram, count(*) AS df
+           FROM gx GROUP BY 1, 2, 3),
+         rnk AS (
+           SELECT x.lang, x.source, x.doc_id, x.gram,
+             row_number() OVER (PARTITION BY x.lang, x.source, x.doc_id
+               ORDER BY d.df, x.gram) AS pos,
+             count(*) OVER (PARTITION BY x.lang, x.source, x.doc_id)
+               AS ng
+           FROM gx x JOIN dfs d ON d.lang = x.lang
+             AND d.source = x.source AND d.gram = x.gram),
+         pref AS (
+           SELECT * FROM rnk
+           WHERE pos <= ng - CAST(ceil(ng * 0.2) AS INT) + 1),
+         cand_prefix AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM pref a JOIN pref b
+             ON a.lang = b.lang AND a.source = b.source
+            AND a.gram = b.gram AND a.doc_id < b.doc_id),
+         snmd AS (
+           SELECT lang, source, doc_id,
+             substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+               1, 16) AS k
+           FROM documents WHERE text IS NOT NULL),
+         snmr AS (
+           SELECT lang, source, doc_id,
+             row_number() OVER (PARTITION BY lang, source
+               ORDER BY k, doc_id) AS rn
+           FROM snmd),
+         cand_snm AS (
+           SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+             greatest(a.doc_id, b.doc_id) AS doc_b
+           FROM snmr a JOIN snmr b
+             ON a.lang = b.lang AND a.source = b.source
+            AND b.rn - a.rn BETWEEN 1 AND 4),
+         sig AS (
+           SELECT doc_id,
+             list_transform(string_split(signature, ','),
+               x -> CAST(x AS BIGINT)) AS sg
+           FROM parquet_scan('__OUTDIR__/d_minhash_signature/*.parquet')),
+         banded AS (
+           SELECT doc_id, r.b AS band,
+             array_to_string(list_slice(sg, r.b*4+1, r.b*4+4), '_')
+               AS bkey
+           FROM sig, range(0, 4) r(b)),
+         cand_lsh AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bkey = b.bkey
+            AND a.doc_id < b.doc_id),
+         ev AS (
+           SELECT 'minhash_lsh' AS method,
+             (SELECT count(*) FROM truth) AS n_truth,
+             (SELECT count(*) FROM cand_lsh) AS n_cand,
+             (SELECT count(*) FROM truth t JOIN cand_lsh c
+               ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_hit
+           UNION ALL
+           SELECT 'prefix_filter',
+             (SELECT count(*) FROM truth),
+             (SELECT count(*) FROM cand_prefix),
+             (SELECT count(*) FROM truth t JOIN cand_prefix c
+               ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+           UNION ALL
+           SELECT 'snm_w5',
+             (SELECT count(*) FROM truth),
+             (SELECT count(*) FROM cand_snm),
+             (SELECT count(*) FROM truth t JOIN cand_snm c
+               ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+         SELECT method, n_truth, n_cand, n_hit,
+           CASE WHEN n_truth > 0
+             THEN round(n_hit * 1.0 / n_truth, 6) ELSE 0.0 END AS recall,
+           CASE WHEN n_cand > 0
+             THEN round(n_hit * 1.0 / n_cand, 6) ELSE 0.0 END
+             AS precision
+         FROM ev""",
     "d_wjaccard_pairs" ->
       """WITH toks AS (
            SELECT lang, source, doc_id,

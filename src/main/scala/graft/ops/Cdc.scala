@@ -49,6 +49,39 @@ object Cdc {
         when(col("change") === "changed", concat_ws(",", diffs: _*)))
   }
 
+  /** Apply a `snapshotDiff` back onto `base` — the MERGE/upsert side
+    * of the CDC pair: added keys insert their `c_row`, removed keys
+    * drop, changed keys take the `c_row` values. Exact inverse,
+    * spec-pinned: `applyDiff(base, snapshotDiff(base, curr, keys),
+    * keys) ≡ curr` on the shared columns.
+    *
+    * Scale shape: base shuffles once on the key it joins the
+    * delta-sized diff on (a bucketed base co-locates and AQE
+    * broadcasts the diff when it fits — the delta is delta-sized by
+    * construction); adds ride in on a union. No per-column pass, no
+    * collect. For a partitioned warehouse table the staged
+    * partition-overwrite (`Writers.refreshPartitions`) scopes the
+    * rewrite to partitions the diff actually touches. */
+  def applyDiff(base: DataFrame, diff: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val dataCols = diff.schema("c_row").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq
+    val upd = diff.filter(col("change") =!= "added")
+      .select(keys.map(col) ++
+        Seq(col("change").as("__chg"), col("c_row").as("__c")): _*)
+    val merged = base.select((keys ++ dataCols).map(col): _*)
+      .join(upd, keys, "left")
+      .filter(col("__chg").isNull || col("__chg") =!= "removed")
+      .select(keys.map(col) ++ dataCols.map(cn =>
+        when(col("__chg") === "changed", col(s"__c.$cn"))
+          .otherwise(col(cn)).as(cn)): _*)
+    val adds = diff.filter(col("change") === "added")
+      .select(keys.map(col) ++
+        dataCols.map(cn => col(s"c_row.$cn").as(cn)): _*)
+    merged.unionByName(adds)
+  }
+
   /** Gate: two deterministic snapshots of `orders` (both engines
     * rebuild them from the same table — the MESSY-url fixture
     * precedent): base drops keys ≡ 0 (mod 97), curr drops keys ≡ 0
@@ -56,6 +89,15 @@ object Cdc {
     * o_orderpriority on keys ≡ 0 (mod 31) — so the diff exercises
     * adds, removes, one-column and two-column changes. */
   private def cdcSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val (base, curr) = gateSnapshots(s, d)
+    snapshotDiff(base, curr, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("change"), col("changed_cols"),
+        col("b_row.o_totalprice").as("old_totalprice"),
+        col("c_row.o_totalprice").as("new_totalprice"))
+  }
+
+  private def gateSnapshots(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
     val orders = t(s, d, "orders")
     val base = orders.filter(col("o_orderkey") % 97 =!= 0)
     val curr = orders.filter(col("o_orderkey") % 89 =!= 0)
@@ -65,16 +107,32 @@ object Cdc {
       .withColumn("o_orderpriority",
         when(col("o_orderkey") % 31 === 0, lit("9-RUSH"))
           .otherwise(col("o_orderpriority")))
-    snapshotDiff(base, curr, Seq("o_orderkey"))
-      .select(col("o_orderkey"), col("change"), col("changed_cols"),
-        col("b_row.o_totalprice").as("old_totalprice"),
-        col("c_row.o_totalprice").as("new_totalprice"))
+    (base, curr)
+  }
+
+  /** Gate: the diff→apply ROUND TRIP — apply the gate diff back onto
+    * the gate base; the oracle is simply the curr snapshot rebuilt in
+    * SQL, so any wrong add/drop/column-merge on any key
+    * hash-mismatches against the independently-reconstructed truth. */
+  private def cdcApply(s: SparkSession, d: String): DataFrame = {
+    val (base, curr) = gateSnapshots(s, d)
+    applyDiff(base, snapshotDiff(base, curr, Seq("o_orderkey")),
+      Seq("o_orderkey"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cdc_snapshot_diff" -> cdcSnapshotDiff _)
+    "cdc_snapshot_diff" -> cdcSnapshotDiff _,
+    "cdc_apply" -> cdcApply _)
 
   val oracle: Map[String, String] = Map(
+    "cdc_apply" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+             ELSE o_totalprice END AS o_totalprice,
+           o_orderdate,
+           CASE WHEN o_orderkey % 31 = 0 THEN '9-RUSH'
+             ELSE o_orderpriority END AS o_orderpriority
+         FROM orders WHERE o_orderkey % 89 <> 0""",
     "cdc_snapshot_diff" ->
       """WITH base AS (
            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

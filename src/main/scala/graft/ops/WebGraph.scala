@@ -87,19 +87,30 @@ object WebGraph {
       .select(col("src"), col("dst"), expr(s"$L DIV deg").as("m"))
   }
 
-  /** K rounds of the exact-integer damped update. Returns
-    * (node, n DECIMAL(38,0)) — n / Σn is the PageRank mass. */
-  def pagerankExact(nodes: DataFrame, edges: DataFrame,
-      iters: Int = Iters): DataFrame = {
-    // multipliers must be exact: every out-degree divides L (bounded
-    // collect — at most five distinct degree values by construction)
-    val degs = edges.select((lit(L) / col("m")).cast("int").as("d"))
-      .distinct().collect().map(_.getInt(0))
-    require(degs.forall(d => d > 0 && L % d == 0),
-      s"out-degrees ${degs.toSeq} must divide L=$L for exact arithmetic")
+  /** `pagerankExact` with the cache-release handle (the
+    * `connectedComponentsReleasable` discipline): the staged edge list
+    * stays persisted while the returned lazy frame is consumed; the
+    * caller releases it once done, so repeated invocations leave
+    * `getPersistentRDDs` flat. */
+  def pagerankExactReleasable(nodes: DataFrame, edges: DataFrame,
+      iters: Int = Iters): (DataFrame, () => Unit) = {
+    // multipliers must be exact ON THE TRUE DEGREE: m · deg == L for
+    // every edge, with deg recomputed from the edge list itself — a
+    // reconstructed degree (L / m) can pass while the arithmetic
+    // silently de-exacts (e.g. deg = 7 gives m = 2, reconstructed
+    // d = 10, and 10 divides L). Bounded: 1-row aggregate.
+    val trueDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val inexact = edges.join(trueDeg, "src")
+      .filter(col("m") * col("deg") =!= L)
+      .agg(count(lit(1))).head.getLong(0)
+    require(inexact == 0L,
+      s"$inexact edges have m * out-degree != L=$L — a multiplier is " +
+        "not exact; pagerank numerators would silently de-exact")
     // stage the (src, dst, m) list once: ten rounds re-join it, and
     // the fixed-K loop must not re-derive the graph per round
-    val staged = edges.localCheckpoint()
+    val staged = edges.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    staged.count()
     var scores = nodes.select(col("node"),
       lit(new java.math.BigDecimal(1)).cast(dec38).as("n"))
     var bk = BigInt(1) // B^k
@@ -117,14 +128,32 @@ object WebGraph {
             .cast(dec38).as("n"))
       bk *= B
     }
-    scores
+    (scores, () => { staged.unpersist(); () })
+  }
+
+  /** K rounds of the exact-integer damped update. Returns
+    * (node, n DECIMAL(38,0)) — n / Σn is the PageRank mass. The
+    * result is eagerly materialized (localCheckpoint) and the staged
+    * edge cache released before return; callers that want zero
+    * post-return block residue use the releasable form with
+    * `io.Scratch.stageAndRelease` (the gate's shape). */
+  def pagerankExact(nodes: DataFrame, edges: DataFrame,
+      iters: Int = Iters): DataFrame = {
+    val (scores, release) = pagerankExactReleasable(nodes, edges, iters)
+    val out = scores.localCheckpoint()
+    release()
+    out
   }
 
   /** Gate: domain authority table — exact numerator (string), 6-dp
-    * mass share, dense authority rank. */
+    * mass share, dense authority rank. Scratch-staged so repeated
+    * invocations leave the persisted-RDD census flat. */
   private def wgPagerank(s: SparkSession, d: String): DataFrame = {
     val nodes = domainNodes(t(s, d, "documents"))
-    val pr = pagerankExact(nodes, domainEdges(nodes))
+    val (scores, release) =
+      pagerankExactReleasable(nodes, domainEdges(nodes))
+    val pr = graft.io.Scratch.stageAndRelease(scores, release,
+      "wg_pagerank")
     val wAll = Window.partitionBy(lit(1))
     pr.select(col("node"),
         col("n").cast("string").as("pr_num"),

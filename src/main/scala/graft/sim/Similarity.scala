@@ -1419,9 +1419,14 @@ object Similarity {
     * Conditioned-total oracle: DuckDB re-derives EVERY rank's argmax
     * from the shortlist + pair sims given only the dump's PRIOR picks
     * — a wrong pick at any rank mismatches at that rank. */
-  private def xMmr(s: SparkSession, d: String): DataFrame =
-    mmrRerank(queriesSide(s, d), t(s, d, "embeddings"),
+  private def xMmr(s: SparkSession, d: String): DataFrame = {
+    // scratch-staged (not localCheckpoint) so repeated gate runs
+    // leave the persisted-RDD census flat
+    val (out, release) = mmrRerankReleasable(
+      queriesSide(s, d), t(s, d, "embeddings"),
       k = 5, shortlist = 8, lambda10 = 7)
+    graft.io.Scratch.stageAndRelease(out, release, "x_mmr")
+  }
 
   /** MMR composed with the STAGED ANN serving stack (the production
     * shape — the shortlist comes from IVF-PQ-R, not a corpus scan):
@@ -1435,8 +1440,10 @@ object Similarity {
   private def xMmrIvf(s: SparkSession, d: String): DataFrame = {
     val sl = refineRerank(ivfPqTopKStaged(s, d, 10, nprobe = 6),
       queriesSide(s, d), t(s, d, "embeddings"), 8)
-    mmrRerankShortlist(sl, queriesSide(s, d), t(s, d, "embeddings"),
+    val (out, release) = mmrRerankShortlistReleasable(
+      sl, queriesSide(s, d), t(s, d, "embeddings"),
       k = 5, lambda10 = 7)
+    graft.io.Scratch.stageAndRelease(out, release, "x_mmr_ivf")
   }
 
   /** kNN label vote: majority label of the 5 nearest neighbors,

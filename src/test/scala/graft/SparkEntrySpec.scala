@@ -9,27 +9,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * relies on, and the entry() smoke check itself. */
 class SparkEntrySpec extends AnyFunSuite {
 
-  private val moduleSizes = Seq(
-    ops.Relational.queries.size, ops.ScaleOps.queries.size,
-    ops.TemporalJoins.queries.size, ops.Windows.queries.size,
-    ops.Pivots.queries.size, ops.Abundance.queries.size,
-    ops.Amplicon.queries.size, ops.Bins.queries.size,
-    ops.Checks.queries.size, ops.Glamr.queries.size,
-    ops.Primers.queries.size, tax.Lineage.queries.size,
-    tax.SetCover.queries.size,
-    tax.TaxAbund.queries.size, text.TextOps.queries.size,
-    dedup.Dedup.queries.size, sim.Similarity.queries.size,
-    ingest.Overrides.queries.size,
-    io.SourceQueries.queries.size, io.WarehouseIngest.queries.size,
-    io.CatalogIngest.queries.size,
-    streaming.Streams.queries.size,
-    multimodal.Multimodal.queries.size)
+  // Derived from the SAME sequence SparkEntry.queries folds over, so a
+  // new module can't reach the driver without being covered here (the
+  // r12 failure mode: a hand-maintained list went stale).
+  private val declaredSum = SparkEntry.queryModules.map(_.size).sum
 
   test("no query-key collisions across modules") {
-    assert(SparkEntry.queries.size == moduleSizes.sum,
+    assert(SparkEntry.queries.size == declaredSum,
       s"merged map has ${SparkEntry.queries.size} keys but modules " +
-        s"declare ${moduleSizes.sum} — a duplicate name is shadowing " +
+        s"declare $declaredSum — a duplicate name is shadowing " +
         "a query")
+  }
+
+  test("no oracle-key collisions across modules") {
+    assert(SparkEntry.oracleSql.size ==
+      SparkEntry.oracleModules.map(_.size).sum,
+      "a duplicate oracle key is shadowing an oracle")
   }
 
   test("every oracle key has a query; names are path/JSON-safe") {

@@ -35,4 +35,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(after("3") == "MANUAL_TARGET") // hand edit survived
     assert(after("999") == "SKIP")        // skip survived
   }
+
+  test("publish gate holds a dirty batch's violating rows back") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a fake sf dir: every table linked from sf0.001, lineitem dirtied
+    // with one null-key row and one out-of-range quantity row
+    val dirty = Files.createTempDirectory("graft_dirty_sf").toString
+    graft.Tables.names.filterNot(_ == "lineitem").foreach { n =>
+      Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$dirty/$n.parquet"),
+        java.nio.file.Paths.get(s"${TestSpark.sf0001}/$n.parquet"))
+    }
+    val li = graft.Tables.t(spark, TestSpark.sf0001, "lineitem")
+    val nClean = li.count()
+    val bad = li.limit(2)
+      .withColumn("rid", monotonically_increasing_id())
+      .withColumn("l_orderkey",
+        when(col("rid") === 0, lit(null).cast("bigint"))
+          .otherwise(col("l_orderkey")))
+      .withColumn("l_quantity",
+        when(col("rid") === 1, lit(999.0)).otherwise(col("l_quantity")))
+      .drop("rid")
+    li.unionByName(bad).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dirty/lineitem.parquet")
+
+    val wh = Files.createTempDirectory("graft_pipe_dirty").toString
+    Pipeline.run(spark, dirty, wh)
+    val quar = spark.read.parquet(s"$wh/quarantine")
+    assert(quar.count() == 2)
+    val rules = quar.select("violated_rules").as[String]
+      .collect().toSet
+    assert(rules == Set("p1_orderkey", "p2_quantity"))
+    // the warehouse got ONLY the clean rows
+    assert(spark.read.parquet(s"$wh/lineitem_inc").count() == nClean)
+  }
 }

@@ -66,4 +66,37 @@ class SnmSpec extends AnyFunSuite {
     assert(wide.filter(col("doc_a") === 2 && col("doc_b") === 3)
       .count() == 1)
   }
+
+  test("NULL-text docs are excluded (the editDistancePairs convention)") {
+    val withNull = docs.unionByName(
+      Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val p = Dedup.snmPairs(withNull, "doc_id", "text", w = 5)
+    assert(p.filter(col("doc_a") === 99 || col("doc_b") === 99)
+      .count() == 0)
+    // and the remaining ranks are untouched by the null row
+    assert(p.count() == pairs.count())
+  }
+
+  test("prefix-filter candidates are COMPLETE at the threshold " +
+    "(the AllPairs theorem on the fixture)") {
+    val t = 0.2
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .filter(col("jac") >= t).select("doc_a", "doc_b")
+    val cand = Dedup.prefixFilterCandidates(docs, "doc_id", "text", t)
+    assert(truth.join(cand, Seq("doc_a", "doc_b"), "left_anti")
+      .count() == 0)
+  }
+
+  test("blocking-methods table: prefix recall 1.0, snm pays recall " +
+    "for linearity") {
+    val t = 0.2
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .filter(col("jac") >= t).select("doc_a", "doc_b")
+    def q(cand: org.apache.spark.sql.DataFrame) =
+      Dedup.blockingQuality(truth, cand, Seq("doc_a", "doc_b"))
+        .select("recall").as[Double].head()
+    assert(q(Dedup.prefixFilterCandidates(docs, "doc_id", "text", t))
+      == 1.0)
+    assert(q(pairs.select("doc_a", "doc_b")) == 0.666667)
+  }
 }

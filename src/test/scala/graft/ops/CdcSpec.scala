@@ -60,6 +60,47 @@ class CdcSpec extends AnyFunSuite {
     assert(Cdc.snapshotDiff(b, c, Seq("k")).count() == 0)
   }
 
+  test("applyDiff round-trips: apply(base, diff(base, curr)) == curr") {
+    val applied = Cdc.applyDiff(base, out, Seq("k"))
+    assert(applied.exceptAll(curr).count() == 0)
+    assert(curr.exceptAll(applied).count() == 0)
+  }
+
+  test("applyDiff unit semantics: insert, drop, column merge") {
+    val applied = Cdc.applyDiff(base, out, Seq("k")).cache()
+    assert(applied.filter(col("k") === 3).count() == 0) // removed
+    assert(applied.filter(col("k") === 6)
+      .select("name").as[String].head() == "f") // added
+    assert(applied.filter(col("k") === 2)
+      .select("price").as[Double].head() == 21.0) // merged change
+    assert(applied.filter(col("k") === 1)
+      .select("price").as[Double].head() == 10.0) // untouched kept
+    applied.unpersist()
+  }
+
+  test("applyDiff of an EMPTY diff is the identity") {
+    val empty = Cdc.snapshotDiff(base, base, Seq("k"))
+    val applied = Cdc.applyDiff(base, empty, Seq("k"))
+    assert(applied.exceptAll(base).count() == 0)
+    assert(base.exceptAll(applied).count() == 0)
+  }
+
+  test("gate round-trip at sf0.001: cdc_apply == the curr snapshot") {
+    val applied = graft.SparkEntry.queries("cdc_apply")(
+      spark, "/root/testdata/sf0.001")
+    val orders = graft.Tables.t(spark, "/root/testdata/sf0.001",
+      "orders")
+    val curr = orders.filter(col("o_orderkey") % 89 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 31 === 0, lit("9-RUSH"))
+          .otherwise(col("o_orderpriority")))
+    assert(applied.exceptAll(curr).count() == 0)
+    assert(curr.exceptAll(applied).count() == 0)
+  }
+
   test("gate: every change class present at sf0.001") {
     val g = graft.SparkEntry.queries("cdc_snapshot_diff")(
       spark, "/root/testdata/sf0.001")

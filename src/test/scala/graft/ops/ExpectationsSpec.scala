@@ -42,6 +42,11 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(m("u") == 3) // key 1: 1 surplus; key 3: 2 surplus
   }
 
+  test("unique on a genuinely unique compound key passes") {
+    val m = counts(Seq(Unique("u2", Seq("k", "amount"))))
+    assert(m("u2") == 0) // (k, amount) is distinct in the fixture
+  }
+
   test("foreign key counts non-null orphans") {
     val m = counts(Seq(ForeignKey("fk", "k", dim, "id")))
     assert(m("fk") == 3) // the three k=3 rows; no null keys to exempt
@@ -64,7 +69,71 @@ class ExpectationsSpec extends AnyFunSuite {
     }
   }
 
-  test("gate at sf0.001: r3/r4 fire, the other four hold") {
+  test("unsafe rule ids rejected (stack-expr injection guard)") {
+    intercept[IllegalArgumentException] {
+      evaluate(df, Seq(NotNull("bad'id", "amount")))
+    }
+  }
+
+  test("empty input reports 0 violations / pass=true, not NULLs") {
+    val out = evaluate(df.limit(0), Seq(
+      NotNull("nn", "amount"), InRange("rg", "amount", 0.0, 1.0),
+      Unique("u", Seq("k"))))
+    val m = out.select("rule_id", "n_violations", "pass")
+      .as[(String, Long, Boolean)].collect()
+    assert(m.length == 3 && m.forall(r => r._2 == 0L && r._3))
+  }
+
+  test("quarantine splits the batch; clean + quarantined == input") {
+    val (clean, quar) = quarantine(df, Seq(
+      NotNull("nn", "amount"),
+      InRange("rg", "amount", 0.0, 100.0),
+      Unique("u", Seq("k")),
+      ForeignKey("fk", "k", dim, "id")))
+    assert(clean.count() + quar.count() == df.count())
+    assert(clean.columns.toSeq == df.columns.toSeq)
+    assert(quar.columns.toSeq == df.columns.toSeq :+ "violated_rules")
+    // union of the two sides is the input, row for row
+    val rejoined = clean.unionByName(quar.drop("violated_rules"))
+    assert(rejoined.exceptAll(df).count() == 0)
+    assert(df.exceptAll(rejoined).count() == 0)
+  }
+
+  test("quarantine: the clean side genuinely satisfies the suite") {
+    val rules = Seq(
+      NotNull("nn", "amount"),
+      InRange("rg", "amount", 0.0, 100.0),
+      Unique("u", Seq("k")),
+      ForeignKey("fk", "k", dim, "id"))
+    val (clean, _) = quarantine(df, rules)
+    val m = evaluate(clean, rules).select("rule_id", "pass")
+      .as[(String, Boolean)].collect().toMap
+    assert(m.values.forall(identity), s"clean side still violates: $m")
+  }
+
+  test("quarantine: violated_rules is the id-sorted violation list") {
+    val (_, quar) = quarantine(df, Seq(
+      InRange("rg", "amount", 0.0, 100.0),
+      ForeignKey("fk", "k", dim, "id")))
+    val m = quar.select("amount", "violated_rules")
+      .as[(Option[Double], String)].collect().toMap
+    // k=3 rows are FK orphans; amount=500 additionally out of range
+    assert(m(Some(500.0)) == "rg")
+    assert(m(Some(7.0)) == "fk" && m(Some(8.0)) == "fk"
+      && m(Some(9.0)) == "fk")
+  }
+
+  test("quarantine: Unique holds back surplus rows, keeps one per key") {
+    val (clean, quar) = quarantine(df, Seq(Unique("u", Seq("k"))))
+    assert(quar.count() == 3) // 1 surplus for k=1, 2 for k=3
+    assert(clean.select("k").distinct().count() == clean.count())
+    assert(clean.count() == 3) // one survivor per key
+  }
+
+  test("gate at sf0.001: r3/r4/r5 fire, the other three hold") {
+    // r5 genuinely fires: the driver's synthetic lineitem has 1,161
+    // duplicate (l_orderkey, l_linenumber) groups at sf0.001
+    // (verified with DuckDB) — it is NOT TPC-H-unique.
     val g = graft.SparkEntry.queries("q_expectations")(
       spark, "/root/testdata/sf0.001")
     val m = g.select("rule_id", "pass").as[(String, Boolean)]
@@ -72,6 +141,6 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(m == Map(
       "r1_notnull_shipdate" -> true, "r2_range_quantity" -> true,
       "r3_range_discount" -> false, "r4_returnflag_domain" -> false,
-      "r5_unique_line" -> true, "r6_fk_orderkey" -> true))
+      "r5_unique_line" -> false, "r6_fk_orderkey" -> true))
   }
 }
