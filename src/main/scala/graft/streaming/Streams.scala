@@ -491,20 +491,21 @@ object Streams {
 
   // ---- gate queries (batch semantics of the same code paths) ----
 
-  private val hhGateRuns = new java.util.concurrent.atomic.AtomicLong(0)
-
   /** st_heavy_hitters: a REAL stateful streaming run as the gate — the
     * documents feed is staged into a fresh directory and replayed
     * under Trigger.AvailableNow through the Misra-Gries
-    * flatMapGroupsWithState stream; the final per-language generation
-    * snapshot is the gate's row set. At m = 2^20 (≫ fixture vocab) the
-    * sketch never evicts, so every surviving lower bound is the exact
-    * stream-total count and the oracle is the exact per-language
-    * top-15 in plain SQL — deterministic however the file source
-    * splits the feed into micro-batches, because the cumulative MG
-    * state is exact at every generation. Eviction semantics at small m
-    * stay pinned by StreamsSpec (single-delivery == batch; restart
-    * carries state). */
+    * flatMapGroupsWithState stream into a PARQUET sink (the st_zscore
+    * shape: the per-generation emission stream is corpus-sized at the
+    * token grain, so no memory sink and no driver collect — the r12
+    * verdict's remaining gate-scaffolding caveat); the final
+    * per-language generation snapshot is the gate's row set. At
+    * m = 2^20 (≫ fixture vocab) the sketch never evicts, so every
+    * surviving lower bound is the exact stream-total count and the
+    * oracle is the exact per-language top-15 in plain SQL —
+    * deterministic however the file source splits the feed into
+    * micro-batches, because the cumulative MG state is exact at every
+    * generation. Eviction semantics at small m stay pinned by
+    * StreamsSpec (single-delivery == batch; restart carries state). */
   private def stHeavyHitters(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val run = scratch("hh")
@@ -512,39 +513,31 @@ object Streams {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$d/documents.parquet"),
       dir.resolve("documents.parquet"))
-    val name = "graft_st_hh_out_" + hhGateRuns.incrementAndGet()
+    val outDir = run.resolve("out").toString
     runStream("st_heavy_hitters") {
       streamingHeavyHitters(docStream(s, dir.toString),
           k = 15, m = 1 << 20)
         .writeStream.outputMode("append")
-        .format("memory").queryName(name)
+        .format("parquet").option("path", outDir)
         .option("checkpointLocation", run.resolve("ckpt").toString)
         .trigger(Trigger.AvailableNow()).start()
     }
     val wLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-    val snap = s.table(name)
+    s.read.parquet(outDir)
       .withColumn("max_gen", max("gen").over(wLang))
       .filter(col("gen") === col("max_gen"))
       .select(col("lang"), col("rank"), col("token"), col("n_lb"))
-    // pin the (≤ k × langs)-row snapshot as a LocalRelation and drop
-    // the memory-sink table — repeated gate runs (Determinism, bench
-    // passes) must not accumulate sink tables in the session
-    val rows = snap.collect()
-    val out = s.createDataFrame(
-      java.util.Arrays.asList(rows: _*), snap.schema)
-    s.catalog.dropTempView(name)
-    out
   }
-
-  private val fsGateRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** st_dedup_docs: a REAL stateful streaming run — the documents
     * feed replays under Trigger.AvailableNow through the first-seen
-    * ledger; the gate keeps the final generation per fingerprint.
-    * Single delivery ⇒ the snapshot equals the batch fingerprint
-    * dedup exactly, so `d_fingerprint_dedup`'s oracle verifies the
-    * stream unchanged. Multi-batch keeper pinning (first arrival
-    * wins over a later smaller doc_id) is StreamsSpec-pinned. */
+    * ledger into a PARQUET sink (see stHeavyHitters — the ledger
+    * emission stream is corpus-sized at the fingerprint grain); the
+    * gate keeps the final generation per fingerprint. Single delivery
+    * ⇒ the snapshot equals the batch fingerprint dedup exactly, so
+    * `d_fingerprint_dedup`'s oracle verifies the stream unchanged.
+    * Multi-batch keeper pinning (first arrival wins over a later
+    * smaller doc_id) is StreamsSpec-pinned. */
   private def stDedupDocs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val run = scratch("fs")
@@ -552,24 +545,19 @@ object Streams {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$d/documents.parquet"),
       dir.resolve("documents.parquet"))
-    val name = "graft_st_fs_out_" + fsGateRuns.incrementAndGet()
+    val outDir = run.resolve("out").toString
     runStream("st_dedup_docs") {
       streamingFirstSeen(docStream(s, dir.toString))
         .writeStream.outputMode("append")
-        .format("memory").queryName(name)
+        .format("parquet").option("path", outDir)
         .option("checkpointLocation", run.resolve("ckpt").toString)
         .trigger(Trigger.AvailableNow()).start()
     }
     val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val snap = s.table(name)
+    s.read.parquet(outDir)
       .withColumn("max_gen", max("gen").over(wFp))
       .filter(col("gen") === col("max_gen"))
       .select(col("fp"), col("keep_id"), col("n_copies"))
-    val rows = snap.collect()
-    val out = s.createDataFrame(
-      java.util.Arrays.asList(rows: _*), snap.schema)
-    s.catalog.dropTempView(name)
-    out
   }
 
   private def stCurateDocs(s: SparkSession, d: String): DataFrame =
