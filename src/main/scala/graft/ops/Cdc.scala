@@ -96,6 +96,63 @@ object Cdc {
         col("c_row.o_totalprice").as("new_totalprice"))
   }
 
+  /** Initialize an SCD Type-2 history table from a first snapshot:
+    * every row becomes the open version (valid_from = `batchId`,
+    * valid_to = NULL, is_current = true). */
+  def scd2Init(snapshot: DataFrame, batchId: Long): DataFrame =
+    snapshot
+      .withColumn("valid_from", lit(batchId))
+      .withColumn("valid_to", lit(null).cast("bigint"))
+      .withColumn("is_current", lit(true))
+
+  /** Advance an SCD Type-2 history table by one `snapshotDiff`: the
+    * slowly-changing-dimension discipline every warehouse keeps for
+    * audit/as-of queries — no UPDATE in place, every key's value
+    * timeline is an append-only chain of versions.
+    *
+    *  - changed/removed keys: the OPEN version closes
+    *    (valid_to = `batchId`, is_current = false);
+    *  - changed/added keys: a new open version inserts with the
+    *    `c_row` values (valid_from = `batchId`).
+    *
+    * Invariant (spec-pinned): `scd2Apply(hist, diff, …).filter
+    * (is_current)` ≡ the current snapshot on the tracked columns —
+    * i.e. the history's open slice IS `applyDiff` of the previous
+    * open slice.
+    *
+    * Scale shape: one key join of the history against the DELTA-SIZED
+    * diff (closed versions pass through the join untouched; AQE
+    * broadcasts the diff when it fits) + one union of the new
+    * versions. Nothing is collected; at 100 TB the per-batch cost
+    * tracks the delta plus one history scan — and a warehouse that
+    * partitions history by is_current rewrites only the open
+    * partition (`Writers.refreshPartitions`). */
+  def scd2Apply(hist: DataFrame, diff: DataFrame, keys: Seq[String],
+      batchId: Long): DataFrame = {
+    val dataCols = diff.schema("c_row").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq
+    val histCols = keys ++ dataCols ++
+      Seq("valid_from", "valid_to", "is_current")
+    val closing = diff.filter(col("change").isin("changed", "removed"))
+      .select(keys.map(col) :+ lit(true).as("__close"): _*)
+    val carried = hist.select(histCols.map(col): _*)
+      .join(closing, keys, "left")
+      .select(keys.map(col) ++ dataCols.map(col) ++ Seq(
+        col("valid_from"),
+        when(col("is_current") && col("__close").isNotNull,
+          lit(batchId)).otherwise(col("valid_to")).as("valid_to"),
+        (col("is_current") && col("__close").isNull)
+          .as("is_current")): _*)
+    val opened = diff.filter(col("change").isin("changed", "added"))
+      .select(keys.map(col) ++
+        dataCols.map(cn => col(s"c_row.$cn").as(cn)) ++ Seq(
+        lit(batchId).as("valid_from"),
+        lit(null).cast("bigint").as("valid_to"),
+        lit(true).as("is_current")): _*)
+    carried.unionByName(opened)
+  }
+
   private def gateSnapshots(s: SparkSession,
       d: String): (DataFrame, DataFrame) = {
     val orders = t(s, d, "orders")
@@ -120,11 +177,62 @@ object Cdc {
       Seq("o_orderkey"))
   }
 
+  /** Gate: one SCD2 batch advance — history initialized from the base
+    * snapshot at batch 0, advanced by the gate diff at batch 1. The
+    * oracle rebuilds every version timeline independently: base rows
+    * (closed iff their key changed or was removed), plus the batch-1
+    * open versions for added/changed keys. */
+  private def cdcScd2(s: SparkSession, d: String): DataFrame = {
+    val (base, curr) = gateSnapshots(s, d)
+    scd2Apply(scd2Init(base, 0L),
+      snapshotDiff(base, curr, Seq("o_orderkey")),
+      Seq("o_orderkey"), 1L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_snapshot_diff" -> cdcSnapshotDiff _,
-    "cdc_apply" -> cdcApply _)
+    "cdc_apply" -> cdcApply _,
+    "cdc_scd2" -> cdcScd2 _)
 
   val oracle: Map[String, String] = Map(
+    "cdc_scd2" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 97 <> 0),
+         curr AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+               ELSE o_totalprice END AS o_totalprice,
+             o_orderdate,
+             CASE WHEN o_orderkey % 31 = 0 THEN '9-RUSH'
+               ELSE o_orderpriority END AS o_orderpriority
+           FROM orders WHERE o_orderkey % 89 <> 0),
+         chg AS (
+           SELECT b.o_orderkey AS k
+           FROM base b JOIN curr c ON b.o_orderkey = c.o_orderkey
+           WHERE b.o_custkey IS DISTINCT FROM c.o_custkey
+              OR b.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+              OR b.o_totalprice IS DISTINCT FROM c.o_totalprice
+              OR b.o_orderdate IS DISTINCT FROM c.o_orderdate
+              OR b.o_orderpriority IS DISTINCT FROM c.o_orderpriority),
+         rem AS (
+           SELECT o_orderkey AS k FROM base
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM curr)),
+         addk AS (
+           SELECT o_orderkey AS k FROM curr
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)),
+         closing AS (SELECT k FROM chg UNION ALL SELECT k FROM rem)
+         SELECT b.*, CAST(0 AS BIGINT) AS valid_from,
+           CASE WHEN b.o_orderkey IN (SELECT k FROM closing)
+             THEN CAST(1 AS BIGINT) END AS valid_to,
+           b.o_orderkey NOT IN (SELECT k FROM closing) AS is_current
+         FROM base b
+         UNION ALL
+         SELECT c.*, CAST(1 AS BIGINT), CAST(NULL AS BIGINT), true
+         FROM curr c
+         WHERE c.o_orderkey IN (SELECT k FROM chg)
+            OR c.o_orderkey IN (SELECT k FROM addk)""",
     "cdc_apply" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
            CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0

@@ -101,6 +101,59 @@ class CdcSpec extends AnyFunSuite {
     assert(curr.exceptAll(applied).count() == 0)
   }
 
+  test("scd2: the history's open slice IS the current snapshot") {
+    val hist = Cdc.scd2Apply(Cdc.scd2Init(base, 0L), out, Seq("k"), 1L)
+    val open = hist.filter(col("is_current"))
+      .select("k", "name", "price")
+    assert(open.exceptAll(curr).count() == 0)
+    assert(curr.exceptAll(open).count() == 0)
+  }
+
+  test("scd2: version timelines per change class") {
+    val hist = Cdc.scd2Apply(Cdc.scd2Init(base, 0L), out, Seq("k"), 1L)
+      .cache()
+    // unchanged key: one open version from batch 0
+    val k1 = hist.filter(col("k") === 1)
+      .select("valid_from", "valid_to", "is_current")
+      .as[(Long, Option[Long], Boolean)].collect().toSeq
+    assert(k1 == Seq((0L, None, true)))
+    // changed key: closed batch-0 version + open batch-1 version
+    val k2 = hist.filter(col("k") === 2)
+      .select("price", "valid_from", "valid_to", "is_current")
+      .as[(Double, Long, Option[Long], Boolean)].collect().toSet
+    assert(k2 == Set((20.0, 0L, Some(1L), false), (21.0, 1L, None, true)))
+    // removed key: closed version only, no open row
+    val k3 = hist.filter(col("k") === 3)
+      .select("valid_from", "valid_to", "is_current")
+      .as[(Long, Option[Long], Boolean)].collect().toSeq
+    assert(k3 == Seq((0L, Some(1L), false)))
+    // added key: one open batch-1 version
+    val k6 = hist.filter(col("k") === 6)
+      .select("valid_from", "valid_to", "is_current")
+      .as[(Long, Option[Long], Boolean)].collect().toSeq
+    assert(k6 == Seq((1L, None, true)))
+    hist.unpersist()
+  }
+
+  test("scd2: a second advance keeps closed versions untouched") {
+    val h1 = Cdc.scd2Apply(Cdc.scd2Init(base, 0L), out, Seq("k"), 1L)
+    val curr2 = curr.withColumn("price",
+      when(col("k") === 2, 22.0).otherwise(col("price")))
+    val h2 = Cdc.scd2Apply(h1, Cdc.snapshotDiff(curr, curr2, Seq("k")),
+      Seq("k"), 2L).cache()
+    // k=2 now has THREE versions: (20, 0→1), (21, 1→2), (22, 2→open)
+    val k2 = h2.filter(col("k") === 2)
+      .select("price", "valid_from", "valid_to", "is_current")
+      .as[(Double, Long, Option[Long], Boolean)].collect().toSet
+    assert(k2 == Set((20.0, 0L, Some(1L), false),
+      (21.0, 1L, Some(2L), false), (22.0, 2L, None, true)))
+    // and the open slice is curr2
+    val open = h2.filter(col("is_current")).select("k", "name", "price")
+    assert(open.exceptAll(curr2).count() == 0)
+    assert(curr2.exceptAll(open).count() == 0)
+    h2.unpersist()
+  }
+
   test("gate: every change class present at sf0.001") {
     val g = graft.SparkEntry.queries("cdc_snapshot_diff")(
       spark, "/root/testdata/sf0.001")
