@@ -153,6 +153,18 @@ object Cdc {
     carried.unionByName(opened)
   }
 
+  /** As-of (time-travel) lookup over an SCD2 history: the snapshot as
+    * it stood after batch `batchId` — versions opened at or before it
+    * and not yet closed by it. Spec-pinned inverses:
+    * `scd2AsOf(hist, k)` ≡ the batch-k snapshot for every k the
+    * history has absorbed. One scan, one filter — partition pruning
+    * does the rest when history is partitioned on is_current /
+    * valid_from. */
+  def scd2AsOf(hist: DataFrame, batchId: Long): DataFrame =
+    hist.filter(col("valid_from") <= batchId &&
+        (col("valid_to").isNull || col("valid_to") > batchId))
+      .drop("valid_from", "valid_to", "is_current")
+
   private def gateSnapshots(s: SparkSession,
       d: String): (DataFrame, DataFrame) = {
     val orders = t(s, d, "orders")

@@ -154,6 +154,21 @@ class CdcSpec extends AnyFunSuite {
     h2.unpersist()
   }
 
+  test("scd2AsOf: time travel recovers every absorbed snapshot") {
+    val h1 = Cdc.scd2Apply(Cdc.scd2Init(base, 0L), out, Seq("k"), 1L)
+    val curr2 = curr.withColumn("price",
+      when(col("k") === 2, 22.0).otherwise(col("price")))
+    val h2 = Cdc.scd2Apply(h1, Cdc.snapshotDiff(curr, curr2, Seq("k")),
+      Seq("k"), 2L).cache()
+    Seq(0L -> base, 1L -> curr, 2L -> curr2).foreach {
+      case (k, snap) =>
+        val asOf = Cdc.scd2AsOf(h2, k)
+        assert(asOf.exceptAll(snap).count() == 0, s"asOf($k) extra rows")
+        assert(snap.exceptAll(asOf).count() == 0, s"asOf($k) lost rows")
+    }
+    h2.unpersist()
+  }
+
   test("gate: every change class present at sf0.001") {
     val g = graft.SparkEntry.queries("cdc_snapshot_diff")(
       spark, "/root/testdata/sf0.001")
