@@ -33,6 +33,7 @@ object SparkEntry {
       ops.Amplicon.queries, ops.Bins.queries,
       ops.Checks.queries, ops.Cdc.queries,
       ops.Expectations.queries, ops.WebGraph.queries,
+      ops.Ecology.queries, ops.Skew.queries,
       ops.Glamr.queries, ops.Primers.queries,
       tax.Lineage.queries, tax.SetCover.queries,
       tax.TaxAbund.queries, text.TextOps.queries,
@@ -50,6 +51,7 @@ object SparkEntry {
       ops.Amplicon.oracle, ops.Bins.oracle,
       ops.Checks.oracle, ops.Cdc.oracle,
       ops.Expectations.oracle, ops.WebGraph.oracle,
+      ops.Ecology.oracle, ops.Skew.oracle,
       ops.Glamr.oracle, ops.Primers.oracle,
       tax.Lineage.oracle, tax.SetCover.oracle,
       tax.TaxAbund.oracle, text.TextOps.oracle,

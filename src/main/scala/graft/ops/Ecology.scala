@@ -1,0 +1,291 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Community-diversity metrics — the alpha/beta-diversity summaries the
+  * reference's community-composition layer feeds into its plots
+  * (reference `code/plot_metacoder.R:28-60`, per-taxon abundance trees;
+  * `code/tax_abund_from_contigs.R` builds the abundance substrate).
+  * GLAMR stops at per-clade abundance tables; every downstream ecology
+  * notebook then computes diversity indices from exactly this shape, so
+  * the engine provides them as first-class aggregates.
+  *
+  * Mapped onto TESTDATA (the `a2_rel_abund` substrate): sample ≈
+  * l_suppkey, taxon ≈ l_partkey, abundance = row count.
+  *
+  * ORACLE DISCIPLINE: Shannon entropy is deliberately absent — it
+  * needs `ln`, which rides libm and cannot oracle bit-exactly across
+  * engines (the `tx_lm_score` no-ln discipline). The Simpson family
+  * covers the same filtering/ranking role in pure integer-derived
+  * rational arithmetic: every metric here is an exact long-count ratio
+  * with ONE final 6-dp-rounded division, so the gate hash cannot move
+  * with summation order.
+  *
+  * Scale shape: alpha = one (sample, taxon) count aggregate (map-side
+  * combined) + one per-sample aggregate — two shuffles, the second on
+  * the sample key only. Beta = one self-join of the abundance table
+  * shuffled on taxon + a sample-pair aggregate; the pair universe is
+  * #samples², which in the reference's world is a bounded project-level
+  * comparison set (samples per project, not corpus rows) — at 100 TB
+  * the fact table is huge but the sample grid stays broadcast-sized,
+  * and the taxon-keyed self-join is the only data-sized shuffle.
+  */
+object Ecology {
+
+  /** Per-(sample, taxon) abundance counts — the vegan community
+    * matrix in long form. One shuffle, map-side combined. */
+  def abundance(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_suppkey").as("sample"),
+        col("l_partkey").as("taxon"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Alpha diversity per sample: richness S, total count N, Simpson
+    * diversity 1−Σn²/N², inverse Simpson (Hill number of order 2)
+    * N²/Σn², Berger–Parker dominance max(n)/N. All exact-integer
+    * derived; each output ratio is a single 6-dp division. */
+  def alphaDiversity(ab: DataFrame): DataFrame =
+    ab.groupBy("sample")
+      .agg(count(lit(1)).as("richness"),
+        sum("n").as("n_total"),
+        sum(col("n") * col("n")).as("sum_sq"),
+        max("n").as("n_max"))
+      .select(col("sample"), col("richness"), col("n_total"),
+        round((col("n_total") * col("n_total") - col("sum_sq"))
+          .cast("double") / (col("n_total") * col("n_total")), 6)
+          .as("simpson"),
+        round((col("n_total") * col("n_total")).cast("double")
+          / col("sum_sq"), 6).as("inv_simpson"),
+        round(col("n_max").cast("double") / col("n_total"), 6)
+          .as("berger_parker"))
+
+  /** Bray–Curtis dissimilarity for every sample pair:
+    * BC(a,b) = (N_a + N_b − 2·Σ_t min(n_ta, n_tb)) / (N_a + N_b),
+    * plus the shared-taxon count. The shared-min sum comes from ONE
+    * taxon-keyed self-join; samples with zero overlap still appear
+    * (BC = 1) because the pair universe is the totals' own cross grid
+    * (sample-count-sized, broadcast — not data-sized). */
+  def brayCurtis(ab: DataFrame): DataFrame = {
+    val totals = ab.groupBy("sample").agg(sum("n").as("n_tot"))
+    val shared = ab.select(col("sample").as("sample_a"),
+        col("taxon"), col("n").as("na"))
+      .join(ab.select(col("sample").as("sample_b"), col("taxon"),
+        col("n").as("nb")), "taxon")
+      .filter(col("sample_a") < col("sample_b"))
+      .groupBy("sample_a", "sample_b")
+      .agg(sum(least(col("na"), col("nb"))).as("shared_min"),
+        count(lit(1)).as("n_shared"))
+    val grid = broadcast(totals.select(col("sample").as("sample_a"),
+        col("n_tot").as("n_tot_a")))
+      .crossJoin(broadcast(totals.select(col("sample").as("sample_b"),
+        col("n_tot").as("n_tot_b"))))
+      .filter(col("sample_a") < col("sample_b"))
+    grid.join(shared, Seq("sample_a", "sample_b"), "left")
+      .select(col("sample_a"), col("sample_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round((col("n_tot_a") + col("n_tot_b")
+            - lit(2) * coalesce(col("shared_min"), lit(0L)))
+          .cast("double") / (col("n_tot_a") + col("n_tot_b")), 6)
+          .as("bray_curtis"))
+  }
+
+  /** Presence/absence beta diversity for every sample pair: Jaccard
+    * dissimilarity 1 − |A∩B|/|A∪B| and Sørensen–Dice dissimilarity
+    * 1 − 2|A∩B|/(|A|+|B|), the binary twins of Bray–Curtis (vegan's
+    * `betadiver`). Same one taxon-keyed self-join + broadcast pair
+    * grid; all counts exact longs, one 6-dp division per metric. */
+  def betaPresence(ab: DataFrame): DataFrame = {
+    val rich = ab.groupBy("sample").agg(count(lit(1)).as("s_rich"))
+    val shared = ab.select(col("sample").as("sample_a"), col("taxon"))
+      .join(ab.select(col("sample").as("sample_b"), col("taxon")),
+        "taxon")
+      .filter(col("sample_a") < col("sample_b"))
+      .groupBy("sample_a", "sample_b")
+      .agg(count(lit(1)).as("n_shared"))
+    val grid = broadcast(rich.select(col("sample").as("sample_a"),
+        col("s_rich").as("rich_a")))
+      .crossJoin(broadcast(rich.select(col("sample").as("sample_b"),
+        col("s_rich").as("rich_b"))))
+      .filter(col("sample_a") < col("sample_b"))
+    grid.join(shared, Seq("sample_a", "sample_b"), "left")
+      .select(col("sample_a"), col("sample_b"),
+        col("rich_a"), col("rich_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("jaccard_dissim",
+        round(lit(1.0) - col("n_shared").cast("double")
+          / (col("rich_a") + col("rich_b") - col("n_shared")), 6))
+      .withColumn("sorensen_dissim",
+        round(lit(1.0) - lit(2.0) * col("n_shared").cast("double")
+          / (col("rich_a") + col("rich_b")), 6))
+  }
+
+  /** Taxon co-occurrence stats over the top-K most prevalent taxa
+    * (ties broken by taxon id): for each taxon pair, the number of
+    * samples containing each and both, presence-Jaccard, and the
+    * observed/expected lift n_both·N / (n_a·n_b) under the
+    * independence null — the edge weights a co-occurrence-network
+    * analysis thresholds on. K bounds the pair universe at K²/2
+    * regardless of corpus size; the per-sample pair expansion is
+    * ≤ K²/2 rows per sample, map-side combined away. */
+  def cooccurrence(ab: DataFrame, k: Int): DataFrame = {
+    val nSamples = ab.select("sample").distinct().count()
+    val top = ab.groupBy("taxon").agg(count(lit(1)).as("prev"))
+      .orderBy(col("prev").desc, col("taxon")).limit(k)
+    val pres = ab.join(broadcast(top.select("taxon")), "taxon")
+      .select("sample", "taxon")
+    val pairs = pres.select(col("sample"), col("taxon").as("taxon_a"))
+      .join(pres.select(col("sample"), col("taxon").as("taxon_b")),
+        "sample")
+      .filter(col("taxon_a") < col("taxon_b"))
+      .groupBy("taxon_a", "taxon_b")
+      .agg(count(lit(1)).as("n_both"))
+    val grid = broadcast(top.select(col("taxon").as("taxon_a"),
+        col("prev").as("n_a")))
+      .crossJoin(broadcast(top.select(col("taxon").as("taxon_b"),
+        col("prev").as("n_b"))))
+      .filter(col("taxon_a") < col("taxon_b"))
+    grid.join(pairs, Seq("taxon_a", "taxon_b"), "left")
+      .select(col("taxon_a"), col("taxon_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"))
+      .withColumn("jaccard",
+        round(col("n_both").cast("double")
+          / (col("n_a") + col("n_b") - col("n_both")), 6))
+      .withColumn("lift",
+        round((col("n_both") * lit(nSamples)).cast("double")
+          / (col("n_a") * col("n_b")), 6))
+  }
+
+  // ---- gates ----
+
+  /** Pair-grid gates run on a bounded comparison set — the GateK
+    * lowest sample ids — because beta diversity is a project-level
+    * analysis (samples per project, not corpus rows): the pair
+    * universe must stay fixed as the fact table scales 100×. */
+  val GateK = 64
+
+  private def bounded(ab: DataFrame): DataFrame = {
+    val keep = ab.select("sample").distinct()
+      .orderBy("sample").limit(GateK)
+    ab.join(broadcast(keep), "sample")
+  }
+
+  private def a14Alpha(s: SparkSession, d: String): DataFrame =
+    alphaDiversity(abundance(t(s, d, "lineitem")))
+
+  private def a15Bray(s: SparkSession, d: String): DataFrame =
+    brayCurtis(bounded(abundance(t(s, d, "lineitem"))))
+
+  private def a16Beta(s: SparkSession, d: String): DataFrame =
+    betaPresence(bounded(abundance(t(s, d, "lineitem"))))
+
+  private def ecoCooccur(s: SparkSession, d: String): DataFrame =
+    cooccurrence(abundance(t(s, d, "lineitem")), 40)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a14_alpha_diversity" -> a14Alpha _,
+    "a15_bray_curtis" -> a15Bray _,
+    "a16_beta_presence" -> a16Beta _,
+    "eco_cooccur" -> ecoCooccur _)
+
+  private val abundanceSql =
+    """ab0 AS (
+         SELECT l_suppkey AS sample, l_partkey AS taxon,
+           count(*) AS n
+         FROM lineitem GROUP BY 1, 2)"""
+
+  // bounded comparison set: GateK lowest sample ids (mirrors `bounded`)
+  private val boundedSql =
+    s"""keep AS (
+         SELECT DISTINCT sample FROM ab0 ORDER BY sample LIMIT $GateK),
+       ab AS (SELECT ab0.* FROM ab0 JOIN keep USING (sample))"""
+
+  val oracle: Map[String, String] = Map(
+    "a14_alpha_diversity" ->
+      s"""WITH $abundanceSql,
+         ab AS (SELECT * FROM ab0),
+         agg AS (
+           SELECT sample, count(*) AS richness,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(sum(n * n) AS BIGINT) AS sum_sq, max(n) AS n_max
+           FROM ab GROUP BY 1)
+         SELECT sample, richness, n_total,
+           round(CAST(n_total * n_total - sum_sq AS DOUBLE)
+             / (n_total * n_total), 6) AS simpson,
+           round(CAST(n_total * n_total AS DOUBLE) / sum_sq, 6)
+             AS inv_simpson,
+           round(CAST(n_max AS DOUBLE) / n_total, 6) AS berger_parker
+         FROM agg""",
+    "a15_bray_curtis" ->
+      s"""WITH $abundanceSql,
+         $boundedSql,
+         totals AS (SELECT sample, sum(n) AS n_tot FROM ab GROUP BY 1),
+         shared AS (
+           SELECT a.sample AS sample_a, b.sample AS sample_b,
+             sum(least(a.n, b.n)) AS shared_min,
+             count(*) AS n_shared
+           FROM ab a JOIN ab b
+             ON a.taxon = b.taxon AND a.sample < b.sample
+           GROUP BY 1, 2),
+         grid AS (
+           SELECT ta.sample AS sample_a, ta.n_tot AS n_tot_a,
+             tb.sample AS sample_b, tb.n_tot AS n_tot_b
+           FROM totals ta JOIN totals tb ON ta.sample < tb.sample)
+         SELECT g.sample_a, g.sample_b,
+           coalesce(s.n_shared, 0) AS n_shared,
+           round(CAST(g.n_tot_a + g.n_tot_b
+               - 2 * coalesce(s.shared_min, 0) AS DOUBLE)
+             / (g.n_tot_a + g.n_tot_b), 6) AS bray_curtis
+         FROM grid g LEFT JOIN shared s
+           ON s.sample_a = g.sample_a AND s.sample_b = g.sample_b""",
+    "a16_beta_presence" ->
+      s"""WITH $abundanceSql,
+         $boundedSql,
+         rich AS (SELECT sample, count(*) AS s_rich FROM ab GROUP BY 1),
+         shared AS (
+           SELECT a.sample AS sample_a, b.sample AS sample_b,
+             count(*) AS n_shared
+           FROM ab a JOIN ab b
+             ON a.taxon = b.taxon AND a.sample < b.sample
+           GROUP BY 1, 2),
+         grid AS (
+           SELECT ra.sample AS sample_a, ra.s_rich AS rich_a,
+             rb.sample AS sample_b, rb.s_rich AS rich_b
+           FROM rich ra JOIN rich rb ON ra.sample < rb.sample)
+         SELECT g.sample_a, g.sample_b, g.rich_a, g.rich_b,
+           coalesce(s.n_shared, 0) AS n_shared,
+           round(1.0 - CAST(coalesce(s.n_shared, 0) AS DOUBLE)
+             / (g.rich_a + g.rich_b - coalesce(s.n_shared, 0)), 6)
+             AS jaccard_dissim,
+           round(1.0 - 2.0 * CAST(coalesce(s.n_shared, 0) AS DOUBLE)
+             / (g.rich_a + g.rich_b), 6) AS sorensen_dissim
+         FROM grid g LEFT JOIN shared s
+           ON s.sample_a = g.sample_a AND s.sample_b = g.sample_b""",
+    "eco_cooccur" ->
+      s"""WITH $abundanceSql,
+         ns AS (SELECT count(DISTINCT sample) AS n FROM ab0),
+         top AS (
+           SELECT taxon, count(*) AS prev FROM ab0 GROUP BY 1
+           ORDER BY prev DESC, taxon LIMIT 40),
+         pres AS (
+           SELECT ab0.sample, ab0.taxon FROM ab0
+           JOIN top ON top.taxon = ab0.taxon),
+         pairs AS (
+           SELECT a.taxon AS taxon_a, b.taxon AS taxon_b,
+             count(*) AS n_both
+           FROM pres a JOIN pres b
+             ON a.sample = b.sample AND a.taxon < b.taxon
+           GROUP BY 1, 2),
+         grid AS (
+           SELECT ta.taxon AS taxon_a, ta.prev AS n_a,
+             tb.taxon AS taxon_b, tb.prev AS n_b
+           FROM top ta JOIN top tb ON ta.taxon < tb.taxon)
+         SELECT g.taxon_a, g.taxon_b, g.n_a, g.n_b,
+           coalesce(p.n_both, 0) AS n_both,
+           round(CAST(coalesce(p.n_both, 0) AS DOUBLE)
+             / (g.n_a + g.n_b - coalesce(p.n_both, 0)), 6) AS jaccard,
+           round(CAST(coalesce(p.n_both, 0) * (SELECT n FROM ns)
+               AS DOUBLE) / (g.n_a * g.n_b), 6) AS lift
+         FROM grid g LEFT JOIN pairs p
+           ON p.taxon_a = g.taxon_a AND p.taxon_b = g.taxon_b""")
+}

@@ -145,6 +145,87 @@ object WebGraph {
     out
   }
 
+  /** Undirected simple edge set (u < v, self-loops dropped) of a
+    * directed edge list — the substrate for triangle counting. */
+  def undirectedEdges(edges: DataFrame): DataFrame =
+    edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+
+  /** Offsets for the TRIANGLE fixture graph — the pagerank offsets
+    * {1,7,13,29,31} were chosen to spread mass and happen to close
+    * ZERO triangles mod 50 (no two offsets sum to a third), so the
+    * triangle gate gets its own residue-classed design: {1,2} keeps a
+    * universal (n, n+1, n+2) triangle everywhere, class 1 adds the
+    * 1+2=3 closure, class 2 the 2+2=4 closure — per-node counts
+    * genuinely vary by residue class. */
+  val TriOffsets = Map(0 -> Seq(1, 2), 1 -> Seq(1, 2, 3),
+    2 -> Seq(1, 2, 4))
+
+  /** Undirected triangle-fixture edges between EXISTING nodes. */
+  def triangleEdges(nodes: DataFrame): DataFrame = {
+    val offs = nodes.select(col("node").as("src"), explode(
+      when(col("node") % 3 === 0, array(TriOffsets(0).map(lit): _*))
+        .when(col("node") % 3 === 1, array(TriOffsets(1).map(lit): _*))
+        .otherwise(array(TriOffsets(2).map(lit): _*))).as("off"))
+    val e = offs.select(col("src"),
+      ((col("src") + col("off")) % DomainCount).cast("int").as("dst"))
+    e.join(nodes.withColumnRenamed("node", "dst"), Seq("dst"))
+      .select(col("src"), col("dst"))
+  }
+
+  /** Per-node triangle count + local clustering coefficient via
+    * DEGREE ORIENTATION — the scale-correct triangle algorithm: each
+    * undirected edge is directed from its lower-(degree, id) endpoint
+    * to its higher one, so every node's out-degree is O(√m) and the
+    * wedge join cannot blow up on hubs (the skew failure of the naive
+    * id-ordered listing). A triangle is found exactly once, at its
+    * lowest-rank apex: two out-edges (a→b, a→c with b before c in
+    * rank order) closed by the oriented edge b→c. Per-node counts
+    * credit all three corners (one explode). All counts are exact
+    * longs; clustering = 2T/(deg·(deg−1)) is the single 6-dp
+    * division.
+    *
+    * Scale shape: degree aggregate (one shuffle), two equi-joins to
+    * attach endpoint ranks, the wedge self-join shuffled on the apex,
+    * the closing equi-join on (b, c) — the standard distributed
+    * triangle plan whose wedge volume is Σ outdeg² = O(m^1.5). */
+  def triangleStats(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    // orient low-(deg, id) → high-(deg, id)
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(lowFirst, col("u")).otherwise(col("v")).as("s"),
+      when(lowFirst, col("v")).otherwise(col("u")).as("t"),
+      when(lowFirst, col("dv")).otherwise(col("du")).as("dt"))
+    // wedges at apex s: out-neighbors b, c with rank(b) < rank(c)
+    val e1 = oriented.select(col("s").as("a"), col("t").as("b"),
+      col("dt").as("db"))
+    val e2 = oriented.select(col("s").as("a"), col("t").as("c"),
+      col("dt").as("dc"))
+    val wedges = e1.join(e2, Seq("a"))
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+    val closing = oriented.select(col("s").as("b"), col("t").as("c"))
+    val tri = wedges.join(closing, Seq("b", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          round(lit(2) * coalesce(col("triangles"), lit(0L))
+            .cast("double") / (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
   /** Gate: domain authority table — exact numerator (string), 6-dp
     * mass share, dense authority rank. Scratch-staged so repeated
     * invocations leave the persisted-RDD census flat. */
@@ -164,8 +245,16 @@ object WebGraph {
           .as("auth_rank"))
   }
 
+  /** Gate: per-domain triangle census + local clustering coefficient
+    * on the undirected domain graph. */
+  private def wgTriangles(s: SparkSession, d: String): DataFrame = {
+    val nodes = domainNodes(t(s, d, "documents"))
+    triangleStats(undirectedEdges(triangleEdges(nodes)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "wg_pagerank" -> wgPagerank _)
+    "wg_pagerank" -> wgPagerank _,
+    "wg_triangles" -> wgTriangles _)
 
   /** Unrolled K-iteration oracle (DuckDB recursive CTEs disallow the
     * per-round aggregate, so the rounds unroll mechanically; HUGEINT
@@ -216,6 +305,59 @@ object WebGraph {
     sb.toString
   }
 
+  /** Same graph derivation, then the same degree-oriented wedge+close
+    * plan in SQL — exact counts, one rounded division. */
+  private def trianglesOracle: String =
+    s"""WITH nodes AS (
+         SELECT DISTINCT CAST(doc_id % $DomainCount AS INT) AS node
+         FROM documents),
+       eo AS (
+         SELECT node AS src, unnest(CASE
+           WHEN node % 3 = 0 THEN ${TriOffsets(0).mkString("[", ",", "]")}
+           WHEN node % 3 = 1 THEN ${TriOffsets(1).mkString("[", ",", "]")}
+           ELSE ${TriOffsets(2).mkString("[", ",", "]")} END) AS off
+         FROM nodes),
+       edges0 AS (
+         SELECT e.src, CAST((e.src + e.off) % $DomainCount AS INT) AS dst
+         FROM eo e JOIN nodes n ON n.node = (e.src + e.off) % $DomainCount),
+       und AS (
+         SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         FROM edges0 WHERE src <> dst),
+       deg AS (
+         SELECT node, count(*) AS deg FROM (
+           SELECT u AS node FROM und
+           UNION ALL SELECT v AS node FROM und) GROUP BY 1),
+       wd AS (
+         SELECT und.u, und.v, du.deg AS du, dv.deg AS dv
+         FROM und JOIN deg du ON du.node = und.u
+           JOIN deg dv ON dv.node = und.v),
+       oriented AS (
+         SELECT
+           CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS s,
+           CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS t,
+           CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS dt
+         FROM wd),
+       wedges AS (
+         SELECT e1.s AS a, e1.t AS b, e2.t AS c
+         FROM oriented e1 JOIN oriented e2 ON e1.s = e2.s
+           AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))),
+       tri AS (
+         SELECT w.a, w.b, w.c FROM wedges w
+           JOIN oriented z ON z.s = w.b AND z.t = w.c),
+       pn AS (
+         SELECT node, count(*) AS triangles FROM (
+           SELECT a AS node FROM tri
+           UNION ALL SELECT b AS node FROM tri
+           UNION ALL SELECT c AS node FROM tri) GROUP BY 1)
+       SELECT CAST(d.node AS INT) AS node, d.deg,
+         coalesce(p.triangles, 0) AS triangles,
+         CASE WHEN d.deg >= 2 THEN
+           round(CAST(2 * coalesce(p.triangles, 0) AS DOUBLE)
+             / (d.deg * (d.deg - 1)), 6)
+         ELSE 0.0 END AS clustering
+       FROM deg d LEFT JOIN pn p ON p.node = d.node"""
+
   val oracle: Map[String, String] = Map(
-    "wg_pagerank" -> pagerankOracle)
+    "wg_pagerank" -> pagerankOracle,
+    "wg_triangles" -> trianglesOracle)
 }

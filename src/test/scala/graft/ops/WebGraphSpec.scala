@@ -73,4 +73,47 @@ class WebGraphSpec extends AnyFunSuite {
     // exact numerators are integers in string form
     assert(out.filter(!col("pr_num").rlike("^[0-9]+$")).count() == 0)
   }
+
+  test("triangles: K4 — every node deg 3, 3 triangles, clustering 1") {
+    val und = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+      .toDF("u", "v")
+    val out = WebGraph.triangleStats(und)
+      .select("node", "deg", "triangles", "clustering")
+      .as[(Int, Long, Long, Double)].collect().toSet
+    assert(out == Set((1, 3L, 3L, 1.0), (2, 3L, 3L, 1.0),
+      (3, 3L, 3L, 1.0), (4, 3L, 3L, 1.0)))
+  }
+
+  test("triangles: path graph has none; clustering 0 incl. deg-1 ends") {
+    val und = Seq((1, 2), (2, 3), (3, 4)).toDF("u", "v")
+    val out = WebGraph.triangleStats(und)
+    assert(out.filter(col("triangles") =!= 0L).count() == 0)
+    assert(out.filter(col("clustering") =!= 0.0).count() == 0)
+  }
+
+  test("triangles: each triangle counted once (Σ per-node = 3·T)") {
+    // two triangles sharing edge (1,2): {1,2,3}, {1,2,4} + a tail
+    val und = Seq((1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (4, 5))
+      .toDF("u", "v")
+    val out = WebGraph.triangleStats(und).cache()
+    val perNode = out.agg(sum("triangles")).as[Long].head()
+    assert(perNode == 3L * 2)
+    val m = out.select("node", "triangles").as[(Int, Long)]
+      .collect().toMap
+    assert(m == Map(1 -> 2L, 2 -> 2L, 3 -> 1L, 4 -> 1L, 5 -> 0L))
+  }
+
+  test("triangles: undirectedEdges dedups directions, drops loops") {
+    val e = Seq((1, 2), (2, 1), (3, 3), (2, 3)).toDF("src", "dst")
+    val und = WebGraph.undirectedEdges(e)
+    assert(und.as[(Int, Int)].collect().toSet == Set((1, 2), (2, 3)))
+  }
+
+  test("triangles gate runs on the sf0.001 domain graph") {
+    val out = graft.SparkEntry.queries("wg_triangles")(
+      spark, "/root/testdata/sf0.001")
+    assert(out.count() == 50)
+    // the designed graph is dense enough to close some triangles
+    assert(out.agg(sum("triangles")).as[Long].head() > 0)
+  }
 }
