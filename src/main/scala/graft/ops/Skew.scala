@@ -1,12 +1,15 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Tables.t
 
-/** Skew mitigation: salted joins (SURVEY §4 / the builder's scale
-  * checklist). AQE's skew-join handles sort-merge skew at runtime; the
-  * salted form remains necessary when the skewed side must HASH-join a
-  * medium table that cannot broadcast, or under static planning.
+/** Skew: diagnostics (`skewReport`) and mitigation (salted joins —
+  * SURVEY §4 / the builder's scale checklist). AQE's skew-join handles
+  * sort-merge skew at runtime; the salted form remains necessary when
+  * the skewed side must HASH-join a medium table that cannot
+  * broadcast, or under static planning.
   *
   * Salt is position-based (`monotonically_increasing_id`), which also
   * spreads fully IDENTICAL rows (a content-hash salt would map them to
@@ -55,4 +58,135 @@ object Skew {
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+
+  // -------------------------------------------------------------------
+  // Key-distribution skew DIAGNOSTICS — the report a 100 TB job runs
+  // BEFORE choosing a shuffle key (the decision input for `saltedJoin`
+  // above and for AQE skew thresholds). The reference's world hits the
+  // same wall at its sample/contig grain: per-sample row counts vary by
+  // orders of magnitude (reference `code/tax_abund_from_contigs.R`
+  // groups by sample; `postgres.Rmd` batches per sample dir), so "how
+  // skewed is this key" is a first-class question.
+  //
+  // ORACLE DISCIPLINE: every statistic is an exact integer ratio with
+  // ONE final 6-dp-rounded division — Gini included, via its rank
+  // formulation G = (2·Σ rank·c − (n+1)·N) / (n·N) computed on exact
+  // DECIMAL(38,0)/HUGEINT numerators, so the hash cannot move with
+  // partitioning or summation order.
+  //
+  // Scale shape: one map-side-combined count per key (the only
+  // data-sized shuffle), then count-of-COUNTS — the frequency table of
+  // frequencies, O(distinct count values) ≪ O(keys) rows — so the
+  // global rank window that Gini and top-k need runs over a table that
+  // stays tiny (bounded by √N in practice) no matter how many keys
+  // there are. No global sort of the key histogram, no collect.
+  // -------------------------------------------------------------------
+
+  /** One-row skew report for `df` grouped by `keys`: row/key counts,
+    * max and top-`topK` key shares, mean rows/key, and the exact Gini
+    * coefficient of the per-key count distribution (0 = uniform,
+    * →1 = one key holds everything). */
+  def skewReport(df: DataFrame, keys: Seq[String], topK: Int = 10)
+      : DataFrame = {
+    val counts = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    // count-of-counts: multiplicity m of each distinct per-key count
+    val cc = counts.groupBy("cnt").agg(count(lit(1)).as("m"))
+    val asc = Window.orderBy("cnt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val desc = Window.orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = "decimal(38,0)"
+    val enriched = cc
+      .withColumn("m_before", coalesce(sum("m").over(asc), lit(0L)))
+      .withColumn("m_before_desc",
+        coalesce(sum("m").over(desc), lit(0L)))
+      // keys with this count occupy ranks m_before+1 .. m_before+m
+      // (ascending by count; tie order among equal counts is
+      // irrelevant — their c is identical): 2·Σ ranks of the block =
+      // 2·m·m_before + m(m+1); the DOUBLED form keeps everything
+      // integral (no /2), and Gini's numerator wants 2·Σ rank·c anyway
+      .withColumn("rank_mass2",
+        col("cnt").cast(dec) * (lit(2).cast(dec) * col("m").cast(dec)
+          * col("m_before").cast(dec)
+          + col("m").cast(dec) * (col("m").cast(dec) + lit(1))))
+      // top-K counts: take min(m, K - taken_so_far) keys of this block
+      .withColumn("top_take",
+        greatest(lit(0L), least(col("m"),
+          lit(topK.toLong) - col("m_before_desc"))))
+    val agg = enriched.agg(
+      sum(col("cnt").cast(dec) * col("m").cast(dec)).as("n_rows"),
+      sum("m").as("n_keys"),
+      max("cnt").as("max_cnt"),
+      sum(col("rank_mass2")).as("rank_mass2"),
+      sum(col("cnt").cast(dec) * col("top_take").cast(dec))
+        .as("top_mass"))
+    agg.select(
+      col("n_rows").cast("long").as("n_rows"),
+      col("n_keys"),
+      col("max_cnt"),
+      round(col("max_cnt").cast("double")
+        / col("n_rows").cast("double"), 6).as("max_share"),
+      round(col("top_mass").cast("double")
+        / col("n_rows").cast("double"), 6).as("topk_share"),
+      round(col("n_rows").cast("double")
+        / col("n_keys").cast("double"), 6).as("mean_per_key"),
+      round((col("rank_mass2")
+          - (col("n_keys").cast(dec) + lit(1)) * col("n_rows"))
+          .cast("double")
+        / (col("n_keys").cast(dec) * col("n_rows")).cast("double"), 6)
+        .as("gini"))
+  }
+
+  // ---- gates ----
+
+  private def fSkewReport(s: SparkSession, d: String): DataFrame =
+    skewReport(t(s, d, "lineitem"), Seq("l_partkey"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_skew_report" -> fSkewReport _)
+
+  /** Same count-of-counts formulation; HUGEINT plays DECIMAL(38,0). */
+  val oracle: Map[String, String] = Map(
+    "f_skew_report" ->
+      """WITH counts AS (
+           SELECT l_partkey, count(*) AS cnt
+           FROM lineitem GROUP BY 1),
+         cc AS (SELECT cnt, count(*) AS m FROM counts GROUP BY 1),
+         e AS (
+           SELECT cnt, m,
+             coalesce(sum(m) OVER (ORDER BY cnt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS m_before,
+             coalesce(sum(m) OVER (ORDER BY cnt DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS m_before_desc
+           FROM cc),
+         x AS (
+           SELECT cnt, m, m_before,
+             CAST(cnt AS HUGEINT) * (2 * CAST(m AS HUGEINT) * m_before
+               + CAST(m AS HUGEINT) * (m + 1)) AS rank_mass2,
+             greatest(0, least(m, 10 - m_before_desc)) AS top_take
+           FROM e),
+         a AS (
+           SELECT CAST(sum(CAST(cnt AS HUGEINT) * m) AS HUGEINT)
+               AS n_rows,
+             CAST(sum(m) AS BIGINT) AS n_keys,
+             max(cnt) AS max_cnt,
+             CAST(sum(rank_mass2) AS HUGEINT) AS rank_mass2,
+             CAST(sum(CAST(cnt AS HUGEINT) * top_take) AS HUGEINT)
+               AS top_mass
+           FROM x)
+         SELECT CAST(n_rows AS BIGINT) AS n_rows, n_keys, max_cnt,
+           round(CAST(max_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+             AS max_share,
+           round(CAST(top_mass AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+             AS topk_share,
+           round(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE), 6)
+             AS mean_per_key,
+           round(CAST(rank_mass2 - (CAST(n_keys AS HUGEINT) + 1)
+               * n_rows AS DOUBLE)
+             / CAST(CAST(n_keys AS HUGEINT) * n_rows AS DOUBLE), 6)
+             AS gini
+         FROM a""")
 }

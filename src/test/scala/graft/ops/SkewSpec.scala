@@ -1,56 +1,55 @@
 package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions._
 import graft.TestSpark
 
+/** Hand-computed skew reports: Gini via the rank formulation on tiny
+  * count vectors, top-k partial-block take, uniform → 0 extreme. */
 class SkewSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  // skewed fact: one hot key with 1000 rows, two cold keys
-  private lazy val big = (Seq.fill(1000)(("hot", 1.0)) ++
-    Seq(("cold1", 2.0), ("cold2", 3.0))).toDF("k", "v")
-  private lazy val small = Seq(("hot", 10), ("cold1", 20), ("cold2", 30))
-    .toDF("k", "w")
-
-  test("salted join result equals plain join") {
-    val plain = big.join(small, Seq("k")).groupBy("k")
-      .agg(sum(col("v") * col("w")).as("s"))
-      .collect().map(_.toSeq).toSet
-    val salted = Skew.saltedJoin(big, small, "k", salt = 4)
-      .groupBy("k").agg(sum(col("v") * col("w")).as("s"))
-      .collect().map(_.toSeq).toSet
-    assert(salted == plain)
+  private def report(counts: Seq[(String, Int)], topK: Int = 10) = {
+    val df = counts.flatMap { case (k, n) => Seq.fill(n)(k) }
+      .toDF("k")
+    Skew.skewReport(df, Seq("k"), topK)
+      .select("n_rows", "n_keys", "max_cnt", "max_share", "topk_share",
+        "mean_per_key", "gini")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].head()
   }
 
-  test("salted join preserves row multiplicity") {
-    assert(Skew.saltedJoin(big, small, "k", salt = 4).count() ==
-      big.join(small, Seq("k")).count())
+  test("hand case: counts (1,1,2,4)") {
+    // sorted asc ranks 1..4: Σ rank·c = 1+2+6+16 = 25
+    // gini = (50 − 5·8)/(4·8) = 0.3125; ties (two 1s) share a block
+    val r = report(Seq(("a", 1), ("b", 1), ("c", 2), ("d", 4)))
+    assert(r == ((8L, 4L, 4L, 0.5, 1.0, 2.0, 0.3125)))
   }
 
-  test("two-phase salted sum equals plain grouped sum") {
-    val plain = big.groupBy("k").agg(sum("v").as("sum_v"))
-      .collect().map(_.toSeq).toSet
-    val salted = Skew.saltedSum(big, "k", "v", salt = 4)
-      .collect().map(_.toSeq).toSet
-    assert(salted == plain)
+  test("top-k takes a partial block deterministically") {
+    val r = report(Seq(("a", 1), ("b", 1), ("c", 2), ("d", 4)),
+      topK = 2)
+    // top-2 counts 4+2 = 6 of 8
+    assert(r._5 == 0.75)
   }
 
-  test("outer join types that would duplicate small-side rows are rejected") {
-    intercept[IllegalArgumentException] {
-      Skew.saltedJoin(big, small, "k", salt = 4, joinType = "right")
-    }
-    intercept[IllegalArgumentException] {
-      Skew.saltedJoin(big, small, "k", salt = 4, joinType = "full_outer")
-    }
+  test("uniform distribution has gini 0") {
+    val r = report(Seq(("a", 3), ("b", 3), ("c", 3)))
+    assert(r._7 == 0.0)
+    assert(r._4 == 0.333333) // 3/9 rounded
   }
 
-  test("salt actually spreads the hot key (even identical rows)") {
-    val saltDist = big.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(4L)).cast("int"))
-      .filter(col("k") === "hot")
-      .select("__salt").distinct().count()
-    assert(saltDist > 1, "hot key landed on a single salt value")
+  test("two keys 9:1") {
+    // Σ rank·c = 1 + 18 = 19 → gini = (38 − 3·10)/(2·10) = 0.4
+    val r = report(Seq(("hot", 9), ("cold", 1)))
+    assert(r == ((10L, 2L, 9L, 0.9, 1.0, 5.0, 0.4)))
+  }
+
+  test("composite keys group jointly") {
+    val df = Seq((1, "x"), (1, "x"), (1, "y"), (2, "x"))
+      .toDF("a", "b")
+    val r = Skew.skewReport(df, Seq("a", "b"))
+      .select("n_rows", "n_keys", "max_cnt")
+      .as[(Long, Long, Long)].head()
+    assert(r == ((4L, 3L, 2L)))
   }
 }
