@@ -135,6 +135,12 @@ object SourceQueries {
   private def s15dCatalogDump(s: SparkSession, d: String): DataFrame =
     Readers.fileCatalog(s, d)
 
+  /** K10: compaction plan over the data dir's own catalog — ≈256 KiB
+    * rewrite bins; oracle replays the same cumsum binning over the
+    * S15d stat dump (the s15c conditioned-oracle pattern). */
+  private def k10Compaction(s: SparkSession, d: String): DataFrame =
+    Writers.compactionPlan(Readers.fileCatalog(s, d), 256L * 1024)
+
   /** S8: JSON ingest (runinfo; layout PAIRED/SINGLE detection feeds the
     * reference's dynamic fan-out, `Snakefile:150-164`). */
   private def s8Json(s: SparkSession, d: String): DataFrame =
@@ -179,6 +185,7 @@ object SourceQueries {
     "s12_fastq_parse" -> s12Fastq _,
     "s1_m8_tophit" -> s1M8Tophit _,
     "s15_file_catalog" -> s15Catalog _,
+    "k10_compaction_plan" -> k10Compaction _,
     "s8_json_parse" -> s8Json _,
     "j9_file_exists_join" -> j9FileJoin _)
 
@@ -370,5 +377,22 @@ object SourceQueries {
        WHERE is_parquet""",
     "s15b_input_file_name" ->
       "SELECT 'lineitem' AS table_from_path, count(*) AS n_rows FROM lineitem",
+    "k10_compaction_plan" ->
+      """WITH f AS (
+         SELECT file_name, size_bytes
+         FROM '__OUTDIR__/s15d_catalog_dump/*.parquet'
+         WHERE is_parquet),
+       r AS (
+         SELECT file_name, size_bytes,
+           sum(size_bytes) OVER (ORDER BY size_bytes DESC, file_name
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running
+         FROM f)
+       SELECT CAST(floor((running - size_bytes) / 262144.0) AS BIGINT)
+           AS bin,
+         count(*) AS n_files,
+         CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+         min(file_name) AS first_file
+       FROM r GROUP BY 1""",
     "j9_file_exists_join" -> fileJoinOracle)
 }

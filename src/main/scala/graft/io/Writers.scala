@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sinks K1-K9 (SURVEY §2.2) — the reference's output surface.
@@ -110,4 +111,51 @@ object Writers {
       .mode(SaveMode.Overwrite)
       .partitionBy(keys: _*)
       .parquet(path)
+
+  /** Small-file compaction plan over a file catalog (`Readers.
+    * fileCatalog` shape: file_name, size_bytes, is_parquet): assign
+    * every parquet file to a rewrite bin of ≈`targetBytes` by
+    * cumulative size in (size desc, name) order — big files claim a
+    * bin (or several indices) alone, small files pack together; the
+    * compactor then rewrites each bin as one file. The K9-family
+    * maintenance op: a partitioned warehouse accretes one small file
+    * per incremental refresh until scans drown in per-file overhead.
+    *
+    * Scale shape: the global running sum uses the two-pass distributed
+    * prefix sum — range-partition + sort on (size desc, name), cumsum
+    * WITHIN each partition, then add per-partition offsets computed
+    * from the (num-partitions)-row totals table — so no single-
+    * partition window ever sees the full file list (a 100 TB lake
+    * lists millions of files). The assigned bin depends only on the
+    * total order, not on where the range boundaries fall. */
+  def compactionPlan(catalog: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be > 0: $targetBytes")
+    val files = catalog.filter(col("is_parquet"))
+      .select("file_name", "size_bytes")
+      .repartitionByRange(col("size_bytes").desc, col("file_name"))
+      .sortWithinPartitions(col("size_bytes").desc, col("file_name"))
+      .withColumn("pid", spark_partition_id())
+    val within = Window.partitionBy("pid")
+      .orderBy(col("size_bytes").desc, col("file_name"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = files.groupBy("pid")
+      .agg(sum("size_bytes").as("part_total"))
+      .withColumn("offset",
+        coalesce(sum("part_total").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    val running = files
+      .join(broadcast(offsets), "pid")
+      .withColumn("running",
+        col("offset") + sum("size_bytes").over(within))
+      // bin index from the size BEFORE this file: files sharing a bin
+      // started inside the same target window (exact below 2^53 bytes)
+      .withColumn("bin",
+        floor((col("running") - col("size_bytes"))
+          / lit(targetBytes.toDouble)).cast("long"))
+    running.groupBy("bin")
+      .agg(count(lit(1)).as("n_files"),
+        sum("size_bytes").as("total_bytes"),
+        min("file_name").as("first_file"))
+  }
 }

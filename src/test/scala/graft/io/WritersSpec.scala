@@ -87,4 +87,44 @@ class WritersSpec extends AnyFunSuite {
       .select("v").as[Int].collect().toSeq == Seq(10))
     assert(back.count() == 3) // s1 -> 1 row, s2 + s3 untouched
   }
+
+  private def cat(files: (String, Long)*) =
+    files.toSeq.toDF("file_name", "size_bytes")
+      .withColumn("is_parquet", lit(true))
+
+  test("K10 compaction plan: hand-computed bins at target 10") {
+    // desc by size: a=12,b=5,c=4,d=3,e=2; running 12,17,21,24,26
+    // bin = floor((running-size)/10): a→0, b,c→1, d,e→2
+    val plan = Writers.compactionPlan(
+      cat(("a", 12L), ("b", 5L), ("c", 4L), ("d", 3L), ("e", 2L)), 10L)
+    val m = plan.select("bin", "n_files", "total_bytes", "first_file")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m == Map(0L -> ((1L, 12L, "a")), 1L -> ((2L, 9L, "b")),
+      2L -> ((2L, 5L, "d"))))
+  }
+
+  test("K10: bin assignment invariant to input partitioning") {
+    val files = (1 to 200)
+      .map(i => (f"f$i%03d", (i * 37 % 90 + 1).toLong))
+    def run(parts: Int) = Writers.compactionPlan(
+        cat(files: _*).repartition(parts), 64L)
+      .select("bin", "n_files", "total_bytes", "first_file")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val one = run(1)
+    assert(run(7) == one)
+    assert(run(32) == one)
+    // conservation: every byte and file lands in exactly one bin
+    assert(one.toSeq.map(_._3).sum == files.map(_._2).sum)
+    assert(one.toSeq.map(_._2).sum == files.size.toLong)
+  }
+
+  test("K10: non-parquet files are excluded; empty catalog → empty plan") {
+    val mixed = cat(("x", 100L))
+      .union(Seq(("y.txt", 999L, false)).toDF(
+        "file_name", "size_bytes", "is_parquet"))
+    val plan = Writers.compactionPlan(mixed, 10L)
+    assert(plan.agg(sum("total_bytes")).as[Long].head() == 100L)
+    assert(Writers.compactionPlan(cat(), 10L).count() == 0)
+  }
 }
