@@ -324,8 +324,47 @@ object Relational {
   private def fTableProfile(s: SparkSession, d: String): DataFrame =
     profile(t(s, d, "documents"))
 
+  /** Exact equi-width histogram over an INTEGER-valued column (the
+    * stats-collection shape a cost-based optimizer and every data
+    * profile wants next to `profile`'s min/max): `nBuckets` buckets of
+    * equal width over [min, max], bucket boundaries derived from the
+    * data. Bucket index is pure integer arithmetic —
+    * ⌊(v−mn)·nb / span⌋ via subtract-pmod-divide, span = mx−mn+1 — so
+    * the assignment is bit-identical on any engine (no FP width).
+    * Scale shape: one min/max aggregate, broadcast as a 1-row scalar
+    * into a second scan, one map-side-combined groupBy on ≤nb keys.
+    * NULLs are excluded (they're `profile`'s n_null, not a bucket). */
+  def histogramExact(values: DataFrame, valueCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be > 0: $nBuckets")
+    val v = values.filter(col(valueCol).isNotNull)
+    val mm = v.agg(min(col(valueCol)).as("mn"),
+      max(col(valueCol)).as("mx"))
+    val num = (col(valueCol) - col("mn")) * lit(nBuckets.toLong)
+    v.crossJoin(broadcast(mm))
+      .withColumn("span", col("mx") - col("mn") + 1)
+      // max lands in bucket nb−1 without clamping: (mx−mn)·nb < nb·span
+      .withColumn("bucket",
+        ((num - pmod(num, col("span"))) / col("span")).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
+  /** Gate: 20-bucket histogram of l_extendedprice in exact cents.
+    * The explicit round() matters: the column is a DOUBLE, and a bare
+    * long cast truncates in Spark but rounds in DuckDB — x99.999…
+    * cents would land in different buckets per engine. */
+  private def fHistogram(s: SparkSession, d: String): DataFrame =
+    histogramExact(
+      t(s, d, "lineitem")
+        .select(round(col("l_extendedprice") * 100)
+          .cast("long").as("v")),
+      "v", 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f_table_profile" -> fTableProfile _,
+    "f_histogram" -> fHistogram _,
     "f_map_explode" -> mapExplode _,
     "f_gc_content_expr" -> gcContentExpr _,
     "f_date_parse_multi" -> dateParseMulti _,
@@ -363,6 +402,18 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "f_table_profile" -> profileOracle,
+    "f_histogram" ->
+      """WITH v AS (
+           SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         mm AS (
+           SELECT min(v) AS mn, max(v) AS mx,
+             max(v) - min(v) + 1 AS span
+           FROM v)
+         SELECT CAST(((v - mn) * 20 - ((v - mn) * 20) % span) / span
+             AS BIGINT) AS bucket,
+           count(*) AS n, min(v) AS lo, max(v) AS hi
+         FROM v, mm GROUP BY 1""",
     "f_map_explode" ->
       """WITH kv AS (
            SELECT event_type, unnest(json_keys(props)) AS key, props

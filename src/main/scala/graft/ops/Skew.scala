@@ -138,13 +138,49 @@ object Skew {
         .as("gini"))
   }
 
+  /** Pre-flight join-cardinality report: EXACT output size and key
+    * overlap of `left ⨝ right` on an equi-key, computed from the two
+    * per-key count tables (each far smaller than its input) joined
+    * once — never running the join itself. Σ c_l·c_r is the inner-join
+    * row count; `max_pair_rows` is the single worst key's contribution
+    * — the number that says "this join explodes" before 100 TB gets
+    * shuffled. Products on DECIMAL(38,0) so a hot-key blowup cannot
+    * silently wrap; the one-row report casts back to long. */
+  def joinCardinality(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cl = left.groupBy(col(leftKey).as("k"))
+      .agg(count(lit(1)).as("cl"))
+    val cr = right.groupBy(col(rightKey).as("k"))
+      .agg(count(lit(1)).as("cr"))
+    cl.join(cr, Seq("k"), "full_outer")
+      .agg(
+        sum("cl").cast("long").as("n_left_rows"),
+        sum("cr").cast("long").as("n_right_rows"),
+        count(col("cl")).as("n_keys_left"),
+        count(col("cr")).as("n_keys_right"),
+        count(when(col("cl").isNotNull && col("cr").isNotNull, 1))
+          .as("n_keys_both"),
+        count(when(col("cr").isNull, 1)).as("left_only_keys"),
+        count(when(col("cl").isNull, 1)).as("right_only_keys"),
+        coalesce(sum(col("cl").cast(dec) * col("cr").cast(dec)), lit(0))
+          .cast("long").as("inner_rows"),
+        coalesce(max(col("cl").cast(dec) * col("cr").cast(dec)), lit(0))
+          .cast("long").as("max_pair_rows"))
+  }
+
   // ---- gates ----
 
   private def fSkewReport(s: SparkSession, d: String): DataFrame =
     skewReport(t(s, d, "lineitem"), Seq("l_partkey"))
 
+  private def fJoinCardinality(s: SparkSession, d: String): DataFrame =
+    joinCardinality(t(s, d, "lineitem"), "l_orderkey",
+      t(s, d, "orders"), "o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "f_skew_report" -> fSkewReport _)
+    "f_skew_report" -> fSkewReport _,
+    "f_join_cardinality" -> fJoinCardinality _)
 
   /** Same count-of-counts formulation; HUGEINT plays DECIMAL(38,0). */
   val oracle: Map[String, String] = Map(
@@ -188,5 +224,28 @@ object Skew {
                * n_rows AS DOUBLE)
              / CAST(CAST(n_keys AS HUGEINT) * n_rows AS DOUBLE), 6)
              AS gini
-         FROM a""")
+         FROM a""",
+    "f_join_cardinality" ->
+      """WITH cl AS (
+           SELECT l_orderkey AS k, count(*) AS c FROM lineitem
+           GROUP BY 1),
+         cr AS (
+           SELECT o_orderkey AS k, count(*) AS c FROM orders
+           GROUP BY 1),
+         j AS (
+           SELECT cl.c AS cl, cr.c AS cr
+           FROM cl FULL OUTER JOIN cr ON cl.k = cr.k)
+         SELECT CAST(sum(cl) AS BIGINT) AS n_left_rows,
+           CAST(sum(cr) AS BIGINT) AS n_right_rows,
+           count(cl) AS n_keys_left,
+           count(cr) AS n_keys_right,
+           count(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+             THEN 1 END) AS n_keys_both,
+           count(CASE WHEN cr IS NULL THEN 1 END) AS left_only_keys,
+           count(CASE WHEN cl IS NULL THEN 1 END) AS right_only_keys,
+           CAST(coalesce(sum(CAST(cl AS HUGEINT) * cr), 0) AS BIGINT)
+             AS inner_rows,
+           CAST(coalesce(max(CAST(cl AS HUGEINT) * cr), 0) AS BIGINT)
+             AS max_pair_rows
+         FROM j""")
 }

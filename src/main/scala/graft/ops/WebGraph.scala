@@ -245,6 +245,38 @@ object WebGraph {
           .as("auth_rank"))
   }
 
+  /** Per-node degree census + reciprocity of a directed edge list:
+    * out/in degree, reciprocated out-edges (the reverse edge exists),
+    * and the reciprocity share — the first-look structure report for
+    * a link graph (a crawl frontier's hub/authority shape before
+    * anything iterative runs). Exact longs from three map-side-
+    * combined aggregates + one self-equi-join on (dst, src); the one
+    * 6-dp division is the share. Nodes with no edges stay present via
+    * the left joins. */
+  def degreeCensus(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst")
+    val outD = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val inD = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    val recip = e.join(
+        e.select(col("src").as("dst"), col("dst").as("src")),
+        Seq("src", "dst"))
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("recip_out"))
+    nodes.join(outD, Seq("node"), "left")
+      .join(inD, Seq("node"), "left")
+      .join(recip, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("recip_out"), lit(0L)).as("recip_out"))
+      .withColumn("recip_share",
+        when(col("out_deg") > 0,
+          round(col("recip_out").cast("double") / col("out_deg"), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** Gate: per-domain triangle census + local clustering coefficient
     * on the undirected domain graph. */
   private def wgTriangles(s: SparkSession, d: String): DataFrame = {
@@ -252,9 +284,16 @@ object WebGraph {
     triangleStats(undirectedEdges(triangleEdges(nodes)))
   }
 
+  /** Gate: degree/reciprocity census of the pagerank domain graph. */
+  private def wgDegreeCensus(s: SparkSession, d: String): DataFrame = {
+    val nodes = domainNodes(t(s, d, "documents"))
+    degreeCensus(nodes, domainEdges(nodes).select("src", "dst"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wg_pagerank" -> wgPagerank _,
-    "wg_triangles" -> wgTriangles _)
+    "wg_triangles" -> wgTriangles _,
+    "wg_degree_census" -> wgDegreeCensus _)
 
   /** Unrolled K-iteration oracle (DuckDB recursive CTEs disallow the
     * per-round aggregate, so the rounds unroll mechanically; HUGEINT
@@ -357,7 +396,43 @@ object WebGraph {
          ELSE 0.0 END AS clustering
        FROM deg d LEFT JOIN pn p ON p.node = d.node"""
 
+  /** Same nodes/edges derivation, aggregates replayed in SQL. */
+  private def degreeCensusOracle: String =
+    s"""WITH nodes AS (
+         SELECT DISTINCT CAST(doc_id % $DomainCount AS INT) AS node
+         FROM documents),
+       eo AS (
+         SELECT node AS src, unnest(CASE
+           WHEN node % 3 = 0 THEN ${Degrees(0).mkString("[", ",", "]")}
+           WHEN node % 3 = 1 THEN ${Degrees(1).mkString("[", ",", "]")}
+           ELSE ${Degrees(2).mkString("[", ",", "]")} END) AS off
+         FROM nodes),
+       edges0 AS (
+         SELECT e.src, CAST((e.src + e.off) % $DomainCount AS INT) AS dst
+         FROM eo e JOIN nodes n ON n.node = (e.src + e.off) % $DomainCount),
+       outd AS (SELECT src AS node, count(*) AS out_deg
+         FROM edges0 GROUP BY 1),
+       ind AS (SELECT dst AS node, count(*) AS in_deg
+         FROM edges0 GROUP BY 1),
+       recip AS (
+         SELECT a.src AS node, count(*) AS recip_out
+         FROM edges0 a JOIN edges0 b
+           ON b.src = a.dst AND b.dst = a.src
+         GROUP BY 1)
+       SELECT n.node,
+         coalesce(o.out_deg, 0) AS out_deg,
+         coalesce(i.in_deg, 0) AS in_deg,
+         coalesce(r.recip_out, 0) AS recip_out,
+         CASE WHEN coalesce(o.out_deg, 0) > 0 THEN
+           round(CAST(coalesce(r.recip_out, 0) AS DOUBLE) / o.out_deg, 6)
+         ELSE 0.0 END AS recip_share
+       FROM nodes n
+         LEFT JOIN outd o ON o.node = n.node
+         LEFT JOIN ind i ON i.node = n.node
+         LEFT JOIN recip r ON r.node = n.node"""
+
   val oracle: Map[String, String] = Map(
     "wg_pagerank" -> pagerankOracle,
-    "wg_triangles" -> trianglesOracle)
+    "wg_triangles" -> trianglesOracle,
+    "wg_degree_census" -> degreeCensusOracle)
 }

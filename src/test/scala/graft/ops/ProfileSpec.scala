@@ -39,4 +39,32 @@ class ProfileSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), plan.take(2000))
   }
+
+  private def hist(vals: Seq[java.lang.Long], nb: Int) =
+    Relational.histogramExact(vals.toDF("v"), "v", nb)
+      .select("bucket", "n", "lo", "hi")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("histogram: uniform 0..9 into 5 equal buckets") {
+    val m = hist((0L to 9L).map(Long.box), 5)
+    assert(m == Map(0L -> ((2L, 0L, 1L)), 1L -> ((2L, 2L, 3L)),
+      2L -> ((2L, 4L, 5L)), 3L -> ((2L, 6L, 7L)),
+      4L -> ((2L, 8L, 9L))))
+  }
+
+  test("histogram: max lands in the last bucket, no clamp artifacts") {
+    val m = hist(Seq(0L, 99L).map(Long.box), 10)
+    assert(m == Map(0L -> ((1L, 0L, 0L)), 9L -> ((1L, 99L, 99L))))
+  }
+
+  test("histogram: single-value domain collapses to bucket 0") {
+    val m = hist(Seq(7L, 7L, 7L).map(Long.box), 20)
+    assert(m == Map(0L -> ((3L, 7L, 7L))))
+  }
+
+  test("histogram: nulls excluded from every bucket") {
+    val m = hist(Seq(Long.box(1L), null, Long.box(2L)), 2)
+    assert(m.values.map(_._1).sum == 2L)
+  }
 }

@@ -52,4 +52,28 @@ class SkewSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].head()
     assert(r == ((4L, 3L, 2L)))
   }
+
+  test("join cardinality: exact inner size, overlap, worst key") {
+    // left: k1×3, k2×2, k3×1; right: k1×4, k2×1, k4×5
+    val left = (Seq.fill(3)("k1") ++ Seq.fill(2)("k2") ++ Seq("k3"))
+      .toDF("lk")
+    val right = (Seq.fill(4)("k1") ++ Seq("k2") ++ Seq.fill(5)("k4"))
+      .toDF("rk")
+    val r = Skew.joinCardinality(left, "lk", right, "rk")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .head()
+    // inner = 3·4 + 2·1 = 14; worst key k1 = 12
+    assert(r == ((6L, 10L, 3L, 3L, 2L, 1L, 1L, 14L, 12L)))
+    // the report's inner_rows equals the actual join's count
+    assert(left.join(right, $"lk" === $"rk").count() == 14L)
+  }
+
+  test("join cardinality: disjoint keys → zero inner rows") {
+    val r = Skew.joinCardinality(
+        Seq("a", "a").toDF("lk"), "lk", Seq("b").toDF("rk"), "rk")
+      .select("n_keys_both", "inner_rows", "max_pair_rows",
+        "left_only_keys", "right_only_keys")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r == ((0L, 0L, 0L, 1L, 1L)))
+  }
 }

@@ -109,6 +109,18 @@ class WebGraphSpec extends AnyFunSuite {
     assert(und.as[(Int, Int)].collect().toSet == Set((1, 2), (2, 3)))
   }
 
+  test("degree census: out/in/reciprocity hand case") {
+    val nodes = Seq(1, 2, 3).toDF("node")
+    val e = Seq((1, 2), (2, 1), (1, 3)).toDF("src", "dst")
+    val out = WebGraph.degreeCensus(nodes, e)
+      .select("node", "out_deg", "in_deg", "recip_out", "recip_share")
+      .as[(Int, Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1, 2L, 1L, 1L, 0.5),  // 1→2 reciprocated, 1→3 not
+      (2, 1L, 1L, 1L, 1.0),
+      (3, 0L, 1L, 0L, 0.0))) // edgeless-out node still present
+  }
+
   test("triangles gate runs on the sf0.001 domain graph") {
     val out = graft.SparkEntry.queries("wg_triangles")(
       spark, "/root/testdata/sf0.001")
