@@ -302,9 +302,39 @@ object Checks {
     s.createDataFrame(pairingFileRows.asJava, pairingFilesSchema)
   }
 
+  /** Order- and partitioning-independent table CHECKSUM for
+    * migration / CDC / replication validation: each row canonicalizes
+    * to NUL-coalesced strings joined by \\u0001, hashes through md5,
+    * and the top 60 bits SUM exactly in DECIMAL(38,0). Addition is
+    * commutative, so any row order or partitioning yields the same
+    * digest — two 100 TB tables compare by shipping (n_rows, checksum)
+    * once each, no sort, no co-located join, nothing collected (one
+    * scan + a 1-row aggregate per side). Pair with `Cdc.snapshotDiff`:
+    * the checksum says WHETHER replicas diverged, the diff says WHERE.
+    * Callers pick columns with engine-stable string forms (ints /
+    * strings; float formatting is engine-specific — the same rule the
+    * oracle discipline already imposes). NULL's sentinel is NUL (U+0000), so
+    * a literal NUL string collides with NULL by design (documented
+    * over carrying a second flag column through the hash). */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableChecksum needs at least one column")
+    val canon = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val rowHash = conv(substring(md5(canon), 1, 15), 16, 10)
+      .cast(DecimalType(38, 0))
+    df.agg(count(lit(1)).as("n_rows"),
+      coalesce(sum(rowHash), lit(0).cast(DecimalType(38, 0)))
+        .cast("string").as("checksum"))
+  }
+
+  private def fTableChecksum(s: SparkSession, d: String): DataFrame =
+    tableChecksum(graft.Tables.t(s, d, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_pairing_codes" -> ((s, _) =>
-      pairingCodes(fixtureSummaries(s), fixtureFiles(s))))
+      pairingCodes(fixtureSummaries(s), fixtureFiles(s))),
+    "f_table_checksum" -> fTableChecksum _)
 
   // ---- DuckDB oracle: same fixture rows as VALUES CTEs (generated
   // from the Scala constants above), logic re-derived in SQL with
@@ -473,5 +503,19 @@ object Checks {
   }
 
   val oracle: Map[String, String] = Map(
-    "g_pairing_codes" -> pairingOracle)
+    "g_pairing_codes" -> pairingOracle,
+    // hex→int via DuckDB's 0x-prefixed cast ≡ Spark's conv(_,16,10)
+    "f_table_checksum" ->
+      """WITH h AS (
+           SELECT CAST(concat('0x', substr(md5(concat_ws(chr(1),
+             coalesce(CAST(o_orderkey AS VARCHAR), chr(0)),
+             coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+             coalesce(o_orderstatus, chr(0)),
+             coalesce(o_orderpriority, chr(0)))), 1, 15)) AS BIGINT)
+             AS rh
+           FROM orders)
+         SELECT count(*) AS n_rows,
+           CAST(coalesce(sum(CAST(rh AS HUGEINT)), 0) AS VARCHAR)
+             AS checksum
+         FROM h""")
 }

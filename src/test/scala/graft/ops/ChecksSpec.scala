@@ -108,4 +108,31 @@ class ChecksSpec extends AnyFunSuite {
       .select("code").as[String].collect().sorted.toSeq
     assert(codes == Seq("E1", "E9"))
   }
+
+  test("table checksum: invariant to row order and partitioning") {
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, null))
+    def sum(df: org.apache.spark.sql.DataFrame) =
+      Checks.tableChecksum(df, Seq("k", "v"))
+        .as[(Long, String)].head()
+    val base = sum(rows.toDF("k", "v"))
+    assert(base._1 == 3L)
+    assert(sum(rows.reverse.toDF("k", "v").repartition(7)) == base)
+    assert(sum(rows.toDF("k", "v").repartition(1)) == base)
+  }
+
+  test("table checksum: detects a single changed/extra row") {
+    val a = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val b = Seq((1L, "a"), (2L, "B")).toDF("k", "v")
+    def cs(df: org.apache.spark.sql.DataFrame) =
+      Checks.tableChecksum(df, Seq("k", "v"))
+        .as[(Long, String)].head()
+    assert(cs(a) != cs(b))
+    assert(cs(a) != cs(a.union(a.limit(1))))
+  }
+
+  test("table checksum: empty table is (0, \"0\")") {
+    val e = Seq.empty[(Long, String)].toDF("k", "v")
+    assert(Checks.tableChecksum(e, Seq("k", "v"))
+      .as[(Long, String)].head() == ((0L, "0")))
+  }
 }
