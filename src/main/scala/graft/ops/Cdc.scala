@@ -201,6 +201,50 @@ object Cdc {
       Seq("o_orderkey"), 1L)
   }
 
+  // ---- streaming upsert (the foreachBatch MERGE side of CDC) ----
+
+  /** Deterministic keyed change feed for the streaming-upsert gate:
+    * orders become (key, payload, op, seq, batch) upsert/delete events
+    * — ~10% deletes, many events per key (o_custkey), three batches.
+    * `seq` (the unique orderkey) is the within-batch tiebreak. */
+  def changeFeed(orders: DataFrame): DataFrame = orders.select(
+    col("o_custkey").as("key"),
+    col("o_totalprice").as("payload"),
+    when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U"))
+      .as("op"),
+    col("o_orderkey").as("seq"),
+    (col("o_orderkey") % 3).cast("int").as("batch"))
+
+  /** One micro-batch of streaming MERGE into a parquet state table:
+    * collapse the batch to its last event per key (max seq), drop
+    * every touched key from the current state, re-insert the keys
+    * whose last op is an upsert, and publish via staged overwrite (a
+    * reader never sees a half-written state). Per batch: one window
+    * over the BATCH (delta-sized), one anti-join of state × delta
+    * keys, one union — the same delta-sized cost discipline as
+    * `applyDiff`; a real warehouse partitions the state and uses
+    * `Writers.refreshPartitions` so only touched partitions rewrite. */
+  def upsertBatch(spark: SparkSession, batch: DataFrame,
+      statePath: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val latest = batch.withColumn("__rn",
+        row_number().over(Window.partitionBy("key")
+          .orderBy(col("seq").desc)))
+      .filter(col("__rn") === 1)
+      .select("key", "payload", "op", "seq")
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasState = fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val cur =
+      if (hasState) spark.read.parquet(statePath)
+      else latest.select("key", "payload", "seq").limit(0)
+    val merged = cur.join(latest.select("key"), Seq("key"), "left_anti")
+      .union(latest.filter(col("op") === "U")
+        .select("key", "payload", "seq"))
+    graft.io.Writers.overwriteStaged(merged, statePath)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_snapshot_diff" -> cdcSnapshotDiff _,
     "cdc_apply" -> cdcApply _,

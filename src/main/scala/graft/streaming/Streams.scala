@@ -606,7 +606,54 @@ object Streams {
           .as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** st_cdc_apply: a REAL multi-batch streaming MERGE — the orders
+    * change feed is staged as one file per batch (mtimes force the
+    * file source's batch order), replayed under Trigger.AvailableNow
+    * with maxFilesPerTrigger=1, and `Cdc.upsertBatch` foreachBatch-
+    * merges each delta into a parquet state table via staged
+    * overwrite. The final state equals "last event per key wins,
+    * deletes absent" — which the oracle states as ONE window over the
+    * whole feed ordered (batch desc, seq desc): sequential per-batch
+    * merging and the global top-1 are provably the same function. */
+  private def stCdcApply(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val run = scratch("cdc")
+    val in = Files.createDirectories(run.resolve("in"))
+    val feed = graft.ops.Cdc.changeFeed(t(s, d, "orders"))
+    for (b <- 0 to 2) {
+      val tmp = run.resolve(s"tmp$b")
+      feed.filter(col("batch") === b).coalesce(1)
+        .write.parquet(tmp.toString)
+      val part = Files.list(tmp).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"st_cdc_apply: no part file for batch $b"))
+      val dst = in.resolve(s"b$b.parquet")
+      Files.copy(part, dst)
+      // fixed, strictly increasing mtimes: the file source processes
+      // oldest-first, so batch order is deterministic on any box
+      Files.setLastModifiedTime(dst,
+        FileTime.fromMillis(1000000000000L + b * 60000L))
+    }
+    val sch = s.read.parquet(in.resolve("b0.parquet").toString).schema
+    val src = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val state = run.resolve("state").toString
+    val ckpt = run.resolve("ckpt").toString
+    runStream("st_cdc_apply") {
+      src.writeStream
+        .foreachBatch((df: DataFrame, _: Long) =>
+          graft.ops.Cdc.upsertBatch(s, df, state))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    s.read.parquet(state)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_cdc_apply" -> stCdcApply _,
     "st_heavy_hitters" -> stHeavyHitters _,
     "st_zscore" -> stZscore _,
     "st_window_agg" -> stWindowAgg _,
@@ -648,6 +695,21 @@ object Streams {
   }
 
   val oracle: Map[String, String] = Map(
+    // sequential per-batch MERGE ≡ global last-event-per-key: the
+    // surviving row for a key is its top event by (batch desc, seq
+    // desc), present iff that event is an upsert
+    "st_cdc_apply" ->
+      """WITH ev AS (
+           SELECT o_custkey AS key, o_totalprice AS payload,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_orderkey AS seq,
+             CAST(o_orderkey % 3 AS INT) AS batch
+           FROM orders),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY key
+             ORDER BY batch DESC, seq DESC) AS rn
+           FROM ev)
+         SELECT key, payload, seq FROM r WHERE rn = 1 AND op = 'U'""",
     // exact-mode MG (m ≫ vocab → no evictions): the stream's final
     // single delivery ⇒ stream == batch bit-for-bit, so the batch
     // operator's oracle verifies the streaming gate unchanged

@@ -533,4 +533,34 @@ class StreamsSpec extends AnyFunSuite {
       s"first-seen keeper stolen or count wrong: $ledger")
     assert(ledger.size == 2, s"expected 2 fingerprints: $ledger")
   }
+
+  test("cdc upsert: cross-batch merge semantics, batch by batch") {
+    import spark.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_upsert").resolve("t").toString
+    def batch(rows: (Long, Double, String, Long)*) =
+      rows.toDF("key", "payload", "op", "seq")
+    def read() = spark.read.parquet(state)
+      .as[(Long, Double, Long)].collect().toSet
+
+    // batch 0: k1 upserted twice (seq 5 wins), k2 upserted, k3 deleted
+    // (no-op on empty state)
+    graft.ops.Cdc.upsertBatch(spark,
+      batch((1L, 1.0, "U", 2L), (1L, 1.5, "U", 5L), (2L, 2.0, "U", 3L),
+        (3L, 3.0, "D", 4L)), state)
+    assert(read() == Set((1L, 1.5, 5L), (2L, 2.0, 3L)))
+
+    // batch 1: k1 deleted, k3 (re)upserted WITH A LOWER SEQ than its
+    // batch-0 delete — later batch wins, seq does not resurrect order
+    graft.ops.Cdc.upsertBatch(spark,
+      batch((1L, 9.9, "D", 10L), (3L, 3.3, "U", 1L)), state)
+    assert(read() == Set((2L, 2.0, 3L), (3L, 3.3, 1L)))
+
+    // batch 2: within-batch delete-then-upsert collapses to the last
+    // event (upsert, seq 20); untouched k2/k3 survive
+    graft.ops.Cdc.upsertBatch(spark,
+      batch((4L, 4.0, "D", 15L), (4L, 4.4, "U", 20L)), state)
+    assert(read() ==
+      Set((2L, 2.0, 3L), (3L, 3.3, 1L), (4L, 4.4, 20L)))
+  }
 }
