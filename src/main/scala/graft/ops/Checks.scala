@@ -331,10 +331,36 @@ object Checks {
     tableChecksum(graft.Tables.t(s, d, "orders"),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
 
+  /** Merkle-style refinement of `tableChecksum`: the same row digests
+    * summed PER KEY BUCKET (pmod(key, nBuckets) — engine-portable, no
+    * engine hash function), so two diverged replicas localize the
+    * damage by comparing nBuckets rows instead of re-scanning: only
+    * buckets whose (n_rows, checksum) differ feed `Cdc.snapshotDiff`.
+    * The anti-entropy repair ladder: table checksum (whether) →
+    * bucket checksums (which slice) → snapshot diff (which rows). */
+  def bucketChecksums(df: DataFrame, cols: Seq[String],
+      keyCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be > 0: $nBuckets")
+    val canon = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val rowHash = conv(substring(md5(canon), 1, 15), 16, 10)
+      .cast(DecimalType(38, 0))
+    df.groupBy(pmod(col(keyCol), lit(nBuckets)).cast("int")
+        .as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(rowHash).cast("string").as("checksum"))
+  }
+
+  private def fBucketChecksum(s: SparkSession, d: String): DataFrame =
+    bucketChecksums(graft.Tables.t(s, d, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+      "o_orderkey", 64)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_pairing_codes" -> ((s, _) =>
       pairingCodes(fixtureSummaries(s), fixtureFiles(s))),
-    "f_table_checksum" -> fTableChecksum _)
+    "f_table_checksum" -> fTableChecksum _,
+    "f_bucket_checksum" -> fBucketChecksum _)
 
   // ---- DuckDB oracle: same fixture rows as VALUES CTEs (generated
   // from the Scala constants above), logic re-derived in SQL with
@@ -517,5 +543,18 @@ object Checks {
          SELECT count(*) AS n_rows,
            CAST(coalesce(sum(CAST(rh AS HUGEINT)), 0) AS VARCHAR)
              AS checksum
-         FROM h""")
+         FROM h""",
+    "f_bucket_checksum" ->
+      """WITH h AS (
+           SELECT CAST(o_orderkey % 64 AS INT) AS bucket,
+             CAST(concat('0x', substr(md5(concat_ws(chr(1),
+               coalesce(CAST(o_orderkey AS VARCHAR), chr(0)),
+               coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+               coalesce(o_orderstatus, chr(0)),
+               coalesce(o_orderpriority, chr(0)))), 1, 15)) AS BIGINT)
+               AS rh
+           FROM orders)
+         SELECT bucket, count(*) AS n_rows,
+           CAST(sum(CAST(rh AS HUGEINT)) AS VARCHAR) AS checksum
+         FROM h GROUP BY 1""")
 }

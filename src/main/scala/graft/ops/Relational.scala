@@ -351,6 +351,50 @@ object Relational {
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
   }
 
+  /** EXACT type-1 (inverse-ECDF) percentiles over an integer-valued
+    * column at scale: the A4 `percentile()` aggregate buffers every
+    * group value in memory — correct but not a 100 TB shape. This form
+    * aggregates the VALUE HISTOGRAM (one map-side-combined shuffle on
+    * the value, O(distinct values) rows), cumsums it with one window
+    * over that small table, and selects rank ⌈p·N⌉ per requested
+    * percentile in pure integer arithmetic (p carried as num/den, rank
+    * = (num·N + den − 1) div den — no FP multiply, so both engines
+    * agree bit-for-bit). Same count-of-values discipline as
+    * `Skew.skewReport`. */
+  def exactPercentiles(values: DataFrame, valueCol: String,
+      ps: Seq[(String, Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = values.sparkSession
+    import spark.implicits._
+    val hist = values.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum("c").over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = hist.agg(sum("c").as("n"))
+    val pcts = ps.toDF("p", "num", "den")
+    val ranked = cum.crossJoin(broadcast(total))
+      .crossJoin(broadcast(pcts))
+      .withColumn("__a", col("num") * col("n") + col("den") - 1)
+      .withColumn("rank",
+        ((col("__a") - pmod(col("__a"), col("den"))) / col("den"))
+          .cast("long"))
+    ranked.filter(col("cum") >= col("rank"))
+      .groupBy("p", "rank")
+      .agg(min("v").as("value"))
+  }
+
+  /** Gate: exact p25/p50/p75/p95/p99 of l_extendedprice in cents. */
+  private def a17ExactPercentiles(s: SparkSession, d: String): DataFrame =
+    exactPercentiles(
+      t(s, d, "lineitem")
+        .select(round(col("l_extendedprice") * 100)
+          .cast("long").as("v")),
+      "v",
+      Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
+        ("p95", 19, 20), ("p99", 99, 100)))
+
   /** Gate: 20-bucket histogram of l_extendedprice in exact cents.
     * The explicit round() matters: the column is a DOUBLE, and a bare
     * long cast truncates in Spark but rounds in DuckDB — x99.999…
@@ -365,6 +409,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f_table_profile" -> fTableProfile _,
     "f_histogram" -> fHistogram _,
+    "a17_exact_percentiles" -> a17ExactPercentiles _,
     "f_map_explode" -> mapExplode _,
     "f_gc_content_expr" -> gcContentExpr _,
     "f_date_parse_multi" -> dateParseMulti _,
@@ -402,6 +447,27 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "f_table_profile" -> profileOracle,
+    "a17_exact_percentiles" ->
+      """WITH v AS (
+           SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         hist AS (SELECT v, count(*) AS c FROM v GROUP BY 1),
+         cum AS (
+           SELECT v, sum(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM hist),
+         total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+         pcts(p, num, den) AS (VALUES ('p25', 1, 4), ('p50', 1, 2),
+           ('p75', 3, 4), ('p95', 19, 20), ('p99', 99, 100)),
+         ranked AS (
+           SELECT c.v, c.cum, p.p,
+             CAST((p.num * t.n + p.den - 1)
+               - (p.num * t.n + p.den - 1) % p.den AS BIGINT) / p.den
+               AS rank
+           FROM cum c, total t, pcts p)
+         SELECT p, CAST(rank AS BIGINT) AS rank,
+           min(v) AS value
+         FROM ranked WHERE cum >= rank GROUP BY 1, 2""",
     "f_histogram" ->
       """WITH v AS (
            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v

@@ -135,4 +135,24 @@ class ChecksSpec extends AnyFunSuite {
     assert(Checks.tableChecksum(e, Seq("k", "v"))
       .as[(Long, String)].head() == ((0L, "0")))
   }
+
+  test("bucket checksums: refine the table checksum and localize a diff") {
+    val rows = (1L to 40L).map(k => (k, s"v$k"))
+    val a = rows.toDF("k", "v")
+    val buckets = Checks.bucketChecksums(a, Seq("k", "v"), "k", 8)
+      .as[(Int, Long, String)].collect()
+    assert(buckets.length == 8 && buckets.map(_._2).sum == 40L)
+    // Σ bucket digests == whole-table digest (same commutative sum)
+    val whole = BigInt(Checks.tableChecksum(a, Seq("k", "v"))
+      .as[(Long, String)].head()._2)
+    assert(buckets.map(b => BigInt(b._3)).sum == whole)
+    // mutate ONE row → exactly one bucket's checksum moves
+    val b = rows.map { case (k, v) =>
+      (k, if (k == 13L) "CHANGED" else v) }.toDF("k", "v")
+    val after = Checks.bucketChecksums(b, Seq("k", "v"), "k", 8)
+      .as[(Int, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    val before = buckets.map(r => r._1 -> r._3).toMap
+    val moved = before.keySet.filter(k => before(k) != after(k))
+    assert(moved == Set((13 % 8).toInt))
+  }
 }

@@ -67,4 +67,30 @@ class ProfileSpec extends AnyFunSuite {
     val m = hist(Seq(Long.box(1L), null, Long.box(2L)), 2)
     assert(m.values.map(_._1).sum == 2L)
   }
+
+  private def pcts(vals: Seq[Long], ps: (String, Int, Int)*) =
+    Relational.exactPercentiles(vals.toDF("v"), "v", ps.toSeq)
+      .select("p", "rank", "value")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("exact percentiles: type-1 ranks on 1..10") {
+    val m = pcts(1L to 10L,
+      ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p95", 19, 20))
+    // rank = ceil(p·10): 3, 5, 8, 10 → value = rank on 1..10
+    assert(m == Map("p25" -> ((3L, 3L)), "p50" -> ((5L, 5L)),
+      "p75" -> ((8L, 8L)), "p95" -> ((10L, 10L))))
+  }
+
+  test("exact percentiles: duplicates collapse to histogram entries") {
+    val m = pcts(Seq(1L, 1L, 1L, 9L), ("p50", 1, 2), ("p95", 19, 20))
+    // N=4: p50 rank 2 → 1 (inside the triple), p95 rank 4 → 9
+    assert(m == Map("p50" -> ((2L, 1L)), "p95" -> ((4L, 9L))))
+  }
+
+  test("exact percentiles: p100 is the max, single value is itself") {
+    assert(pcts(Seq(5L, 7L, 7L), ("p100", 1, 1)) ==
+      Map("p100" -> ((3L, 7L))))
+    assert(pcts(Seq(42L), ("p50", 1, 2)) == Map("p50" -> ((1L, 42L))))
+  }
 }
