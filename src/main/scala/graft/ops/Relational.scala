@@ -385,6 +385,46 @@ object Relational {
       .agg(min("v").as("value"))
   }
 
+  /** Grouped form of `exactPercentiles`: the same value-histogram
+    * cumsum PER GROUP — here every window partitions by the group key,
+    * so unlike the global form there is no single-partition stage at
+    * all: one (group, value) histogram shuffle, one group-keyed
+    * window, one broadcast of the percentile fractions. The fully
+    * scale-correct grouped percentile. */
+  def groupedPercentiles(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[(String, Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+        sum("c").over(Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy("g")))
+    val pcts = ps.toDF("p", "num", "den")
+    cum.crossJoin(broadcast(pcts))
+      .withColumn("__a", col("num") * col("n") + col("den") - 1)
+      .withColumn("rank",
+        ((col("__a") - pmod(col("__a"), col("den"))) / col("den"))
+          .cast("long"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy("g", "p", "rank")
+      .agg(min("v").as("value"))
+      .withColumnRenamed("g", groupCol)
+  }
+
+  /** Gate: per-returnflag exact p50/p95 of l_extendedprice cents. */
+  private def a18GroupedPercentiles(s: SparkSession, d: String)
+      : DataFrame =
+    groupedPercentiles(
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("v")),
+      "l_returnflag", "v",
+      Seq(("p50", 1, 2), ("p95", 19, 20)))
+
   /** Gate: exact p25/p50/p75/p95/p99 of l_extendedprice in cents. */
   private def a17ExactPercentiles(s: SparkSession, d: String): DataFrame =
     exactPercentiles(
@@ -410,6 +450,7 @@ object Relational {
     "f_table_profile" -> fTableProfile _,
     "f_histogram" -> fHistogram _,
     "a17_exact_percentiles" -> a17ExactPercentiles _,
+    "a18_grouped_percentiles" -> a18GroupedPercentiles _,
     "f_map_explode" -> mapExplode _,
     "f_gc_content_expr" -> gcContentExpr _,
     "f_date_parse_multi" -> dateParseMulti _,
@@ -447,6 +488,29 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "f_table_profile" -> profileOracle,
+    "a18_grouped_percentiles" ->
+      """WITH v AS (
+           SELECT l_returnflag AS g,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         hist AS (SELECT g, v, count(*) AS c FROM v GROUP BY 1, 2),
+         cum AS (
+           SELECT g, v,
+             sum(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+           FROM hist),
+         pcts(p, num, den) AS (VALUES ('p50', 1, 2), ('p95', 19, 20)),
+         ranked AS (
+           SELECT c.g, c.v, c.cum, p.p,
+             CAST((p.num * c.n + p.den - 1)
+               - (p.num * c.n + p.den - 1) % p.den AS BIGINT) / p.den
+               AS rank
+           FROM cum c, pcts p)
+         SELECT g AS l_returnflag, p, CAST(rank AS BIGINT) AS rank,
+           min(v) AS value
+         FROM ranked WHERE cum >= rank GROUP BY 1, 2, 3""",
     "a17_exact_percentiles" ->
       """WITH v AS (
            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v

@@ -286,7 +286,23 @@ object Windows {
       stages.map(st => sum(col(s"has_$st")).as(s"n_$st")): _*)
   }
 
+  /** W12: top-3 orders per customer via the BOUNDED `TopKAggregator`
+    * — the scale path for W2's window form (shuffle payload
+    * O(groups × k) instead of a full per-group sort). The oracle is
+    * the window form itself: the aggregator must reproduce
+    * row_number() ≤ k exactly, ties and all. */
+  private def w12TopkAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = t(s, d, "orders")
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+    TopK.topKPerGroup(ds, 3)
+      .select(col("g").as("o_custkey"), col("rank"),
+        col("tie").as("o_orderkey"), col("v").as("o_totalprice"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w12_topk_agg" -> w12TopkAgg _,
     "w11_session_funnel" -> w11SessionFunnel _,
     "w10_sessionize" -> w10Sessionize _,
     "w9_rolling_zscore" -> w9RollingZscore _,
@@ -302,6 +318,14 @@ object Windows {
     "a7_n50" -> a7N50 _)
 
   val oracle: Map[String, String] = Map(
+    "w12_topk_agg" ->
+      """SELECT o_custkey, CAST(rn AS INT) AS rank, o_orderkey,
+           o_totalprice
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3""",
     "w11_session_funnel" ->
       """WITH e AS (
            SELECT user_id, event_id, ts, event_type,

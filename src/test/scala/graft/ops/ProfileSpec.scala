@@ -93,4 +93,17 @@ class ProfileSpec extends AnyFunSuite {
       Map("p100" -> ((3L, 7L))))
     assert(pcts(Seq(42L), ("p50", 1, 2)) == Map("p50" -> ((1L, 42L))))
   }
+
+  test("grouped percentiles: per-group type-1 ranks, groups independent") {
+    val df = ((1L to 10L).map(v => ("a", v)) ++ Seq(("b", 100L)))
+      .toDF("grp", "v")
+    val m = Relational.groupedPercentiles(df, "grp", "v",
+        Seq(("p50", 1, 2), ("p95", 19, 20)))
+      .select("grp", "p", "rank", "value")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(m == Map(
+      ("a", "p50") -> ((5L, 5L)), ("a", "p95") -> ((10L, 10L)),
+      ("b", "p50") -> ((1L, 100L)), ("b", "p95") -> ((1L, 100L))))
+  }
 }
