@@ -29,13 +29,14 @@ object Bench {
   }
 
   /** Per-gate JSON fragment for bench_full.json: a measurement carries
-    * `{"s":…,"rel_spread":…}`, a failed gate carries `{"err":"<class>"}`
-    * so it can never be read as a number. */
-  def gateJson(name: String, v: Either[String, (Double, Double)]): String =
+    * `{"s":…,"rel_spread":…,"n":…}`, a failed gate carries
+    * `{"err":"<class>"}` so it can never be read as a number. */
+  def gateJson(name: String,
+      v: Either[String, (Double, Double, Int)]): String =
     v match {
       case Left(cls) => "\"" + name + "\":{\"err\":\"" + cls + "\"}"
-      case Right((s, spread)) =>
-        f""""$name":{"s":$s%.3f,"rel_spread":$spread%.3f}"""
+      case Right((s, spread, n)) =>
+        f""""$name":{"s":$s%.3f,"rel_spread":$spread%.3f,"n":$n}"""
     }
 
   def main(args: Array[String]): Unit = {
@@ -68,9 +69,11 @@ object Bench {
     // (unset = the full driver contract, unchanged)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    def runAll(): Seq[(String, Either[String, Double])] =
+    def runGates(subset: Option[Set[String]])
+        : Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }
+        .filter { case (n, _) => subset.forall(_.contains(n)) }
         .map { case (name, fn) =>
         // noop write (not count): count() lets Catalyst prune the
         // computed columns, timing a cheaper plan than the query builds
@@ -80,6 +83,7 @@ object Bench {
         r.foreach(sec => System.err.println(f"[bench] $name%-24s $sec%8.2fs"))
         name -> r
       }
+    def runAll(): Seq[(String, Either[String, Double])] = runGates(None)
     // post-pass residue report: persisted RDDs + storage blocks left
     // behind by the pass — a growing number across passes means some
     // gate leaks cache and later string-heavy gates pay for it in
@@ -136,19 +140,59 @@ object Bench {
     // a gate that threw in ANY pass (cold included) is an ERROR row —
     // a flaky failure is as worth surfacing as a deterministic one
     val coldErrs = coldPass.collect { case (n, Left(c)) => n -> c }.toMap
-    val errGates: Map[String, String] = names.flatMap { n =>
+    var errGates: Map[String, String] = names.flatMap { n =>
       val warmErr = passes.flatMap(_(n).left.toOption).headOption
       coldErrs.get(n).orElse(warmErr).map(n -> _)
     }.toMap
     val okNames = names.filterNot(errGates.contains)
-    val results: Seq[(String, Double)] =
-      okNames.map(n => n -> median(passes.map(_(n).toOption.get)))
-    // per-gate relative spread (max-min)/median, summarized at p50/max
-    val spreads = okNames.map { n =>
-      val xs = passes.map(_(n).toOption.get)
+    var samples: Map[String, Seq[Double]] =
+      okNames.map(n => n -> passes.map(_(n).toOption.get)).toMap
+    def rawSpread(xs: Seq[Double]): Double = {
       val m = median(xs)
-      n -> (if (m > 0) (xs.max - xs.min) / m else 0.0)
+      if (m > 0) (xs.max - xs.min) / m else 0.0
     }
+    // outlier-trimmed spread: once a gate has ≥4 measurements (i.e.
+    // it earned a dispersion re-run), drop the single measurement
+    // farthest from the median before computing (max−min)/median —
+    // ONE busy-box pass must not keep a reproducible gate flagged
+    // noisy forever (its value still counts toward the median, which
+    // is robust to it)
+    def spreadOf(xs: Seq[Double]): Double =
+      if (xs.size >= 4)
+        rawSpread(xs.sortBy(x => math.abs(x - median(xs))).dropRight(1))
+      else rawSpread(xs)
+    // DISPERSION GATE (r13 verdict ask #2): a committed record must be
+    // readable without a judge re-run — five r13 close-record gates
+    // carried medians 3–9× their reproducible values with rel_spread
+    // 1.0–1.74 (two warm passes disagreeing). Any gate whose warm
+    // spread exceeds 0.5 gets up to 2 extra timed runs; the median
+    // then absorbs the outlier pass.
+    var rerunRound = 0
+    def noisyNow: Set[String] = samples.collect {
+      case (n, xs) if spreadOf(xs) > 0.5 => n
+    }.toSet -- errGates.keySet
+    var noisy = noisyNow
+    while (rerunRound < 2 && noisy.nonEmpty) {
+      rerunRound += 1
+      System.err.println(s"[bench] dispersion re-run $rerunRound/2 " +
+        s"(rel_spread > 0.5): ${noisy.toSeq.sorted.mkString(", ")}")
+      interPass()
+      runGates(Some(noisy)).foreach {
+        case (n, Right(sec)) =>
+          samples = samples.updated(n, samples(n) :+ sec)
+        case (n, Left(cls)) => errGates += n -> cls
+      }
+      noisy = noisyNow
+    }
+    if (noisy.nonEmpty)
+      System.err.println("[bench] STILL NOISY after re-runs " +
+        "(annotate before committing a close record): " +
+        noisy.toSeq.sorted.mkString(", "))
+    val measuredNames = okNames.filterNot(errGates.contains)
+    val results: Seq[(String, Double)] =
+      measuredNames.map(n => n -> median(samples(n)))
+    // per-gate relative spread (outlier-trimmed at n≥4), p50/max summary
+    val spreads = measuredNames.map(n => n -> spreadOf(samples(n)))
     val dispersion =
       if (spreads.isEmpty) "{}"
       else {
@@ -167,7 +211,8 @@ object Bench {
     val spreadByName = spreads.toMap
     val jfull = names.map { n =>
       gateJson(n, errGates.get(n).toLeft(
-        (byName.getOrElse(n, 0.0), spreadByName.getOrElse(n, 0.0))))
+        (byName.getOrElse(n, 0.0), spreadByName.getOrElse(n, 0.0),
+          samples.get(n).map(_.size).getOrElse(0))))
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // error summary: a failed gate must be impossible to mistake for a

@@ -44,7 +44,13 @@ object Pipeline {
       1.0, 50.0),
     graft.ops.Expectations.NotNull("p3_sample", "sample"))
 
-  def run(spark: SparkSession, sfDir: String, whDir: String): Unit = {
+  /** `maxJoinFanout`: the star-join pre-flight veto threshold — the
+    * run aborts if the exact predicted output/input row ratio of the
+    * facts × dim join exceeds it (an exploding key: bad dim dedup, a
+    * hot sentinel value). At 100 TB the per-key-count pre-flight is
+    * the difference between a one-line veto and a dead shuffle. */
+  def run(spark: SparkSession, sfDir: String, whDir: String,
+      maxJoinFanout: Double = 8.0): Unit = {
     // 0. publish gate: the incoming batch is split on the expectation
     //    suite BEFORE anything lands — violating rows are quarantined
     //    (with the rules they broke) for triage, the clean side flows
@@ -163,8 +169,31 @@ object Pipeline {
     } else println("[pipeline] tpm2: no new samples, artifact untouched")
     freshSamples.unpersist()
 
+    // 4a. shuffle pre-flight (the f_skew_report / f_join_cardinality
+    //     diagnostics as a pipeline stage, quarantine-precedent shape):
+    //     exact join cardinality + key skew of the star join, computed
+    //     at per-key-count cost BEFORE the facts shuffle. Explosion
+    //     (fanout beyond `maxJoinFanout`) vetoes the run; heavy skew
+    //     is reported so the operator can route the join through
+    //     `Skew.saltedJoin` / AQE skew handling.
+    val factsInc = spark.read.parquet(s"$whDir/lineitem_inc")
+    val pf = graft.ops.Skew.joinPreflight(factsInc, "l_partkey",
+      spark.table("dim_part"), "p_partkey")
+    println(f"[pipeline] preflight star join: inner=${pf.innerRows} " +
+      f"fanout=${pf.fanout}%.3f max_pair=${pf.maxPairRows} " +
+      f"gini=${pf.leftGini}%.4f max_share=${pf.leftMaxShare}%.6f")
+    require(pf.fanout <= maxJoinFanout,
+      f"join pre-flight veto: star join would emit ${pf.innerRows} " +
+        f"rows from ${pf.nLeftRows} facts (fanout ${pf.fanout}%.2f > " +
+        f"$maxJoinFanout%.2f, worst key ${pf.maxPairRows} rows) — " +
+        "dedup the dim key or route through Skew.saltedJoin")
+    if (pf.leftMaxShare > 0.2)
+      println(f"[pipeline] preflight WARNING: hot key holds " +
+        f"${pf.leftMaxShare * 100}%.1f%% of fact rows " +
+        f"(gini ${pf.leftGini}%.4f) — consider Skew.saltedJoin")
+
     // 4. star view over the ingested facts
-    val star = spark.read.parquet(s"$whDir/lineitem_inc")
+    val star = factsInc
       .join(broadcast(spark.table("dim_part")),
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")

@@ -169,7 +169,17 @@ object Dedup {
     * skew guard as `minhashCandidatePairs`). */
   def simhashCandidatePairs(docs: DataFrame, idCol: String,
       textCol: String, maxHamming: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000): DataFrame =
+    simhashBandCandidates(docs, idCol, textCol, maxBucketSize)
+      .filter(col("hamming") <= maxHamming)
+
+  /** The raw chunk-sharing candidate stage of `simhashCandidatePairs`
+    * — the blocking GEOMETRY before the hamming verification, exposed
+    * so `blockingQuality` can grade SimHash banding against the same
+    * truth as the other blockers (the minhash `CandidatePairs`
+    * precedent). Carries the true hamming distance per pair. */
+  def simhashBandCandidates(docs: DataFrame, idCol: String,
+      textCol: String, maxBucketSize: Int = 1000): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       simhash(TextOps.tokens(lower(col(textCol)))).as("sh"))
     val chunked = sh.select(col("id"), col("sh"),
@@ -190,7 +200,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Edit-distance (Levenshtein ≤ k) near-dup pairs within blocks —
@@ -1356,16 +1365,20 @@ object Dedup {
   }
 
   /** Blocking-method comparison gate: ONE table grading every blocking
-    * geometry the family ships — LSH band buckets, prefix filter, SNM
-    * sort-adjacency — against the same brute in-block ground truth
-    * (3-gram Jaccard ≥ 0.2), so blocker selection is data, not lore.
-    * Expected shape on any corpus: prefix_filter recall = 1.0 exactly
-    * (the completeness theorem at t = truth threshold), LSH high
-    * recall / low precision (16 hashes, 4 bands), SNM recall strictly
-    * inside (0, 1) — the price of the cheapest geometry. The truth
-    * table is scratch-staged once; three method evaluations scan it.
-    * Oracle: SNM + prefix replay fully in SQL; LSH candidates replay
-    * from the d_minhash_signature dump via band-slice equality (the
+    * geometry the family ships — LSH band buckets, SimHash 16-bit
+    * chunk buckets, prefix filter, SNM sort-adjacency — against the
+    * same brute in-block ground truth (3-gram Jaccard ≥ 0.2), so
+    * blocker selection is data, not lore. Expected shape on any
+    * corpus: prefix_filter recall = 1.0 exactly (the completeness
+    * theorem at t = truth threshold), LSH high recall / low precision
+    * (16 hashes, 4 bands), SimHash recall governed by how far set
+    * overlap and sign-sketch proximity agree (its guarantee is
+    * hamming ≤ 3, not Jaccard), SNM recall strictly inside (0, 1) —
+    * the price of the cheapest geometry. The truth table is
+    * scratch-staged once; the method evaluations scan it. Oracle:
+    * SNM + prefix replay fully in SQL; LSH candidates replay from the
+    * d_minhash_signature dump via band-slice equality, SimHash
+    * candidates from the d_simhash dump via chunk equality (the
     * d_minhash_lsh_pairs conditioning). */
   private def dBlockingMethods(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
@@ -1380,6 +1393,8 @@ object Dedup {
         .select("doc_a", "doc_b"),
       "prefix_filter" -> prefixFilterCandidates(docs, "doc_id", "text",
           t = 0.2, blockCols = blocks).select("doc_a", "doc_b"),
+      "simhash_bands" -> simhashBandCandidates(docs, "doc_id", "text",
+          maxBucketSize = Int.MaxValue).select("doc_a", "doc_b"),
       "snm_w5" -> snmPairs(docs, "doc_id", "text", w = 5,
           blockCols = blocks).select("doc_a", "doc_b"))
     methods.map { case (name, cand) =>
@@ -1663,6 +1678,16 @@ object Dedup {
            FROM banded a JOIN banded b
              ON a.band = b.band AND a.bkey = b.bkey
             AND a.doc_id < b.doc_id),
+         shc AS (
+           SELECT doc_id, r.i AS ci,
+             (simhash >> (16 * r.i)) & 65535 AS chunk
+           FROM parquet_scan('__OUTDIR__/d_simhash/*.parquet'),
+             range(0, 4) r(i)),
+         cand_simhash AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM shc a JOIN shc b
+             ON a.ci = b.ci AND a.chunk = b.chunk
+            AND a.doc_id < b.doc_id),
          ev AS (
            SELECT 'minhash_lsh' AS method,
              (SELECT count(*) FROM truth) AS n_truth,
@@ -1674,6 +1699,12 @@ object Dedup {
              (SELECT count(*) FROM truth),
              (SELECT count(*) FROM cand_prefix),
              (SELECT count(*) FROM truth t JOIN cand_prefix c
+               ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+           UNION ALL
+           SELECT 'simhash_bands',
+             (SELECT count(*) FROM truth),
+             (SELECT count(*) FROM cand_simhash),
+             (SELECT count(*) FROM truth t JOIN cand_simhash c
                ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
            UNION ALL
            SELECT 'snm_w5',

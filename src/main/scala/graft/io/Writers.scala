@@ -48,11 +48,44 @@ object Writers {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val retired = new org.apache.hadoop.fs.Path(path + ".retired")
     val fs = target.getFileSystem(hconf)
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    if (fs.exists(target)) fs.delete(target, true)
+    // swap protocol: retire the live generation by RENAME (never
+    // delete-then-rename — a crash between those two left NO state at
+    // all, r13 ADVICE), promote staging, then drop the retired copy.
+    // Any crash leaves either the old target or a recoverable
+    // `.retired` next to it (`recoverStaged`).
+    if (fs.exists(retired)) {
+      // leftover from an earlier crashed swap: with a live target it
+      // is already-replaced data (drop it); with NO live target it is
+      // the ONLY copy — restore, then retire it through this swap
+      if (fs.exists(target)) fs.delete(retired, true)
+      else require(fs.rename(retired, target),
+        s"staged overwrite: restore $retired -> $target failed")
+    }
+    if (fs.exists(target))
+      require(fs.rename(target, retired),
+        s"staged overwrite: retire $target -> $retired failed")
     require(fs.rename(staging, target),
       s"staged overwrite: rename $staging -> $target failed")
+    if (fs.exists(retired)) fs.delete(retired, true)
+  }
+
+  /** Recover from a staged swap that crashed between its two renames:
+    * a `path + ".retired"` directory with NO live `path` is the only
+    * surviving generation — restore it. Idempotent; call before
+    * reading any staged-overwrite-maintained state (`Cdc.upsertBatch`
+    * does). Returns true iff a recovery happened. */
+  def recoverStaged(spark: SparkSession, path: String): Boolean = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val retired = new org.apache.hadoop.fs.Path(path + ".retired")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target) && fs.exists(retired)) {
+      require(fs.rename(retired, target),
+        s"staged recover: rename $retired -> $target failed")
+      true
+    } else false
   }
 
   /** K4: view (reference `CREATE VIEW bin_summary`). */

@@ -234,8 +234,20 @@ object Cdc {
       .select("key", "payload", "op", "seq")
     val p = new org.apache.hadoop.fs.Path(statePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a swap that crashed mid-publish leaves the previous generation
+    // as `.retired` — restore it before reading
+    graft.io.Writers.recoverStaged(spark, statePath)
+    val marker = new org.apache.hadoop.fs.Path(statePath + ".initialized")
     val hasState = fs.exists(p) && fs.listStatus(p).exists(st =>
       st.isFile && st.getPath.getName.endsWith(".parquet"))
+    // "never initialized" and "state went missing" are NOT the same:
+    // silently treating a vanished state as empty would rebuild the
+    // table from one replayed batch, dropping every previously merged
+    // key (r13 ADVICE). The marker is written once at first publish.
+    require(hasState || !fs.exists(marker),
+      s"CDC state $statePath was initialized before but is missing and " +
+        "no retired generation exists to recover — refusing to rebuild " +
+        "state from a single replayed batch")
     val cur =
       if (hasState) spark.read.parquet(statePath)
       else latest.select("key", "payload", "seq").limit(0)
@@ -243,6 +255,7 @@ object Cdc {
       .union(latest.filter(col("op") === "U")
         .select("key", "payload", "seq"))
     graft.io.Writers.overwriteStaged(merged, statePath)
+    if (!fs.exists(marker)) fs.create(marker).close()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -44,21 +44,61 @@ object Ecology {
   /** Alpha diversity per sample: richness S, total count N, Simpson
     * diversity 1−Σn²/N², inverse Simpson (Hill number of order 2)
     * N²/Σn², Berger–Parker dominance max(n)/N. All exact-integer
-    * derived; each output ratio is a single 6-dp division. */
-  def alphaDiversity(ab: DataFrame): DataFrame =
+    * derived; each output ratio is a single 6-dp division. The squared
+    * terms ride DECIMAL(38,0) — plain LONG n² wraps silently past
+    * ~3e9 rows per group, and the 'exact at 100 TB' claim is the same
+    * one `Skew.skewReport`/`joinCardinality` back with the identical
+    * decimal discipline (HUGEINT on the oracle side). */
+  def alphaDiversity(ab: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     ab.groupBy("sample")
       .agg(count(lit(1)).as("richness"),
         sum("n").as("n_total"),
-        sum(col("n") * col("n")).as("sum_sq"),
+        sum(col("n").cast(dec) * col("n").cast(dec)).as("sum_sq"),
         max("n").as("n_max"))
       .select(col("sample"), col("richness"), col("n_total"),
-        round((col("n_total") * col("n_total") - col("sum_sq"))
-          .cast("double") / (col("n_total") * col("n_total")), 6)
+        round((col("n_total").cast(dec) * col("n_total").cast(dec)
+            - col("sum_sq")).cast("double")
+          / (col("n_total").cast(dec) * col("n_total").cast(dec))
+            .cast("double"), 6)
           .as("simpson"),
-        round((col("n_total") * col("n_total")).cast("double")
-          / col("sum_sq"), 6).as("inv_simpson"),
+        round((col("n_total").cast(dec) * col("n_total").cast(dec))
+          .cast("double") / col("sum_sq").cast("double"), 6)
+          .as("inv_simpson"),
         round(col("n_max").cast("double") / col("n_total"), 6)
           .as("berger_parker"))
+  }
+
+  /** Shannon entropy H = ln N − (Σ n·ln n)/N, Hill number of order 1
+    * (exp H), and Pielou evenness H/ln S — the vegan `diversity()`
+    * default and its companions, UNGATED library functions: `ln`
+    * rides libm and cannot oracle bit-exactly across engines (the
+    * no-ln gate discipline above), so these ship with property specs
+    * (EcologySpec) instead of a DuckDB hash gate. The reference's
+    * abundance substrate (`code/tax_abund_from_contigs.R`,
+    * `code/plot_metacoder.R:28-60`) exists to feed exactly these
+    * indices downstream.
+    *
+    * Scale shape: the ln-N-minus-mean-ln form needs ONE map-side-
+    * combined aggregate per sample — no per-row p = n/N join/window
+    * pass. H is clamped at 0 from below (the single-taxon case can
+    * land an ulp under 0 in FP); Pielou is NULL for S = 1 (0/0, as
+    * vegan's NaN). */
+  def shannonDiversity(ab: DataFrame): DataFrame =
+    ab.groupBy("sample")
+      .agg(count(lit(1)).as("richness"),
+        sum("n").as("n_total"),
+        sum(col("n").cast("double") * log(col("n").cast("double")))
+          .as("n_ln_n"))
+      .select(col("sample"), col("richness"), col("n_total"),
+        greatest(lit(0.0),
+          log(col("n_total").cast("double"))
+            - col("n_ln_n") / col("n_total").cast("double"))
+          .as("shannon"))
+      .withColumn("hill_q1", exp(col("shannon")))
+      .withColumn("pielou",
+        when(col("richness") > 1,
+          col("shannon") / log(col("richness").cast("double"))))
 
   /** Bray–Curtis dissimilarity for every sample pair:
     * BC(a,b) = (N_a + N_b − 2·Σ_t min(n_ta, n_tb)) / (N_a + N_b),
@@ -76,12 +116,17 @@ object Ecology {
       .groupBy("sample_a", "sample_b")
       .agg(sum(least(col("na"), col("nb"))).as("shared_min"),
         count(lit(1)).as("n_shared"))
-    val grid = broadcast(totals.select(col("sample").as("sample_a"),
-        col("n_tot").as("n_tot_a")))
+    // hint discipline: a left-outer join can only broadcast its RIGHT
+    // (build) side — a hint on the preserved grid would be silently
+    // dropped (r13 HintErrorLogger finding). The pair-aggregated
+    // `shared` is bounded by the pair universe, so IT carries the hint;
+    // the cross grid broadcasts its right input (BNLJ needs one side).
+    val grid = totals.select(col("sample").as("sample_a"),
+        col("n_tot").as("n_tot_a"))
       .crossJoin(broadcast(totals.select(col("sample").as("sample_b"),
         col("n_tot").as("n_tot_b"))))
       .filter(col("sample_a") < col("sample_b"))
-    grid.join(shared, Seq("sample_a", "sample_b"), "left")
+    grid.join(broadcast(shared), Seq("sample_a", "sample_b"), "left")
       .select(col("sample_a"), col("sample_b"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         round((col("n_tot_a") + col("n_tot_b")
@@ -103,12 +148,15 @@ object Ecology {
       .filter(col("sample_a") < col("sample_b"))
       .groupBy("sample_a", "sample_b")
       .agg(count(lit(1)).as("n_shared"))
-    val grid = broadcast(rich.select(col("sample").as("sample_a"),
-        col("s_rich").as("rich_a")))
+    // same hint discipline as brayCurtis: broadcast the build sides
+    // (cross right input; pair-bounded `shared`), never the preserved
+    // left of a left-outer join
+    val grid = rich.select(col("sample").as("sample_a"),
+        col("s_rich").as("rich_a"))
       .crossJoin(broadcast(rich.select(col("sample").as("sample_b"),
         col("s_rich").as("rich_b"))))
       .filter(col("sample_a") < col("sample_b"))
-    grid.join(shared, Seq("sample_a", "sample_b"), "left")
+    grid.join(broadcast(shared), Seq("sample_a", "sample_b"), "left")
       .select(col("sample_a"), col("sample_b"),
         col("rich_a"), col("rich_b"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
@@ -140,12 +188,13 @@ object Ecology {
       .filter(col("taxon_a") < col("taxon_b"))
       .groupBy("taxon_a", "taxon_b")
       .agg(count(lit(1)).as("n_both"))
-    val grid = broadcast(top.select(col("taxon").as("taxon_a"),
-        col("prev").as("n_a")))
+    // same hint discipline: the K²-bounded `pairs` is the build side
+    val grid = top.select(col("taxon").as("taxon_a"),
+        col("prev").as("n_a"))
       .crossJoin(broadcast(top.select(col("taxon").as("taxon_b"),
         col("prev").as("n_b"))))
       .filter(col("taxon_a") < col("taxon_b"))
-    grid.join(pairs, Seq("taxon_a", "taxon_b"), "left")
+    grid.join(broadcast(pairs), Seq("taxon_a", "taxon_b"), "left")
       .select(col("taxon_a"), col("taxon_b"), col("n_a"), col("n_b"),
         coalesce(col("n_both"), lit(0L)).as("n_both"))
       .withColumn("jaccard",
@@ -207,13 +256,16 @@ object Ecology {
          agg AS (
            SELECT sample, count(*) AS richness,
              CAST(sum(n) AS BIGINT) AS n_total,
-             CAST(sum(n * n) AS BIGINT) AS sum_sq, max(n) AS n_max
+             CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sum_sq,
+             max(n) AS n_max
            FROM ab GROUP BY 1)
          SELECT sample, richness, n_total,
-           round(CAST(n_total * n_total - sum_sq AS DOUBLE)
-             / (n_total * n_total), 6) AS simpson,
-           round(CAST(n_total * n_total AS DOUBLE) / sum_sq, 6)
-             AS inv_simpson,
+           round(CAST(CAST(n_total AS HUGEINT) * n_total - sum_sq
+               AS DOUBLE)
+             / CAST(CAST(n_total AS HUGEINT) * n_total AS DOUBLE), 6)
+             AS simpson,
+           round(CAST(CAST(n_total AS HUGEINT) * n_total AS DOUBLE)
+             / CAST(sum_sq AS DOUBLE), 6) AS inv_simpson,
            round(CAST(n_max AS DOUBLE) / n_total, 6) AS berger_parker
          FROM agg""",
     "a15_bray_curtis" ->

@@ -169,6 +169,32 @@ object Skew {
           .cast("long").as("max_pair_rows"))
   }
 
+  /** One collected pre-flight row for a planned equi-join — the
+    * decision record `cli/Pipeline` gates on (see `joinPreflight`). */
+  case class JoinPreflight(nLeftRows: Long, nRightRows: Long,
+      nKeysBoth: Long, innerRows: Long, maxPairRows: Long,
+      fanout: Double, leftGini: Double, leftMaxShare: Double)
+
+  /** Pre-flight a planned `left ⨝ right` equi-join: the exact
+    * cardinality report plus the left key's skew stats, collected as
+    * ONE row (bounded by construction — both inputs are one-row
+    * aggregates) so driver-side control flow can veto an exploding
+    * join or switch to `saltedJoin` on a hot key BEFORE the
+    * data-sized shuffle runs. Cost: two per-key-count passes. */
+  def joinPreflight(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): JoinPreflight = {
+    val c = joinCardinality(left, leftKey, right, rightKey).head()
+    val s = skewReport(left, Seq(leftKey)).head()
+    def lng(r: org.apache.spark.sql.Row, f: String): Long =
+      if (r.isNullAt(r.fieldIndex(f))) 0L else r.getAs[Long](f)
+    val nl = lng(c, "n_left_rows")
+    val inner = lng(c, "inner_rows")
+    JoinPreflight(nl, lng(c, "n_right_rows"), lng(c, "n_keys_both"),
+      inner, lng(c, "max_pair_rows"),
+      if (nl > 0) inner.toDouble / nl else 0.0,
+      s.getAs[Double]("gini"), s.getAs[Double]("max_share"))
+  }
+
   // ---- gates ----
 
   private def fSkewReport(s: SparkSession, d: String): DataFrame =

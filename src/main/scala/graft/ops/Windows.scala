@@ -301,7 +301,26 @@ object Windows {
         col("tie").as("o_orderkey"), col("v").as("o_totalprice"))
   }
 
+  /** W13: the SAME bounded top-k through the SQL surface —
+    * `TopKAggregator` registered via `functions.udaf` (the dbplyr-
+    * analog `spark.sql` entry point, `g_tpm_sql` precedent), exploded
+    * back to relational rows. Shares `w12_topk_agg`'s oracle: the SQL
+    * spelling must hash-match the typed window-form semantics. */
+  private def w13TopkSql(s: SparkSession, d: String): DataFrame = {
+    TopK.registerSql(s, 3)
+    t(s, d, "orders").createOrReplaceTempView("w13_orders")
+    s.sql("""
+      SELECT o_custkey, CAST(pos + 1 AS INT) AS rank,
+             e.tie AS o_orderkey, e.v AS o_totalprice
+      FROM (SELECT o_custkey,
+              top_k3(o_totalprice, o_orderkey) AS top
+            FROM w13_orders GROUP BY o_custkey) g
+      LATERAL VIEW posexplode(g.top.entries) x AS pos, e
+    """)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w13_topk_sql" -> w13TopkSql _,
     "w12_topk_agg" -> w12TopkAgg _,
     "w11_session_funnel" -> w11SessionFunnel _,
     "w10_sessionize" -> w10Sessionize _,
@@ -318,6 +337,14 @@ object Windows {
     "a7_n50" -> a7N50 _)
 
   val oracle: Map[String, String] = Map(
+    "w13_topk_sql" ->
+      """SELECT o_custkey, CAST(rn AS INT) AS rank, o_orderkey,
+           o_totalprice
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3""",
     "w12_topk_agg" ->
       """SELECT o_custkey, CAST(rn AS INT) AS rank, o_orderkey,
            o_totalprice

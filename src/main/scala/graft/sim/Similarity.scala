@@ -253,12 +253,15 @@ object Similarity {
 
   /** Nearest-centroid ranks by cosine (ties → smaller cid). Adds
     * `c_rank` (1 = nearest) and `cid` to every input row; the
-    * centroid side must already be broadcast-small. */
+    * centroid side is broadcast-small (nlist rows) and hinted HERE —
+    * at the use site where it is legally the build side — rather
+    * than carrying a frame-level hint that would also reach joins
+    * where it is the preserved side (the r13 HintErrorLogger noise). */
   private def rankByCentroid(df: DataFrame, centroids: DataFrame,
       idC: String, embC: String, normC: String): DataFrame = {
     val w = Window.partitionBy(idC)
       .orderBy(col("c_sim").desc, col("cid").asc)
-    df.crossJoin(centroids)
+    df.crossJoin(broadcast(centroids))
       .withColumn("c_sim", dotD(col(embC), col("c_emb")) /
         (col(normC) * col("c_norm")))
       .withColumn("c_rank", row_number().over(w))
@@ -275,11 +278,15 @@ object Similarity {
   private def fitCentroids(prepared: DataFrame, nlist: Int,
       lloydIters: Int): DataFrame = {
     coarseFitRuns.incrementAndGet()
-    val seed = broadcast(prepared
+    // no frame-level broadcast hints on the accumulated centroids:
+    // they are the PRESERVED left of the keep-previous left join below
+    // (where a hint is unsupported and logs), and every legal build
+    // site (rankByCentroid's cross join) hints locally instead
+    val seed = prepared
       .orderBy(xxhash64(col("n_id")), col("n_id"))
       .limit(nlist)
       .select(col("n_id").as("cid"), col("n_emb").as("c_emb"),
-        col("n_norm").as("c_norm")))
+        col("n_norm").as("c_norm"))
     val fitted = (1 to lloydIters).foldLeft(seed) { (cents, _) =>
       val assigned = rankByCentroid(prepared, cents, "n_id", "n_emb",
         "n_norm").filter(col("c_rank") === 1)
@@ -295,11 +302,12 @@ object Similarity {
           array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("new_emb"))
       // an emptied list keeps its previous centroid (left + coalesce)
-      // so nlist is stable and cid stays the seed row's id
-      broadcast(cents.join(means, Seq("cid"), "left")
+      // so nlist is stable and cid stays the seed row's id; means is
+      // the nlist-row BUILD side, the only legal hint position here
+      cents.join(broadcast(means), Seq("cid"), "left")
         .select(col("cid"),
           coalesce(col("new_emb"), col("c_emb")).as("c_emb"))
-        .withColumn("c_norm", sqrt(dotD(col("c_emb"), col("c_emb")))))
+        .withColumn("c_norm", sqrt(dotD(col("c_emb"), col("c_emb"))))
     }
     // 6-dp quantized centroids (the pqFitCodebooks rounding contract):
     // centroid elements survive a decimal-text dump round-trip
@@ -314,9 +322,13 @@ object Similarity {
     // nested Lloyd broadcast lineage does not re-execute under every
     // downstream broadcast boundary (assignment join, probe ranking —
     // the IVF family references the centroid frame 2-3 times each).
+    // NO frame-level broadcast hint on the returned relation: some
+    // consumers only SELECT it into a dump (no join above the hint →
+    // HintErrorLogger noise); join consumers hint locally, and a
+    // LocalRelation's exact tiny stats auto-broadcast regardless.
     val cRows = quantized.collect()
-    broadcast(prepared.sparkSession.createDataFrame(
-      java.util.Arrays.asList(cRows: _*), quantized.schema))
+    prepared.sparkSession.createDataFrame(
+      java.util.Arrays.asList(cRows: _*), quantized.schema)
   }
 
   /** The two IVF join inputs — (corpus inverted lists keyed n_id→cid,
@@ -338,9 +350,11 @@ object Similarity {
     val q = queries.select(col("vec_id").as("q_id"),
         asDouble(col("embedding")).as("q_emb"))
       .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb"))))
-    val probes = broadcast(
+    // unhinted here: ivfAssignments only dumps the probe rows (no
+    // join above a hint → HintErrorLogger); ivfTopK hints at its join
+    val probes =
       rankByCentroid(q, centroids, "q_id", "q_emb", "q_norm")
-        .filter(col("c_rank") <= nprobe).drop("c_rank"))
+        .filter(col("c_rank") <= nprobe).drop("c_rank")
     (lists, probes, centroids)
   }
 
@@ -386,7 +400,7 @@ object Similarity {
 
     val w = Window.partitionBy("q_id")
       .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
-    lists.join(probes, Seq("cid"))
+    lists.join(broadcast(probes), Seq("cid"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("sim", dotD(col("q_emb"), col("n_emb")) /
         (col("q_norm") * col("n_norm")))
@@ -754,11 +768,14 @@ object Similarity {
     val rows = subRows(prepare(corpus), mSub)
     val wSeed = Window.partitionBy("sub")
       .orderBy(xxhash64(col("n_id")), col("n_id"))
-    val seed = broadcast(rows
+    // same hint discipline as fitCentroids: the codebook accumulator
+    // is the preserved left of the keep-previous join — hint at the
+    // legal build sites (assignCodes) instead
+    val seed = rows
       .withColumn("rk", row_number().over(wSeed))
       .filter(col("rk") <= kCodes)
       .select(col("sub"), (col("rk") - 1).as("code"),
-        col("s_emb").as("c_emb")))
+        col("s_emb").as("c_emb"))
     val fitted = (1 to lloydIters).foldLeft(seed) { (cents, _) =>
       val assigned = assignCodes(rows, cents)
       val means = assigned
@@ -771,10 +788,10 @@ object Similarity {
           array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("new_emb"))
       // an emptied code keeps its previous centroid, so the code book
-      // stays dense and kCodes-stable
-      broadcast(cents.join(means, Seq("sub", "code"), "left")
+      // stays dense and kCodes-stable; means is the build side
+      cents.join(broadcast(means), Seq("sub", "code"), "left")
         .select(col("sub"), col("code"),
-          coalesce(col("new_emb"), col("c_emb")).as("c_emb")))
+          coalesce(col("new_emb"), col("c_emb")).as("c_emb"))
     }
     // THE codebook is 6-dp quantized (the embedNormalize rounding
     // contract): codeword elements survive a decimal-text round-trip
@@ -790,9 +807,11 @@ object Similarity {
     // boundary (encode join, ADC LUT) — measured 3.5 s vs 0.7 s for
     // the encode pass at bench scale. A production deployment persists
     // codebooks as index metadata for exactly this reason.
+    // no frame-level hint (see fitCentroids): dump consumers have no
+    // join above it; join consumers hint locally
     val cbRows = quantized.collect()
-    broadcast(corpus.sparkSession.createDataFrame(
-      java.util.Arrays.asList(cbRows: _*), quantized.schema))
+    corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(cbRows: _*), quantized.schema)
   }
 
   /** Nearest-codeword assignment of (n_id, sub, s_emb) rows against a
@@ -805,7 +824,7 @@ object Similarity {
     * (measured 3-4× slower across the PQ gate set). d2 is never NaN
     * (squared L2), so struct ordering has no NaN edge. */
   private def assignCodes(rows: DataFrame, cents: DataFrame): DataFrame =
-    rows.join(cents, Seq("sub"))
+    rows.join(broadcast(cents), Seq("sub"))
       .withColumn("d2", sqDist(col("s_emb"), col("c_emb")))
       .groupBy("n_id", "sub")
       .agg(min(struct(col("d2"), col("code"), col("s_emb"))).as("best"))
@@ -858,7 +877,7 @@ object Similarity {
     val qSubs = subRows(
       q.select(col("q_id").as("n_id"), col("q_emb").as("n_emb")), mSub)
       .select(col("n_id").as("q_id"), col("sub"), col("s_emb"))
-    broadcast(qSubs.join(cb, Seq("sub"))
+    broadcast(qSubs.join(broadcast(cb), Seq("sub"))
       .join(q.select(col("q_id"), col("q_norm")), Seq("q_id"))
       .select(col("q_id"), col("sub"), col("code"), col("q_norm"),
         round(dotD(col("s_emb"), col("c_emb")), 6)
@@ -970,7 +989,8 @@ object Similarity {
     * zip_with subtract — residual extraction runs at scan speed. */
   def residualCorpus(corpus: DataFrame, lists: DataFrame,
       cents: DataFrame): DataFrame =
-    prepare(corpus).join(lists, Seq("n_id")).join(cents, Seq("cid"))
+    prepare(corpus).join(lists, Seq("n_id"))
+      .join(broadcast(cents), Seq("cid"))
       .select(col("n_id").as("vec_id"),
         zip_with(col("n_emb"), col("c_emb"), (v, c) => v - c)
           .as("embedding"))
@@ -985,7 +1005,7 @@ object Similarity {
     subRows(prepare(vectors), mSub)
       .join(codes.select(col("n_id"), col("sub"), col("code")),
         Seq("n_id", "sub"))
-      .join(cb, Seq("sub", "code"))
+      .join(broadcast(cb), Seq("sub", "code"))
       .select(sqDist(col("s_emb"), col("c_emb"))
         .cast("decimal(38,18)").as("e2"))
       .agg(avg("e2").cast("double")).head.getDouble(0)
@@ -1007,7 +1027,7 @@ object Similarity {
         asDouble(col("embedding")).as("q_emb"))
       .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb"))))
     val dec6 = (c: Column) => round(c, 6).cast("decimal(18,6)")
-    val qc = broadcast(q.crossJoin(cents)
+    val qc = broadcast(q.crossJoin(broadcast(cents))
       .select(col("q_id"), col("cid"), col("q_norm"),
         dec6(dotD(col("q_emb"), col("c_emb"))).as("qcip"),
         dec6(dotD(col("c_emb"), col("c_emb"))).as("cn2")))
@@ -1015,7 +1035,7 @@ object Similarity {
         col("c_emb").as("n_emb")), mSub)
       .select(col("n_id").as("cid"), col("sub"),
         col("s_emb").as("c_sub"))
-    val cterm = broadcast(cSubs.join(cb, Seq("sub"))
+    val cterm = broadcast(cSubs.join(broadcast(cb), Seq("sub"))
       .select(col("cid"), col("sub"), col("code"),
         (dec6(dotD(col("c_sub"), col("c_emb"))) * 2 +
           dec6(dotD(col("c_emb"), col("c_emb")))).as("cterm")))
@@ -1215,8 +1235,8 @@ object Similarity {
         transform(split(col("payload"), ","),
           x => x.cast("double")).as("c_emb"))
     val rows = cb.collect()
-    broadcast(index.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), cb.schema))
+    index.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), cb.schema)
   }
 
   /** Incremental PQ encode: code a NEW batch against an EXISTING
@@ -1238,8 +1258,8 @@ object Similarity {
           x => x.cast("double")).as("c_emb"))
       .withColumn("c_norm", sqrt(dotD(col("c_emb"), col("c_emb"))))
     val rows = cents.collect()
-    broadcast(assign.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), cents.schema))
+    assign.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), cents.schema)
   }
 
   /** Incremental IVF list assignment: place a NEW batch into the

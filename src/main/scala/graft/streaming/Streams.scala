@@ -627,9 +627,15 @@ object Streams {
       val tmp = run.resolve(s"tmp$b")
       feed.filter(col("batch") === b).coalesce(1)
         .write.parquet(tmp.toString)
-      val part = Files.list(tmp).iterator.asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"st_cdc_apply: no part file for batch $b"))
+      // Files.list returns a Stream holding an open directory fd —
+      // close it or leak one fd per staged batch
+      val part = {
+        val listing = Files.list(tmp)
+        try listing.iterator.asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"st_cdc_apply: no part file for batch $b"))
+        finally listing.close()
+      }
       val dst = in.resolve(s"b$b.parquet")
       Files.copy(part, dst)
       // fixed, strictly increasing mtimes: the file source processes

@@ -31,10 +31,10 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("gateJson: an error renders {err:class} (unmistakable for a " +
-    "measurement); a measurement renders {s, rel_spread}") {
+    "measurement); a measurement renders {s, rel_spread, n}") {
     assert(Bench.gateJson("g", Left("java.lang.RuntimeException")) ==
       "\"g\":{\"err\":\"java.lang.RuntimeException\"}")
-    assert(Bench.gateJson("g", Right((1.5, 0.25))) ==
-      "\"g\":{\"s\":1.500,\"rel_spread\":0.250}")
+    assert(Bench.gateJson("g", Right((1.5, 0.25, 3))) ==
+      "\"g\":{\"s\":1.500,\"rel_spread\":0.250,\"n\":3}")
   }
 }

@@ -36,6 +36,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(after("999") == "SKIP")        // skip survived
   }
 
+  test("join pre-flight vetoes a planted hot key before the star " +
+    "join shuffles") {
+    import org.apache.spark.sql.functions._
+    // fake sf dir: part table dirtied with one massively duplicated
+    // key (a bad dim dedup), every other table linked from sf0.001
+    val dirty = Files.createTempDirectory("graft_hot_sf").toString
+    graft.Tables.names.filterNot(_ == "part").foreach { n =>
+      Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$dirty/$n.parquet"),
+        java.nio.file.Paths.get(s"${TestSpark.sf0001}/$n.parquet"))
+    }
+    val part = graft.Tables.t(spark, TestSpark.sf0001, "part")
+    val hotKey = part.select(min("p_partkey")).head.getLong(0)
+    val hot = part.filter(col("p_partkey") === hotKey)
+      .withColumn("__copy", explode(sequence(lit(1), lit(500))))
+      .drop("__copy")
+    part.unionByName(hot).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dirty/part.parquet")
+
+    val wh = Files.createTempDirectory("graft_pipe_hot").toString
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, dirty, wh, maxJoinFanout = 2.0)
+    }
+    assert(e.getMessage.contains("pre-flight veto"),
+      s"unexpected failure: ${e.getMessage}")
+    // the veto fired BEFORE the star view was (re)defined for this run
+    assert(e.getMessage.contains("Skew.saltedJoin"))
+  }
+
   test("publish gate holds a dirty batch's violating rows back") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

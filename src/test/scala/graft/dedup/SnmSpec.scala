@@ -87,6 +87,24 @@ class SnmSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("simhash band candidates superset the verified hamming<=3 " +
+    "pairs (pigeonhole); the blocking-methods gate carries all four " +
+    "geometries") {
+    val d = graft.TestSpark.sf0001
+    val corpus = graft.Tables.t(spark, d, "documents")
+    val cand = Dedup.simhashBandCandidates(corpus, "doc_id", "text",
+      maxBucketSize = Int.MaxValue)
+    val verified = Dedup.simhashCandidatePairs(corpus, "doc_id", "text",
+      maxBucketSize = Int.MaxValue)
+    assert(verified.select("doc_a", "doc_b")
+      .join(cand, Seq("doc_a", "doc_b"), "left_anti").count() == 0)
+    val methods = graft.SparkEntry.queries("d_blocking_methods")(
+        spark, d)
+      .select("method").as[String].collect().toSet
+    assert(methods == Set("minhash_lsh", "prefix_filter",
+      "simhash_bands", "snm_w5"))
+  }
+
   test("blocking-methods table: prefix recall 1.0, snm pays recall " +
     "for linearity") {
     val t = 0.2

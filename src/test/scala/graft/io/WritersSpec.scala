@@ -88,6 +88,38 @@ class WritersSpec extends AnyFunSuite {
     assert(back.count() == 3) // s1 -> 1 row, s2 + s3 untouched
   }
 
+  test("K3b staged overwrite: content swaps, no .staging/.retired " +
+    "residue, and a crashed-swap .retired generation is recoverable") {
+    val p = s"${tmp()}/staged"
+    Writers.overwriteStaged(Seq(("a", 1)).toDF("k", "v"), p)
+    Writers.overwriteStaged(Seq(("b", 2)).toDF("k", "v"), p)
+    assert(spark.read.parquet(p).as[(String, Int)].collect().toSeq ==
+      Seq(("b", 2)))
+    assert(!new java.io.File(p + ".staging").exists())
+    assert(!new java.io.File(p + ".retired").exists())
+    // simulate the crash window between the two renames: the live
+    // generation was retired, the promotion never happened
+    assert(new java.io.File(p).renameTo(new java.io.File(p + ".retired")))
+    assert(Writers.recoverStaged(spark, p))
+    assert(spark.read.parquet(p).as[(String, Int)].collect().toSeq ==
+      Seq(("b", 2)))
+    // idempotent: nothing left to recover
+    assert(!Writers.recoverStaged(spark, p))
+  }
+
+  test("K3b staged overwrite restores an orphaned .retired-only state " +
+    "rather than deleting the last copy") {
+    val p = s"${tmp()}/orphan"
+    Writers.overwriteStaged(Seq(("old", 1)).toDF("k", "v"), p)
+    assert(new java.io.File(p).renameTo(new java.io.File(p + ".retired")))
+    // next publish must go through (and the retired copy must not be
+    // destroyed before the new generation is safely promoted)
+    Writers.overwriteStaged(Seq(("new", 2)).toDF("k", "v"), p)
+    assert(spark.read.parquet(p).as[(String, Int)].collect().toSeq ==
+      Seq(("new", 2)))
+    assert(!new java.io.File(p + ".retired").exists())
+  }
+
   private def cat(files: (String, Long)*) =
     files.toSeq.toDF("file_name", "size_bytes")
       .withColumn("is_parquet", lit(true))

@@ -169,6 +169,33 @@ class CdcSpec extends AnyFunSuite {
     h2.unpersist()
   }
 
+  test("upsertBatch: a vanished initialized state fails loudly; a " +
+    "crashed staged swap is recovered and the merge continues") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ub")
+    val state = dir.resolve("state").toString
+    def batch(rows: (Long, Double, String, Long)*) =
+      rows.toSeq.toDF("key", "payload", "op", "seq")
+    Cdc.upsertBatch(spark, batch((1L, 1.0, "U", 1L), (2L, 2.0, "U", 2L)),
+      state)
+    assert(spark.read.parquet(state).count() == 2)
+    // crash window: the live generation sits at .retired, no target —
+    // the next batch must recover it and merge on top, not rebuild
+    assert(new java.io.File(state).renameTo(
+      new java.io.File(state + ".retired")))
+    Cdc.upsertBatch(spark, batch((3L, 3.0, "U", 3L)), state)
+    assert(spark.read.parquet(state).select("key")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // state initialized but UNRECOVERABLY missing: refuse to treat it
+    // as empty (a silent rebuild would drop keys 1..3)
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete()
+    }
+    rmrf(new java.io.File(state))
+    intercept[IllegalArgumentException] {
+      Cdc.upsertBatch(spark, batch((4L, 4.0, "U", 4L)), state)
+    }
+  }
+
   test("gate: every change class present at sf0.001") {
     val g = graft.SparkEntry.queries("cdc_snapshot_diff")(
       spark, "/root/testdata/sf0.001")

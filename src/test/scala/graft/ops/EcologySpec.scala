@@ -114,6 +114,68 @@ class EcologySpec extends AnyFunSuite {
     assert(co.count() == 1)
   }
 
+  test("shannon: hand values — uniform community hits ln S, " +
+    "monoculture hits 0, pielou NULL only for S = 1") {
+    val sh = Ecology.shannonDiversity(ab).cache()
+    val m = sh.select("sample", "richness", "shannon", "hill_q1",
+        "pielou")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // sample 1: uniform over 4 taxa → H = ln 4, hill = 4, pielou = 1
+    assert(math.abs(m(1L)._2 - math.log(4.0)) < 1e-12)
+    assert(math.abs(m(1L)._3 - 4.0) < 1e-9)
+    assert(math.abs(m(1L)._4.get - 1.0) < 1e-12)
+    // sample 2: monoculture → H = 0 exactly (clamped), hill = 1,
+    // pielou NULL (0/0)
+    assert(m(2L)._2 == 0.0 && m(2L)._3 == 1.0 && m(2L)._4.isEmpty)
+    // sample 3: n = (3,1) → H = ln4 − (3·ln3)/4 (ln1 = 0)
+    val h3 = math.log(4.0) - 3.0 * math.log(3.0) / 4.0
+    assert(math.abs(m(3L)._2 - h3) < 1e-12)
+  }
+
+  test("shannon properties: 0 ≤ H ≤ ln S with H = 0 iff S = 1; " +
+    "hill_q1 = exp(H); invariant under taxon relabeling " +
+    "(sf0.001 lineitem communities)") {
+    val abFull = Ecology.abundance(
+      graft.Tables.t(spark, TestSpark.sf0001, "lineitem"))
+    val sh = Ecology.shannonDiversity(abFull)
+      .select("sample", "richness", "shannon", "hill_q1")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(sh.nonEmpty)
+    sh.foreach { case (s, rich, h, hill) =>
+      assert(h >= 0.0, s"sample $s: H < 0")
+      assert(h <= math.log(rich.toDouble) + 1e-9,
+        s"sample $s: H ${h} exceeds ln S ${math.log(rich.toDouble)}")
+      assert(if (rich == 1L) h == 0.0 else h > 0.0,
+        s"sample $s: H = 0 must hold iff S = 1 (S=$rich, H=$h)")
+      assert(math.abs(hill - math.exp(h)) < 1e-9 * math.max(1.0, hill))
+    }
+    // relabeling taxa cannot move any index — the per-taxon terms are
+    // identical; only the FP summation ORDER may shift (repartitioned
+    // groups), so compare within an ulp-scale tolerance
+    val relabeled = Ecology.shannonDiversity(
+        abFull.withColumn("taxon", -col("taxon") * 7))
+      .select("sample", "shannon").as[(Long, Double)].collect().toMap
+    val base = sh.map(r => r._1 -> r._3).toMap
+    assert(relabeled.keySet == base.keySet)
+    base.foreach { case (s, h) =>
+      assert(math.abs(relabeled(s) - h) < 1e-12,
+        s"sample $s: H moved under taxon relabeling")
+    }
+  }
+
+  test("shannon ordering agrees with inv_simpson on the fixture: " +
+    "even > skewed > monoculture") {
+    val sh = Ecology.shannonDiversity(ab)
+      .select("sample", "shannon").as[(Long, Double)].collect().toMap
+    val inv = Ecology.alphaDiversity(ab)
+      .select("sample", "inv_simpson").as[(Long, Double)].collect()
+      .toMap
+    assert(sh(1L) > sh(3L) && sh(3L) > sh(2L))
+    assert(inv(1L) > inv(3L) && inv(3L) > inv(2L))
+  }
+
   test("bray-curtis of a sample against an identical copy is 0") {
     val dup = ab.union(ab.filter($"sample" === 1L)
       .withColumn("sample", lit(9L)))

@@ -48,12 +48,46 @@ class TopKSpec extends AnyFunSuite {
   test("buffer never exceeds k entries through reduce and merge") {
     val a = new TopKAggregator(2)
     val b = (1L to 20L).foldLeft(a.zero)((buf, i) =>
-      a.reduce(buf, (0L, i.toDouble, i)))
+      a.reduce(buf, (i.toDouble, i)))
     assert(b.entries.size == 2)
     assert(b.entries.map(_.v) == Seq(20.0, 19.0))
     val m = a.merge(b,
       TopKBuf(Seq(TopKEntry(25.0, 99L), TopKEntry(1.0, 98L))))
     assert(m.entries.size == 2)
     assert(m.entries.map(_.v) == Seq(25.0, 20.0))
+  }
+
+  test("mixed ±0.0 ranks like the SQL window form: zeros collapse, " +
+    "ties break on id — a lower-tie -0.0 beats a higher-tie +0.0") {
+    val a = new TopKAggregator(2)
+    // +0.0 with high tie arrives first and fills the buffer
+    val b0 = a.reduce(a.zero, (0.0, 50L))
+    val b1 = a.reduce(b0, (1.0, 1L))
+    // -0.0 with a LOWER tie must displace the +0.0/tie=50 floor
+    val b2 = a.reduce(b1, (-0.0, 10L))
+    assert(b2.entries.map(_.tie) == Seq(1L, 10L),
+      s"-0.0 with lower tie must win the tie against +0.0: $b2")
+    // and the stored value is the normalized +0.0 (bit-stable output)
+    assert(java.lang.Double.doubleToRawLongBits(b2.entries.last.v) == 0L)
+  }
+
+  test("NaN sorts as the largest value (Spark SQL ordering), " +
+    "consistently through reduce and merge") {
+    val a = new TopKAggregator(2)
+    val b = Seq((5.0, 1L), (Double.NaN, 2L), (7.0, 3L))
+      .foldLeft(a.zero)(a.reduce)
+    assert(b.entries.map(_.tie) == Seq(2L, 3L))
+    val m = a.merge(TopKBuf(Seq(TopKEntry(Double.NaN, 9L))), b)
+    assert(m.entries.map(_.tie) == Seq(2L, 9L))
+  }
+
+  test("SQL-surface udaf hash-matches the typed aggregator: " +
+    "top_k3 over orders == topKPerGroup over orders") {
+    val d = graft.TestSpark.sf0001
+    val typed = graft.ops.Windows.queries("w12_topk_agg")(spark, d)
+      .collect().map(_.toSeq).toSet
+    val viaSql = graft.ops.Windows.queries("w13_topk_sql")(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(viaSql == typed)
   }
 }
