@@ -268,6 +268,28 @@ class PlanSpec extends AnyFunSuite {
       s"refine went all-pairs:\n${p.take(3000)}")
   }
 
+  test("bounded top-k: BOTH surfaces (typed aggregator and SQL udaf) " +
+    "partial-aggregate BEFORE the exchange — the shuffle carries " +
+    "O(groups x k) buffers, and neither plans a per-group sort") {
+    Seq("w12_topk_agg" -> "partial_topkaggregator",
+        "w13_topk_sql" -> "partial_top_k3").foreach {
+      case (gate, partialFn) =>
+        val p = plan(gate)
+        val ex = p.indexOf("Exchange hashpartitioning")
+        val partial = p.indexOf(partialFn)
+        assert(ex >= 0 && partial >= 0,
+          s"$gate: missing exchange or partial agg:\n${p.take(3000)}")
+        // executedPlan prints top-down, so the map-side partial agg
+        // (which EXECUTES first) appears AFTER the exchange in text
+        assert(partial > ex,
+          s"$gate: partial aggregation did not happen map-side " +
+            s"(before the shuffle):\n${p.take(3000)}")
+        assert(!p.contains("SortExec") && !p.contains("Window"),
+          s"$gate: bounded top-k must not plan a per-group sort or " +
+            s"window:\n${p.take(3000)}")
+    }
+  }
+
   test("quantile sketch: two aggregate passes, no per-group value " +
     "collection (no collect_list / percentile sort) in the plan") {
     val p = plan("a11_quantile_sketch")
