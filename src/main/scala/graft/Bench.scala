@@ -168,8 +168,12 @@ object Bench {
     // spread exceeds 0.5 gets up to 2 extra timed runs; the median
     // then absorbs the outlier pass.
     var rerunRound = 0
+    // the relative threshold alone would flag every 0.15 s gate whose
+    // passes jitter by 80 ms (the first r14 close run re-ran 190 of
+    // 243 gates); the re-run budget belongs to gates where the passes
+    // disagree MATERIALLY — an absolute spread past 0.5 s
     def noisyNow: Set[String] = samples.collect {
-      case (n, xs) if spreadOf(xs) > 0.5 => n
+      case (n, xs) if spreadOf(xs) > 0.5 && xs.max - xs.min > 0.5 => n
     }.toSet -- errGates.keySet
     var noisy = noisyNow
     while (rerunRound < 2 && noisy.nonEmpty) {
