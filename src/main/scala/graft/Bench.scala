@@ -48,6 +48,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // a soak-scale pass on a big heap can stall the whole JVM for
+      // minutes in one GC pause; at the default 120 s heartbeat
+      // timeout the HeartbeatReceiver then REMOVES the local-mode
+      // executor and the context is dead for every remaining gate
+      // (observed: a 135 s pause killed the first r14 sf10 run mid
+      // cold pass). In a single-JVM bench, heartbeat-based executor
+      // removal is pure downside — tolerate long stalls.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "30s")
     // scan-split sizing for soak corpora (sf1 single-file tables carry
     // 16 MB row groups — the default 128 MB split would serialize each
     // scan on one core); unset = Spark default, the driver contract
@@ -75,6 +84,13 @@ object Bench {
         .filter { case (n, _) => only.forall(_.contains(n)) }
         .filter { case (n, _) => subset.forall(_.contains(n)) }
         .map { case (name, fn) =>
+        // fail FAST if the context died (stall-kill, OOM): timing the
+        // remaining gates against a stopped context would burn an hour
+        // recording 200 meaningless error rows — and an aborted run
+        // writing NO record is the loud-failure contract
+        if (spark.sparkContext.isStopped)
+          sys.error(s"SparkContext stopped before $name — aborting " +
+            "the bench run (GC stall / executor removal?)")
         // noop write (not count): count() lets Catalyst prune the
         // computed columns, timing a cheaper plan than the query builds
         val r = timeGate(name,
