@@ -30,4 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // array-heavy gates allocate G1-humongous buffers; 32 MB regions
+  // cut the humongous-triggered evacuation pauses observed in the
+  // r14 sf10 GC log (worst STW 17 s — see docs/BENCH_r14_NOTES.md)
+  "-XX:G1HeapRegionSize=32m",
 )
