@@ -205,6 +205,114 @@ object Ecology {
           / (col("n_a") * col("n_b")), 6))
   }
 
+  /** Lineage depth of the synthesized part taxonomy (brand →
+    * brand;type → brand;type;szNN — `tax.Lineage.lineageCol`). */
+  val TreeDepth = 3
+
+  /** Branch-level community table over the part taxonomy: per
+    * (sample, branch) SUBTREE read counts, where a branch is any
+    * lineage prefix (the edge above that node, unit length). One
+    * broadcast dim join + a depth-bounded explode + ONE map-side-
+    * combined aggregate — the `t3_subtree_rollup` ancestor-explode
+    * shape (reference `tax_abund_from_contigs.R:72-88`), keyed by
+    * sample. Every read contributes exactly TreeDepth branch rows, so
+    * Σ_branches n = TreeDepth · N_sample (the exactness `unifrac`
+    * relies on to recover N without a second scan). */
+  def branchAbundance(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val dims = broadcast(part.select(
+      col("p_partkey"),
+      col("p_brand").as("n1"),
+      concat_ws(";", col("p_brand"), col("p_type")).as("n2"),
+      graft.tax.Lineage.lineageCol.as("n3")))
+    lineitem.join(dims, col("l_partkey") === col("p_partkey"))
+      .select(col("l_suppkey").as("sample"),
+        explode(array(col("n1"), col("n2"), col("n3"))).as("branch"))
+      .groupBy("sample", "branch")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** UniFrac beta diversity for every sample pair — the TREE-aware
+    * counterpart of `brayCurtis`/`betaPresence` (Lozupone & Knight's
+    * unweighted / weighted UniFrac, the standard phylogenetic beta
+    * metrics the reference's community tables feed into; unit branch
+    * lengths on the fixed-depth lineage tree).
+    *
+    * Unweighted = unique-branch share of the union tree:
+    * (b_A + b_B − 2·shared) / (b_A + b_B − shared) — branch-set
+    * Jaccard dissimilarity, exact longs.
+    *
+    * Weighted (normalized) = Σ_b |p_A(b) − p_B(b)| / Σ_b (p_A + p_B)
+    * with p_X(b) = n_Xb / N_X. The float-free identity this gate
+    * rides: multiply through by N_A·N_B and use
+    * Σ_all-branches n_Xb = d·N_X (d = TreeDepth), so
+    *
+    *   w_num = 2d·N_A·N_B − 2·Σ_{shared b} min(n_Ab·N_B, n_Bb·N_A)
+    *   weighted = w_num / (2d·N_A·N_B)
+    *
+    * — branches private to either sample are folded in closed form,
+    * so ONE branch-keyed inner self-join covers the whole union (the
+    * Bray–Curtis shape), and every term is exact DECIMAL(38,0)
+    * (HUGEINT on the oracle side): products are ≤ 2d·N_A·N_B ≈ 6e24
+    * at 1e12 reads/sample — far under decimal38. The gate emits the
+    * exact numerator AS A STRING (the `wg_pagerank` pr_num
+    * discipline) plus the two 6-dp divisions.
+    *
+    * Scale shape: the branch-keyed self-join is the only data-sized
+    * shuffle; totals and the pair aggregate are sample-count-bounded
+    * (broadcast), same as the other beta gates. */
+  def unifrac(bt: DataFrame, depth: Int = TreeDepth): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tot = bt.groupBy("sample")
+      .agg(sum("n").as("t_sum"), count(lit(1)).as("n_branches"))
+      .select(col("sample"),
+        expr(s"CAST(t_sum DIV $depth AS BIGINT)").as("n_reads"),
+        col("n_branches"))
+    val ta = tot.select(col("sample").as("sample_a"),
+      col("n_reads").as("n_reads_a"))
+    val tb = tot.select(col("sample").as("sample_b"),
+      col("n_reads").as("n_reads_b"))
+    val shared = bt.select(col("sample").as("sample_a"), col("branch"),
+        col("n").as("na"))
+      .join(bt.select(col("sample").as("sample_b"), col("branch"),
+        col("n").as("nb")), "branch")
+      .filter(col("sample_a") < col("sample_b"))
+      .join(broadcast(ta), "sample_a")
+      .join(broadcast(tb), "sample_b")
+      .groupBy("sample_a", "sample_b")
+      .agg(count(lit(1)).as("shared_branches"),
+        sum(least(col("na").cast(dec) * col("n_reads_b").cast(dec),
+          col("nb").cast(dec) * col("n_reads_a").cast(dec)))
+          .as("min_sum"))
+    // hint discipline (r13): broadcast the build sides — the cross
+    // grid's right input and the pair-bounded `shared` — never the
+    // preserved left of the left-outer join
+    val grid = tot.select(col("sample").as("sample_a"),
+        col("n_reads").as("n_reads_a"),
+        col("n_branches").as("branches_a"))
+      .crossJoin(broadcast(tot.select(col("sample").as("sample_b"),
+        col("n_reads").as("n_reads_b"),
+        col("n_branches").as("branches_b"))))
+      .filter(col("sample_a") < col("sample_b"))
+    val denom = (lit(2 * depth) * col("n_reads_a").cast(dec)
+      * col("n_reads_b").cast(dec)).cast(dec)
+    val wNum = (denom - lit(2)
+      * coalesce(col("min_sum"), lit(new java.math.BigDecimal(0))))
+      .cast(dec)
+    val sh = coalesce(col("shared_branches"), lit(0L))
+    grid.join(broadcast(shared), Seq("sample_a", "sample_b"), "left")
+      .select(col("sample_a"), col("sample_b"),
+        col("n_reads_a"), col("n_reads_b"),
+        col("branches_a"), col("branches_b"),
+        sh.as("shared_branches"),
+        round((col("branches_a") + col("branches_b") - lit(2) * sh)
+          .cast("double")
+          / (col("branches_a") + col("branches_b") - sh), 6)
+          .as("unifrac_unweighted"),
+        wNum.cast("string").as("w_num"),
+        round(wNum.cast("double") / denom.cast("double"), 6)
+          .as("unifrac_weighted"))
+  }
+
   // ---- gates ----
 
   /** Pair-grid gates run on a bounded comparison set — the GateK
@@ -231,11 +339,16 @@ object Ecology {
   private def ecoCooccur(s: SparkSession, d: String): DataFrame =
     cooccurrence(abundance(t(s, d, "lineitem")), 40)
 
+  private def ecoUnifrac(s: SparkSession, d: String): DataFrame =
+    unifrac(bounded(
+      branchAbundance(t(s, d, "lineitem"), t(s, d, "part"))))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a14_alpha_diversity" -> a14Alpha _,
     "a15_bray_curtis" -> a15Bray _,
     "a16_beta_presence" -> a16Beta _,
-    "eco_cooccur" -> ecoCooccur _)
+    "eco_cooccur" -> ecoCooccur _,
+    "eco_unifrac" -> ecoUnifrac _)
 
   private val abundanceSql =
     """ab0 AS (
@@ -339,5 +452,62 @@ object Ecology {
            round(CAST(coalesce(p.n_both, 0) * (SELECT n FROM ns)
                AS DOUBLE) / (g.n_a * g.n_b), 6) AS lift
          FROM grid g LEFT JOIN pairs p
-           ON p.taxon_a = g.taxon_a AND p.taxon_b = g.taxon_b""")
+           ON p.taxon_a = g.taxon_a AND p.taxon_b = g.taxon_b""",
+    // same branch derivation (the t3 ancestor-explode idiom), same
+    // bounded comparison set, HUGEINT min-products, VARCHAR numerator
+    "eco_unifrac" ->
+      s"""WITH bt0 AS (
+           SELECT l_suppkey AS sample, branch, count(*) AS n FROM (
+             SELECT l_suppkey, p_brand AS branch
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             UNION ALL
+             SELECT l_suppkey, p_brand || ';' || p_type
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             UNION ALL
+             SELECT l_suppkey,
+               p_brand || ';' || p_type || ';sz'
+                 || CAST(p_size AS VARCHAR)
+             FROM lineitem JOIN part ON l_partkey = p_partkey)
+           GROUP BY 1, 2),
+         keepu AS (
+           SELECT DISTINCT sample FROM bt0 ORDER BY sample
+           LIMIT $GateK),
+         bt AS (SELECT bt0.* FROM bt0 JOIN keepu USING (sample)),
+         tot AS (
+           SELECT sample, CAST(sum(n) // $TreeDepth AS HUGEINT)
+             AS n_reads, count(*) AS n_branches
+           FROM bt GROUP BY 1),
+         shared AS (
+           SELECT a.sample AS sample_a, b.sample AS sample_b,
+             count(*) AS shared_branches,
+             sum(least(CAST(a.n AS HUGEINT) * tb.n_reads,
+                       CAST(b.n AS HUGEINT) * ta.n_reads)) AS min_sum
+           FROM bt a JOIN bt b
+             ON a.branch = b.branch AND a.sample < b.sample
+             JOIN tot ta ON ta.sample = a.sample
+             JOIN tot tb ON tb.sample = b.sample
+           GROUP BY 1, 2),
+         grid AS (
+           SELECT a.sample AS sample_a, b.sample AS sample_b,
+             a.n_reads AS n_reads_a, b.n_reads AS n_reads_b,
+             a.n_branches AS branches_a, b.n_branches AS branches_b
+           FROM tot a JOIN tot b ON a.sample < b.sample)
+         SELECT g.sample_a, g.sample_b,
+           CAST(g.n_reads_a AS BIGINT) AS n_reads_a,
+           CAST(g.n_reads_b AS BIGINT) AS n_reads_b,
+           g.branches_a, g.branches_b,
+           coalesce(s.shared_branches, 0) AS shared_branches,
+           round(CAST(g.branches_a + g.branches_b
+               - 2 * coalesce(s.shared_branches, 0) AS DOUBLE)
+             / (g.branches_a + g.branches_b
+               - coalesce(s.shared_branches, 0)), 6)
+             AS unifrac_unweighted,
+           CAST(${2 * TreeDepth} * g.n_reads_a * g.n_reads_b
+             - 2 * coalesce(s.min_sum, 0) AS VARCHAR) AS w_num,
+           round(CAST(${2 * TreeDepth} * g.n_reads_a * g.n_reads_b
+               - 2 * coalesce(s.min_sum, 0) AS DOUBLE)
+             / CAST(${2 * TreeDepth} * g.n_reads_a * g.n_reads_b
+               AS DOUBLE), 6) AS unifrac_weighted
+         FROM grid g LEFT JOIN shared s
+           ON s.sample_a = g.sample_a AND s.sample_b = g.sample_b""")
 }

@@ -277,6 +277,94 @@ object WebGraph {
           .otherwise(lit(0.0)))
   }
 
+  /** Exact closed h-hop reachability sizes |N_≤h(v)| for h = 1..maxHops
+    * over a directed edge list — the neighborhood function per node
+    * (Palmer/Faloutsos ANF's exact ground truth). Each hop is one
+    * frontier⋈edges equi-join + a distinct; every hop's reach set is
+    * staged (persist) so the K-hop plan is K joins over materialized
+    * sets, not a tree that re-expands per hop, and the caller releases
+    * the stages via the returned handle (the `pagerankExactReleasable`
+    * discipline). Exact distinct reach is O(Σ|N_≤h|) rows — the
+    * ORACLE-able small-graph truth; at web scale the reach sets are
+    * node-count-sized per node and the sketch form below
+    * (`neighborhoodHllReleasable`) is the 100 TB path. */
+  def neighborhoodExactReleasable(nodes: DataFrame, edges: DataFrame,
+      maxHops: Int): (DataFrame, () => Unit) = {
+    val e = edges.select(col("src"), col("dst"))
+    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def stage(df: DataFrame): DataFrame = {
+      val p = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count(); staged += p; p
+    }
+    // h = 1: self ∪ out-neighbors (the graph may carry no self-loops;
+    // the closed neighborhood always counts the node itself)
+    var reach = stage(nodes.select(col("node"), col("node").as("r"))
+      .union(e.select(col("src").as("node"), col("dst").as("r")))
+      .distinct())
+    var out = nodes.select("node")
+    for (h <- 1 to maxHops) {
+      if (h > 1)
+        reach = stage(reach.union(
+          reach.withColumnRenamed("r", "src").join(e, "src")
+            .select(col("node"), col("dst").as("r"))).distinct())
+      // self is always reachable → every node appears: inner join
+      out = out.join(
+        reach.groupBy("node").agg(count(lit(1)).as(s"n$h")), "node")
+    }
+    (out, () => { staged.foreach(_.unpersist()); () })
+  }
+
+  /** HyperBall (Boldi–Vigna) neighborhood function — the 100 TB scale
+    * path for |N_≤h(v)|: each node carries an HLL sketch of its reach
+    * set; one round merges every node's out-neighbors' previous
+    * sketches into its own (ONE edges⋈sketches equi-join shuffled on
+    * dst + one register-union aggregate per round), so per-round cost
+    * is O(|E| · sketch) regardless of how large the true reach sets
+    * grow — exactly what makes exact distinct-set expansion infeasible
+    * past small graphs. Sketches ride Spark's codegen'd Datasketches
+    * HLL aggregates (`hll_sketch_agg`/`hll_union_agg`/`hll_union`);
+    * estimates are EXACT while a sketch is still in its sparse
+    * list/set mode (hundreds of items at lgk=12), which the spec pins
+    * against `neighborhoodExactReleasable` on the domain fixture.
+    * Same staging/release discipline as the exact form. */
+  def neighborhoodHllReleasable(nodes: DataFrame, edges: DataFrame,
+      maxHops: Int, lgk: Int = 12): (DataFrame, () => Unit) = {
+    val e = edges.select(col("src"), col("dst"))
+    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def stage(df: DataFrame): DataFrame = {
+      val p = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count(); staged += p; p
+    }
+    var sk = stage(nodes.groupBy("node")
+      .agg(hll_sketch_agg(col("node"), lit(lgk)).as("sk")))
+    var out = nodes.select("node")
+    for (h <- 1 to maxHops) {
+      val nbr = e.join(
+          sk.select(col("node").as("dst"), col("sk").as("nsk")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(hll_union_agg(col("nsk"), lit(false)).as("merged"))
+      sk = stage(sk.join(nbr, Seq("node"), "left")
+        .select(col("node"),
+          when(col("merged").isNull, col("sk"))
+            .otherwise(hll_union(col("sk"), col("merged"))).as("sk")))
+      out = out.join(sk.select(col("node"),
+        hll_sketch_estimate(col("sk")).as(s"n$h")), "node")
+    }
+    (out, () => { staged.foreach(_.unpersist()); () })
+  }
+
+  /** Gate: exact 1/2/3-hop closed neighborhood sizes per domain node
+    * on the pagerank domain graph (degrees {2,4,5} → counts genuinely
+    * vary by residue class). Scratch-staged, caches released. */
+  private def wgNeighborhood(s: SparkSession, d: String): DataFrame = {
+    val nodes = domainNodes(t(s, d, "documents"))
+    val (nf, release) = neighborhoodExactReleasable(nodes,
+      domainEdges(nodes).select("src", "dst"), 3)
+    graft.io.Scratch.stageAndRelease(nf, release, "wg_neighborhood")
+  }
+
   /** Gate: per-domain triangle census + local clustering coefficient
     * on the undirected domain graph. */
   private def wgTriangles(s: SparkSession, d: String): DataFrame = {
@@ -293,7 +381,8 @@ object WebGraph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wg_pagerank" -> wgPagerank _,
     "wg_triangles" -> wgTriangles _,
-    "wg_degree_census" -> wgDegreeCensus _)
+    "wg_degree_census" -> wgDegreeCensus _,
+    "wg_neighborhood" -> wgNeighborhood _)
 
   /** Unrolled K-iteration oracle (DuckDB recursive CTEs disallow the
     * per-round aggregate, so the rounds unroll mechanically; HUGEINT
@@ -431,8 +520,50 @@ object WebGraph {
          LEFT JOIN ind i ON i.node = n.node
          LEFT JOIN recip r ON r.node = n.node"""
 
+  /** Same graph derivation, then three mechanical distinct-reach
+    * expansions (the exact small-graph truth the HLL form
+    * approximates at scale). */
+  private def neighborhoodOracle: String =
+    s"""WITH nodes AS (
+         SELECT DISTINCT CAST(doc_id % $DomainCount AS INT) AS node
+         FROM documents),
+       eo AS (
+         SELECT node AS src, unnest(CASE
+           WHEN node % 3 = 0 THEN ${Degrees(0).mkString("[", ",", "]")}
+           WHEN node % 3 = 1 THEN ${Degrees(1).mkString("[", ",", "]")}
+           ELSE ${Degrees(2).mkString("[", ",", "]")} END) AS off
+         FROM nodes),
+       edges0 AS (
+         SELECT e.src, CAST((e.src + e.off) % $DomainCount AS INT) AS dst
+         FROM eo e JOIN nodes n ON n.node = (e.src + e.off) % $DomainCount),
+       r1 AS (
+         SELECT DISTINCT node, r FROM (
+           SELECT node, node AS r FROM nodes
+           UNION ALL SELECT src AS node, dst AS r FROM edges0)),
+       r2 AS (
+         SELECT DISTINCT node, r FROM (
+           SELECT node, r FROM r1
+           UNION ALL
+           SELECT r1.node, e.dst AS r
+           FROM r1 JOIN edges0 e ON e.src = r1.r)),
+       r3 AS (
+         SELECT DISTINCT node, r FROM (
+           SELECT node, r FROM r2
+           UNION ALL
+           SELECT r2.node, e.dst AS r
+           FROM r2 JOIN edges0 e ON e.src = r2.r)),
+       c1 AS (SELECT node, count(*) AS n1 FROM r1 GROUP BY 1),
+       c2 AS (SELECT node, count(*) AS n2 FROM r2 GROUP BY 1),
+       c3 AS (SELECT node, count(*) AS n3 FROM r3 GROUP BY 1)
+       SELECT n.node, c1.n1, c2.n2, c3.n3
+       FROM nodes n
+         JOIN c1 ON c1.node = n.node
+         JOIN c2 ON c2.node = n.node
+         JOIN c3 ON c3.node = n.node"""
+
   val oracle: Map[String, String] = Map(
     "wg_pagerank" -> pagerankOracle,
     "wg_triangles" -> trianglesOracle,
-    "wg_degree_census" -> degreeCensusOracle)
+    "wg_degree_census" -> degreeCensusOracle,
+    "wg_neighborhood" -> neighborhoodOracle)
 }

@@ -46,4 +46,8 @@ class ResidueSpec extends AnyFunSuite {
   test("d_dup_clusters leaves the persisted-RDD census flat") {
     flatAcrossTwoRuns("d_dup_clusters")
   }
+
+  test("wg_neighborhood leaves the persisted-RDD census flat") {
+    flatAcrossTwoRuns("wg_neighborhood")
+  }
 }

@@ -184,4 +184,96 @@ class EcologySpec extends AnyFunSuite {
       .select("bray_curtis").as[Double].head()
     assert(r == 0.0)
   }
+
+  // ---- UniFrac on a hand-built 3-level taxonomy ----
+
+  private lazy val ufPart = Seq(
+    (1L, "A", "x", 1), (2L, "A", "x", 2), (3L, "B", "y", 1)
+  ).toDF("p_partkey", "p_brand", "p_type", "p_size")
+
+  // S1 = {p1:2, p3:1} (N=3), S2 = {p2:1} (N=1)
+  private lazy val ufLineitem = Seq(
+    (1L, 1L), (1L, 1L), (1L, 3L), (2L, 2L)
+  ).toDF("l_suppkey", "l_partkey")
+
+  private lazy val ufBt = Ecology.branchAbundance(ufLineitem, ufPart)
+
+  test("branch abundance: subtree counts and the depth·N identity") {
+    val m = ufBt.as[(Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // S1's branches: A:2, A;x:2, A;x;sz1:2, B:1, B;y:1, B;y;sz1:1
+    assert(m == Map(
+      (1L, "A") -> 2L, (1L, "A;x") -> 2L, (1L, "A;x;sz1") -> 2L,
+      (1L, "B") -> 1L, (1L, "B;y") -> 1L, (1L, "B;y;sz1") -> 1L,
+      (2L, "A") -> 1L, (2L, "A;x") -> 1L, (2L, "A;x;sz2") -> 1L))
+    // Σ_branches n = TreeDepth · N per sample
+    val tot = ufBt.groupBy("sample").agg(sum("n").as("t"))
+      .as[(Long, Long)].collect().toMap
+    assert(tot == Map(1L -> 9L, 2L -> 3L))
+  }
+
+  test("unifrac: hand values — shared trunk, divergent leaves") {
+    val r = Ecology.unifrac(ufBt)
+      .select("sample_a", "sample_b", "n_reads_a", "n_reads_b",
+        "branches_a", "branches_b", "shared_branches",
+        "unifrac_unweighted", "w_num", "unifrac_weighted")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double, String,
+        Double)].collect()
+    assert(r.length == 1)
+    val (sa, sb, na, nb, ba, bb, sh, uu, wn, uw) = r.head match {
+      case t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8,
+        t._9, t._10)
+    }
+    assert((sa, sb, na, nb, ba, bb, sh) ==
+      ((1L, 2L, 3L, 1L, 6L, 3L, 2L)))
+    // unweighted = (6+3-4)/(6+3-2) = 5/7
+    assert(uu == 0.714286)
+    // w_num = 6·3·1 − 2·(min(2·1,1·3) + min(2·1,1·3)) = 18 − 8 = 10
+    // (direct check: Σ|p_A−p_B| = 10/3, normalizer 2d = 6 → 10/18)
+    assert(wn == "10")
+    assert(uw == 0.555556)
+  }
+
+  test("unifrac: identical communities → 0; fully disjoint → 1") {
+    val dup = ufBt.union(ufBt.filter($"sample" === 1L)
+      .withColumn("sample", lit(9L)))
+    val same = Ecology.unifrac(dup)
+      .filter($"sample_a" === 1L && $"sample_b" === 9L)
+      .select("unifrac_unweighted", "unifrac_weighted")
+      .as[(Double, Double)].head()
+    assert(same == ((0.0, 0.0)))
+    // a community on a disjoint subtree (brand C) vs S2 (all under A)
+    val cPart = Seq((4L, "C", "z", 7))
+      .toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val cBt = Ecology.branchAbundance(
+      Seq((7L, 4L), (7L, 4L)).toDF("l_suppkey", "l_partkey"), cPart)
+    val disj = Ecology.unifrac(ufBt.union(cBt))
+      .filter($"sample_a" === 2L && $"sample_b" === 7L)
+      .select("unifrac_unweighted", "unifrac_weighted")
+      .as[(Double, Double)].head()
+    assert(disj == ((1.0, 1.0)))
+  }
+
+  test("unifrac is tree-aware where leaf-level beta is blind: " +
+    "same-trunk vs different-trunk divergence") {
+    // S1 = leaf A;x;sz1, S2 = leaf A;x;sz2 (sister leaves),
+    // S3 = leaf B;y;sz1 (different trunk). Leaf-level Jaccard calls
+    // both pairs fully disjoint; UniFrac sees the shared A;x trunk.
+    val p = Seq((1L, "A", "x", 1), (2L, "A", "x", 2), (3L, "B", "y", 1))
+      .toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val li = Seq((1L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("l_suppkey", "l_partkey")
+    val u = Ecology.unifrac(Ecology.branchAbundance(li, p))
+      .select("sample_a", "sample_b", "unifrac_unweighted",
+        "unifrac_weighted")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // sisters share 2 of 4 union branches: (3+3-4)/(3+3-2) = 0.5
+    assert(u((1L, 2L)) == ((0.5, lit2dp(2.0 / 6.0))))
+    // different trunks share nothing: 1 under both metrics
+    assert(u((1L, 3L)) == ((1.0, 1.0)))
+  }
+
+  private def lit2dp(x: Double): Double =
+    math.rint(x * 1e6) / 1e6
 }

@@ -128,4 +128,59 @@ class WebGraphSpec extends AnyFunSuite {
     // the designed graph is dense enough to close some triangles
     assert(out.agg(sum("triangles")).as[Long].head() > 0)
   }
+
+  test("neighborhood exact: hand values on a directed path") {
+    // 0→1→2→3: closed reach grows one node per hop until the end
+    val nodes = Seq(0, 1, 2, 3).toDF("node")
+    val e = Seq((0, 1), (1, 2), (2, 3)).toDF("src", "dst")
+    val (nf, release) =
+      WebGraph.neighborhoodExactReleasable(nodes, e, 3)
+    val m = nf.select("node", "n1", "n2", "n3")
+      .as[(Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    release()
+    assert(m == Map(
+      0 -> ((2L, 3L, 4L)), 1 -> ((2L, 3L, 3L)),
+      2 -> ((2L, 2L, 2L)), 3 -> ((1L, 1L, 1L))))
+  }
+
+  test("neighborhood exact: monotone per hop, bounded by |V|, " +
+    "n1 = 1 + out-degree on the simple domain graph") {
+    val nodes = WebGraph.domainNodes(fullDocs)
+    val edges = WebGraph.domainEdges(nodes).select("src", "dst")
+    val (nf, release) =
+      WebGraph.neighborhoodExactReleasable(nodes, edges, 3)
+    val rows = nf.select("node", "n1", "n2", "n3")
+      .as[(Int, Long, Long, Long)].collect()
+    release()
+    assert(rows.length == 50)
+    rows.foreach { case (node, n1, n2, n3) =>
+      assert(n1 <= n2 && n2 <= n3 && n3 <= 50,
+        s"node $node: reach not monotone/bounded ($n1,$n2,$n3)")
+    }
+    // no self-loops, no duplicate edges in the designed graph →
+    // closed 1-hop reach is exactly 1 + out-degree
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d")).as[(Int, Long)].collect().toMap
+    rows.foreach { case (node, n1, _, _) =>
+      assert(n1 == 1 + deg.getOrElse(node, 0L), s"node $node")
+    }
+  }
+
+  test("neighborhood HLL (HyperBall) matches exact on the fixture: " +
+    "sparse-mode sketches are exact at domain-graph cardinalities") {
+    val nodes = WebGraph.domainNodes(fullDocs)
+    val edges = WebGraph.domainEdges(nodes).select("src", "dst")
+    val (ex, relEx) =
+      WebGraph.neighborhoodExactReleasable(nodes, edges, 3)
+    val exact = ex.select("node", "n1", "n2", "n3")
+      .as[(Int, Long, Long, Long)].collect().toSet
+    relEx()
+    val (hll, relHll) =
+      WebGraph.neighborhoodHllReleasable(nodes, edges, 3)
+    val approx = hll.select("node", "n1", "n2", "n3")
+      .as[(Int, Long, Long, Long)].collect().toSet
+    relHll()
+    assert(approx == exact)
+  }
 }
