@@ -415,6 +415,59 @@ object Relational {
       .withColumnRenamed("g", groupCol)
   }
 
+  /** Robust per-group outlier report via EXACT median / MAD (median
+    * absolute deviation) — the outlier rule quality filters reach for
+    * when the mean/σ z-score is itself dragged by the outliers it
+    * should catch (Iglewicz–Hosteller's modified z-score; the robust
+    * twin of `w9_rolling_zscore`). Both the median and the MAD ride
+    * `groupedPercentiles` (value-histogram cumsum, every window
+    * partitioned by the group — no single-partition stage, no
+    * per-group sort, no value buffering), and the outlier test is
+    * pure integer arithmetic: flag v iff
+    *
+    *   kDen · |v − median| > kNum · MAD
+    *
+    * with the threshold carried as the rational kNum/kDen (default
+    * 5189/1000 ≈ 3.5/0.6745, the standard modified-z cut) — no FP
+    * multiply, so both engines agree bit-for-bit. Degenerate groups
+    * (MAD = 0: more than half the values sit ON the median) flag
+    * every off-median value, the rule's documented behavior.
+    *
+    * Scale shape: two grouped-percentile passes + two broadcast joins
+    * of the group-count-bounded median/MAD tables + one final grouped
+    * aggregate — each data-sized pass is one map-side-combined
+    * shuffle. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      kNum: Long = 5189, kDen: Long = 1000): DataFrame = {
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol))
+    val med = groupedPercentiles(vals, groupCol, valueCol,
+        Seq(("p50", 1, 2)))
+      .select(col(groupCol), col("value").as("med"))
+    val dev = vals.join(broadcast(med), groupCol)
+      .withColumn("adev", abs(col(valueCol) - col("med")))
+    val mad = groupedPercentiles(dev.select(col(groupCol), col("adev")),
+        groupCol, "adev", Seq(("p50", 1, 2)))
+      .select(col(groupCol), col("value").as("mad"))
+    dev.join(broadcast(mad), groupCol)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        min("med").as("median"), // constant per group
+        min("mad").as("mad"),
+        sum(when(lit(kDen) * col("adev") > lit(kNum) * col("mad"),
+          lit(1L)).otherwise(lit(0L))).as("n_outliers"))
+      .withColumn("outlier_share",
+        round(col("n_outliers").cast("double") / col("n"), 6))
+  }
+
+  /** Gate: per-returnflag robust outlier report on price cents. */
+  private def a19MadOutliers(s: SparkSession, d: String): DataFrame =
+    madOutliers(
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("v")),
+      "l_returnflag", "v")
+
   /** Gate: per-returnflag exact p50/p95 of l_extendedprice cents. */
   private def a18GroupedPercentiles(s: SparkSession, d: String)
       : DataFrame =
@@ -451,6 +504,7 @@ object Relational {
     "f_histogram" -> fHistogram _,
     "a17_exact_percentiles" -> a17ExactPercentiles _,
     "a18_grouped_percentiles" -> a18GroupedPercentiles _,
+    "a19_mad_outliers" -> a19MadOutliers _,
     "f_map_explode" -> mapExplode _,
     "f_gc_content_expr" -> gcContentExpr _,
     "f_date_parse_multi" -> dateParseMulti _,
@@ -488,6 +542,52 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "f_table_profile" -> profileOracle,
+    // median + MAD each replay the a18 histogram-cumsum rank form
+    // (num=1, den=2); the outlier test is the same integer-rational
+    // compare as the Spark side
+    "a19_mad_outliers" ->
+      """WITH v AS (
+           SELECT l_returnflag AS g,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         h1 AS (SELECT g, v, count(*) AS c FROM v GROUP BY 1, 2),
+         c1 AS (
+           SELECT g, v,
+             sum(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+           FROM h1),
+         med AS (
+           SELECT g, min(v) AS med FROM c1
+           WHERE cum >= CAST((n + 1) - (n + 1) % 2 AS BIGINT) / 2
+           GROUP BY 1),
+         d AS (
+           SELECT v.g, abs(v.v - m.med) AS adev
+           FROM v JOIN med m ON m.g = v.g),
+         h2 AS (SELECT g, adev, count(*) AS c FROM d GROUP BY 1, 2),
+         c2 AS (
+           SELECT g, adev,
+             sum(c) OVER (PARTITION BY g ORDER BY adev
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+           FROM h2),
+         mad AS (
+           SELECT g, min(adev) AS mad FROM c2
+           WHERE cum >= CAST((n + 1) - (n + 1) % 2 AS BIGINT) / 2
+           GROUP BY 1)
+         SELECT d.g AS l_returnflag,
+           count(*) AS n,
+           CAST(min(m.med) AS BIGINT) AS median,
+           CAST(min(x.mad) AS BIGINT) AS mad,
+           CAST(sum(CASE WHEN 1000 * d.adev > 5189 * x.mad
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(CAST(sum(CASE WHEN 1000 * d.adev > 5189 * x.mad
+               THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS outlier_share
+         FROM d JOIN med m ON m.g = d.g JOIN mad x ON x.g = d.g
+         GROUP BY 1""",
     "a18_grouped_percentiles" ->
       """WITH v AS (
            SELECT l_returnflag AS g,

@@ -106,4 +106,47 @@ class ProfileSpec extends AnyFunSuite {
       ("a", "p50") -> ((5L, 5L)), ("a", "p95") -> ((10L, 10L)),
       ("b", "p50") -> ((1L, 100L)), ("b", "p95") -> ((1L, 100L))))
   }
+
+  private def mad(rows: Seq[(String, Long)],
+      kNum: Long = 5189, kDen: Long = 1000) =
+    Relational.madOutliers(rows.toDF("grp", "v"), "grp", "v",
+        kNum, kDen)
+      .select("grp", "n", "median", "mad", "n_outliers",
+        "outlier_share")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+
+  test("mad outliers: hand case — one gross outlier flagged, the " +
+    "rest not; mean-based z would have been dragged") {
+    // group a: 1..9 plus 1000. median of 10 values (type-1, rank 5)
+    // = 5; |v-5| = {4,3,2,1,0,1,2,3,4,995}, MAD (rank 5) = 2.
+    // threshold 5189*2/1000 = 10.378: only 995 exceeds it.
+    val m = mad((1L to 9L).map(("a", _)) :+ (("a", 1000L)))
+    assert(m("a") == ((10L, 5L, 2L, 1L, 0.1)))
+  }
+
+  test("mad outliers: degenerate MAD=0 flags every off-median value") {
+    // 3 of 4 values on the median → MAD 0; the single 7 is flagged
+    val m = mad(Seq(("a", 5L), ("a", 5L), ("a", 5L), ("a", 7L)))
+    assert(m("a") == ((4L, 5L, 0L, 1L, 0.25)))
+  }
+
+  test("mad outliers: groups are independent; constant group clean") {
+    val m = mad(((1L to 9L).map(("a", _)) :+ (("a", 1000L))) ++
+      Seq(("b", 3L), ("b", 3L), ("b", 3L)))
+    assert(m("a")._4 == 1L)
+    // constant group: every adev 0, MAD 0, nothing off-median
+    assert(m("b") == ((3L, 3L, 0L, 0L, 0.0)))
+  }
+
+  test("mad outliers: threshold is an exact rational compare " +
+    "(boundary value NOT flagged at equality)") {
+    // values {0,0,0,0,10}: median 0, adevs {0,0,0,0,10}, MAD 0 →
+    // 10 flagged. Now k = 1/1 on {1,2,3,4,5}: median 3, adevs
+    // {2,1,0,1,2}, MAD 1; rule kDen*adev > kNum*mad → adev > 1:
+    // exactly the two 2s — adev == 1 (equality) is NOT flagged.
+    val m = mad(Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("a", 5L)), kNum = 1, kDen = 1)
+    assert(m("a") == ((5L, 3L, 1L, 2L, 0.4)))
+  }
 }
