@@ -73,5 +73,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "stats"),
       arity("ngram_stats", 1)(exprs =>
         functions.NgramStats(exprs.head, 2))))
+    e.injectFunction((FunctionIdentifier("theta_sketch"),
+      info("theta_sketch",
+        "theta_sketch(key) - distinct-set theta sketch aggregate"),
+      arity("theta_sketch", 1)(exprs =>
+        functions.ThetaSketchAgg(exprs.head,
+          functions.ThetaSketch.DefaultLgK))))
+    e.injectFunction((FunctionIdentifier("theta_estimate"),
+      info("theta_estimate",
+        "theta_estimate(sketch) - rounded distinct estimate"),
+      arity("theta_estimate", 1)(exprs =>
+        functions.ThetaEstimate(exprs.head))))
+    e.injectFunction((FunctionIdentifier("theta_union"),
+      info("theta_union", "theta_union(a, b) - sketch set union"),
+      arity("theta_union", 2)(exprs => functions.ThetaSetOp(
+        exprs(0), exprs(1), functions.ThetaSetOp.UnionOp))))
+    e.injectFunction((FunctionIdentifier("theta_intersect"),
+      info("theta_intersect",
+        "theta_intersect(a, b) - sketch set intersection"),
+      arity("theta_intersect", 2)(exprs => functions.ThetaSetOp(
+        exprs(0), exprs(1), functions.ThetaSetOp.IntersectOp))))
+    e.injectFunction((FunctionIdentifier("theta_anotb"),
+      info("theta_anotb",
+        "theta_anotb(a, b) - sketch set difference (A and not B)"),
+      arity("theta_anotb", 2)(exprs => functions.ThetaSetOp(
+        exprs(0), exprs(1), functions.ThetaSetOp.AnotbOp))))
   }
 }

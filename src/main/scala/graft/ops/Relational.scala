@@ -441,14 +441,24 @@ object Relational {
       kNum: Long = 5189, kDen: Long = 1000): DataFrame = {
     val vals = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol), col(valueCol))
-    val med = groupedPercentiles(vals, groupCol, valueCol,
-        Seq(("p50", 1, 2)))
-      .select(col(groupCol), col("value").as("med"))
+    // med and mad are group-count-bounded; STAGE them (scratch
+    // parquet, the `Scratch` discipline) so the deviation pass and
+    // the final pass read a materialized tiny table instead of
+    // re-running the whole histogram-cumsum subtree per consumer —
+    // without staging the plan evaluates the median derivation three
+    // times (measured 7× the a18 cost at sf10; 3 data scans + 2 tiny
+    // writes after)
+    val med = graft.io.Scratch.stageAndRelease(
+      groupedPercentiles(vals, groupCol, valueCol, Seq(("p50", 1, 2)))
+        .select(col(groupCol), col("value").as("med")),
+      () => (), "mad_med")
     val dev = vals.join(broadcast(med), groupCol)
       .withColumn("adev", abs(col(valueCol) - col("med")))
-    val mad = groupedPercentiles(dev.select(col(groupCol), col("adev")),
+    val mad = graft.io.Scratch.stageAndRelease(
+      groupedPercentiles(dev.select(col(groupCol), col("adev")),
         groupCol, "adev", Seq(("p50", 1, 2)))
-      .select(col(groupCol), col("value").as("mad"))
+        .select(col(groupCol), col("value").as("mad")),
+      () => (), "mad_mad")
     dev.join(broadcast(mad), groupCol)
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n"),

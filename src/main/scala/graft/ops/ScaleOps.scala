@@ -304,8 +304,38 @@ object ScaleOps {
       .agg(approx_count_distinct(col("l_partkey"), 0.02)
         .as("approx_distinct"))
 
+  /** Theta-sketch distinct-set algebra over two corpus halves — the
+    * set-operation capability HLL lacks (intersection / difference of
+    * distinct key sets: snapshot audience overlap, novel keys per
+    * batch). One sketch aggregate per half (map-side partial merges,
+    * a fixed-kB image shuffled per side), then every set op combines
+    * the TWO images — no re-shuffle of the data. The key universe is
+    * bounded (pmod 3000 < nominal k = 4096) so the sketches stay in
+    * exact mode at ANY SF and all five outputs equal the exact
+    * distinct counts DuckDB computes — while the operator itself
+    * degrades to ±1.6% estimates past k at 100 TB (see
+    * `functions.ThetaSketch`). */
+  private def xThetaSetOps(s: SparkSession, d: String): DataFrame = {
+    graft.functions.ThetaSketch.register(s)
+    val o = t(s, d, "orders").select(
+      pmod(col("o_custkey"), lit(3000)).cast("long").as("k"),
+      (col("o_orderkey") % 2).as("half"))
+    val skA = o.filter(col("half") === 0)
+      .agg(expr("theta_sketch(k)").as("sk_a"))
+    val skB = o.filter(col("half") === 1)
+      .agg(expr("theta_sketch(k)").as("sk_b"))
+    skA.crossJoin(broadcast(skB)).select(
+      expr("theta_estimate(sk_a)").as("n_a"),
+      expr("theta_estimate(sk_b)").as("n_b"),
+      expr("theta_estimate(theta_union(sk_a, sk_b))").as("n_union"),
+      expr("theta_estimate(theta_intersect(sk_a, sk_b))")
+        .as("n_intersect"),
+      expr("theta_estimate(theta_anotb(sk_a, sk_b))").as("n_a_not_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a13_hll_distinct" -> a13HllDistinct _,
+    "x_theta_set_ops" -> xThetaSetOps _,
     "a12_group_trend" -> a12GroupTrend _,
     "f_zorder" -> fZorder _,
     "a11_quantile_sketch" -> aQuantileSketch _,
@@ -314,6 +344,24 @@ object ScaleOps {
     "j_salted_skew" -> jSaltedSkew _)
 
   val oracle: Map[String, String] = Map(
+    // bounded key universe keeps the sketches exact → plain exact
+    // set algebra on the oracle side, full hash compare
+    "x_theta_set_ops" ->
+      """WITH k AS (
+           SELECT o_custkey % 3000 AS k, o_orderkey % 2 AS half
+           FROM orders),
+         a AS (SELECT DISTINCT k FROM k WHERE half = 0),
+         b AS (SELECT DISTINCT k FROM k WHERE half = 1)
+         SELECT
+           (SELECT count(*) FROM a) AS n_a,
+           (SELECT count(*) FROM b) AS n_b,
+           (SELECT count(*) FROM
+             (SELECT k FROM a UNION SELECT k FROM b)) AS n_union,
+           (SELECT count(*) FROM
+             (SELECT k FROM a INTERSECT SELECT k FROM b))
+             AS n_intersect,
+           (SELECT count(*) FROM
+             (SELECT k FROM a EXCEPT SELECT k FROM b)) AS n_a_not_b""",
     "a13_hll_distinct" ->
       """WITH dump AS (
            SELECT l_returnflag, approx_distinct

@@ -22,6 +22,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT token_ngrams(array('a','b','c','d')) AS g")
       .head.getSeq[String](0) == Seq("a b c", "b c d"))
+    // theta family: aggregate + all three set ops, exact at this size
+    assert(spark.sql(
+      """SELECT theta_estimate(theta_intersect(a, b)) AS i,
+           theta_estimate(theta_union(a, b)) AS u,
+           theta_estimate(theta_anotb(a, b)) AS d
+         FROM (SELECT
+           (SELECT theta_sketch(x) FROM
+             (VALUES (1L),(2L),(3L)) t(x)) AS a,
+           (SELECT theta_sketch(x) FROM
+             (VALUES (2L),(3L),(4L),(5L)) t(x)) AS b)""")
+      .head match { case r => (r.getLong(0), r.getLong(1),
+        r.getLong(2)) == ((2L, 5L, 1L)) })
   }
 
   test("wrong arity fails analysis with a clear error") {
