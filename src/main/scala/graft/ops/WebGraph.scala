@@ -355,6 +355,94 @@ object WebGraph {
     (out, () => { staged.foreach(_.unpersist()); () })
   }
 
+  /** k-core membership by R rounds of degree peeling on an undirected
+    * simple edge list — the subgraph-density gate link-graph curation
+    * thresholds on (spam farms live OUTSIDE deep cores; Alvarez-
+    * Hamelin et al.'s k-core decomposition, here the fixed-k
+    * membership question). Each round drops nodes whose degree within
+    * the SURVIVING subgraph is < k; peeling cascades, and R is fixed
+    * (the pagerank fixed-K discipline — extra rounds past the
+    * fixpoint are idempotent no-ops, so a mechanically-unrolled
+    * oracle replays the result regardless of where convergence
+    * landed; the spec asserts R actually reaches the fixpoint on the
+    * gate graph). Per round: two alive-set equi-joins + one degree
+    * aggregate — every stage keyed, nothing single-partition; alive
+    * sets are persisted per round and RELEASED via the returned
+    * handle. Returns every ORIGINAL node with an in_core flag and its
+    * within-core degree. */
+  def kCoreReleasable(nodes: DataFrame, und: DataFrame, k: Int,
+      rounds: Int): (DataFrame, () => Unit) = {
+    // LINEAGE DISCIPLINE: each round references the previous alive
+    // set TWICE (u-join, v-join) and the restricted edges twice (the
+    // degree union), so carrying lineage multiplies the logical plan
+    // ×4 per round — 4^R copies by round R (an OOM just STRINGIFYING
+    // the plan for the cache name, before any data moves). Every
+    // round's alive set therefore round-trips through a scratch
+    // parquet (a constant-size scan plan, the production shape for
+    // iterative jobs); only the edge list is persisted, and the
+    // handle releases it.
+    val edges = und.select(col("u"), col("v")).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    def aliveEdges(alive: DataFrame): DataFrame = edges
+      .join(alive.select(col("node").as("u")), "u")
+      .join(alive.select(col("node").as("v")), "v")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    def cut(df: DataFrame, tag: String): DataFrame =
+      graft.io.Scratch.stageAndRelease(df, () => (), tag)
+    var alive = cut(nodes.select("node"), "kcore_alive")
+    for (r <- 1 to rounds)
+      alive = cut(degrees(aliveEdges(alive))
+        .filter(col("deg") >= k).select("node"), s"kcore_alive_r$r")
+    val coreDeg = degrees(aliveEdges(alive))
+    val out = nodes.select("node")
+      .join(alive.withColumn("in_core", lit(1)), Seq("node"), "left")
+      .join(coreDeg, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("in_core"), lit(0)).as("in_core"),
+        coalesce(col("deg"), lit(0L)).as("core_deg"))
+    (out, () => { edges.unpersist(); () })
+  }
+
+  /** k-core gate fixture — the pagerank/triangle residue-class
+    * designs are CLASS-regular, so peeling is all-or-nothing per
+    * class (k ≤ min degree keeps everything, k > it cascades to
+    * empty). The core gate instead splits the domain space into a
+    * DENSE lower half (offsets 1..6 → interior degree ~12) and a
+    * SPARSE upper half (offsets {1,2} → interior degree ~4): at
+    * k = 5 the sparse interior peels in round 1 and the cascade
+    * erodes the boundary tail until lower-half in-support sustains
+    * it — a genuinely non-trivial core (the whole dense half + a few
+    * boundary survivors), fixpoint well inside KCoreRounds (both
+    * asserted in WebGraphSpec). */
+  val KCoreLowOffsets = Seq(1, 2, 3, 4, 5, 6)
+  val KCoreHighOffsets = Seq(1, 2)
+  val KCoreK = 5
+  val KCoreRounds = 8
+
+  /** Dense-half/sparse-half out-edges between EXISTING nodes. */
+  def kcoreEdges(nodes: DataFrame): DataFrame = {
+    val offs = nodes.select(col("node").as("src"), explode(
+      when(col("node") < DomainCount / 2,
+        array(KCoreLowOffsets.map(lit): _*))
+        .otherwise(array(KCoreHighOffsets.map(lit): _*))).as("off"))
+    val e = offs.select(col("src"),
+      ((col("src") + col("off")) % DomainCount).cast("int").as("dst"))
+    e.join(nodes.withColumnRenamed("node", "dst"), Seq("dst"))
+      .select("src", "dst")
+  }
+
+  /** Gate: 5-core membership of the dense/sparse domain graph. */
+  private def wgKcore(s: SparkSession, d: String): DataFrame = {
+    val nodes = domainNodes(t(s, d, "documents"))
+    val (core, release) = kCoreReleasable(nodes,
+      undirectedEdges(kcoreEdges(nodes)), KCoreK, KCoreRounds)
+    graft.io.Scratch.stageAndRelease(core, release, "wg_kcore")
+  }
+
   /** Gate: exact 1/2/3-hop closed neighborhood sizes per domain node
     * on the pagerank domain graph (degrees {2,4,5} → counts genuinely
     * vary by residue class). Scratch-staged, caches released. */
@@ -382,7 +470,8 @@ object WebGraph {
     "wg_pagerank" -> wgPagerank _,
     "wg_triangles" -> wgTriangles _,
     "wg_degree_census" -> wgDegreeCensus _,
-    "wg_neighborhood" -> wgNeighborhood _)
+    "wg_neighborhood" -> wgNeighborhood _,
+    "wg_kcore" -> wgKcore _)
 
   /** Unrolled K-iteration oracle (DuckDB recursive CTEs disallow the
     * per-round aggregate, so the rounds unroll mechanically; HUGEINT
@@ -561,9 +650,66 @@ object WebGraph {
          JOIN c2 ON c2.node = n.node
          JOIN c3 ON c3.node = n.node"""
 
+  /** Same triangle-graph derivation, then R mechanically-unrolled
+    * peeling rounds (the pagerankOracle unroll discipline — DuckDB
+    * recursive CTEs disallow the per-round aggregate). */
+  private def kcoreOracle: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH nodes AS (
+           SELECT DISTINCT CAST(doc_id % $DomainCount AS INT) AS node
+           FROM documents),
+         eo AS (
+           SELECT node AS src, unnest(CASE
+             WHEN node < ${DomainCount / 2}
+               THEN ${KCoreLowOffsets.mkString("[", ",", "]")}
+             ELSE ${KCoreHighOffsets.mkString("[", ",", "]")} END)
+             AS off
+           FROM nodes),
+         edges0 AS (
+           SELECT e.src, CAST((e.src + e.off) % $DomainCount AS INT) AS dst
+           FROM eo e JOIN nodes n ON n.node = (e.src + e.off) % $DomainCount),
+         und AS MATERIALIZED (
+           SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+           FROM edges0 WHERE src <> dst),
+         a0 AS MATERIALIZED (SELECT node FROM nodes)""")
+    for (r <- 1 to KCoreRounds) {
+      sb.append(
+        s""",
+         e$r AS MATERIALIZED (
+           SELECT und.u, und.v FROM und
+             JOIN a${r - 1} x ON x.node = und.u
+             JOIN a${r - 1} y ON y.node = und.v),
+         d$r AS MATERIALIZED (
+           SELECT node, count(*) AS deg FROM (
+             SELECT u AS node FROM e$r
+             UNION ALL SELECT v AS node FROM e$r) GROUP BY 1),
+         a$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $KCoreK)""")
+    }
+    val R = KCoreRounds
+    sb.append(
+      s""",
+         ef AS MATERIALIZED (
+           SELECT und.u, und.v FROM und
+             JOIN a$R x ON x.node = und.u
+             JOIN a$R y ON y.node = und.v),
+         df AS (
+           SELECT node, count(*) AS deg FROM (
+             SELECT u AS node FROM ef
+             UNION ALL SELECT v AS node FROM ef) GROUP BY 1)
+       SELECT n.node,
+         CASE WHEN a.node IS NOT NULL THEN 1 ELSE 0 END AS in_core,
+         coalesce(d.deg, 0) AS core_deg
+       FROM nodes n
+         LEFT JOIN a$R a ON a.node = n.node
+         LEFT JOIN df d ON d.node = n.node""")
+    sb.toString
+  }
+
   val oracle: Map[String, String] = Map(
     "wg_pagerank" -> pagerankOracle,
     "wg_triangles" -> trianglesOracle,
     "wg_degree_census" -> degreeCensusOracle,
-    "wg_neighborhood" -> neighborhoodOracle)
+    "wg_neighborhood" -> neighborhoodOracle,
+    "wg_kcore" -> kcoreOracle)
 }

@@ -167,6 +167,63 @@ class WebGraphSpec extends AnyFunSuite {
     }
   }
 
+  private def kcore(nodes: Seq[Int], und: Seq[(Int, Int)], k: Int,
+      rounds: Int): Map[Int, (Int, Long)] = {
+    val (core, release) = WebGraph.kCoreReleasable(
+      nodes.toDF("node"), und.toDF("u", "v"), k, rounds)
+    val m = core.select("node", "in_core", "core_deg")
+      .as[(Int, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    release()
+    m
+  }
+
+  test("k-core: K4 with a pendant tail — 3-core keeps exactly the K4") {
+    val und = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (4, 5), (5, 6))
+    val m = kcore(Seq(1, 2, 3, 4, 5, 6), und, 3, 5)
+    assert(m == Map(
+      1 -> ((1, 3L)), 2 -> ((1, 3L)), 3 -> ((1, 3L)), 4 -> ((1, 3L)),
+      5 -> ((0, 0L)), 6 -> ((0, 0L))))
+  }
+
+  test("k-core: peeling cascades — a path has no 2-core, a cycle is " +
+    "its own 2-core") {
+    val path = kcore(Seq(1, 2, 3, 4, 5),
+      Seq((1, 2), (2, 3), (3, 4), (4, 5)), 2, 5)
+    assert(path.values.forall(_ == ((0, 0L))), s"path: $path")
+    val cycle = kcore(Seq(1, 2, 3, 4),
+      Seq((1, 2), (2, 3), (3, 4), (1, 4)), 2, 5)
+    assert(cycle.values.forall(_ == ((1, 2L))), s"cycle: $cycle")
+  }
+
+  test("k-core gate graph: fixpoint within KCoreRounds and a " +
+    "non-trivial core (dense half survives, sparse interior peels)") {
+    val nodes = WebGraph.domainNodes(fullDocs)
+    val und = WebGraph.undirectedEdges(WebGraph.kcoreEdges(nodes))
+    def run(r: Int): Map[Int, (Int, Long)] = {
+      val (core, release) = WebGraph.kCoreReleasable(nodes, und,
+        WebGraph.KCoreK, r)
+      val m = core.select("node", "in_core", "core_deg")
+        .as[(Int, Int, Long)].collect()
+        .map(x => x._1 -> ((x._2, x._3))).toMap
+      release()
+      m
+    }
+    val atR = run(WebGraph.KCoreRounds)
+    assert(atR == run(WebGraph.KCoreRounds + 1),
+      "peeling had not reached its fixpoint at KCoreRounds")
+    val inCore = atR.count(_._2._1 == 1)
+    assert(inCore > 0 && inCore < 50, s"trivial core: $inCore/50")
+    // the dense lower half always survives: out-degree 6 ≥ k alone
+    (0 until 25).foreach(n =>
+      assert(atR(n)._1 == 1, s"dense node $n peeled"))
+    // every survivor meets the degree bar within the core
+    atR.values.filter(_._1 == 1).foreach { case (_, d) =>
+      assert(d >= WebGraph.KCoreK)
+    }
+  }
+
   test("neighborhood HLL (HyperBall) matches exact on the fixture: " +
     "sparse-mode sketches are exact at domain-graph cardinalities") {
     val nodes = WebGraph.domainNodes(fullDocs)
