@@ -356,11 +356,56 @@ object Checks {
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
       "o_orderkey", 64)
 
+  /** Categorical distribution drift between two slices — the
+    * ingest-batch monitoring question ("did the language / source /
+    * quality mix move?") answered as per-category total-variation
+    * contributions. Float-free by the UniFrac cross-multiplication:
+    * for category i with counts a_i, b_i and totals N_A, N_B the
+    * exact drift numerator is |a_i·N_B − b_i·N_A| on DECIMAL(38,0)
+    * (HUGEINT in the oracle) and the 6-dp share divides by 2·N_A·N_B
+    * (TV = ½ Σ |p_i − q_i|; categories absent from one side
+    * contribute their full mass). ONE map-side-combined scan builds
+    * both sides' counts (conditional sums — no second pass, no outer
+    * join for one-sided categories), totals ride a broadcast
+    * single-row cross. Pairs with `tableChecksum` on the comparison
+    * ladder: checksum says WHETHER a replica moved, drift says HOW
+    * the distribution moved. */
+  def distributionDrift(df: DataFrame, catCol: String,
+      sideCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df.groupBy(col(catCol).as("category"))
+      .agg(sum(when(col(sideCol) === 0, lit(1L)).otherwise(lit(0L)))
+        .as("n_a"),
+        sum(when(col(sideCol) === 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_b"))
+    val tot = counts.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
+    val num = abs(col("n_a").cast(dec) * col("t_b").cast(dec)
+      - col("n_b").cast(dec) * col("t_a").cast(dec)).cast(dec)
+    val denom = (lit(2) * col("t_a").cast(dec) * col("t_b").cast(dec))
+      .cast(dec)
+    counts.crossJoin(broadcast(tot))
+      .select(col("category"), col("n_a"), col("n_b"),
+        num.cast("string").as("drift_num"),
+        when(col("t_a") > 0 && col("t_b") > 0,
+          round(num.cast("double") / denom.cast("double"), 6))
+          .as("tv_contrib"))
+  }
+
+  /** Gate: language-mix drift between the even/odd doc_id halves of
+    * the documents corpus (a stand-in for two ingest snapshots). */
+  private def fDistDrift(s: SparkSession, d: String): DataFrame =
+    distributionDrift(
+      graft.Tables.t(s, d, "documents")
+        .select(col("lang"), (col("doc_id") % 2).cast("int").as("side")),
+      "lang", "side")
+      .withColumnRenamed("category", "lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_pairing_codes" -> ((s, _) =>
       pairingCodes(fixtureSummaries(s), fixtureFiles(s))),
     "f_table_checksum" -> fTableChecksum _,
-    "f_bucket_checksum" -> fBucketChecksum _)
+    "f_bucket_checksum" -> fBucketChecksum _,
+    "f_dist_drift" -> fDistDrift _)
 
   // ---- DuckDB oracle: same fixture rows as VALUES CTEs (generated
   // from the Scala constants above), logic re-derived in SQL with
@@ -529,6 +574,28 @@ object Checks {
   }
 
   val oracle: Map[String, String] = Map(
+    // same one-scan conditional counts, HUGEINT cross-products
+    "f_dist_drift" ->
+      """WITH counts AS (
+           SELECT lang,
+             sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b
+           FROM documents GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n_a) AS HUGEINT) AS t_a,
+             CAST(sum(n_b) AS HUGEINT) AS t_b
+           FROM counts)
+         SELECT c.lang, CAST(c.n_a AS BIGINT) AS n_a,
+           CAST(c.n_b AS BIGINT) AS n_b,
+           CAST(abs(CAST(c.n_a AS HUGEINT) * t.t_b
+             - CAST(c.n_b AS HUGEINT) * t.t_a) AS VARCHAR)
+             AS drift_num,
+           CASE WHEN t.t_a > 0 AND t.t_b > 0 THEN
+             round(CAST(abs(CAST(c.n_a AS HUGEINT) * t.t_b
+                 - CAST(c.n_b AS HUGEINT) * t.t_a) AS DOUBLE)
+               / CAST(2 * t.t_a * t.t_b AS DOUBLE), 6)
+           END AS tv_contrib
+         FROM counts c, tot t""",
     "g_pairing_codes" -> pairingOracle,
     // hex→int via DuckDB's 0x-prefixed cast ≡ Spark's conv(_,16,10)
     "f_table_checksum" ->

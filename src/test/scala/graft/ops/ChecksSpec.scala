@@ -155,4 +155,31 @@ class ChecksSpec extends AnyFunSuite {
     val moved = before.keySet.filter(k => before(k) != after(k))
     assert(moved == Set((13 % 8).toInt))
   }
+
+  private def drift(rows: Seq[(String, Int)]): Map[String,
+      (Long, Long, String, Option[Double])] =
+    Checks.distributionDrift(rows.toDF("cat", "side"), "cat", "side")
+      .select("category", "n_a", "n_b", "drift_num", "tv_contrib")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+
+  test("distribution drift: hand TV contributions, one-sided " +
+    "categories carry their full mass") {
+    // A: {x:3, y:1} N=4; B: {x:1, y:1, z:2} N=4 → TV = 0.5
+    val m = drift(Seq.fill(3)(("x", 0)) ++ Seq(("y", 0)) ++
+      Seq(("x", 1), ("y", 1), ("z", 1), ("z", 1)))
+    assert(m("x") == ((3L, 1L, "8", Some(0.25))))
+    assert(m("y") == ((1L, 1L, "0", Some(0.0))))
+    assert(m("z") == ((0L, 2L, "8", Some(0.25))))
+    assert(m.values.flatMap(_._4).sum == 0.5)
+  }
+
+  test("distribution drift: identical mixes are all-zero; an empty " +
+    "side yields NULL shares but exact numerators") {
+    val same = drift(Seq(("x", 0), ("x", 1), ("y", 0), ("y", 1)))
+    assert(same.values.forall(v => v._3 == "0" && v._4 == Some(0.0)))
+    val oneSided = drift(Seq(("x", 0), ("y", 0)))
+    assert(oneSided.values.forall(_._4.isEmpty))
+  }
 }
