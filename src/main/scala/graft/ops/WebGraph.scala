@@ -290,29 +290,33 @@ object WebGraph {
     * (`neighborhoodHllReleasable`) is the 100 TB path. */
   def neighborhoodExactReleasable(nodes: DataFrame, edges: DataFrame,
       maxHops: Int): (DataFrame, () => Unit) = {
-    val e = edges.select(col("src"), col("dst"))
-    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def stage(df: DataFrame): DataFrame = {
-      val p = df.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count(); staged += p; p
-    }
+    // lineage discipline (see kCoreReleasable): each hop references
+    // the previous reach set twice (union + expansion join), so the
+    // reach set round-trips through a scratch parquet per hop — a
+    // constant-size scan plan at any hop count; only the edge list is
+    // persisted and released.
+    val e = edges.select(col("src"), col("dst")).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    def cut(df: DataFrame, tag: String): DataFrame =
+      graft.io.Scratch.stageAndRelease(df, () => (), tag)
     // h = 1: self ∪ out-neighbors (the graph may carry no self-loops;
     // the closed neighborhood always counts the node itself)
-    var reach = stage(nodes.select(col("node"), col("node").as("r"))
+    var reach = cut(nodes.select(col("node"), col("node").as("r"))
       .union(e.select(col("src").as("node"), col("dst").as("r")))
-      .distinct())
+      .distinct(), "nf_reach_h1")
     var out = nodes.select("node")
     for (h <- 1 to maxHops) {
       if (h > 1)
-        reach = stage(reach.union(
+        reach = cut(reach.union(
           reach.withColumnRenamed("r", "src").join(e, "src")
-            .select(col("node"), col("dst").as("r"))).distinct())
+            .select(col("node"), col("dst").as("r"))).distinct(),
+          s"nf_reach_h$h")
       // self is always reachable → every node appears: inner join
       out = out.join(
         reach.groupBy("node").agg(count(lit(1)).as(s"n$h")), "node")
     }
-    (out, () => { staged.foreach(_.unpersist()); () })
+    (out, () => { e.unpersist(); () })
   }
 
   /** HyperBall (Boldi–Vigna) neighborhood function — the 100 TB scale
@@ -330,29 +334,30 @@ object WebGraph {
     * Same staging/release discipline as the exact form. */
   def neighborhoodHllReleasable(nodes: DataFrame, edges: DataFrame,
       maxHops: Int, lgk: Int = 12): (DataFrame, () => Unit) = {
-    val e = edges.select(col("src"), col("dst"))
-    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def stage(df: DataFrame): DataFrame = {
-      val p = df.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count(); staged += p; p
-    }
-    var sk = stage(nodes.groupBy("node")
-      .agg(hll_sketch_agg(col("node"), lit(lgk)).as("sk")))
+    // same per-round lineage cut as the exact form: the sketch table
+    // is referenced twice per round (neighbor merge + self union)
+    val e = edges.select(col("src"), col("dst")).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    def cut(df: DataFrame, tag: String): DataFrame =
+      graft.io.Scratch.stageAndRelease(df, () => (), tag)
+    var sk = cut(nodes.groupBy("node")
+      .agg(hll_sketch_agg(col("node"), lit(lgk)).as("sk")), "hb_sk_h0")
     var out = nodes.select("node")
     for (h <- 1 to maxHops) {
       val nbr = e.join(
           sk.select(col("node").as("dst"), col("sk").as("nsk")), "dst")
         .groupBy(col("src").as("node"))
         .agg(hll_union_agg(col("nsk"), lit(false)).as("merged"))
-      sk = stage(sk.join(nbr, Seq("node"), "left")
+      sk = cut(sk.join(nbr, Seq("node"), "left")
         .select(col("node"),
           when(col("merged").isNull, col("sk"))
-            .otherwise(hll_union(col("sk"), col("merged"))).as("sk")))
+            .otherwise(hll_union(col("sk"), col("merged"))).as("sk")),
+        s"hb_sk_h$h")
       out = out.join(sk.select(col("node"),
         hll_sketch_estimate(col("sk")).as(s"n$h")), "node")
     }
-    (out, () => { staged.foreach(_.unpersist()); () })
+    (out, () => { e.unpersist(); () })
   }
 
   /** k-core membership by R rounds of degree peeling on an undirected
