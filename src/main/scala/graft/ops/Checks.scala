@@ -373,11 +373,20 @@ object Checks {
   def distributionDrift(df: DataFrame, catCol: String,
       sideCol: String): DataFrame = {
     val dec = "decimal(38,0)"
+    // in-plan side guard: a side value outside {0, 1} (or NULL) would
+    // silently vanish from both counts; assert_true rides the same
+    // aggregate projection, so misuse fails loudly with no extra pass
     val counts = df.groupBy(col(catCol).as("category"))
       .agg(sum(when(col(sideCol) === 0, lit(1L)).otherwise(lit(0L)))
         .as("n_a"),
         sum(when(col(sideCol) === 1, lit(1L)).otherwise(lit(0L)))
-          .as("n_b"))
+          .as("n_b"),
+        count(lit(1)).as("n_rows"))
+      .select(col("category"), col("n_b"),
+        (col("n_a") + coalesce(
+          expr("CAST(assert_true(n_a + n_b = n_rows, " +
+            "'distributionDrift: side column has values outside " +
+            "{0, 1} or NULLs') AS BIGINT)"), lit(0L))).as("n_a"))
     val tot = counts.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
     val num = abs(col("n_a").cast(dec) * col("t_b").cast(dec)
       - col("n_b").cast(dec) * col("t_a").cast(dec)).cast(dec)

@@ -262,10 +262,19 @@ object Ecology {
     * (broadcast), same as the other beta gates. */
   def unifrac(bt: DataFrame, depth: Int = TreeDepth): DataFrame = {
     val dec = "decimal(38,0)"
+    // in-plan depth guard (no extra pass): Σ_branches n = depth · N
+    // holds for any table `branchAbundance` built — a caller passing
+    // a mismatched depth (or a non-branch table) would otherwise
+    // silently de-exact every numerator. assert_true rides the same
+    // projection; passing rows add coalesce(NULL, 0).
     val tot = bt.groupBy("sample")
       .agg(sum("n").as("t_sum"), count(lit(1)).as("n_branches"))
       .select(col("sample"),
-        expr(s"CAST(t_sum DIV $depth AS BIGINT)").as("n_reads"),
+        expr(s"CAST(t_sum DIV $depth AS BIGINT) + coalesce(CAST(" +
+          s"assert_true(t_sum % $depth = 0, 'unifrac: branch-table " +
+          s"sum not divisible by depth $depth — wrong depth or not " +
+          s"a branchAbundance table') AS BIGINT), CAST(0 AS BIGINT))")
+          .as("n_reads"),
         col("n_branches"))
     val ta = tot.select(col("sample").as("sample_a"),
       col("n_reads").as("n_reads_a"))

@@ -182,4 +182,12 @@ class ChecksSpec extends AnyFunSuite {
     val oneSided = drift(Seq(("x", 0), ("y", 0)))
     assert(oneSided.values.forall(_._4.isEmpty))
   }
+
+  test("distribution drift: out-of-domain side values fail loudly " +
+    "instead of silently vanishing from both counts") {
+    val e = intercept[Exception] {
+      drift(Seq(("x", 0), ("x", 2)))
+    }
+    assert(e.getMessage.contains("side column"), e.getMessage)
+  }
 }

@@ -276,4 +276,17 @@ class EcologySpec extends AnyFunSuite {
 
   private def lit2dp(x: Double): Double =
     math.rint(x * 1e6) / 1e6
+
+  test("unifrac: a non-branch table (sum not divisible by depth) " +
+    "fails loudly instead of silently de-exacting") {
+    // two samples so a pair row exists and n_reads is evaluated;
+    // 2 branches n=1 each per sample → t_sum 2, not divisible by 3
+    val notBranches = Seq((1L, "A", 1L), (1L, "B", 1L),
+      (2L, "A", 1L), (2L, "B", 1L)).toDF("sample", "branch", "n")
+    val e = intercept[Exception] {
+      Ecology.unifrac(notBranches).collect()
+    }
+    assert(e.getMessage.contains("not divisible by depth"),
+      e.getMessage)
+  }
 }
