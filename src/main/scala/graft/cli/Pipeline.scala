@@ -50,7 +50,8 @@ object Pipeline {
     * hot sentinel value). At 100 TB the per-key-count pre-flight is
     * the difference between a one-line veto and a dead shuffle. */
   def run(spark: SparkSession, sfDir: String, whDir: String,
-      maxJoinFanout: Double = 8.0): Unit = {
+      maxJoinFanout: Double = 8.0,
+      maxMixDrift: Double = 0.5): Unit = {
     // 0. publish gate: the incoming batch is split on the expectation
     //    suite BEFORE anything lands — violating rows are quarantined
     //    (with the rules they broke) for triage, the clean side flows
@@ -73,11 +74,39 @@ object Pipeline {
     // append makes them "loaded" (drives the partition-scoped tpm2
     // refresh below); sample counts are bounded (SURVEY §1.1), so the
     // persisted set is control-plane sized
-    val freshSamples = graft.ingest.Incremental.newRows(facts,
-        graft.ingest.Incremental.loadedKeys(
-          spark, s"$whDir/lineitem_inc", "sample"), "sample")
+    val newFacts = graft.ingest.Incremental.newRows(facts,
+      graft.ingest.Incremental.loadedKeys(
+        spark, s"$whDir/lineitem_inc", "sample"), "sample")
+    val freshSamples = newFacts
       .select("sample").distinct().persist()
     val nFreshSamples = freshSamples.count()
+
+    // 1x. mix-drift monitor (publish-gate companion, BEFORE anything
+    //     lands): total-variation drift of the incoming fresh rows'
+    //     l_returnflag mix against the already-published warehouse
+    //     (`Checks.distributionDrift` — exact numerators, one scan
+    //     per side). Past `maxMixDrift` the cycle is vetoed — a batch
+    //     whose category mix jumps is the classic silent upstream
+    //     breakage (wrong file, truncated export, schema drift) and
+    //     cheaper to stop here than to unpublish.
+    if (nFreshSamples > 0 &&
+        new java.io.File(s"$whDir/lineitem_inc").exists()) {
+      val sided = spark.read.parquet(s"$whDir/lineitem_inc")
+        .select(col("l_returnflag"), lit(0).as("side"))
+        .unionByName(newFacts
+          .select(col("l_returnflag"), lit(1).as("side")))
+      val tv = graft.ops.Checks
+        .distributionDrift(sided, "l_returnflag", "side")
+        .agg(sum("tv_contrib")).head.getDouble(0)
+      println(f"[pipeline] mix drift (l_returnflag, published vs " +
+        f"fresh): TV=$tv%.6f")
+      require(tv <= maxMixDrift,
+        f"mix-drift veto: incoming batch shifts the l_returnflag mix " +
+          f"by TV=$tv%.4f > $maxMixDrift%.4f — inspect the batch " +
+          "(Checks.distributionDrift per-category rows) before " +
+          "publishing")
+    } else println("[pipeline] mix drift: first load or empty " +
+      "batch, skipped")
     val appended = graft.ingest.Incremental.appendIncremental(
       spark, facts, s"$whDir/lineitem_inc", "sample")
     println(s"[pipeline] ingest: $appended new rows " +

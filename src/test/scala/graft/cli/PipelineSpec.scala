@@ -65,6 +65,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Skew.saltedJoin"))
   }
 
+  test("mix-drift veto stops a second cycle whose fresh batch " +
+    "shifts the category mix, before anything lands") {
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft_pipe_drift").toString
+    Pipeline.run(spark, TestSpark.sf0001, wh)
+    val n1 = spark.read.parquet(s"$wh/lineitem_inc").count()
+
+    // second-cycle sf dir: same tables, but lineitem carries NEW
+    // samples (shifted suppkeys) that are ALL one returnflag — the
+    // classic silently-broken upstream export
+    val dirty = Files.createTempDirectory("graft_drift_sf").toString
+    graft.Tables.names.filterNot(_ == "lineitem").foreach { n =>
+      Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$dirty/$n.parquet"),
+        java.nio.file.Paths.get(s"${TestSpark.sf0001}/$n.parquet"))
+    }
+    graft.Tables.t(spark, TestSpark.sf0001, "lineitem")
+      .withColumn("l_suppkey", col("l_suppkey") + 100000L)
+      .withColumn("l_returnflag", lit("A"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dirty/lineitem.parquet")
+
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, dirty, wh, maxMixDrift = 0.1)
+    }
+    assert(e.getMessage.contains("mix-drift veto"),
+      s"unexpected failure: ${e.getMessage}")
+    // vetoed BEFORE the append: warehouse row count unchanged
+    assert(spark.read.parquet(s"$wh/lineitem_inc").count() == n1)
+  }
+
   test("publish gate holds a dirty batch's violating rows back") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
