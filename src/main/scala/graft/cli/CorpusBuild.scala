@@ -44,10 +44,12 @@ object CorpusBuild {
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
-      System.err.println("usage: graft.cli.CorpusBuild <sfDir> <warehouseDir>")
+      System.err.println(
+        "usage: graft.cli.CorpusBuild <sfDir> <warehouseDir> [--warc]")
       sys.exit(2)
     }
     val Array(sfDir, whDir) = args.take(2)
+    val warcMode = args.contains("--warc")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
@@ -56,12 +58,32 @@ object CorpusBuild {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, sfDir, whDir)
+    if (warcMode) runBatch(spark, fromWarc(spark, sfDir), whDir)
+    else run(spark, sfDir, whDir)
     spark.stop()
   }
 
   def run(spark: SparkSession, sfDir: String, whDir: String): Unit =
     runBatch(spark, graft.Tables.t(spark, sfDir, "documents"), whDir)
+
+  /** The raw-crawl source boundary: a directory of WARC/WET members →
+    * the documents-shaped batch frame `runBatch` curates. Valid WET
+    * conversion records only (response/warcinfo/malformed records are
+    * the parse gate's concern, not the corpus's); doc_id is the stable
+    * 64-bit hash of the WARC record id, so re-reading the same member
+    * set yields the same batch ids and the incremental `seen` gate
+    * works unchanged across re-crawl runs. One task per archive member
+    * (wholetext), which at Common Crawl's ~150 MB member sizing is the
+    * right scan parallelism for a 1000-executor read. */
+  def fromWarc(spark: SparkSession, warcDir: String): DataFrame =
+    graft.io.Readers.readWarc(spark, warcDir)
+      .filter(col("warc_type") === "conversion" && col("is_valid"))
+      .select(
+        xxhash64(col("record_id")).as("doc_id"),
+        col("payload").as("text"),
+        lit(null).cast("string").as("lang"),
+        col("url").as("source"),
+        length(col("payload")).cast("long").as("n_chars"))
 
   /** One nightly cycle over an explicit batch frame — the shape a real
     * scheduler drives (tonight's crawl delta), and what the spec feeds

@@ -89,22 +89,33 @@ object Pipeline {
     //     whose category mix jumps is the classic silent upstream
     //     breakage (wrong file, truncated export, schema drift) and
     //     cheaper to stop here than to unpublish.
-    if (nFreshSamples > 0 &&
-        new java.io.File(s"$whDir/lineitem_inc").exists()) {
+    // Hadoop-FS existence check (not java.io.File): a local-only
+    // check would read any non-local warehouse as "first load" and
+    // silently disable this veto exactly where it matters
+    if (nFreshSamples > 0 && graft.ingest.Incremental
+          .pathExists(spark, s"$whDir/lineitem_inc")) {
       val sided = spark.read.parquet(s"$whDir/lineitem_inc")
         .select(col("l_returnflag"), lit(0).as("side"))
         .unionByName(newFacts
           .select(col("l_returnflag"), lit(1).as("side")))
-      val tv = graft.ops.Checks
+      val tvRow = graft.ops.Checks
         .distributionDrift(sided, "l_returnflag", "side")
-        .agg(sum("tv_contrib")).head.getDouble(0)
-      println(f"[pipeline] mix drift (l_returnflag, published vs " +
-        f"fresh): TV=$tv%.6f")
-      require(tv <= maxMixDrift,
-        f"mix-drift veto: incoming batch shifts the l_returnflag mix " +
-          f"by TV=$tv%.4f > $maxMixDrift%.4f — inspect the batch " +
-          "(Checks.distributionDrift per-category rows) before " +
-          "publishing")
+        .agg(sum("tv_contrib")).head
+      // SUM over zero rows (or an all-NULL side: every tv_contrib is
+      // NULL when one side's total is 0) is NULL — that means one
+      // side was empty, which is "nothing to compare", not drift
+      if (tvRow.isNullAt(0)) {
+        println("[pipeline] mix drift: one side empty, skipped")
+      } else {
+        val tv = tvRow.getDouble(0)
+        println(f"[pipeline] mix drift (l_returnflag, published vs " +
+          f"fresh): TV=$tv%.6f")
+        require(tv <= maxMixDrift,
+          f"mix-drift veto: incoming batch shifts the l_returnflag mix " +
+            f"by TV=$tv%.4f > $maxMixDrift%.4f — inspect the batch " +
+            "(Checks.distributionDrift per-category rows) before " +
+            "publishing")
+      }
     } else println("[pipeline] mix drift: first load or empty " +
       "batch, skipped")
     val appended = graft.ingest.Incremental.appendIncremental(

@@ -157,7 +157,14 @@ case class ThetaSetOp(left: Expression, right: Expression, op: String)
   extends BinaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == BinaryType && right.dataType == BinaryType)
+    if (!Set(ThetaSetOp.UnionOp, ThetaSetOp.IntersectOp,
+        ThetaSetOp.AnotbOp).contains(op))
+      // fail at analysis time, not as a per-row MatchError in eval
+      TypeCheckResult.TypeCheckFailure(
+        s"unknown theta set op '$op' — expected one of " +
+          s"${ThetaSetOp.UnionOp}/${ThetaSetOp.IntersectOp}/" +
+          s"${ThetaSetOp.AnotbOp}")
+    else if (left.dataType == BinaryType && right.dataType == BinaryType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"theta_$op needs two sketch images (BINARY), got " +

@@ -126,4 +126,87 @@ object Fixtures {
       "rbs_motif=GGA/GAG/AGG;rbs_spacer=5-10bp;gc_cont=0.525\t450\t" +
       "900\t2.00\t9\t22.0\t5\t11.00"
   ).mkString("\n")
+
+  /** WARC/WET member (ISO 28500 framing): warcinfo preamble, three
+    * conversion records (WET text extracts — the Common Crawl corpus
+    * shape), one of them an exact duplicate payload of another (the
+    * curate gate's dedup case), one response record (non-WET type the
+    * curate stage must skip), and two malformed probes: a record with
+    * no Content-Length and a record whose body is SHORTER than its
+    * declared length (truncated transfer). CRLF line endings per spec;
+    * payloads ASCII so the DuckDB oracle's char-based substring agrees
+    * with the parser's octet-based cut (the multi-byte octet case is
+    * pinned in WarcSpec instead, where no SQL replay is needed).
+    * Trailing text after Content-Length octets (the two-blank-line
+    * record separator) must be cut by the parser. */
+  val warc: String = Seq(
+    "WARC/1.0",
+    "WARC-Type: warcinfo",
+    "WARC-Record-ID: <urn:uuid:wi-0001>",
+    "WARC-Date: 2026-08-01T00:00:00Z",
+    "Content-Type: application/warc-fields",
+    "Content-Length: 20",
+    "",
+    "software: graft-test",
+    "",
+    "WARC/1.0",
+    "WARC-Type: conversion",
+    "WARC-Record-ID: <urn:uuid:wet-0001>",
+    "WARC-Target-URI: http://example.com/a",
+    "WARC-Date: 2026-08-01T01:02:03Z",
+    "Content-Type: text/plain",
+    "Content-Length: 43",
+    "",
+    "The quick brown fox jumps over the lazy dog",
+    "",
+    "WARC/1.0",
+    "WARC-Type: conversion",
+    "WARC-Record-ID: <urn:uuid:wet-0002>",
+    "WARC-Target-URI: http://example.com/b",
+    "WARC-Date: 2026-08-01T01:05:00Z",
+    "Content-Type: text/plain",
+    "Content-Length: 43",
+    "",
+    "The quick brown fox jumps over the lazy dog",
+    "",
+    "WARC/1.0",
+    "WARC-Type: conversion",
+    "WARC-Record-ID: <urn:uuid:wet-0003>",
+    "WARC-Target-URI: http://other.example.org/page",
+    "WARC-Date: 2026-08-01T02:00:00Z",
+    "Content-Type: text/plain",
+    "Content-Length: 26",
+    "",
+    "short and distinct extract",
+    "",
+    "WARC/1.0",
+    "WARC-Type: response",
+    "WARC-Record-ID: <urn:uuid:resp-0001>",
+    "WARC-Target-URI: http://example.com/a",
+    "WARC-Date: 2026-08-01T01:02:03Z",
+    "Content-Type: application/http;msgtype=response",
+    "Content-Length: 37",
+    "",
+    "HTTP/1.1 200 OK\r\n\r\nraw http body here",
+    "",
+    "WARC/1.0",
+    "WARC-Type: conversion",
+    "WARC-Record-ID: <urn:uuid:bad-nolen>",
+    "WARC-Target-URI: http://example.com/nolen",
+    "WARC-Date: 2026-08-01T03:00:00Z",
+    "Content-Type: text/plain",
+    "",
+    "payload with no declared length",
+    "",
+    "WARC/1.0",
+    "WARC-Type: conversion",
+    "WARC-Record-ID: <urn:uuid:bad-trunc>",
+    "WARC-Target-URI: http://example.com/trunc",
+    "WARC-Date: 2026-08-01T03:30:00Z",
+    "Content-Type: text/plain",
+    "Content-Length: 999",
+    "",
+    "cut off mid-",
+    ""
+  ).mkString("\r\n")
 }

@@ -254,6 +254,83 @@ object Readers {
         count(lit(1)).as("n_reads"))
       .filter(col("n_ids") =!= 1 || col("n_reads") =!= 2)
 
+  // ---- WARC/WET: web-archive record framing ----
+
+  /** Parse WARC/WET records from whole-file text
+    * (`spark.read.option("wholetext", true).text(dir)` — one task per
+    * archive member, the FASTA discipline; Common Crawl ships WET as
+    * many ~150 MB members, so file-level parallelism is the natural
+    * unit at corpus scale).
+    *
+    * Record framing per ISO 28500: records open with a
+    * `WARC/1.0`/`WARC/1.1` version line, named headers follow until
+    * the first blank line, then exactly `Content-Length` OCTETS of
+    * payload. The octet contract matters: payload truncation is done
+    * on the UTF-8 BYTES (binary substring), not characters — a
+    * char-based cut would mis-frame any record whose payload holds
+    * multi-byte text (WarcSpec pins this). Both CRLF (spec) and bare
+    * LF (hand-made fixtures) line endings are accepted.
+    *
+    * Malformed records (missing WARC-Type/Content-Length, or a body
+    * shorter than the declared length — a truncated transfer) are KEPT
+    * with `is_valid = false` and a NULL payload rather than dropped:
+    * at crawl scale malformation is data you monitor, not noise you
+    * hide. Columns: record_id, warc_type, url, warc_date,
+    * content_type, content_length, payload, is_valid.
+    *
+    * Reference analog: the layered record parsers of
+    * `pypelib/amplicon/alignment.py:75-119` (header framing + body
+    * extraction as separate, checkable stages). */
+  def parseWarcText(fileText: Dataset[String]): DataFrame = {
+    fileText.toDF("value")
+      .select(explode(split(col("value"), "(?m)^WARC/1\\.[01]\r?\n"))
+        .as("rec"))
+      .filter(length(trim(col("rec"))) > 0)
+      // header block = up to the first blank line; body = the rest.
+      // Anchored non-greedy regexes (not split-with-limit) so the
+      // DuckDB oracle can replay the exact same operation.
+      .select(
+        regexp_extract(col("rec"), "(?s)^(.*?)\r?\n\r?\n", 1)
+          .as("header"),
+        regexp_replace(col("rec"), "(?s)^.*?\r?\n\r?\n", "")
+          .as("body"))
+      .select(
+        nullif(regexp_extract(col("header"),
+          "(?m)^WARC-Record-ID:\\s*<([^>]*)>", 1), lit(""))
+          .as("record_id"),
+        nullif(regexp_extract(col("header"),
+          "(?m)^WARC-Type:\\s*(\\S+)", 1), lit("")).as("warc_type"),
+        nullif(regexp_extract(col("header"),
+          "(?m)^WARC-Target-URI:\\s*(\\S+)", 1), lit("")).as("url"),
+        to_timestamp(
+          nullif(regexp_extract(col("header"),
+            "(?m)^WARC-Date:\\s*(\\S+)", 1), lit("")),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_date"),
+        nullif(regexp_extract(col("header"),
+          "(?m)^Content-Type:\\s*(\\S+)", 1), lit(""))
+          .as("content_type"),
+        nullif(regexp_extract(col("header"),
+          "(?m)^Content-Length:\\s*(\\d+)", 1), lit(""))
+          .cast("long").as("content_length"),
+        col("body"))
+      .withColumn("is_valid",
+        col("warc_type").isNotNull && col("content_length").isNotNull &&
+          length(col("body").cast("binary")) >= col("content_length"))
+      // octet-exact payload cut: substring over BINARY slices bytes;
+      // the cast back to string re-decodes UTF-8
+      .withColumn("payload",
+        when(col("is_valid"),
+          expr("cast(substring(cast(body as binary), 1, " +
+            "cast(content_length as int)) as string)")))
+      .drop("body")
+      .select("record_id", "warc_type", "url", "warc_date",
+        "content_type", "content_length", "payload", "is_valid")
+  }
+
+  def readWarc(spark: SparkSession, path: String): DataFrame =
+    parseWarcText(
+      spark.read.option("wholetext", "true").textFile(path))
+
   // ---- S15: filesystem catalog as a table ----
 
   /** File listing → DataFrame (reference `Sys.glob + unglue_data +

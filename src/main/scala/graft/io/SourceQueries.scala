@@ -173,7 +173,35 @@ object SourceQueries {
       .groupBy("table_from_path")
       .agg(count(lit(1)).as("n_rows"))
 
+  /** WARC/WET: web-archive record framing (the Common Crawl source
+    * boundary). Whole-member text → framed records; the fixture
+    * carries warcinfo/conversion/response types plus two malformed
+    * probes (no Content-Length; truncated body). */
+  private def sWarcParse(s: SparkSession, d: String): DataFrame =
+    Readers.parseWarcText(whole(s, Fixtures.warc))
+
+  /** WARC → curation chain, end-to-end on the parsed records: keep
+    * valid WET conversion records, recover the host from the target
+    * URI, exact-dedup payloads by fingerprint (canonical min
+    * record_id) — the front of the CorpusBuild pipeline running off
+    * raw archive bytes instead of a ready-made documents table. */
+  private def sWarcWetCurate(s: SparkSession, d: String): DataFrame = {
+    val wet = Readers.parseWarcText(whole(s, Fixtures.warc))
+      .filter(col("warc_type") === "conversion" && col("is_valid"))
+      .select(col("record_id"), col("url"), col("payload"))
+      .withColumn("host",
+        regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
+      .withColumn("fp", md5(col("payload")))
+    val wFp = Window.partitionBy("fp")
+    wet.withColumn("keep_id", min("record_id").over(wFp))
+      .filter(col("record_id") === col("keep_id"))
+      .select(col("record_id"), col("host"),
+        length(col("payload")).cast("int").as("n_chars"), col("fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_warc_parse" -> sWarcParse _,
+    "s_warc_wet_curate" -> sWarcWetCurate _,
     "s15b_input_file_name" -> s15bInputFile _,
     "s15c_catalog_mtime" -> s15cCatalogMtime _,
     "s15d_catalog_dump" -> s15dCatalogDump _,
@@ -345,6 +373,65 @@ object SourceQueries {
      FROM cols"""
   }
 
+  /** Shared DuckDB replay of the WARC record framing (same regexes as
+    * `Readers.parseWarcText`; the fixture's payloads are ASCII so
+    * DuckDB's char substring matches the parser's octet cut — the
+    * multi-byte case is WarcSpec's, not the oracle's). Yields CTE `w`
+    * with the full parse schema. */
+  private def warcCte: String =
+    s"""raw(value) AS (VALUES (${lit1(Fixtures.warc)})),
+     rec AS (SELECT unnest(string_split_regex(value,
+               '(?m)^WARC/1\\.[01]\\r?\\n')) AS rec FROM raw),
+     f AS (SELECT rec FROM rec WHERE length(trim(rec)) > 0),
+     hb AS (SELECT
+         regexp_extract(rec, '(?s)^(.*?)\\r?\\n\\r?\\n', 1) AS header,
+         regexp_replace(rec, '(?s)^.*?\\r?\\n\\r?\\n', '') AS body
+       FROM f),
+     p AS (SELECT
+         nullif(regexp_extract(header,
+           '(?m)^WARC-Record-ID:\\s*<([^>]*)>', 1), '') AS record_id,
+         nullif(regexp_extract(header,
+           '(?m)^WARC-Type:\\s*(\\S+)', 1), '') AS warc_type,
+         nullif(regexp_extract(header,
+           '(?m)^WARC-Target-URI:\\s*(\\S+)', 1), '') AS url,
+         CAST(strptime(nullif(regexp_extract(header,
+             '(?m)^WARC-Date:\\s*(\\S+)', 1), ''),
+           '%Y-%m-%dT%H:%M:%SZ') AS TIMESTAMP) AS warc_date,
+         nullif(regexp_extract(header,
+           '(?m)^Content-Type:\\s*(\\S+)', 1), '') AS content_type,
+         CAST(nullif(regexp_extract(header,
+           '(?m)^Content-Length:\\s*(\\d+)', 1), '') AS BIGINT)
+           AS content_length,
+         body
+       FROM hb),
+     v AS (SELECT *, (warc_type IS NOT NULL
+           AND content_length IS NOT NULL
+           AND length(body) >= content_length) AS is_valid FROM p),
+     w AS (SELECT record_id, warc_type, url, warc_date, content_type,
+         content_length,
+         CASE WHEN is_valid THEN
+           substring(body, 1, CAST(content_length AS INT)) END
+           AS payload,
+         is_valid
+       FROM v)"""
+
+  private def warcParseOracle: String =
+    s"""WITH $warcCte
+     SELECT * FROM w"""
+
+  private def warcCurateOracle: String =
+    s"""WITH $warcCte,
+     wet AS (SELECT record_id, url, payload FROM w
+             WHERE warc_type = 'conversion' AND is_valid),
+     h AS (SELECT record_id,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         payload, md5(payload) AS fp FROM wet),
+     k AS (SELECT *, min(record_id) OVER (PARTITION BY fp) AS keep_id
+           FROM h)
+     SELECT record_id, host, CAST(length(payload) AS INT) AS n_chars,
+       fp
+     FROM k WHERE record_id = keep_id"""
+
   private val catalogOracle: String =
     """SELECT parse_filename(file) AS file_name,
        regexp_extract(parse_filename(file), '^(.+)\.parquet$', 1)
@@ -362,6 +449,8 @@ object SourceQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "s_warc_parse" -> warcParseOracle,
+    "s_warc_wet_curate" -> warcCurateOracle,
     "s4_rpkm_skip" -> rpkmOracle,
     "s7_seqkit_stats" -> seqkitOracle,
     "s13_idxstats_rpkm" -> idxstatsOracle,

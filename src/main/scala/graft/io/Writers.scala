@@ -171,11 +171,15 @@ object Writers {
     val within = Window.partitionBy("pid")
       .orderBy(col("size_bytes").desc, col("file_name"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one row per INPUT PARTITION (not per file): bounded by the scan's
+    // task count — the single partition is by design; constant key
+    // silences the WindowExec warning (w1Funnel idiom)
     val offsets = files.groupBy("pid")
       .agg(sum("size_bytes").as("part_total"))
       .withColumn("offset",
-        coalesce(sum("part_total").over(Window.orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        coalesce(sum("part_total").over(
+          Window.partitionBy(pmod(col("pid"), lit(1))).orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("pid", "offset")
     val running = files
       .join(broadcast(offsets), "pid")

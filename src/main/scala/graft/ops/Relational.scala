@@ -362,17 +362,39 @@ object Relational {
     * agree bit-for-bit). Same count-of-values discipline as
     * `Skew.skewReport`. */
   def exactPercentiles(values: DataFrame, valueCol: String,
-      ps: Seq[(String, Int, Int)]): DataFrame = {
+      ps: Seq[(String, Int, Int)],
+      maxDistinct: Long = 1L << 22): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = values.sparkSession
     import spark.implicits._
     val hist = values.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).as("v"))
       .agg(count(lit(1)).as("c"))
+    // the single global cumsum window below is bounded by O(distinct
+    // values) BY CONTRACT (integer-valued / low-cardinality column) —
+    // ENFORCED by the in-plan guard riding `total`; the
+    // attribute-derived constant key silences the WindowExec warning
+    // for this sanctioned case (w1Funnel idiom; `c` is a count, never
+    // null, so the key is total)
     val cum = hist.withColumn("cum",
-      sum("c").over(Window.orderBy("v")
+      sum("c").over(Window.partitionBy(pmod(col("c"), lit(1)))
+        .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val total = hist.agg(sum("c").as("n"))
+    // in-plan misuse guard (no extra pass — this aggregate already
+    // scans the histogram): a caller pointing the GLOBAL form at a
+    // continuous double column gets a data-sized single partition;
+    // fail loudly instead (the unifrac/drift guard discipline). The
+    // grouped form (`groupedPercentiles`) partitions every window by
+    // the group key and needs no such bound.
+    val total = hist.agg(sum("c").as("n"),
+        count(lit(1)).as("n_distinct"))
+      .select(expr("n + coalesce(CAST(assert_true(" +
+        s"n_distinct <= ${maxDistinct}L, 'exactPercentiles: ' || " +
+        s"n_distinct || ' distinct values exceeds the $maxDistinct " +
+        "bound of the global value-histogram form — this column is " +
+        "not low-cardinality; use groupedPercentiles or an " +
+        "approx sketch (a11_quantile_sketch)') AS BIGINT), 0L)")
+        .as("n"))
     val pcts = ps.toDF("p", "num", "den")
     val ranked = cum.crossJoin(broadcast(total))
       .crossJoin(broadcast(pcts))

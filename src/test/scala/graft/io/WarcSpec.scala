@@ -1,0 +1,149 @@
+package graft.io
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import java.nio.file.{Files, Paths}
+
+/** WARC/WET record framing (ISO 28500): golden parse of the embedded
+  * fixture, octet (not char) Content-Length semantics on multi-byte
+  * payloads, bare-LF tolerance, file-based read, and the
+  * CorpusBuild.fromWarc end-to-end batch. */
+class WarcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def parse(text: String) =
+    Readers.parseWarcText(spark.createDataset(Seq(text)))
+
+  test("fixture parses to 7 framed records with exact payload cuts") {
+    val rows = parse(Fixtures.warc).collect()
+    assert(rows.length == 7)
+    val byId = rows.map(r => r.getAs[String]("record_id") -> r).toMap
+
+    val wi = byId("urn:uuid:wi-0001")
+    assert(wi.getAs[String]("warc_type") == "warcinfo")
+    assert(wi.getAs[Boolean]("is_valid"))
+    // payload cut exactly at Content-Length: the record separator's
+    // trailing blank lines must NOT leak into the payload
+    assert(wi.getAs[String]("payload") == "software: graft-test")
+
+    val a = byId("urn:uuid:wet-0001")
+    assert(a.getAs[String]("url") == "http://example.com/a")
+    assert(a.getAs[String]("payload") ==
+      "The quick brown fox jumps over the lazy dog")
+    assert(a.getAs[java.sql.Timestamp]("warc_date").toInstant ==
+      java.time.Instant.parse("2026-08-01T01:02:03Z"))
+
+    // the response record's payload itself contains a CRLF blank line
+    // — only the FIRST blank line (end of WARC headers) frames it
+    val resp = byId("urn:uuid:resp-0001")
+    assert(resp.getAs[String]("warc_type") == "response")
+    assert(resp.getAs[String]("payload") ==
+      "HTTP/1.1 200 OK\r\n\r\nraw http body here")
+
+    // malformed probes: kept, flagged, payload withheld
+    val noLen = byId("urn:uuid:bad-nolen")
+    assert(!noLen.getAs[Boolean]("is_valid"))
+    assert(noLen.isNullAt(noLen.fieldIndex("content_length")))
+    assert(noLen.isNullAt(noLen.fieldIndex("payload")))
+    val trunc = byId("urn:uuid:bad-trunc")
+    assert(!trunc.getAs[Boolean]("is_valid"))
+    assert(trunc.getAs[Long]("content_length") == 999L)
+    assert(trunc.isNullAt(trunc.fieldIndex("payload")))
+  }
+
+  test("Content-Length counts OCTETS: multi-byte payload cut on " +
+    "UTF-8 bytes, not chars") {
+    // payload "héllo" = 6 bytes (é is 2), 5 chars. Declaring 6 must
+    // keep all 5 chars; a char-based cut would keep only "héllo".drop?
+    // — i.e. would wrongly include the following CR. Declaring 4 must
+    // cut mid-text at a byte boundary that still decodes ("hél").
+    def rec(len: Int) = Seq(
+      "WARC/1.0",
+      "WARC-Type: conversion",
+      "WARC-Record-ID: <urn:uuid:mb-1>",
+      "WARC-Target-URI: http://x/",
+      "WARC-Date: 2026-08-01T00:00:00Z",
+      s"Content-Length: $len",
+      "",
+      "héllo world",
+      "").mkString("\r\n")
+    val full = parse(rec(12)).collect()(0) // "héllo world" = 12 bytes
+    assert(full.getAs[Boolean]("is_valid"))
+    assert(full.getAs[String]("payload") == "héllo world")
+    val cut = parse(rec(6)).collect()(0)
+    assert(cut.getAs[String]("payload") == "héllo")
+    // char semantics would have yielded "héllo " (6 chars) — the
+    // octet cut stops after 6 BYTES = 5 chars
+  }
+
+  test("bare-LF members (hand-made fixtures) parse identically") {
+    val lf = Fixtures.warc.replace("\r\n", "\n")
+    val rows = parse(lf).collect()
+    assert(rows.length == 7)
+    val a = rows.find(
+      _.getAs[String]("record_id") == "urn:uuid:wet-0001").get
+    assert(a.getAs[String]("payload") ==
+      "The quick brown fox jumps over the lazy dog")
+    assert(rows.count(_.getAs[Boolean]("is_valid")) == 5)
+  }
+
+  test("readWarc over a directory of members + fromWarc batch shape") {
+    val dir = Files.createTempDirectory("graft_warc")
+    Files.writeString(dir.resolve("m0.warc"), Fixtures.warc)
+    // second member: same records re-crawled — fromWarc ids must be
+    // stable so the incremental seen-gate dedups across runs
+    Files.writeString(dir.resolve("m1.warc"),
+      Fixtures.warc.replace("wet-0003", "wet-0004"))
+    val parsed = Readers.readWarc(spark, dir.toString)
+    assert(parsed.count() == 14)
+
+    val batch = graft.cli.CorpusBuild.fromWarc(spark, dir.toString)
+    val rows = batch.collect()
+    // 3 valid conversions per member; ids hash-stable: the 2 members'
+    // shared records collapse to the same doc_id
+    assert(rows.length == 6)
+    assert(batch.select("doc_id").distinct().count() == 4)
+    assert(batch.columns.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val a = rows.filter(_.getAs[String]("source") == "http://example.com/a")
+    assert(a.forall(_.getAs[String]("text") ==
+      "The quick brown fox jumps over the lazy dog"))
+    assert(a.forall(_.getAs[Long]("n_chars") == 43L))
+  }
+
+  test("fromWarc feeds runBatch end-to-end: curated store from raw " +
+    "archive bytes") {
+    val dir = Files.createTempDirectory("graft_warc_e2e")
+    // need payloads long/clean enough to clear the quality floor —
+    // synthesize 20 WET records of plain prose, two of them duplicates
+    def wet(i: Int, text: String) = Seq(
+      "WARC/1.0",
+      "WARC-Type: conversion",
+      s"WARC-Record-ID: <urn:uuid:e2e-$i>",
+      s"WARC-Target-URI: http://site$i.example.com/page",
+      "WARC-Date: 2026-08-02T00:00:00Z",
+      s"Content-Length: ${text.getBytes("UTF-8").length}",
+      "",
+      text,
+      "").mkString("\r\n")
+    // quality = min(1, nTok/100)·(1−stopFrac): 120 distinct
+    // non-stopword tokens per doc clears the 0.5 floor at 1.0
+    def body(i: Int) =
+      (0 until 120).map(j => s"w${i}x$j").mkString(" ")
+    val prose = (0 until 18).map(i => wet(i, body(i))) ++
+      Seq(wet(18, body(0)), wet(19, body(1)))
+    Files.writeString(dir.resolve("m0.warc"), prose.mkString(""))
+    val wh = Files.createTempDirectory("graft_warc_wh").toString
+    graft.cli.CorpusBuild.runBatch(spark,
+      graft.cli.CorpusBuild.fromWarc(spark, dir.toString), wh)
+    val store = spark.read.parquet(s"$wh/corpus")
+    val n = store.count()
+    assert(n > 0 && n <= 18) // the 2 exact re-crawl dups never land
+    assert(store.groupBy("fp").count().filter(col("count") > 1)
+      .count() == 0)
+    // doc 18 duplicates doc 0's text exactly — exact dedup keeps 1
+    assert(store.filter(col("text").contains("w0x119")).count() == 1)
+  }
+}
