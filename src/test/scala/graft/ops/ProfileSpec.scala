@@ -94,6 +94,22 @@ class ProfileSpec extends AnyFunSuite {
     assert(pcts(Seq(42L), ("p50", 1, 2)) == Map("p50" -> ((1L, 42L))))
   }
 
+  test("exact percentiles: cardinality misuse guard fires in-plan") {
+    // a continuous-ish column (all values distinct) past maxDistinct
+    // must fail LOUDLY — the global histogram form's single-partition
+    // cumsum is only bounded when the column is low-cardinality
+    val e = intercept[Exception] {
+      Relational.exactPercentiles((1L to 50L).toDF("v"), "v",
+          Seq(("p50", 1, 2)), maxDistinct = 10)
+        .collect()
+    }
+    assert(e.getMessage.contains("exactPercentiles") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("exactPercentiles"))
+    // and the same data under the bound still answers exactly
+    assert(pcts(1L to 50L, ("p50", 1, 2)) == Map("p50" -> ((25L, 25L))))
+  }
+
   test("grouped percentiles: per-group type-1 ranks, groups independent") {
     val df = ((1L to 10L).map(v => ("a", v)) ++ Seq(("b", 100L)))
       .toDF("grp", "v")
