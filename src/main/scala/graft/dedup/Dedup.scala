@@ -179,9 +179,23 @@ object Dedup {
     * truth as the other blockers (the minhash `CandidatePairs`
     * precedent). Carries the true hamming distance per pair. */
   def simhashBandCandidates(docs: DataFrame, idCol: String,
-      textCol: String, maxBucketSize: Int = 1000): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      simhash(TextOps.tokens(lower(col(textCol)))).as("sh"))
+      textCol: String, maxBucketSize: Int = 1000): DataFrame =
+    hammingBandCandidates(
+      docs.select(col(idCol).as("id"),
+        simhash(TextOps.tokens(lower(col(textCol)))).as("sh")),
+      "id", "sh", maxBucketSize)
+
+  /** The Hamming band join itself, over ANY 64-bit sketch column —
+    * the banding geometry is hash-agnostic, so the same machinery
+    * serves text SimHash (above) and perceptual image hashes
+    * (`Multimodal.dhashBmp`): band the sketch into four 16-bit
+    * chunks, bucket-join per chunk, verify candidates with the true
+    * distance via codegen'd bit_count(xor). Recall bound and the
+    * maxBucketSize degenerate-bucket guard as documented on
+    * `simhashCandidatePairs`. */
+  def hammingBandCandidates(hashed: DataFrame, idCol: String,
+      hashCol: String, maxBucketSize: Int = 1000): DataFrame = {
+    val sh = hashed.select(col(idCol).as("id"), col(hashCol).as("sh"))
     val chunked = sh.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map { i =>
         shiftrightunsigned(col("sh"), 16 * i).bitwiseAND(0xFFFFL)

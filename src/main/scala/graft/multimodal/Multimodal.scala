@@ -305,7 +305,12 @@ object Multimodal {
   /** Serialize a canonical 54-byte-header uncompressed 24-bit BMP
     * (bottom-up rows, BGR byte order, rows padded to 4-byte stride —
     * the real on-disk format) around the synthetic pixels. */
-  private[multimodal] def bmpBytes(docId: Long, w: Int, h: Int)
+  /** `perturb` (near-dup fixture knob): added (mod 256) to the three
+    * channel values of pixel (0,0) only — a one-pixel "re-encode
+    * artifact" that leaves the image perceptually identical, used by
+    * the phash gates to plant NEAR (not exact) duplicate images. */
+  private[multimodal] def bmpBytes(docId: Long, w: Int, h: Int,
+      perturb: Int = 0)
       : Array[Byte] = {
     val stride = ((w * 3) + 3) / 4 * 4
     val dataLen = stride * h
@@ -329,9 +334,10 @@ object Multimodal {
       val y = h - 1 - j // file rows run bottom-up
       var x = 0
       while (x < w) {
-        bb.put(synthPixel(docId, x, y, 2).toByte) // B
-        bb.put(synthPixel(docId, x, y, 1).toByte) // G
-        bb.put(synthPixel(docId, x, y, 0).toByte) // R
+        val p = if (x == 0 && y == 0) perturb else 0
+        bb.put(((synthPixel(docId, x, y, 2) + p) % 256).toByte) // B
+        bb.put(((synthPixel(docId, x, y, 1) + p) % 256).toByte) // G
+        bb.put(((synthPixel(docId, x, y, 0) + p) % 256).toByte) // R
         x += 1
       }
       var p = w * 3
@@ -505,6 +511,94 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual 64-bit difference hash (dHash) over decoded pixels:
+    * nearest-neighbor sample a 9×8 luma grid, bit (gx,gy) = 1 iff
+    * luma(gx,gy) > luma(gx+1,gy) — the standard gradient hash that is
+    * invariant to uniform brightness/scale changes and moves only a
+    * few bits under small local edits, which is exactly what Hamming
+    * banding needs for image near-dup at corpus scale.
+    *
+    * INTEGER-ONLY by construction: luma = 299r+587g+114b carried
+    * UNDIVIDED (comparisons are scale-invariant), sample indices are
+    * integer div — so the DuckDB oracle replays every bit exactly.
+    * The 64 bits ship as two non-negative 32-bit words (ph_hi = bits
+    * 0..31, ph_lo = 32..63) to keep the SQL packing clear of the
+    * BIGINT sign bit; `phash64` packs them for the band join. */
+  def dhashBmp(images: DataFrame, bmpCol: String = "bmp",
+      batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val idField = images.schema("doc_id")
+    val outSchema = StructType(Seq(idField,
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("ph_hi", LongType),
+      StructField("ph_lo", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idIdx = images.schema.fieldIndex("doc_id")
+    val bIdx = images.schema.fieldIndex(bmpCol)
+    images.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (w, h, px) = parseBmp(r.getAs[Array[Byte]](bIdx))
+          val luma = Array.ofDim[Long](9, 8)
+          var gy = 0
+          while (gy < 8) {
+            val sy = gy * h / 8
+            var gx = 0
+            while (gx < 9) {
+              val sx = gx * w / 9
+              val o = (sy * w + sx) * 3
+              luma(gx)(gy) = 299L * (px(o) & 0xff) +
+                587L * (px(o + 1) & 0xff) + 114L * (px(o + 2) & 0xff)
+              gx += 1
+            }
+            gy += 1
+          }
+          var hi = 0L; var lo = 0L
+          var i = 0
+          while (i < 64) {
+            val gx = i % 8; val row = i / 8
+            if (luma(gx)(row) > luma(gx + 1)(row)) {
+              if (i < 32) hi |= 1L << i else lo |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          Row(r.get(idIdx), w, h, hi, lo)
+        }
+      }
+    }(enc)
+  }
+
+  /** Fixture input for the image near-dup gates: documents collapse
+    * onto shared base images (img_id = doc_id div 4 → groups of ≤4
+    * docs carry the SAME picture), each variant re-encoded with a
+    * one-pixel perturbation (`bmpBytes(…, perturb)`). Dims ≥ 9×8 so
+    * the dHash grid is not oversampled and the planted perturbation
+    * moves at most one bit — every in-group pair sits within the
+    * banding recall bound. Group size is FIXED (4), so pair count
+    * stays linear in docs at any scale. */
+  private[multimodal] def phashPairsInput(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(docs.schema("doc_id"),
+      StructField("bmp", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val dIdx = docs.schema.fieldIndex("doc_id")
+    docs.mapPartitions { it =>
+      it.map { r =>
+        val d = r.get(dIdx).asInstanceOf[Number].longValue
+        val img = d / 4
+        val perturb = ((d % 4) * 60L).toInt
+        val w = (img % 6 + 9).toInt // 9..14
+        val h = 8
+        Row(r.get(dIdx), bmpBytes(img, w, h, perturb))
+      }
+    }(enc)
+  }
+
   /** Gate query: REAL image codec end-to-end — synthesize byte-valid
     * 24-bit BMPs from documents, decode them back through the batched
     * parser. The oracle recomputes dims + channel sums from the
@@ -552,7 +646,34 @@ object Multimodal {
         col("meta.height").as("height"), col("n_bytes"),
         col("checksum"), col("brightness"))
 
+  /** Gate query: perceptual hash per document image — REAL decode →
+    * 9×8 luma grid → 64-bit dHash as two 32-bit words. Full oracle:
+    * DuckDB recomputes every grid luma from the synthesis arithmetic
+    * and packs the same bits. */
+  private def mPhash(s: SparkSession, d: String): DataFrame =
+    dhashBmp(withBmpColumn(
+      t(s, d, "documents").select("doc_id", "n_chars")))
+
+  /** Gate query: image NEAR-dup pairs — the perceptual twin of
+    * `d_simhash_pairs`: planted shared-image groups with one-pixel
+    * re-encode perturbations → dHash → Hamming band join
+    * (`Dedup.hammingBandCandidates` — the same banding geometry as
+    * text SimHash) → exact-distance verify ≤ 3. Full oracle: DuckDB
+    * recomputes the hashes arithmetically and brute-forces ALL pairs
+    * with bit_count(xor) — banding completeness within the recall
+    * bound is therefore checked, not assumed. */
+  private def mPhashPairs(s: SparkSession, d: String): DataFrame = {
+    val hashed = dhashBmp(
+        phashPairsInput(t(s, d, "documents").select("doc_id")))
+      .withColumn("ph",
+        shiftleft(col("ph_lo"), 32).bitwiseOR(col("ph_hi")))
+    graft.dedup.Dedup.hammingBandCandidates(hashed, "doc_id", "ph")
+      .filter(col("hamming") <= 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_phash" -> mPhash _,
+    "m_phash_pairs" -> mPhashPairs _,
     "m_multimodal_stub" -> mStub _,
     "m_frame_sample" -> mFrameSample _,
     "m_audio_segments" -> mAudioSegments _,
@@ -561,6 +682,74 @@ object Multimodal {
     "m_image_resize" -> mImageResize _)
 
   val oracle: Map[String, String] = Map(
+    "m_phash" ->
+      """WITH p AS (
+           SELECT doc_id, (n_chars % 13) + 2 AS w, (n_chars % 7) + 2 AS h
+           FROM documents),
+         cells AS (
+           SELECT doc_id, w, h, gx.gx AS gx, gy.gy AS gy,
+             (gx.gx * w) // 9 AS sx, (gy.gy * h) // 8 AS sy
+           FROM p, unnest(range(0, 9)) AS gx(gx),
+                   unnest(range(0, 8)) AS gy(gy)),
+         lum AS (
+           SELECT doc_id, w, h, gx, gy,
+             299 * ((doc_id*31 + sx*7 + sy*13) % 256)
+             + 587 * ((doc_id*31 + sx*7 + sy*13 + 101) % 256)
+             + 114 * ((doc_id*31 + sx*7 + sy*13 + 202) % 256) AS luma
+           FROM cells),
+         bits AS (
+           SELECT a.doc_id, a.w, a.h, a.gy * 8 + a.gx AS i,
+             CASE WHEN a.luma > b.luma THEN 1 ELSE 0 END AS bit
+           FROM lum a JOIN lum b
+             ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+           WHERE a.gx < 8)
+         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(CASE WHEN i < 32
+             THEN bit * (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS ph_hi,
+           CAST(sum(CASE WHEN i >= 32
+             THEN bit * (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT)
+             AS ph_lo
+         FROM bits GROUP BY doc_id, w, h""",
+    "m_phash_pairs" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id // 4 AS img, (doc_id % 4) * 60 AS pert
+           FROM documents),
+         p AS (SELECT doc_id, img, pert, (img % 6) + 9 AS w, 8 AS h
+               FROM d),
+         cells AS (
+           SELECT doc_id, img, pert, gx.gx AS gx, gy.gy AS gy,
+             (gx.gx * w) // 9 AS sx, (gy.gy * h) // 8 AS sy
+           FROM p, unnest(range(0, 9)) AS gx(gx),
+                   unnest(range(0, 8)) AS gy(gy)),
+         lum AS (
+           SELECT doc_id, gx, gy,
+             299 * (((img*31 + sx*7 + sy*13) % 256
+               + CASE WHEN sx = 0 AND sy = 0 THEN pert ELSE 0 END) % 256)
+             + 587 * (((img*31 + sx*7 + sy*13 + 101) % 256
+               + CASE WHEN sx = 0 AND sy = 0 THEN pert ELSE 0 END) % 256)
+             + 114 * (((img*31 + sx*7 + sy*13 + 202) % 256
+               + CASE WHEN sx = 0 AND sy = 0 THEN pert ELSE 0 END) % 256)
+               AS luma
+           FROM cells),
+         bits AS (
+           SELECT a.doc_id, a.gy * 8 + a.gx AS i,
+             CASE WHEN a.luma > b.luma THEN 1 ELSE 0 END AS bit
+           FROM lum a JOIN lum b
+             ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+           WHERE a.gx < 8),
+         hashes AS (
+           SELECT doc_id,
+             sum(CASE WHEN i < 32
+               THEN bit * (1::BIGINT << i) ELSE 0 END) AS hi,
+             sum(CASE WHEN i >= 32
+               THEN bit * (1::BIGINT << (i - 32)) ELSE 0 END) AS lo
+           FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.hi, b.hi))
+             + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.hi, b.hi))
+           + bit_count(xor(a.lo, b.lo)) <= 3""",
     "m_image_decode" ->
       """WITH p AS (
            SELECT doc_id, (n_chars % 13) + 2 AS w, (n_chars % 7) + 2 AS h

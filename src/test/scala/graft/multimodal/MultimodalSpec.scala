@@ -214,4 +214,85 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r54.getAs[Long]("rs_sum_r") == sr)
     assert(r54.getAs[Long]("rs_check") == chk)
   }
+
+  test("dHash: planted near-identical images land within Hamming 3 " +
+    "and the band join finds every such pair") {
+    import spark.implicits._
+    // 4 variants of one 12x8 base image (one-pixel perturbations) +
+    // 4 unrelated images
+    val rows = (0L to 3L).map(v =>
+      (v, Multimodal.bmpBytes(7L, 12, 8, perturb = (v * 60).toInt))) ++
+      (10L to 13L).map(d => (d, Multimodal.bmpBytes(d * 97 + 5, 12, 8)))
+    val imgs = rows.toDF("doc_id", "bmp")
+    val hashed = Multimodal.dhashBmp(imgs)
+      .withColumn("ph",
+        shiftleft(col("ph_lo"), 32).bitwiseOR(col("ph_hi")))
+    val h = hashed.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("ph_hi"), r.getAs[Long]("ph_lo"))).toMap
+    // words are 32-bit clean (SQL-packable without the sign bit)
+    h.values.foreach { case (hi, lo) =>
+      assert(hi >= 0 && hi < (1L << 32) && lo >= 0 && lo < (1L << 32))
+    }
+    def ham(a: Long, b: Long) = (
+      java.lang.Long.bitCount(h(a)._1 ^ h(b)._1) +
+      java.lang.Long.bitCount(h(a)._2 ^ h(b)._2))
+    // a one-pixel perturbation on a >=9x8 image moves at most one bit
+    for (a <- 0L to 3L; b <- (a + 1) to 3L)
+      assert(ham(a, b) <= 1, s"variants $a,$b drifted: ${ham(a, b)}")
+    val pairs = graft.dedup.Dedup
+      .hammingBandCandidates(hashed, "doc_id", "ph")
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // banding is COMPLETE within the <=3 recall bound: exactly the
+    // brute-force pair set
+    val brute = (for {
+      a <- h.keys; b <- h.keys if a < b && ham(a, b) <= 3
+    } yield (a, b)).toSet
+    assert(pairs == brute)
+    assert(Seq((0L, 1L), (0L, 2L), (2L, 3L)).forall(pairs.contains))
+  }
+
+  test("dHash is invariant to uniform brightness shift but not to " +
+    "content change") {
+    import spark.implicits._
+    // same gradient content, +40 on every channel of every pixel ≈
+    // brightness shift: all lumas move together, comparisons hold.
+    // bmpBytes can't express a global shift, so build two images
+    // whose luma ORDER matches: d and d (identity) vs different d.
+    val base = Multimodal.bmpBytes(3L, 12, 8)
+    val brighter = base.clone()
+    // raw pixel data starts at offset 54; add 40 saturating-free (all
+    // synth channel values < 216 for d=3? no — clamp via min): shift
+    // only bytes that stay below 256 to preserve ordering exactly
+    var i = 54
+    while (i < brighter.length) {
+      val v = brighter(i) & 0xff
+      brighter(i) = (if (v <= 215) v + 40 else v).toByte
+      i += 1
+    }
+    // content change: the horizontal MIRROR of the same image — every
+    // x-gradient comparison flips. (A different doc_id is NOT content
+    // change here: synthPixel is linear in (x,y) with shared
+    // coefficients, so all synthetic docs are near-identical
+    // gradients — which is also why m_phash_pairs legitimately finds
+    // cross-group pairs.)
+    val mirrored = base.clone()
+    val stride = 12 * 3 // w=12 → no row padding
+    for (j <- 0 until 8; x <- 0 until 12; c <- 0 until 3)
+      mirrored(54 + j * stride + x * 3 + c) =
+        base(54 + j * stride + (11 - x) * 3 + c)
+    val df = Seq((1L, base), (2L, brighter),
+      (3L, mirrored)).toDF("doc_id", "bmp")
+    val m = Multimodal.dhashBmp(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("ph_hi"), r.getAs[Long]("ph_lo"))).toMap
+    def ham(a: Long, b: Long) = (
+      java.lang.Long.bitCount(m(a)._1 ^ m(b)._1) +
+      java.lang.Long.bitCount(m(a)._2 ^ m(b)._2))
+    // clamped pixels can flip a few comparisons; the gradient hash
+    // still reads the two as near-identical, the third as unrelated
+    assert(ham(1L, 2L) <= 6)
+    assert(ham(1L, 3L) > 10)
+  }
 }
