@@ -565,6 +565,96 @@ class StreamsSpec extends AnyFunSuite {
     assert(ledger.size == 2, s"expected 2 fingerprints: $ledger")
   }
 
+  test("RocksDB state store: stateful results match the default " +
+    "provider's and state survives a checkpointed restart — the " +
+    "disk-backed provider is the 100 TB-keyspace path") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      // 1. parity: sessionize under RocksDB == the batch twin (the
+      //    same equality the default-provider test pins above →
+      //    provider swap is results-invisible)
+      val d = TestSpark.sf0001
+      val batchSessions = Streams.sessionizeBatch(
+          graft.Tables.t(spark, d, "events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_events").as("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val q = Streams.sessionizeStream(
+          Streams.eventStream(spark, stagedEventsDir()))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("st_sess_rocksdb")
+        .trigger(Trigger.AvailableNow()).start()
+      awaitDrained(q)
+      // the provider really engaged (not a silent fallback): RocksDB
+      // surfaces its own state-operator custom metrics
+      val metrics = q.lastProgress.stateOperators.head
+        .customMetrics.keySet()
+      assert(metrics.stream().anyMatch(_.startsWith("rocksdb")),
+        s"no rocksdb state metrics — provider not active: $metrics")
+      val streamSessions = spark.table("st_sess_rocksdb")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_events").as("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(streamSessions == batchSessions)
+
+      // 2. restart: the firstSeen keeper pinned in batch 1 must be
+      //    reloaded FROM THE ROCKSDB CHECKPOINT when batch 2 arrives
+      //    in a fresh query
+      val inDir = Files.createTempDirectory("graft_rdb_in")
+      def stage(df: org.apache.spark.sql.DataFrame, name: String) = {
+        val tmp = Files.createTempDirectory("graft_rdb_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        Files.move(part, inDir.resolve(name))
+      }
+      stage(Seq((10L, "a b"), (11L, "A  b.")).toDF("doc_id", "text"),
+        "b1.parquet")
+      val ckpt = Files.createTempDirectory("graft_rdb_ck").toString
+      val outDir = Files.createTempDirectory("graft_rdb_out").toString
+      def runOnce(): Unit = {
+        val q2 = Streams.streamingFirstSeen(
+            spark.readStream.schema("doc_id LONG, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(inDir.toString))
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        awaitDrained(q2)
+      }
+      runOnce()
+      stage(Seq((3L, "a b")).toDF("doc_id", "text"), "b2.parquet")
+      runOnce() // fresh query, state reloaded from RocksDB files
+      val all = spark.read.parquet(outDir)
+      val latest = all
+        .groupBy("fp")
+        .agg(org.apache.spark.sql.functions.max("gen").as("gen"))
+        .join(all, Seq("fp", "gen"))
+        .select("keep_id", "n_copies")
+        .as[(Long, Long)].collect().toSet
+      // keeper stays 10 (pinned pre-restart); doc 3's smaller id
+      // bumps the count, proving the old state was genuinely read back
+      assert(latest == Set((10L, 3L)),
+        s"RocksDB state not carried across restart: $latest")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("cdc upsert: cross-batch merge semantics, batch by batch") {
     import spark.implicits._
     val state = java.nio.file.Files
