@@ -414,13 +414,24 @@ object Relational {
     * window, one broadcast of the percentile fractions. The fully
     * scale-correct grouped percentile. */
   def groupedPercentiles(df: DataFrame, groupCol: String,
-      valueCol: String, ps: Seq[(String, Int, Int)]): DataFrame = {
+      valueCol: String, ps: Seq[(String, Int, Int)]): DataFrame =
+    percentilesFromHist(
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+        .agg(count(lit(1)).as("c")), ps)
+      .withColumnRenamed("g", groupCol)
+
+  /** The histogram-weighted core of `groupedPercentiles`: same
+    * rank-selection arithmetic over a PRE-BUILT (g, v, c) value
+    * histogram. Exposed separately so multi-statistic consumers
+    * (`madOutliers`) can pay the data-sized histogram shuffle ONCE
+    * and derive every later histogram (|v−median| for the MAD) by
+    * histogram-to-histogram arithmetic instead of rescanning data. */
+  private[ops] def percentilesFromHist(hist: DataFrame,
+      ps: Seq[(String, Int, Int)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
+    val spark = hist.sparkSession
     import spark.implicits._
-    val hist = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
-      .agg(count(lit(1)).as("c"))
     val cum = hist.withColumn("cum",
         sum("c").over(Window.partitionBy("g").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -434,7 +445,6 @@ object Relational {
       .filter(col("cum") >= col("rank"))
       .groupBy("g", "p", "rank")
       .agg(min("v").as("value"))
-      .withColumnRenamed("g", groupCol)
   }
 
   /** Robust per-group outlier report via EXACT median / MAD (median
@@ -455,41 +465,49 @@ object Relational {
     * (MAD = 0: more than half the values sit ON the median) flag
     * every off-median value, the rule's documented behavior.
     *
-    * Scale shape: two grouped-percentile passes + two broadcast joins
-    * of the group-count-bounded median/MAD tables + one final grouped
-    * aggregate — each data-sized pass is one map-side-combined
-    * shuffle. */
+    * Scale shape: ONE data-sized pass total — the (group, value)
+    * histogram shuffle (exactly a18's cost), staged once; the median,
+    * the |v−median| DEVIATION histogram (a histogram-to-histogram
+    * re-aggregation, no data rescan), the MAD, and the final outlier
+    * counts are all derived from it at histogram scale. Before this
+    * fuse the operator rescanned the data three times (r14 verdict:
+    * ~4× a18's cost; now bounded by one scan + histogram work). */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       kNum: Long = 5189, kDen: Long = 1000): DataFrame = {
-    val vals = df.filter(col(valueCol).isNotNull)
-      .select(col(groupCol), col(valueCol))
-    // med and mad are group-count-bounded; STAGE them (scratch
-    // parquet, the `Scratch` discipline) so the deviation pass and
-    // the final pass read a materialized tiny table instead of
-    // re-running the whole histogram-cumsum subtree per consumer —
-    // without staging the plan evaluates the median derivation three
-    // times (measured 7× the a18 cost at sf10; 3 data scans + 2 tiny
-    // writes after)
-    val med = graft.io.Scratch.stageAndRelease(
-      groupedPercentiles(vals, groupCol, valueCol, Seq(("p50", 1, 2)))
-        .select(col(groupCol), col("value").as("med")),
-      () => (), "mad_med")
-    val dev = vals.join(broadcast(med), groupCol)
-      .withColumn("adev", abs(col(valueCol) - col("med")))
-    val mad = graft.io.Scratch.stageAndRelease(
-      groupedPercentiles(dev.select(col(groupCol), col("adev")),
-        groupCol, "adev", Seq(("p50", 1, 2)))
-        .select(col(groupCol), col("value").as("mad")),
-      () => (), "mad_mad")
-    dev.join(broadcast(mad), groupCol)
-      .groupBy(groupCol)
-      .agg(count(lit(1)).as("n"),
+    // the one data-sized pass: stage the value histogram (Scratch
+    // discipline) — every consumer below reads the materialized
+    // O(distinct values per group) table
+    val hist = graft.io.Scratch.stageAndRelease(
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+        .agg(count(lit(1)).as("c")),
+      () => (), "mad_hist")
+    val med = percentilesFromHist(hist, Seq(("p50", 1, 2)))
+      .select(col("g"), col("value").as("med"))
+    // deviation histogram FROM the value histogram: |v−med| folds
+    // value rows pairwise (v below/above the median meet), counts
+    // add. NOT staged: its two consumers re-derive it from the
+    // staged hist with one broadcast join + histogram-sized agg each
+    // — cheaper than a second scratch write when values are near
+    // unique (prices) and the histogram is near data-sized
+    val devHist = hist.join(broadcast(med), "g")
+      .groupBy(col("g"), col("med"),
+        abs(col("v") - col("med")).as("adev"))
+      .agg(sum("c").as("c"))
+    val mad = percentilesFromHist(
+        devHist.select(col("g"), col("adev").as("v"), col("c")),
+        Seq(("p50", 1, 2)))
+      .select(col("g"), col("value").as("mad"))
+    devHist.join(broadcast(mad), "g")
+      .groupBy("g")
+      .agg(sum("c").as("n"),
         min("med").as("median"), // constant per group
         min("mad").as("mad"),
         sum(when(lit(kDen) * col("adev") > lit(kNum) * col("mad"),
-          lit(1L)).otherwise(lit(0L))).as("n_outliers"))
+          col("c")).otherwise(lit(0L))).as("n_outliers"))
       .withColumn("outlier_share",
         round(col("n_outliers").cast("double") / col("n"), 6))
+      .withColumnRenamed("g", groupCol)
   }
 
   /** Gate: per-returnflag robust outlier report on price cents. */
