@@ -511,6 +511,244 @@ object Multimodal {
     }(enc)
   }
 
+  // ---- real PNG codec (pure-JVM: DEFLATE via java.util.zip, no
+  // codec library) — the compressed-format twin of the BMP path ----
+
+  private def crc32(b: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(b, off, len)
+    c.getValue.toInt
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Serialize a spec-valid 8-bit-RGB non-interlaced PNG around the
+    * synthetic pixels — and apply a DIFFERENT scanline filter per row
+    * (row j uses filter j % 5: None/Sub/Up/Average/Paeth), so every
+    * synthesized image of height ≥ 5 exercises the decoder's complete
+    * unfilter matrix, not just the trivial filter-0 path. Chunk CRCs
+    * are real (the parser verifies them). */
+  private[multimodal] def pngBytes(docId: Long, w: Int, h: Int)
+      : Array[Byte] = {
+    // raw top-down RGB scanlines
+    val bpp = 3
+    val raw = Array.ofDim[Byte](h, w * bpp)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until bpp)
+      raw(y)(x * bpp + c) = synthPixel(docId, x, y, c).toByte
+    // filtered stream: per row, 1 filter byte + filtered bytes
+    val filt = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      val f = y % 5
+      filt.write(f)
+      val cur = raw(y)
+      val up = if (y > 0) raw(y - 1) else new Array[Byte](w * bpp)
+      var i = 0
+      while (i < w * bpp) {
+        val x = cur(i) & 0xff
+        val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+        val b = up(i) & 0xff
+        val c = if (i >= bpp) up(i - bpp) & 0xff else 0
+        val out = f match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case 4 => x - paeth(a, b, c)
+        }
+        filt.write(out & 0xff)
+        i += 1
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filt.toByteArray); deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished())
+      comp.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val idat = comp.toByteArray
+    val out = java.nio.ByteBuffer
+      .allocate(8 + 25 + (12 + idat.length) + 12)
+      .order(java.nio.ByteOrder.BIG_ENDIAN) // PNG ints are big-endian
+    out.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+      0x1a, 0x0a))
+    def chunk(typ: String, body: Array[Byte]): Unit = {
+      out.putInt(body.length)
+      val start = out.position()
+      out.put(typ.getBytes("US-ASCII")).put(body)
+      out.putInt(crc32(out.array(), start, 4 + body.length))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte)  // bit depth
+    ihdr.put(2.toByte)  // color type: truecolor RGB
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/no-interlace
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out.array()
+  }
+
+  /** REAL PNG parse: signature + chunk walk with CRC verification,
+    * IHDR validation (8-bit truecolor non-interlaced — the one layout
+    * this engine synthesizes; anything else RAISES loudly, the
+    * parseBmp discipline), IDAT concatenation, full inflate, then the
+    * complete unfilter matrix (None/Sub/Up/Average/Paeth). Returns
+    * (w, h, top-down RGB). */
+  private[multimodal] def parsePng(bytes: Array[Byte])
+      : (Int, Int, Array[Byte]) = {
+    require(bytes.length >= 8 &&
+      (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
+      bytes(3) == 'G', "png: missing signature")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.position(8)
+    var w = 0; var h = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      require(bb.remaining() >= 12, "png: truncated chunk stream")
+      val len = bb.getInt
+      require(len >= 0 && bb.remaining() >= len + 8,
+        s"png: chunk length $len overruns the file")
+      val start = bb.position()
+      val typ = new String(bytes, start, 4, "US-ASCII")
+      bb.position(start + 4 + len)
+      val crcWant = bb.getInt
+      require(crc32(bytes, start, 4 + len) == crcWant,
+        s"png: bad CRC on $typ chunk")
+      typ match {
+        case "IHDR" =>
+          val ih = java.nio.ByteBuffer.wrap(bytes, start + 4, len)
+            .order(java.nio.ByteOrder.BIG_ENDIAN)
+          w = ih.getInt; h = ih.getInt
+          require(w > 0 && h > 0, s"png: bad dims ${w}x$h")
+          // LONG bound check before any stride math (the parseBmp
+          // header-overflow discipline)
+          require(w.toLong * h * 3 < Int.MaxValue - 1024,
+            s"png: image too large ${w}x$h")
+          val depth = ih.get() & 0xff; val color = ih.get() & 0xff
+          ih.get(); ih.get()
+          val interlace = ih.get() & 0xff
+          require(depth == 8 && color == 2 && interlace == 0,
+            s"png: unsupported layout depth=$depth color=$color " +
+              s"interlace=$interlace (8-bit RGB non-interlaced only)")
+          seenIhdr = true
+        case "IDAT" =>
+          require(seenIhdr, "png: IDAT before IHDR")
+          idat.write(bytes, start + 4, len)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks skipped (CRC still verified)
+      }
+    }
+    require(seenIhdr, "png: no IHDR")
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val stride = w * 3
+    val filtered = new Array[Byte]((stride + 1) * h)
+    var got = 0
+    while (got < filtered.length && !inflater.finished()) {
+      val n = inflater.inflate(filtered, got, filtered.length - got)
+      require(n > 0 || inflater.finished(),
+        "png: deflate stream stalled (corrupt or truncated IDAT)")
+      got += n
+    }
+    inflater.end()
+    require(got == filtered.length,
+      s"png: short pixel stream ($got of ${filtered.length} bytes)")
+    val px = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val f = filtered((stride + 1) * y) & 0xff
+      require(f <= 4, s"png: unknown filter $f on row $y")
+      val rowOff = (stride + 1) * y + 1
+      val outOff = stride * y
+      var i = 0
+      while (i < stride) {
+        val x = filtered(rowOff + i) & 0xff
+        val a = if (i >= 3) px(outOff + i - 3) & 0xff else 0
+        val b = if (y > 0) px(outOff - stride + i) & 0xff else 0
+        val c = if (y > 0 && i >= 3) px(outOff - stride + i - 3) & 0xff
+          else 0
+        val v = f match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => x + paeth(a, b, c)
+        }
+        px(outOff + i) = (v & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** Attach a REAL (spec-valid, CRC'd, deflated) PNG payload to
+    * documents — dims from `bmpDims(n_chars)`, same synthetic pixels
+    * as the BMP path, so the two codecs are cross-checkable. */
+  def withPngColumn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(docs.schema.fields :+
+      StructField("png", BinaryType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val dIdx = docs.schema.fieldIndex("doc_id")
+    val nIdx = docs.schema.fieldIndex("n_chars")
+    docs.mapPartitions { it =>
+      it.map { r =>
+        val d = r.get(dIdx).asInstanceOf[Number].longValue
+        val (w, h) = bmpDims(r.get(nIdx).asInstanceOf[Number].longValue)
+        Row.fromSeq(r.toSeq :+ pngBytes(d, w, h))
+      }
+    }(enc)
+  }
+
+  /** Batched REAL decode of a PNG binary column — same output shape
+    * as `decodeBmp`, so the m_png_decode oracle is the m_image_decode
+    * oracle verbatim (two codecs, one truth). */
+  def decodePng(images: DataFrame, pngCol: String = "png",
+      batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val idField = images.schema("doc_id")
+    val outSchema = StructType(Seq(idField,
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("bpp", IntegerType),
+      StructField("n_pixels", LongType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idIdx = images.schema.fieldIndex("doc_id")
+    val bIdx = images.schema.fieldIndex(pngCol)
+    images.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (w, h, px) = parsePng(r.getAs[Array[Byte]](bIdx))
+          var sr = 0L; var sg = 0L; var sb = 0L; var i = 0
+          while (i < w * h) {
+            sr += px(i * 3) & 0xff
+            sg += px(i * 3 + 1) & 0xff
+            sb += px(i * 3 + 2) & 0xff
+            i += 1
+          }
+          Row(r.get(idIdx), w, h, 24, (w.toLong * h), sr, sg, sb)
+        }
+      }
+    }(enc)
+  }
+
   /** Perceptual 64-bit difference hash (dHash) over decoded pixels:
     * nearest-neighbor sample a 9×8 luma grid, bit (gx,gy) = 1 iff
     * luma(gx,gy) > luma(gx+1,gy) — the standard gradient hash that is
@@ -671,15 +909,45 @@ object Multimodal {
       .filter(col("hamming") <= 3)
   }
 
+  /** Gate query: REAL compressed-image codec end-to-end — synthesize
+    * spec-valid PNGs (deflate, per-row filter rotation, real CRCs)
+    * from documents, decode them back through the batched parser.
+    * Same pixels and output shape as m_image_decode, so the SAME
+    * oracle verifies both codecs — any drift between the BMP and PNG
+    * paths, or in the filter/deflate round-trip, hash-mismatches. */
+  private def mPngDecode(s: SparkSession, d: String): DataFrame =
+    decodePng(withPngColumn(
+      t(s, d, "documents").select("doc_id", "n_chars")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_phash" -> mPhash _,
     "m_phash_pairs" -> mPhashPairs _,
+    "m_png_decode" -> mPngDecode _,
     "m_multimodal_stub" -> mStub _,
     "m_frame_sample" -> mFrameSample _,
     "m_audio_segments" -> mAudioSegments _,
     "m_audio_decode" -> mAudioDecode _,
     "m_image_decode" -> mImageDecode _,
     "m_image_resize" -> mImageResize _)
+
+  private val imageDecodeOracle: String =
+    """WITH p AS (
+         SELECT doc_id, (n_chars % 13) + 2 AS w, (n_chars % 7) + 2 AS h
+         FROM documents),
+       v AS (
+         SELECT doc_id, w, h, x.x AS x, y.y AS y
+         FROM p, unnest(range(0, w)) AS x(x),
+                 unnest(range(0, h)) AS y(y))
+       SELECT doc_id,
+         CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         CAST(24 AS INT) AS bpp,
+         CAST(w * h AS BIGINT) AS n_pixels,
+         CAST(sum((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS sum_r,
+         CAST(sum((doc_id*31 + x*7 + y*13 + 101) % 256) AS BIGINT)
+           AS sum_g,
+         CAST(sum((doc_id*31 + x*7 + y*13 + 202) % 256) AS BIGINT)
+           AS sum_b
+       FROM v GROUP BY doc_id, w, h"""
 
   val oracle: Map[String, String] = Map(
     "m_phash" ->
@@ -750,24 +1018,10 @@ object Multimodal {
          FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.hi, b.hi))
            + bit_count(xor(a.lo, b.lo)) <= 3""",
-    "m_image_decode" ->
-      """WITH p AS (
-           SELECT doc_id, (n_chars % 13) + 2 AS w, (n_chars % 7) + 2 AS h
-           FROM documents),
-         v AS (
-           SELECT doc_id, w, h, x.x AS x, y.y AS y
-           FROM p, unnest(range(0, w)) AS x(x),
-                   unnest(range(0, h)) AS y(y))
-         SELECT doc_id,
-           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-           CAST(24 AS INT) AS bpp,
-           CAST(w * h AS BIGINT) AS n_pixels,
-           CAST(sum((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS sum_r,
-           CAST(sum((doc_id*31 + x*7 + y*13 + 101) % 256) AS BIGINT)
-             AS sum_g,
-           CAST(sum((doc_id*31 + x*7 + y*13 + 202) % 256) AS BIGINT)
-             AS sum_b
-         FROM v GROUP BY doc_id, w, h""",
+    "m_image_decode" -> imageDecodeOracle,
+    // PNG decodes the SAME synthetic pixels to the SAME shape — one
+    // truth verifies both codecs
+    "m_png_decode" -> imageDecodeOracle,
     "m_image_resize" ->
       """WITH p AS (
            SELECT doc_id, (n_chars % 13) + 2 AS w, (n_chars % 7) + 2 AS h

@@ -581,7 +581,13 @@ object Similarity {
       .orderBy(col("score").desc, col("n_id").asc)
     // rem: remaining candidates with ms = running max sim_micro to the
     // selected set (null until the first pick lands a real sim — so
-    // score uses the TRUE max, which may be negative, never a 0 floor)
+    // score uses the TRUE max, which may be negative, never a 0 floor).
+    // Lineage note (the kCore/neighborhood per-round-cut rule): rem is
+    // deliberately NOT scratch-cut per round — unlike those loops it
+    // is referenced ONCE per round (linear, not multiplicative, plan
+    // growth), is bounded by k ≤ 5 rounds over a ≤ 8-wide shortlist,
+    // and each round's accumulator IS materialized (persist + count).
+    // If k ever grows past ~10, cut rem through Scratch like kCore.
     var rem = sl.select(col("q_id"), col("n_id"), col("rel_micro"))
       .withColumn("ms", lit(null).cast("long"))
     var acc: DataFrame = null

@@ -215,6 +215,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r54.getAs[Long]("rs_check") == chk)
   }
 
+  test("PNG codec: synth → parse roundtrip recovers pixels exactly " +
+    "through deflate + the full filter matrix (rows rotate " +
+    "None/Sub/Up/Average/Paeth)") {
+    for ((w, h) <- Seq((5, 6), (2, 2), (13, 7), (3, 8))) {
+      val bytes = Multimodal.pngBytes(42L, w, h)
+      val (pw, ph, px) = Multimodal.parsePng(bytes)
+      assert((pw, ph) == (w, h))
+      for (y <- 0 until h; x <- 0 until w; c <- 0 to 2) {
+        val want = ((42L * 31 + x * 7 + y * 13 + c * 101) % 256).toInt
+        assert((px((y * w + x) * 3 + c) & 0xff) == want,
+          s"pixel ($x,$y) channel $c of ${w}x$h (filter ${y % 5})")
+      }
+    }
+    // BMP and PNG of the same doc decode to identical pixels
+    val (_, _, viaBmp) = Multimodal.parseBmp(Multimodal.bmpBytes(9L, 7, 6))
+    val (_, _, viaPng) = Multimodal.parsePng(Multimodal.pngBytes(9L, 7, 6))
+    assert(viaBmp.toSeq == viaPng.toSeq)
+  }
+
+  test("PNG parser rejects malformed input loudly (signature, CRC, " +
+    "layout, truncation)") {
+    val base = Multimodal.pngBytes(1L, 5, 4)
+    Multimodal.parsePng(base) // sanity
+    val badSig = base.clone(); badSig(1) = 'X'.toByte
+    assertThrows[IllegalArgumentException](Multimodal.parsePng(badSig))
+    // flip one IDAT byte → CRC mismatch must be LOUD, not a garbage
+    // decode (find a data byte inside IDAT: after sig+IHDR chunk)
+    val badCrc = base.clone(); badCrc(8 + 25 + 8 + 2) =
+      (badCrc(8 + 25 + 8 + 2) ^ 0x5a).toByte
+    assertThrows[IllegalArgumentException](Multimodal.parsePng(badCrc))
+    assertThrows[IllegalArgumentException](
+      Multimodal.parsePng(base.slice(0, base.length - 6)))
+    // unsupported layout: patch IHDR color type to palette(3) AND
+    // refresh its CRC so the layout check itself fires
+    val pal = base.clone()
+    pal(8 + 8 + 9) = 3.toByte // IHDR body byte 9 = color type
+    val crc = new java.util.zip.CRC32()
+    crc.update(pal, 8 + 4, 4 + 13)
+    val cv = crc.getValue.toInt
+    val cb = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.BIG_ENDIAN).putInt(cv).array()
+    System.arraycopy(cb, 0, pal, 8 + 4 + 4 + 13, 4)
+    val e = intercept[IllegalArgumentException](Multimodal.parsePng(pal))
+    assert(e.getMessage.contains("unsupported layout"))
+  }
+
   test("dHash: planted near-identical images land within Hamming 3 " +
     "and the band join finds every such pair") {
     import spark.implicits._
