@@ -901,8 +901,17 @@ object Multimodal {
     * with bit_count(xor) — banding completeness within the recall
     * bound is therefore checked, not assumed. */
   private def mPhashPairs(s: SparkSession, d: String): DataFrame = {
+    // constant-id slice (the ScaleUp vec_id<10 / doc_id<40 precedent):
+    // synthPixel is periodic in doc mod 256, so an UNBOUNDED corpus
+    // hands the fixture identical-image classes that grow with SF and
+    // a pair surface quadratic in class size — a corpus-construction
+    // artifact, not an operator property. 20k ids keep the planted
+    // geometry at every SF and the gate constant-cost past sf0.1.
+    // Production imagery has no such periodicity; the operator itself
+    // is bounded by hammingBandCandidates' bucket cap.
     val hashed = dhashBmp(
-        phashPairsInput(t(s, d, "documents").select("doc_id")))
+        phashPairsInput(t(s, d, "documents").select("doc_id")
+          .filter(col("doc_id") < 20000)))
       .withColumn("ph",
         shiftleft(col("ph_lo"), 32).bitwiseOR(col("ph_hi")))
     graft.dedup.Dedup.hammingBandCandidates(hashed, "doc_id", "ph")
@@ -981,7 +990,7 @@ object Multimodal {
     "m_phash_pairs" ->
       """WITH d AS (
            SELECT doc_id, doc_id // 4 AS img, (doc_id % 4) * 60 AS pert
-           FROM documents),
+           FROM documents WHERE doc_id < 20000),
          p AS (SELECT doc_id, img, pert, (img % 6) + 9 AS w, 8 AS h
                FROM d),
          cells AS (
