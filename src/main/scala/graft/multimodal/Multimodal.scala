@@ -151,8 +151,12 @@ object Multimodal {
   /** Serialize a canonical 44-byte-header RIFF/WAVE file (PCM, 16-bit
     * LE, mono) around the synthetic samples — the fixture builder for
     * the REAL decode path below. */
+  /** `perturb` (near-dup fixture knob, the bmpBytes twin): added to
+    * sample 0 only — a one-sample "re-encode artifact" that leaves
+    * the clip perceptually identical. synthSample ≤ 10000 and the
+    * planted perturbs are ≤ 1500, so no 16-bit clamp is ever hit. */
   private[multimodal] def wavBytes(docId: Long, nSamples: Int,
-      sampleRate: Int): Array[Byte] = {
+      sampleRate: Int, perturb: Int = 0): Array[Byte] = {
     val dataLen = nSamples * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -171,7 +175,8 @@ object Multimodal {
     bb.putInt(dataLen)
     var i = 0
     while (i < nSamples) {
-      bb.putShort(synthSample(docId, i.toLong).toShort); i += 1
+      val v = synthSample(docId, i.toLong) + (if (i == 0) perturb else 0)
+      bb.putShort(v.toShort); i += 1
     }
     bb.array()
   }
@@ -283,6 +288,124 @@ object Multimodal {
             parseWav(r.getAs[Array[Byte]](wIdx))
           Row(r.get(idIdx), rate, ch, bits, n, dur, peak, sum)
         }
+      }
+    }(enc)
+  }
+
+  /** Chunk-walk + windowed-energy read of a WAV payload: total
+    * |sample| per each of `nWindows` equal index partitions (sample i
+    * → window i·nWindows div n — the integer map the SQL oracle
+    * replays). Interleaved channels are read flat (the fixture is
+    * mono; for stereo the flat read just doubles every window's mass
+    * symmetrically, which the DELTA fingerprint below is invariant
+    * to). Same loud-failure contract as parseWav. */
+  private[multimodal] def parseWavEnergies(bytes: Array[Byte],
+      nWindows: Int): (Int, Long, Array[Long]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(tag4() == "RIFF", "wav: missing RIFF magic")
+    bb.getInt()
+    require(tag4() == "WAVE", "wav: missing WAVE form type")
+    var fmt: Option[(Int, Int, Int)] = None
+    var out: Option[(Int, Long, Array[Long])] = None
+    while (out.isEmpty && bb.remaining() >= 8) {
+      val id = tag4()
+      val len = bb.getInt()
+      id match {
+        case "fmt " =>
+          val audioFormat = bb.getShort()
+          require(audioFormat == 1, s"wav: not PCM (format=$audioFormat)")
+          val ch = bb.getShort().toInt
+          val rate = bb.getInt()
+          bb.getInt(); bb.getShort()
+          val bits = bb.getShort().toInt
+          if (len > 16) bb.position(bb.position() + (len - 16))
+          fmt = Some((ch, rate, bits))
+        case "data" =>
+          val (ch, rate, bits) = fmt.getOrElse(
+            throw new IllegalArgumentException("wav: data before fmt"))
+          require(bits == 16, s"wav: only 16-bit PCM supported ($bits)")
+          require(ch >= 1, s"wav: bad channel count $ch")
+          val n = len.toLong / 2L // flat sample count
+          val e = new Array[Long](nWindows)
+          var i = 0L
+          while (i < n) {
+            e((i * nWindows / n).toInt) +=
+              math.abs(bb.getShort().toLong)
+            i += 1
+          }
+          out = Some((rate, n, e))
+        case _ =>
+          bb.position(bb.position() + len + (len & 1))
+      }
+    }
+    out.getOrElse(throw new IllegalArgumentException("wav: no data chunk"))
+  }
+
+  /** Perceptual 64-bit audio fingerprint — the WAV twin of
+    * `dhashBmp`: 65 windowed energies, bit i = 1 iff
+    * energy(i) > energy(i+1). The energy-DELTA form is invariant to
+    * uniform gain and clip length (windows are fractional positions),
+    * and a local edit moves only the bits whose windows it touches —
+    * exactly the property Hamming banding needs for audio near-dup.
+    * Integer-only (|sample| sums, no FFT floats), so the DuckDB
+    * oracle replays every bit from the synthSample arithmetic. */
+  def afp64Wav(audio: DataFrame, wavCol: String = "wav",
+      batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val idField = audio.schema("doc_id")
+    val outSchema = StructType(Seq(idField,
+      StructField("n_samples", LongType),
+      StructField("fp_hi", LongType),
+      StructField("fp_lo", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idIdx = audio.schema.fieldIndex("doc_id")
+    val wIdx = audio.schema.fieldIndex(wavCol)
+    audio.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (_, n, e) =
+            parseWavEnergies(r.getAs[Array[Byte]](wIdx), 65)
+          var hi = 0L; var lo = 0L
+          var i = 0
+          while (i < 64) {
+            if (e(i) > e(i + 1)) {
+              if (i < 32) hi |= 1L << i else lo |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          Row(r.get(idIdx), n, hi, lo)
+        }
+      }
+    }(enc)
+  }
+
+  /** Fixture input for the audio near-dup gate (the phashPairsInput
+    * twin): groups of ≤4 docs share one base clip, each variant
+    * re-encoded with a one-sample perturbation. synthSample's period
+    * in the doc id is 20001 (coprime multiplier), so unlike the pixel
+    * path there are no identical-clip classes to bound away — pair
+    * count is linear in docs at every SF by construction. */
+  private[multimodal] def afpPairsInput(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(docs.schema("doc_id"),
+      StructField("wav", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val dIdx = docs.schema.fieldIndex("doc_id")
+    docs.mapPartitions { it =>
+      it.map { r =>
+        val d = r.get(dIdx).asInstanceOf[Number].longValue
+        val base = d / 4
+        val n = ((base % 30 + 1) * 80).toInt
+        Row(r.get(dIdx),
+          wavBytes(base, n, 8000, perturb = ((d % 4) * 500L).toInt))
       }
     }(enc)
   }
@@ -928,9 +1051,32 @@ object Multimodal {
     decodePng(withPngColumn(
       t(s, d, "documents").select("doc_id", "n_chars")))
 
+  /** Gate query: perceptual audio fingerprint per document clip —
+    * REAL WAV decode → 65 windowed energies → 64-bit delta hash.
+    * Full oracle from the synthSample arithmetic. */
+  private def mAudioFp(s: SparkSession, d: String): DataFrame =
+    afp64Wav(withWavColumn(
+      t(s, d, "documents").select("doc_id", "n_chars")))
+
+  /** Gate query: audio NEAR-dup pairs — planted shared-clip groups
+    * with one-sample perturbations → energy-delta fingerprint →
+    * the SAME Hamming band machinery as text SimHash and image
+    * dHash → exact verify ≤ 3. Full oracle: brute bit_count(xor)
+    * over arithmetically-recomputed fingerprints. */
+  private def mAudioFpPairs(s: SparkSession, d: String): DataFrame = {
+    val hashed = afp64Wav(
+        afpPairsInput(t(s, d, "documents").select("doc_id")))
+      .withColumn("fp",
+        shiftleft(col("fp_lo"), 32).bitwiseOR(col("fp_hi")))
+    graft.dedup.Dedup.hammingBandCandidates(hashed, "doc_id", "fp")
+      .filter(col("hamming") <= 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_phash" -> mPhash _,
     "m_phash_pairs" -> mPhashPairs _,
+    "m_audio_fp" -> mAudioFp _,
+    "m_audio_fp_pairs" -> mAudioFpPairs _,
     "m_png_decode" -> mPngDecode _,
     "m_multimodal_stub" -> mStub _,
     "m_frame_sample" -> mFrameSample _,
@@ -959,6 +1105,59 @@ object Multimodal {
        FROM v GROUP BY doc_id, w, h"""
 
   val oracle: Map[String, String] = Map(
+    "m_audio_fp" ->
+      """WITH p AS (
+           SELECT doc_id, (n_chars % 30 + 1) * 80 AS n FROM documents),
+         s AS (
+           SELECT doc_id, n,
+             abs((doc_id * 31 + r.i * 7919) % 20001 - 10000) AS a,
+             (r.i * 65) // n AS w
+           FROM p, unnest(range(0, n)) AS r(i)),
+         e AS (SELECT doc_id, n, w, sum(a) AS e
+               FROM s GROUP BY doc_id, n, w),
+         bits AS (
+           SELECT a.doc_id, a.n, a.w AS i,
+             CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+           FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+           WHERE a.w < 64)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(CASE WHEN i < 32
+             THEN bit * (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS fp_hi,
+           CAST(sum(CASE WHEN i >= 32
+             THEN bit * (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT)
+             AS fp_lo
+         FROM bits GROUP BY doc_id, n""",
+    "m_audio_fp_pairs" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id // 4 AS base, (doc_id % 4) * 500 AS pert
+           FROM documents),
+         p AS (SELECT doc_id, base, pert, (base % 30 + 1) * 80 AS n
+               FROM d),
+         s AS (
+           SELECT doc_id, n,
+             abs((base * 31 + r.i * 7919) % 20001 - 10000
+               + CASE WHEN r.i = 0 THEN pert ELSE 0 END) AS a,
+             (r.i * 65) // n AS w
+           FROM p, unnest(range(0, n)) AS r(i)),
+         e AS (SELECT doc_id, w, sum(a) AS e FROM s GROUP BY doc_id, w),
+         bits AS (
+           SELECT a.doc_id, a.w AS i,
+             CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+           FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+           WHERE a.w < 64),
+         hashes AS (
+           SELECT doc_id,
+             sum(CASE WHEN i < 32
+               THEN bit * (1::BIGINT << i) ELSE 0 END) AS hi,
+             sum(CASE WHEN i >= 32
+               THEN bit * (1::BIGINT << (i - 32)) ELSE 0 END) AS lo
+           FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.hi, b.hi))
+             + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.hi, b.hi))
+           + bit_count(xor(a.lo, b.lo)) <= 3""",
     "m_phash" ->
       """WITH p AS (
            SELECT doc_id, (n_chars % 13) + 2 AS w, (n_chars % 7) + 2 AS h

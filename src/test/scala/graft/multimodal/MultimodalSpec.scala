@@ -299,6 +299,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Seq((0L, 1L), (0L, 2L), (2L, 3L)).forall(pairs.contains))
   }
 
+  test("audio fingerprint: one-sample perturbation moves at most one " +
+    "bit; gain doubling moves none; reversal is far") {
+    import spark.implicits._
+    val n = 800
+    val rows = (0L to 3L).map(v =>
+      (v, Multimodal.wavBytes(17L, n, 8000, perturb = (v * 500).toInt)))
+    // gain-doubled clip: same content, every sample ×2 (stays within
+    // int16: synth ≤ 10000)
+    val doubled = {
+      val b = Multimodal.wavBytes(17L, n, 8000)
+      val bb = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (i <- 0 until n) {
+        val v = bb.getShort(44 + i * 2)
+        bb.putShort(44 + i * 2, (v * 2).toShort)
+      }
+      b
+    }
+    // reversed clip: same sample multiset, energy ramp flipped
+    val reversed = {
+      val b = Multimodal.wavBytes(17L, n, 8000)
+      val bb = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val vals = (0 until n).map(i => bb.getShort(44 + i * 2))
+      for (i <- 0 until n) bb.putShort(44 + i * 2, vals(n - 1 - i))
+      b
+    }
+    val df = (rows ++ Seq((10L, doubled), (11L, reversed)))
+      .toDF("doc_id", "wav")
+    val m = Multimodal.afp64Wav(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("fp_hi"), r.getAs[Long]("fp_lo"))).toMap
+    def ham(a: Long, b: Long) = (
+      java.lang.Long.bitCount(m(a)._1 ^ m(b)._1) +
+      java.lang.Long.bitCount(m(a)._2 ^ m(b)._2))
+    for (a <- 0L to 3L; b <- (a + 1) to 3L)
+      assert(ham(a, b) <= 1, s"variants $a,$b drifted: ${ham(a, b)}")
+    assert(ham(0L, 10L) == 0, "delta hash must be gain-invariant")
+    assert(ham(0L, 11L) > 10, "reversed content must hash far away")
+  }
+
   test("dHash is invariant to uniform brightness shift but not to " +
     "content change") {
     import spark.implicits._
