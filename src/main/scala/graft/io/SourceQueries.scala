@@ -377,9 +377,11 @@ object SourceQueries {
     * `Readers.parseWarcText`; the fixture's payloads are ASCII so
     * DuckDB's char substring matches the parser's octet cut — the
     * multi-byte case is WarcSpec's, not the oracle's). Yields CTE `w`
-    * with the full parse schema. */
-  private def warcCte: String =
-    s"""raw(value) AS (VALUES (${lit1(Fixtures.warc)})),
+    * with the full parse schema. Multi-member form used by the
+    * streaming WARC gate's oracle (`Streams`). */
+  private[graft] def warcCteFor(members: Seq[String]): String = {
+    val vals = members.map(m => s"(${lit1(m)})").mkString(", ")
+    s"""raw(value) AS (VALUES $vals),
      rec AS (SELECT unnest(string_split_regex(value,
                '(?m)^WARC/1\\.[01]\\r?\\n')) AS rec FROM raw),
      f AS (SELECT rec FROM rec WHERE length(trim(rec)) > 0),
@@ -414,6 +416,9 @@ object SourceQueries {
            AS payload,
          is_valid
        FROM v)"""
+  }
+
+  private def warcCte: String = warcCteFor(Seq(Fixtures.warc))
 
   private def warcParseOracle: String =
     s"""WITH $warcCte

@@ -658,7 +658,58 @@ object Streams {
     s.read.parquet(state)
   }
 
+  /** Streaming read of a WARC/WET member directory: one whole-member
+    * text row per arriving archive file — the batch `readWarc`
+    * parallelism unit (one task per ~150 MB Common Crawl member) as a
+    * file-source stream, so "new crawl members landed" IS the
+    * micro-batch boundary. */
+  def warcStream(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[String] = {
+    import spark.implicits._
+    spark.readStream.option("wholetext", "true").text(dir).as[String]
+  }
+
+  /** st_warc_curate: raw crawl bytes as a STREAM — two WET members
+    * (the second a partial re-crawl: two records identical, one new)
+    * arrive as files; each micro-batch frames records via the SAME
+    * `Readers.parseWarcText` the batch path uses, keeps valid WET
+    * conversions, and feeds the first-seen fingerprint ledger. The
+    * gate emits the final ledger: keeper pinned at first arrival,
+    * re-crawled payloads collapse cross-member. doc ids are the
+    * numeric record-id suffixes so the oracle replays the whole
+    * chain (framing CTE + fingerprint SQL) with no engine hash. */
+  private def stWarcCurate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val run = scratch("warc")
+    val dir = java.nio.file.Files.createDirectories(run.resolve("in"))
+    java.nio.file.Files.writeString(
+      dir.resolve("m0.warc"), graft.io.Fixtures.warc)
+    java.nio.file.Files.writeString(dir.resolve("m1.warc"),
+      graft.io.Fixtures.warc.replace("wet-0003", "wet-0004"))
+    val outDir = run.resolve("out").toString
+    runStream("st_warc_curate") {
+      val docs = graft.io.Readers
+        .parseWarcText(warcStream(s, dir.toString))
+        .filter(col("warc_type") === "conversion" && col("is_valid"))
+        .select(
+          regexp_extract(col("record_id"), "(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("payload").as("text"))
+      streamingFirstSeen(docs)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", run.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    s.read.parquet(outDir)
+      .withColumn("max_gen", max("gen").over(wFp))
+      .filter(col("gen") === col("max_gen"))
+      .select(col("fp"), col("keep_id"), col("n_copies"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_warc_curate" -> stWarcCurate _,
     "st_cdc_apply" -> stCdcApply _,
     "st_heavy_hitters" -> stHeavyHitters _,
     "st_zscore" -> stZscore _,
@@ -700,7 +751,27 @@ object Streams {
      FROM scored WHERE quality >= 0.5"""
   }
 
+  /** Both member texts re-framed + the fingerprint SQL of
+    * d_fingerprint_dedup over the union — single AvailableNow
+    * delivery ⇒ the final ledger equals the batch dedup exactly. */
+  private def warcCurateStreamOracle: String = {
+    val cte = graft.io.SourceQueries.warcCteFor(Seq(
+      graft.io.Fixtures.warc,
+      graft.io.Fixtures.warc.replace("wet-0003", "wet-0004")))
+    s"""WITH $cte,
+     wet AS (SELECT
+         CAST(regexp_extract(record_id, '(\\d+)$$', 1) AS BIGINT)
+           AS doc_id,
+         payload
+       FROM w WHERE warc_type = 'conversion' AND is_valid)
+     SELECT md5(trim(regexp_replace(regexp_replace(lower(payload),
+         '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+     FROM wet GROUP BY 1"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "st_warc_curate" -> warcCurateStreamOracle,
     // sequential per-batch MERGE ≡ global last-event-per-key: the
     // surviving row for a key is its top event by (batch desc, seq
     // desc), present iff that event is an upsert
