@@ -1064,8 +1064,17 @@ object Multimodal {
     * dHash → exact verify ≤ 3. Full oracle: brute bit_count(xor)
     * over arithmetically-recomputed fingerprints. */
   private def mAudioFpPairs(s: SparkSession, d: String): DataFrame = {
+    // constant-id slice (the m_phash_pairs rationale, different
+    // mechanism): synthSample(base, i) = f(base·31 + i·7919) — every
+    // clip is a PHASE SHIFT of one underlying |sample| waveform, so
+    // at corpus scale unrelated clips share fingerprint substructure
+    // and densify the band buckets (155 s cold at sf10 unsliced).
+    // Real audio shares no global waveform; the operator is bounded
+    // by the band-bucket cap. 20k ids keep the planted geometry at
+    // every SF and the gate constant-cost past sf0.1.
     val hashed = afp64Wav(
-        afpPairsInput(t(s, d, "documents").select("doc_id")))
+        afpPairsInput(t(s, d, "documents").select("doc_id")
+          .filter(col("doc_id") < 20000)))
       .withColumn("fp",
         shiftleft(col("fp_lo"), 32).bitwiseOR(col("fp_hi")))
     graft.dedup.Dedup.hammingBandCandidates(hashed, "doc_id", "fp")
@@ -1130,7 +1139,7 @@ object Multimodal {
     "m_audio_fp_pairs" ->
       """WITH d AS (
            SELECT doc_id, doc_id // 4 AS base, (doc_id % 4) * 500 AS pert
-           FROM documents),
+           FROM documents WHERE doc_id < 20000),
          p AS (SELECT doc_id, base, pert, (base % 30 + 1) * 80 AS n
                FROM d),
          s AS (
