@@ -235,13 +235,19 @@ object WebGraph {
       pagerankExactReleasable(nodes, domainEdges(nodes))
     val pr = graft.io.Scratch.stageAndRelease(scores, release,
       "wg_pagerank")
-    val wAll = Window.partitionBy(lit(1))
+    // domain-count-bounded single partition BY DESIGN (the staged pr
+    // table is one row per domain). Key must be attribute-derived
+    // (w1Funnel idiom): partitionBy(lit(1)) is foldable, the
+    // optimizer eliminates it, and the WindowExec warning returns —
+    // this site was the last emitter in the bench stderr tail.
+    val kAll = substring(coalesce(col("node"), lit("")), 0, 0)
+    val wAll = Window.partitionBy(kAll)
     pr.select(col("node"),
         col("n").cast("string").as("pr_num"),
         round(col("n").cast("double") /
           sum(col("n")).over(wAll).cast("double"), 6).as("pr"),
         row_number().over(
-          Window.partitionBy(lit(1)).orderBy(col("n").desc, col("node")))
+          Window.partitionBy(kAll).orderBy(col("n").desc, col("node")))
           .as("auth_rank"))
   }
 
