@@ -36,7 +36,7 @@ object SparkEntry {
       ops.Ecology.queries, ops.Skew.queries,
       ops.Glamr.queries, ops.Primers.queries,
       tax.Lineage.queries, tax.SetCover.queries,
-      tax.TaxAbund.queries, text.TextOps.queries,
+      tax.TaxAbund.queries, text.TextOps.queries, text.Html.queries,
       dedup.Dedup.queries, sim.Similarity.queries,
       ingest.Overrides.queries, io.SourceQueries.queries,
       io.WarehouseIngest.queries, io.CatalogIngest.queries,
@@ -54,7 +54,7 @@ object SparkEntry {
       ops.Ecology.oracle, ops.Skew.oracle,
       ops.Glamr.oracle, ops.Primers.oracle,
       tax.Lineage.oracle, tax.SetCover.oracle,
-      tax.TaxAbund.oracle, text.TextOps.oracle,
+      tax.TaxAbund.oracle, text.TextOps.oracle, text.Html.oracle,
       dedup.Dedup.oracle, sim.Similarity.oracle,
       ingest.Overrides.oracle, io.SourceQueries.oracle,
       io.WarehouseIngest.oracle, io.CatalogIngest.oracle,

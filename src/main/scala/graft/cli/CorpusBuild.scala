@@ -67,23 +67,55 @@ object CorpusBuild {
     runBatch(spark, graft.Tables.t(spark, sfDir, "documents"), whDir)
 
   /** The raw-crawl source boundary: a directory of WARC/WET members →
-    * the documents-shaped batch frame `runBatch` curates. Valid WET
-    * conversion records only (response/warcinfo/malformed records are
-    * the parse gate's concern, not the corpus's); doc_id is the stable
-    * 64-bit hash of the WARC record id, so re-reading the same member
-    * set yields the same batch ids and the incremental `seen` gate
-    * works unchanged across re-crawl runs. One task per archive member
-    * (wholetext), which at Common Crawl's ~150 MB member sizing is the
-    * right scan parallelism for a 1000-executor read. */
-  def fromWarc(spark: SparkSession, warcDir: String): DataFrame =
-    graft.io.Readers.readWarc(spark, warcDir)
+    * the documents-shaped batch frame `runBatch` curates. Two record
+    * shapes contribute, dispatched on the parsed record type:
+    *  - WET `conversion` records: the payload IS the text;
+    *  - `response` records whose HTTP Content-Type is text/html: the
+    *    engine's OWN extraction (`Html.extractText` — header cut,
+    *    boilerplate strip, link-density prune) produces the text, so
+    *    the corpus no longer depends on someone else's WET step.
+    * warcinfo/malformed/non-HTML records are the parse gate's concern,
+    * not the corpus's. doc_id is the stable 64-bit hash of the WARC
+    * record id, so re-reading the same member set yields the same
+    * batch ids and the incremental `seen` gate works unchanged across
+    * re-crawl runs. One task per archive member (wholetext), which at
+    * Common Crawl's ~150 MB member sizing is the right scan
+    * parallelism for a 1000-executor read. */
+  def fromWarc(spark: SparkSession, warcDir: String): DataFrame = {
+    val parsed = graft.io.Readers.readWarc(spark, warcDir)
+    val wet = parsed
       .filter(col("warc_type") === "conversion" && col("is_valid"))
-      .select(
+      .select(col("record_id"), col("url"), col("warc_date"),
+        col("payload").as("text"))
+    val html = graft.text.Html.extractText(
+        parsed
+          .filter(col("warc_type") === "response" && col("is_valid") &&
+            col("content_type").startsWith("application/http"))
+          .withColumn("http_ct",
+            graft.text.Html.httpContentType(col("payload")))
+          .filter(col("http_ct").contains("text/html"))
+          .withColumn("html", graft.text.Html.httpBody(col("payload"))),
+        "html", Seq("record_id", "url", "warc_date"))
+      .select(col("record_id"), col("url"), col("warc_date"),
+        col("text"))
+    wet.unionByName(html).select(
         xxhash64(col("record_id")).as("doc_id"),
-        col("payload").as("text"),
+        // 128-bit composite PROCESSED-ledger key: at real crawl scale
+        // (~3B records) a single 64-bit hash has >20% birthday odds
+        // of a collision SOMEWHERE, and a ledger collision silently
+        // drops a never-seen document forever. Two independent 64-bit
+        // hashes over different fields bound that to ~2^-128-scale.
+        // doc_id stays the 64-bit within-BATCH key (delta-sized, where
+        // the birthday term is negligible and a collision costs one
+        // doc one night, not forever).
+        concat_ws(":", hex(xxhash64(col("record_id"))),
+          hex(xxhash64(concat_ws("", col("url"),
+            col("warc_date").cast("string"))))).as("doc_uid"),
+        col("text"),
         lit(null).cast("string").as("lang"),
         col("url").as("source"),
-        length(col("payload")).cast("long").as("n_chars"))
+        length(col("text")).cast("long").as("n_chars"))
+  }
 
   /** One nightly cycle over an explicit batch frame — the shape a real
     * scheduler drives (tonight's crawl delta), and what the spec feeds
@@ -95,10 +127,16 @@ object CorpusBuild {
 
     // 1. incremental gate on the PROCESSED-id table (not the store:
     //    curation drops docs, and a dropped doc must stay dropped, not
-    //    re-enter every cycle as "fresh")
+    //    re-enter every cycle as "fresh"). Keyed on the 128-bit
+    //    `doc_uid` when the source provides one (fromWarc — the ledger
+    //    lives for the crawl archive's lifetime, where 64 bits
+    //    birthday-collide), else on doc_id (the curated-table path,
+    //    whose ids are assigned, not hashed).
+    val seenKey =
+      if (docs.columns.contains("doc_uid")) "doc_uid" else "doc_id"
     val fresh = graft.ingest.Incremental.newRows(docs,
-      graft.ingest.Incremental.loadedKeys(spark, seenPath, "doc_id"),
-      "doc_id").persist()
+      graft.ingest.Incremental.loadedKeys(spark, seenPath, seenKey),
+      seenKey).persist()
     val nFresh = fresh.count()
     if (nFresh == 0) {
       println("[corpus] nothing new, store untouched")
@@ -180,7 +218,7 @@ object CorpusBuild {
     graft.io.Writers.appendTable(sharded, corpusPath, Seq("shard"))
 
     // mark the WHOLE batch processed (survivors and drops alike)
-    graft.io.Writers.appendTable(fresh.select("doc_id"), seenPath)
+    graft.io.Writers.appendTable(fresh.select(seenKey), seenPath)
     sharded.unpersist()
     scored.unpersist()
     canon.unpersist()

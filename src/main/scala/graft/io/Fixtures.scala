@@ -209,4 +209,80 @@ object Fixtures {
     "cut off mid-",
     ""
   ).mkString("\r\n")
+
+  /** One WARC record as CRLF lines with a COMPUTED Content-Length
+    * (hand-counted lengths rot; HTML payloads are too long to count). */
+  private def warcRecLines(typ: String, id: String, uri: String,
+      date: String, ctype: String, payload: String): Seq[String] =
+    Seq("WARC/1.0", s"WARC-Type: $typ", s"WARC-Record-ID: <$id>") ++
+      (if (uri.isEmpty) Seq.empty[String]
+       else Seq(s"WARC-Target-URI: $uri")) ++
+      Seq(s"WARC-Date: $date", s"Content-Type: $ctype",
+        s"Content-Length: ${payload.getBytes("UTF-8").length}",
+        "", payload, "")
+
+  private def httpHtml(html: String): String =
+    "HTTP/1.1 200 OK\r\nServer: graft-test\r\n" +
+      "Content-Type: text/html; charset=UTF-8\r\n\r\n" + html
+
+  /** Content page: title/h1/prose blocks to KEEP; nav + footer chrome
+    * to PRUNE by link density; script/style/comment to DROP wholesale;
+    * entities (`&amp; &lt; &quot; &#39; &nbsp;`) to decode; an inline
+    * anchor inside real prose that must SURVIVE the prune. ASCII-only
+    * and no line starts with `WARC/1.` (keeps the regex-twin oracle
+    * replay exact). */
+  private val htmlPage1: String = Seq(
+    "<!DOCTYPE html>",
+    "<html><head><title>Widgets &amp; Gears</title>",
+    "<style>p { margin: 0; } .x > a { color: red; }</style>",
+    "<script type=\"text/javascript\">var t = \"<p>fake</p>\";" +
+      "</script>",
+    "</head><body>",
+    "<nav><a href=\"/\">Home</a> <a href=\"/shop\">Shop</a> " +
+      "<a href=\"/blog\">Blog</a></nav>",
+    "<h1>Widgets &amp; Gears Catalog</h1>",
+    "<p>Our catalog lists forty distinct widget models with full " +
+      "specifications.</p>",
+    "<p>Each widget ships with a <a href=\"/warranty\">warranty " +
+      "card</a> and a printed manual covering 3 &lt; 5 safety " +
+      "checks and &quot;quoted&quot; advice.</p>",
+    "<!-- editorial note: must vanish entirely -->",
+    "<div>It&#39;s the gear section&nbsp;next, with plain text.</div>",
+    "<footer><a href=\"/terms\">Terms</a> " +
+      "<a href=\"/privacy\">Privacy</a></footer>",
+    "</body></html>").mkString("\n")
+
+  /** Link-farm page: list items are pure anchors (pruned); one prose
+    * sentence with an inline link sits right at the density boundary. */
+  private val htmlPage2: String = Seq(
+    "<html><head><title>Partner directory</title></head><body>",
+    "<ul><li><a href=\"/a1\">First partner site</a></li>",
+    "<li><a href=\"/a2\">Second partner site</a></li>",
+    "<li><a href=\"/a3\">Third partner site</a></li></ul>",
+    "<p>See also our <a href=\"/more\">many more links</a> page.</p>",
+    "</body></html>").mkString("\n")
+
+  /** WARC member for the HTML-extraction gates: warcinfo, two
+    * `response` records carrying HTTP+HTML (the raw Common Crawl
+    * shape), one non-HTML response (dispatch must skip), one WET
+    * conversion record (wrong type — skip). */
+  val warcHtml: String = (
+    warcRecLines("warcinfo", "urn:uuid:hwi-0001", "",
+      "2026-08-10T00:00:00Z", "application/warc-fields",
+      "software: graft-test") ++
+    warcRecLines("response", "urn:uuid:html-0001",
+      "http://example.com/article", "2026-08-10T01:00:00Z",
+      "application/http;msgtype=response", httpHtml(htmlPage1)) ++
+    warcRecLines("response", "urn:uuid:html-0002",
+      "http://partners.example.org/dir", "2026-08-10T02:00:00Z",
+      "application/http;msgtype=response", httpHtml(htmlPage2)) ++
+    warcRecLines("response", "urn:uuid:json-0001",
+      "http://api.example.com/v1", "2026-08-10T03:00:00Z",
+      "application/http;msgtype=response",
+      "HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n\r\n" +
+        "{\"not\": \"html\"}") ++
+    warcRecLines("conversion", "urn:uuid:hwet-0001",
+      "http://example.com/article", "2026-08-10T01:00:00Z",
+      "text/plain", "already extracted text, not this gate's input")
+  ).mkString("\r\n")
 }

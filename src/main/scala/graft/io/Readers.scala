@@ -256,7 +256,19 @@ object Readers {
 
   // ---- WARC/WET: web-archive record framing ----
 
-  /** Parse WARC/WET records from whole-file text
+  /** ORACLE TWIN — regex-split record framing, kept because every
+    * operation here replays verbatim in DuckDB SQL (the `s_warc_*`
+    * gates' oracle CTE is this function, line for line). NOT the
+    * production path: splitting on `^WARC/1.[01]` lines mis-frames any
+    * record whose PAYLOAD contains such a line (pages quoting WARC,
+    * WARC-in-WARC — at crawl scale this occurs), emitting a phantom
+    * record where the spec's length-directed framing
+    * (`parseWarcRecords`, below) correctly consumes the line as
+    * payload octets. WarcSpec pins the divergence on exactly that
+    * fixture. On spec-conforming input the two produce identical rows,
+    * which is what lets this form stand as the DuckDB oracle.
+    *
+    * Parse WARC/WET records from whole-file text
     * (`spark.read.option("wholetext", true).text(dir)` — one task per
     * archive member, the FASTA discipline; Common Crawl ships WET as
     * many ~150 MB members, so file-level parallelism is the natural
@@ -327,9 +339,158 @@ object Readers {
         "content_type", "content_length", "payload", "is_valid")
   }
 
+  /** PRODUCTION WARC/WET record framing — length-directed per ISO
+    * 28500, the correctness fix over the regex twin above: a byte
+    * cursor walks each whole-member text (the FASTQ mapPartitions
+    * discipline), and after each header block consumes EXACTLY
+    * `Content-Length` octets as payload before expecting the next
+    * version line. A payload that itself contains a `WARC/1.0` line
+    * is therefore consumed as payload, not split into a phantom
+    * record — the silent-corruption edge the regex form has at crawl
+    * scale (WarcSpec pins both behaviors on the same fixture).
+    *
+    * Semantics shared with the regex twin (so the DuckDB oracle
+    * replay stays valid on spec-conforming members): same header
+    * field regexes, same octet-exact UTF-8 payload cut, malformed
+    * records (no WARC-Type / no Content-Length / declared length past
+    * member end) KEPT with `is_valid = false` and NULL payload, resync
+    * at the next version line. Bytes between records beyond the
+    * two-CRLF separator are skipped (framing garbage is the enclosing
+    * member's corruption signal — monitored via record counts — not a
+    * reason to drop the records around it).
+    *
+    * `maxMemberBytes` is the loud-failure guard on the wholetext
+    * member size (one ~150 MB Common Crawl member per task is the
+    * design point; a multi-GB member means a mis-packed archive and
+    * would otherwise surface as an executor OOM with no actionable
+    * message). Configurable via `graft.warc.maxMemberBytes` through
+    * `readWarc`. */
+  def parseWarcRecords(fileText: Dataset[String],
+      maxMemberBytes: Long = DefaultMaxWarcMemberBytes): DataFrame = {
+    import org.apache.spark.sql.Row
+    val raw = StructType(Seq(
+      StructField("record_id", StringType),
+      StructField("warc_type", StringType),
+      StructField("url", StringType),
+      StructField("warc_date_s", StringType),
+      StructField("content_type", StringType),
+      StructField("content_length", LongType),
+      StructField("payload", StringType),
+      StructField("is_valid", BooleanType)))
+    val enc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(raw)
+    fileText.toDF("value").mapPartitions { it =>
+      // same field patterns as the regex twin / DuckDB oracle
+      val pId = java.util.regex.Pattern.compile(
+        "(?m)^WARC-Record-ID:\\s*<([^>]*)>")
+      val pType = java.util.regex.Pattern.compile(
+        "(?m)^WARC-Type:\\s*(\\S+)")
+      val pUri = java.util.regex.Pattern.compile(
+        "(?m)^WARC-Target-URI:\\s*(\\S+)")
+      val pDate = java.util.regex.Pattern.compile(
+        "(?m)^WARC-Date:\\s*(\\S+)")
+      val pCt = java.util.regex.Pattern.compile(
+        "(?m)^Content-Type:\\s*(\\S+)")
+      val pLen = java.util.regex.Pattern.compile(
+        "(?m)^Content-Length:\\s*(\\d+)")
+      def field(p: java.util.regex.Pattern, s: String): String = {
+        val m = p.matcher(s)
+        if (m.find() && m.group(1).nonEmpty) m.group(1) else null
+      }
+      it.flatMap { memberRow =>
+        val member = memberRow.getString(0)
+        val bytes =
+          member.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (bytes.length > maxMemberBytes)
+          throw new IllegalArgumentException(
+            s"WARC member is ${bytes.length} bytes, over the " +
+              s"$maxMemberBytes-byte guard (graft.warc.maxMemberBytes)" +
+              " — a mis-packed archive member; Common Crawl members " +
+              "are ~150 MB. Raise the bound only with executor " +
+              "memory to match.")
+        val n = bytes.length
+        // line at byte p: (content without trailing CR/LF, next pos)
+        def lineAt(p: Int): (String, Int) = {
+          var e = p
+          while (e < n && bytes(e) != '\n') e += 1
+          val stop = if (e > p && bytes(e - 1) == '\r') e - 1 else e
+          (new String(bytes, p, stop - p,
+            java.nio.charset.StandardCharsets.UTF_8),
+            if (e < n) e + 1 else n)
+        }
+        def isVersion(l: String) = l == "WARC/1.0" || l == "WARC/1.1"
+        // next position whose line is a version line, at or after p
+        def resync(p: Int): Int = {
+          var q = p
+          while (q < n) {
+            val (l, nq) = lineAt(q)
+            if (isVersion(l)) return q
+            q = nq
+          }
+          n
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var i = resync(0)
+        while (i < n) {
+          val (_, afterVersion) = lineAt(i) // the version line itself
+          i = afterVersion
+          val hb = new StringBuilder
+          var sawBlank = false
+          var stop = false
+          while (!stop && i < n) {
+            val (l, ni) = lineAt(i)
+            if (l.isEmpty) { sawBlank = true; stop = true; i = ni }
+            else if (isVersion(l)) {
+              // header block ran into the next record (malformed: no
+              // blank line / no body) — stop WITHOUT consuming; the
+              // record is invalid below, matching the oracle twin
+              // (whose header-block regex requires the blank line)
+              stop = true
+            } else { hb.append(l).append('\n'); i = ni }
+          }
+          val header = hb.toString
+          val warcType = field(pType, header)
+          val lenS = field(pLen, header)
+          val cl: java.lang.Long =
+            if (lenS == null) null else java.lang.Long.valueOf(lenS)
+          val valid = sawBlank &&
+            warcType != null && cl != null && i + cl.longValue <= n
+          var payload: String = null
+          if (valid) {
+            payload = new String(bytes, i, cl.intValue,
+              java.nio.charset.StandardCharsets.UTF_8)
+            i += cl.intValue
+          }
+          i = resync(i)
+          out += Row(field(pId, header), warcType, field(pUri, header),
+            field(pDate, header), field(pCt, header),
+            if (cl == null) null else cl.longValue, payload,
+            valid)
+        }
+        out.iterator
+      }
+    }(enc)
+      .withColumn("warc_date", to_timestamp(col("warc_date_s"),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      .select("record_id", "warc_type", "url", "warc_date",
+        "content_type", "content_length", "payload", "is_valid")
+  }
+
+  /** Default member-size guard: 1 GiB of UTF-8 bytes per wholetext
+    * member — ~7× Common Crawl's member sizing, far below the 2 GiB
+    * JVM array ceiling the unguarded read would hit as an opaque OOM. */
+  val DefaultMaxWarcMemberBytes: Long = 1L << 30
+
+  /** Read a WARC/WET member directory through the length-directed
+    * production parser. `.warc.gz`/`.wet.gz` members decode
+    * transparently (the text source's codec-by-extension — gzip is
+    * non-splittable, but wholetext wants the whole member in one task
+    * anyway, so nothing is lost). */
   def readWarc(spark: SparkSession, path: String): DataFrame =
-    parseWarcText(
-      spark.read.option("wholetext", "true").textFile(path))
+    parseWarcRecords(
+      spark.read.option("wholetext", "true").textFile(path),
+      spark.conf.getOption("graft.warc.maxMemberBytes")
+        .map(_.toLong).getOrElse(DefaultMaxWarcMemberBytes))
 
   // ---- S15: filesystem catalog as a table ----
 

@@ -176,9 +176,13 @@ object SourceQueries {
   /** WARC/WET: web-archive record framing (the Common Crawl source
     * boundary). Whole-member text → framed records; the fixture
     * carries warcinfo/conversion/response types plus two malformed
-    * probes (no Content-Length; truncated body). */
+    * probes (no Content-Length; truncated body). Runs the PRODUCTION
+    * length-directed parser; the oracle replays the regex twin —
+    * identical on spec-conforming members (WarcSpec pins the one
+    * divergence: payloads embedding a version line, which the fixture
+    * deliberately avoids so this cross-form check stays valid). */
   private def sWarcParse(s: SparkSession, d: String): DataFrame =
-    Readers.parseWarcText(whole(s, Fixtures.warc))
+    Readers.parseWarcRecords(whole(s, Fixtures.warc))
 
   /** WARC → curation chain, end-to-end on the parsed records: keep
     * valid WET conversion records, recover the host from the target
@@ -186,7 +190,7 @@ object SourceQueries {
     * record_id) — the front of the CorpusBuild pipeline running off
     * raw archive bytes instead of a ready-made documents table. */
   private def sWarcWetCurate(s: SparkSession, d: String): DataFrame = {
-    val wet = Readers.parseWarcText(whole(s, Fixtures.warc))
+    val wet = Readers.parseWarcRecords(whole(s, Fixtures.warc))
       .filter(col("warc_type") === "conversion" && col("is_valid"))
       .select(col("record_id"), col("url"), col("payload"))
       .withColumn("host",
@@ -199,8 +203,37 @@ object SourceQueries {
         length(col("payload")).cast("int").as("n_chars"), col("fp"))
   }
 
+  /** WARC over a COMPRESSED member (`.wet.gz` — the form Common Crawl
+    * actually ships): the fixture staged once as a gzip file, read
+    * through the full production path (wholetext text source →
+    * codec-by-extension decode → length-directed framing). The oracle
+    * replays the framing over the uncompressed literal, so any decode
+    * drift on the Spark side hash-mismatches. Staging is atomic
+    * (write-aside + move) so a concurrent Verify/Bench never scans a
+    * half-written member. */
+  private def sWarcGzParse(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_warc_gz_gate")
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve("member0.wet.gz")
+    if (!java.nio.file.Files.exists(f)) {
+      val tmp = java.nio.file.Files.createTempFile("graft_wgz", ".tmp")
+      val gz = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(tmp))
+      gz.write(Fixtures.warc.getBytes("UTF-8")); gz.close()
+      try java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // another run staged it first — theirs is identical
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp)
+      }
+    }
+    Readers.readWarc(s, dir.toString)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_warc_parse" -> sWarcParse _,
+    "s_warc_gz_parse" -> sWarcGzParse _,
     "s_warc_wet_curate" -> sWarcWetCurate _,
     "s15b_input_file_name" -> s15bInputFile _,
     "s15c_catalog_mtime" -> s15cCatalogMtime _,
@@ -455,6 +488,8 @@ object SourceQueries {
 
   val oracle: Map[String, String] = Map(
     "s_warc_parse" -> warcParseOracle,
+    // gz gate reads the SAME member through gzip: one framing truth
+    "s_warc_gz_parse" -> warcParseOracle,
     "s_warc_wet_curate" -> warcCurateOracle,
     "s4_rpkm_skip" -> rpkmOracle,
     "s7_seqkit_stats" -> seqkitOracle,

@@ -672,7 +672,7 @@ object Streams {
   /** st_warc_curate: raw crawl bytes as a STREAM — two WET members
     * (the second a partial re-crawl: two records identical, one new)
     * arrive as files; each micro-batch frames records via the SAME
-    * `Readers.parseWarcText` the batch path uses, keeps valid WET
+    * `Readers.parseWarcRecords` the batch path uses, keeps valid WET
     * conversions, and feeds the first-seen fingerprint ledger. The
     * gate emits the final ledger: keeper pinned at first arrival,
     * re-crawled payloads collapse cross-member. doc ids are the
@@ -689,7 +689,7 @@ object Streams {
     val outDir = run.resolve("out").toString
     runStream("st_warc_curate") {
       val docs = graft.io.Readers
-        .parseWarcText(warcStream(s, dir.toString))
+        .parseWarcRecords(warcStream(s, dir.toString))
         .filter(col("warc_type") === "conversion" && col("is_valid"))
         .select(
           regexp_extract(col("record_id"), "(\\d+)$", 1)

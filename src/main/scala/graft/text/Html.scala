@@ -1,0 +1,284 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction over WARC `response` records — the
+  * boilerplate-strip operator between "reads Common Crawl" and
+  * "curates Common Crawl" (the trafilatura/jusText role, re-expressed
+  * as a declarative column pipeline so Catalyst keeps it inside
+  * whole-stage codegen and the DuckDB oracle can replay every step).
+  *
+  * Reference analog: the reference pipeline consumes pre-extracted
+  * text the way the WET path does (`pypelib` loaders parse tool
+  * outputs, not raw instrument bytes); this module is the engine's own
+  * extraction so the corpus can start at raw `response` records.
+  *
+  * Pipeline, per document:
+  *  1. cut the HTTP header block (headers end at the first blank line),
+  *  2. drop non-content markup wholesale: `<script>…</script>`,
+  *     `<style>…</style>`, `<!-- comments -->`,
+  *  3. reconstruct BLOCK structure: every block-level tag boundary
+  *     (p/div/li/h1-6/tr/nav/… open or close) becomes a newline, then
+  *     split → one row per block,
+  *  4. per block: strip remaining inline tags, decode the common HTML
+  *     entities, collapse whitespace,
+  *  5. LINK-DENSITY pruning: a block whose anchor text is more than
+  *     half its text is chrome (nav bars, footers, related-links
+  *     boxes), not content — computed INTEGER-only (anchor chars vs
+  *     total chars) so the oracle compare is exact,
+  *  6. re-join surviving blocks with newlines into the document text.
+  *
+  * Every regex is shared between the Spark plan and the DuckDB oracle
+  * (both RE2-compatible: no backrefs, no lookaround), so the
+  * `s_warc_html_*` gates verify the extraction bit-for-bit.
+  *
+  * 100 TB posture: pure per-row column expressions — no UDF, no
+  * shuffle until the final per-doc reassembly (one partial_agg'd
+  * groupBy on the record id), and the block fan-out is an explode the
+  * optimizer prunes when a consumer only reads block stats.
+  */
+object Html {
+
+  // ---- shared regex constants (Java regex ∩ RE2 semantics) ----
+
+  /** HTTP response header block: status line + headers up to the
+    * first blank line (same shape as the WARC header framing). */
+  val HttpHeadPat = "(?s)^(.*?)\r?\n\r?\n"
+
+  val ScriptPat = "(?is)<script\\b[^>]*>.*?</script\\s*>"
+  val StylePat = "(?is)<style\\b[^>]*>.*?</style\\s*>"
+  val CommentPat = "(?s)<!--.*?-->"
+
+  /** Block-level tag boundary (open or close) → one block break. */
+  val BlockTagPat = "(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|td|th|" +
+    "table|thead|tbody|section|article|header|footer|nav|blockquote|" +
+    "pre|hr|dl|dt|dd|form|figure|figcaption|aside|main|title)" +
+    "\\b[^>]*>"
+
+  /** A complete inline anchor (its text is the "link text" the
+    * density prune measures). */
+  val AnchorPat = "(?is)<a\\b[^>]*>.*?</a\\s*>"
+
+  /** Any remaining tag. */
+  val TagPat = "(?s)<[^>]*>"
+
+  /** Entity decode set: the half-dozen entities that dominate real
+    * pages, decoded in an order where no replacement re-creates a
+    * later pattern's input (`&amp;` strictly last). Unknown entities
+    * pass through as literal text — documented, deterministic. */
+  val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+    "&amp;" -> "&")
+
+  /** Link-density prune: drop a block when anchor text exceeds this
+    * numerator/denominator share of its text (integer arithmetic —
+    * 1/2 = "more chrome than content"). */
+  val MaxAnchorNum = 1
+  val MaxAnchorDen = 2
+
+  // ---- column stages ----
+
+  /** The HTTP payload body: everything after the header block. A
+    * payload that does not start `HTTP/` (not an HTTP message) passes
+    * through unchanged. */
+  def httpBody(payload: Column): Column =
+    when(payload.startsWith("HTTP/"),
+      regexp_replace(payload, HttpHeadPat, ""))
+      .otherwise(payload)
+
+  /** The HTTP header block's Content-Type value ('' when absent) —
+    * extraction dispatches on it (text/html vs everything else). */
+  def httpContentType(payload: Column): Column =
+    regexp_extract(
+      regexp_extract(payload, HttpHeadPat, 1),
+      "(?im)^Content-Type:\\s*([^\r\n]+)", 1)
+
+  /** Strip tags + decode entities + collapse whitespace — the
+    * block-text normalizer (stage 4). */
+  def cleanText(html: Column): Column = {
+    val stripped = regexp_replace(html, TagPat, " ")
+    val decoded = Entities.foldLeft(stripped) { case (c, (e, r)) =>
+      regexp_replace(c, e, r) // entity names are regex-literal-safe
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Non-content markup dropped wholesale (stage 2). */
+  def dropNonContent(html: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(html, ScriptPat, " "),
+        StylePat, " "),
+      CommentPat, " ")
+
+  // ---- operators ----
+
+  /** Exploded content blocks of an HTML column: one row per block
+    * with its index, cleaned text, and the integer link-density
+    * inputs; chrome blocks (empty, or anchor-majority) already
+    * pruned. `keyCols` travel through the explode. */
+  def extractBlocks(df: DataFrame, htmlCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    val ks = keyCols.map(col)
+    df
+      .withColumn("__clean_html", dropNonContent(col(htmlCol)))
+      .select(ks :+
+        posexplode(split(
+          regexp_replace(col("__clean_html"), BlockTagPat, "\n"),
+          "\n")).as(Seq("block_idx", "__raw_block")): _*)
+      .withColumn("text", cleanText(col("__raw_block")))
+      .withColumn("n_chars", length(col("text")).cast("int"))
+      // anchor share, integer-only: chars contributed by <a> runs =
+      // clean(block) minus clean(block with anchors removed)
+      .withColumn("anchor_chars",
+        (col("n_chars") - length(cleanText(
+          regexp_replace(col("__raw_block"), AnchorPat, " "))))
+          .cast("int"))
+      .filter(col("n_chars") > 0 &&
+        col("anchor_chars") * MaxAnchorDen <=
+          col("n_chars") * MaxAnchorNum)
+      .drop("__raw_block", "__clean_html")
+  }
+
+  /** Document text: surviving blocks re-joined with newlines in block
+    * order (sort inside the aggregated array — no window, one
+    * partial-aggregated shuffle by the record key). */
+  def extractText(df: DataFrame, htmlCol: String,
+      keyCols: Seq[String]): DataFrame =
+    extractBlocks(df, htmlCol, keyCols)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("block_idx"), col("text")))),
+            b => b.getField("text")),
+          "\n").as("text"),
+        count(lit(1)).cast("long").as("n_blocks"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  // ---- gate queries ----
+
+  private def parsedHtmlResponses(s: SparkSession): DataFrame =
+    graft.io.Readers
+      .parseWarcRecords(htmlFixture(s))
+      .filter(col("warc_type") === "response" && col("is_valid") &&
+        col("content_type").startsWith("application/http"))
+      .withColumn("http_ct", httpContentType(col("payload")))
+      .filter(col("http_ct").contains("text/html"))
+      .withColumn("html", httpBody(col("payload")))
+
+  private def htmlFixture(s: SparkSession)
+      : org.apache.spark.sql.Dataset[String] = {
+    import s.implicits._
+    s.createDataset(Seq(graft.io.Fixtures.warcHtml))
+  }
+
+  /** s_warc_html_extract: per-block extraction rows off raw WARC
+    * response bytes — framing, HTTP dispatch, boilerplate strip,
+    * entity decode, and the link-density prune all under one
+    * full-oracle hash. */
+  private def sWarcHtmlExtract(s: SparkSession, d: String): DataFrame =
+    extractBlocks(parsedHtmlResponses(s), "html",
+      Seq("record_id", "url"))
+      .select("record_id", "url", "block_idx", "text", "n_chars",
+        "anchor_chars")
+
+  /** s_warc_html_doc: the reassembled per-document text (what the
+    * curation chain consumes). */
+  private def sWarcHtmlDoc(s: SparkSession, d: String): DataFrame =
+    extractText(parsedHtmlResponses(s), "html",
+      Seq("record_id", "url"))
+      .select("record_id", "url", "text", "n_blocks", "n_chars")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_warc_html_extract" -> sWarcHtmlExtract _,
+    "s_warc_html_doc" -> sWarcHtmlDoc _)
+
+  // ---- DuckDB oracles: the same regex chain, replayed ----
+
+  /** SQL single-quoted literal. */
+  private def sq(s: String): String =
+    "'" + s.replace("'", "''") + "'"
+
+  /** The entity-decode chain as nested DuckDB replace() calls. */
+  private def sqlDecode(expr: String): String =
+    Entities.foldLeft(expr) { case (e, (ent, rep)) =>
+      s"replace($e, ${sq(ent)}, ${sq(rep)})"
+    }
+
+  private def sqlClean(expr: String): String = {
+    val stripped = s"regexp_replace($expr, ${sq(TagPat)}, ' ', 'g')"
+    s"trim(regexp_replace(${sqlDecode(stripped)}, '\\s+', ' ', 'g'))"
+  }
+
+  /** Framing CTE (the regex twin) + HTTP dispatch + block explode +
+    * clean + prune, ending in CTE `blocks`. */
+  private def blocksCte: String = {
+    val framing = graft.io.SourceQueries.warcCteFor(
+      Seq(graft.io.Fixtures.warcHtml))
+    s"""$framing,
+     resp AS (
+       SELECT record_id, url, payload FROM w
+       WHERE warc_type = 'response' AND is_valid
+         AND content_type LIKE 'application/http%'),
+     disp AS (
+       SELECT record_id, url, payload,
+         regexp_extract(regexp_extract(payload, ${sq(HttpHeadPat)}, 1),
+           '(?im)^Content-Type:\\s*([^\r\n]+)', 1) AS http_ct
+       FROM resp),
+     body AS (
+       SELECT record_id, url,
+         CASE WHEN payload LIKE 'HTTP/%'
+           THEN regexp_replace(payload, ${sq(HttpHeadPat)}, '')
+           ELSE payload END AS html
+       FROM disp WHERE http_ct LIKE '%text/html%'),
+     nc AS (
+       SELECT record_id, url,
+         regexp_replace(regexp_replace(regexp_replace(html,
+           ${sq(ScriptPat)}, ' ', 'g'),
+           ${sq(StylePat)}, ' ', 'g'),
+           ${sq(CommentPat)}, ' ', 'g') AS ch
+       FROM body),
+     bl AS (
+       SELECT record_id, url,
+         string_split(regexp_replace(ch, ${sq(BlockTagPat)},
+           chr(10), 'g'), chr(10)) AS bs
+       FROM nc),
+     eb AS (
+       SELECT record_id, url, CAST(i - 1 AS INT) AS block_idx,
+         bs[i] AS raw_block
+       FROM bl, unnest(generate_series(1, len(bs))) AS u(i)),
+     ct AS (
+       SELECT record_id, url, block_idx,
+         ${sqlClean("raw_block")} AS text,
+         ${sqlClean(s"regexp_replace(raw_block, ${sq(AnchorPat)}," +
+      " ' ', 'g')")} AS text_noanchor
+       FROM eb),
+     blocks AS (
+       SELECT record_id, url, block_idx, text,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(length(text) - length(text_noanchor) AS INT)
+           AS anchor_chars
+       FROM ct
+       WHERE length(text) > 0
+         AND (length(text) - length(text_noanchor)) * $MaxAnchorDen
+           <= length(text) * $MaxAnchorNum)"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "s_warc_html_extract" ->
+      s"""WITH $blocksCte
+       SELECT record_id, url, block_idx, text, n_chars, anchor_chars
+       FROM blocks""",
+    "s_warc_html_doc" ->
+      s"""WITH $blocksCte
+       SELECT record_id, url,
+         string_agg(text, chr(10) ORDER BY block_idx) AS text,
+         CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(length(string_agg(text, chr(10) ORDER BY block_idx))
+           AS BIGINT) AS n_chars
+       FROM blocks GROUP BY record_id, url""")
+}

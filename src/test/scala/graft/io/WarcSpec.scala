@@ -13,7 +13,12 @@ class WarcSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  /** Production (length-directed) framing. */
   private def parse(text: String) =
+    Readers.parseWarcRecords(spark.createDataset(Seq(text)))
+
+  /** Regex oracle twin — only for the agreement/divergence pins. */
+  private def parseRegex(text: String) =
     Readers.parseWarcText(spark.createDataset(Seq(text)))
 
   test("fixture parses to 7 framed records with exact payload cuts") {
@@ -89,6 +94,79 @@ class WarcSpec extends AnyFunSuite {
     assert(rows.count(_.getAs[Boolean]("is_valid")) == 5)
   }
 
+  test("regex twin and cursor parser agree row-for-row on the " +
+    "spec-conforming fixture (the oracle-validity contract)") {
+    val cursor = parse(Fixtures.warc).collect()
+      .map(_.toSeq).toSet
+    val regex = parseRegex(Fixtures.warc).collect()
+      .map(_.toSeq).toSet
+    assert(cursor == regex)
+  }
+
+  test("payload embedding a WARC/1.0 line: cursor framing consumes " +
+    "it as payload octets; regex framing mis-frames (the phantom)") {
+    val embedded = "page quoting an archive:\r\nWARC/1.0\r\nis text"
+    val rec = Seq(
+      "WARC/1.0",
+      "WARC-Type: conversion",
+      "WARC-Record-ID: <urn:uuid:embed-1>",
+      "WARC-Target-URI: http://x/warc-article",
+      "WARC-Date: 2026-08-01T00:00:00Z",
+      s"Content-Length: ${embedded.getBytes("UTF-8").length}",
+      "",
+      embedded,
+      "",
+      "WARC/1.0",
+      "WARC-Type: conversion",
+      "WARC-Record-ID: <urn:uuid:embed-2>",
+      "WARC-Target-URI: http://y/",
+      "WARC-Date: 2026-08-01T00:00:01Z",
+      "Content-Length: 4",
+      "",
+      "tail",
+      "").mkString("\r\n")
+    // length-directed: exactly 2 records, both valid, payload intact
+    val cur = parse(rec).collect()
+    assert(cur.length == 2)
+    assert(cur.forall(_.getAs[Boolean]("is_valid")))
+    assert(cur.find(_.getAs[String]("record_id") == "urn:uuid:embed-1")
+      .get.getAs[String]("payload") == embedded)
+    // regex twin: splits INSIDE the payload — the true record is
+    // truncated (detectably invalid), and a phantom third "record"
+    // (the payload remainder) appears. This is the latent corruption
+    // the cursor parser exists to close.
+    val rx = parseRegex(rec).collect()
+    assert(rx.length == 3)
+    assert(!rx.find(_.getAs[String]("record_id") == "urn:uuid:embed-1")
+      .get.getAs[Boolean]("is_valid"))
+  }
+
+  test("compressed members (.warc.gz) decode transparently through " +
+    "readWarc") {
+    val dir = Files.createTempDirectory("graft_warc_gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(dir.resolve("m0.warc.gz")))
+    gz.write(Fixtures.warc.getBytes("UTF-8")); gz.close()
+    val rows = Readers.readWarc(spark, dir.toString).collect()
+    assert(rows.length == 7)
+    assert(rows.count(_.getAs[Boolean]("is_valid")) == 5)
+    assert(rows.find(
+      _.getAs[String]("record_id") == "urn:uuid:wet-0001")
+      .get.getAs[String]("payload") ==
+      "The quick brown fox jumps over the lazy dog")
+  }
+
+  test("member-size guard fails loudly, not as an opaque OOM") {
+    val e = intercept[org.apache.spark.SparkException] {
+      Readers.parseWarcRecords(
+        spark.createDataset(Seq(Fixtures.warc)),
+        maxMemberBytes = 64).collect()
+    }
+    assert(e.getMessage.contains("maxMemberBytes") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("maxMemberBytes")))
+  }
+
   test("readWarc over a directory of members + fromWarc batch shape") {
     val dir = Files.createTempDirectory("graft_warc")
     Files.writeString(dir.resolve("m0.warc"), Fixtures.warc)
@@ -106,7 +184,11 @@ class WarcSpec extends AnyFunSuite {
     assert(rows.length == 6)
     assert(batch.select("doc_id").distinct().count() == 4)
     assert(batch.columns.toSeq ==
-      Seq("doc_id", "text", "lang", "source", "n_chars"))
+      Seq("doc_id", "doc_uid", "text", "lang", "source", "n_chars"))
+    // the 128-bit ledger key is composite: both halves present, and
+    // as id-stable across re-crawls as doc_id
+    assert(batch.select("doc_uid").distinct().count() == 4)
+    assert(rows.forall(_.getAs[String]("doc_uid").split(":").length == 2))
     val a = rows.filter(_.getAs[String]("source") == "http://example.com/a")
     assert(a.forall(_.getAs[String]("text") ==
       "The quick brown fox jumps over the lazy dog"))
