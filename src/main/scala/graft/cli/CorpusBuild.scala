@@ -175,6 +175,22 @@ object CorpusBuild {
       .filter(col("doc_id") === col("keep_id"))
       .withColumn("quality", TextOps.qualityScore(col("text")))
       .persist()
+    // banding-cap probe ("no silent caps"): the sketch-banding family
+    // drops over-cap buckets to stop quadratic blowup on degenerate
+    // near-identical mass (boilerplate floods). Report what this
+    // batch's sketch space would drop at the production cap — a
+    // nonzero count here is the recall-loss signal a crawl operator
+    // watches. Delta-sized aggregate (one groupBy over the batch).
+    val capRep = graft.dedup.Dedup.hammingBandCapReport(
+        canon.select(col("doc_id"), graft.dedup.Dedup.simhash(
+          TextOps.tokens(lower(col("text")))).as("sh")),
+        "doc_id", "sh")
+      .agg(count(lit(1)), coalesce(sum("bucket_n"), lit(0L)),
+        coalesce(sum("pairs_suppressed"), lit(0L))).head()
+    println(s"[corpus] banding cap probe: ${capRep.getLong(0)} " +
+      s"over-cap buckets / ${capRep.getLong(1)} bucket slots, " +
+      s"<= ${capRep.getLong(2)} candidate pairs suppressed")
+
     val pairs = graft.dedup.Dedup.ngramJaccardPairs(
         canon, "doc_id", "text")
       .filter(col("jac") >= nearDupJac).select("doc_a", "doc_b")

@@ -124,15 +124,7 @@ object Dedup {
       s"bands ($bands) must divide numHashes ($numHashes) — the " +
         "trailing hashes would silently drop out of every band, " +
         "weakening recall while est_jaccard still divides by numHashes")
-    val rows = numHashes / bands
-    val sigd = minhashSignaturesNative(docs, idCol, textCol, numHashes)
-    val banded = sigd.select(
-      col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_",
-          slice(col("sig"), b * rows + 1, lit(rows))
-            .cast("array<string>")))))
-        .as(Seq("band", "bucket")))
+    val banded = minhashBanded(docs, idCol, textCol, numHashes, bands)
     val pruned = banded
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -149,6 +141,38 @@ object Dedup {
           (x, y) => x === y), m => m)) /
           lit(numHashes.toDouble)).as("est_jaccard"))
       .distinct()
+  }
+
+  /** The banded-signature frame shared by the LSH bucket join and its
+    * cap-drop report (one definition, same rationale as
+    * `hammingChunked`). */
+  private def minhashBanded(docs: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    minhashSignaturesNative(docs, idCol, textCol, numHashes).select(
+      col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_",
+          slice(col("sig"), b * rows + 1, lit(rows))
+            .cast("array<string>")))))
+        .as(Seq("band", "bucket")))
+  }
+
+  /** CAP-DROP OBSERVABILITY for MinHash-LSH: the band buckets
+    * `minhashCandidatePairs` silently drops at the same
+    * `maxBucketSize` (see `hammingBandCapReport` for why this report
+    * exists). */
+  def minhashBandCapReport(docs: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    minhashBanded(docs, idCol, textCol, numHashes, bands)
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .select(col("band"), col("bucket"), col("bucket_n"),
+        expr("bucket_n * (bucket_n - 1) DIV 2").as("pairs_suppressed"))
   }
 
   /** SimHash near-dup candidate pairs: band the 64-bit sketch into four
@@ -193,13 +217,38 @@ object Dedup {
     * distance via codegen'd bit_count(xor). Recall bound and the
     * maxBucketSize degenerate-bucket guard as documented on
     * `simhashCandidatePairs`. */
+  /** The 4×16-bit chunk explode shared by the band join and the
+    * cap-drop report (one definition — the report observes EXACTLY
+    * the buckets the join prunes). */
+  private def hammingChunked(hashed: DataFrame, idCol: String,
+      hashCol: String): DataFrame =
+    hashed.select(col(idCol).as("id"), col(hashCol).as("sh"))
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until 4).map { i =>
+          shiftrightunsigned(col("sh"), 16 * i).bitwiseAND(0xFFFFL)
+        }: _*)).as(Seq("chunk_idx", "chunk")))
+
+  /** CAP-DROP OBSERVABILITY for the Hamming banding family: the
+    * buckets `hammingBandCandidates` SILENTLY drops at the same
+    * `maxBucketSize`, with the id count and the upper bound on
+    * suppressed candidate pairs. On a skewed real corpus the cap
+    * trades recall for a quadratic-blowup guard — this report is the
+    * signal that the trade happened and how much it cost ("no silent
+    * caps": log what was dropped). Integer-only output so the gate
+    * oracle compares exactly; aggregate-sized (≤ one row per dropped
+    * bucket), so a pipeline can log it every run. */
+  def hammingBandCapReport(hashed: DataFrame, idCol: String,
+      hashCol: String, maxBucketSize: Int = 1000): DataFrame =
+    hammingChunked(hashed, idCol, hashCol)
+      .groupBy("chunk_idx", "chunk")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .select(col("chunk_idx"), col("chunk"), col("bucket_n"),
+        expr("bucket_n * (bucket_n - 1) DIV 2").as("pairs_suppressed"))
+
   def hammingBandCandidates(hashed: DataFrame, idCol: String,
       hashCol: String, maxBucketSize: Int = 1000): DataFrame = {
-    val sh = hashed.select(col(idCol).as("id"), col(hashCol).as("sh"))
-    val chunked = sh.select(col("id"), col("sh"),
-      posexplode(array((0 until 4).map { i =>
-        shiftrightunsigned(col("sh"), 16 * i).bitwiseAND(0xFFFFL)
-      }: _*)).as(Seq("chunk_idx", "chunk")))
+    val chunked = hammingChunked(hashed, idCol, hashCol)
     val pruned = chunked
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -1164,6 +1213,21 @@ object Dedup {
     simhashCandidatePairs(t(s, d, "documents"), "doc_id", "text",
       maxBucketSize = Int.MaxValue)
 
+  /** Band-cap observability gate: the over-cap bucket report for the
+    * SAME sketch space d_simhash dumps, at a LOW cap (10) so the
+    * fixture corpus actually trips it — the gate pins the REPORT
+    * mechanics (bucket counts, suppressed-pair bound), not the
+    * production cap (1000, at which this corpus drops nothing).
+    * CONDITIONED oracle: DuckDB re-chunks the dumped 64-bit sketches
+    * ((sh >> 16·i) & 0xFFFF — mask-identical under arithmetic or
+    * logical shift) and re-aggregates, so the banding geometry the
+    * candidates join prunes on is verified bucket-for-bucket. */
+  private def dBandCapReport(s: SparkSession, d: String): DataFrame =
+    hammingBandCapReport(
+      t(s, d, "documents").select(col("doc_id"),
+        simhash(TextOps.tokens(lower(col("text")))).as("simhash")),
+      "doc_id", "simhash", maxBucketSize = 10)
+
   /** Edit-distance pair gate: Levenshtein ≤ 12 over the 64-char
     * normalized prefix (bounding the per-candidate band to k×64 —
     * blind within-block verification is the exactness gate; a
@@ -1462,6 +1526,7 @@ object Dedup {
     "d_minhash_lsh_pairs" -> dMinhashLshPairs _,
     "d_simhash" -> dSimhash _,
     "d_simhash_pairs" -> dSimhashPairs _,
+    "d_band_cap_report" -> dBandCapReport _,
     "d_ngram_jaccard_top" -> dNgramJaccard _,
     "d_ngram_jaccard_prefix" -> dNgramJaccardPrefix _,
     "d_dup_clusters" -> dDupClusters _,
@@ -1936,6 +2001,22 @@ object Dedup {
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    "d_band_cap_report" ->
+      """WITH sh AS (
+           SELECT doc_id, simhash
+           FROM parquet_scan('__OUTDIR__/d_simhash/*.parquet')),
+         ch AS (
+           SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             (simhash >> (16 * CAST(i AS INT))) & 65535 AS chunk
+           FROM sh, unnest([0, 1, 2, 3]) AS u(i)),
+         b AS (
+           SELECT chunk_idx, chunk, count(*) AS bucket_n
+           FROM ch GROUP BY chunk_idx, chunk)
+         SELECT chunk_idx, CAST(chunk AS BIGINT) AS chunk,
+           CAST(bucket_n AS BIGINT) AS bucket_n,
+           CAST(bucket_n * (bucket_n - 1) // 2 AS BIGINT)
+             AS pairs_suppressed
+         FROM b WHERE bucket_n > 10""",
     "d_incr_neardup" ->
       """WITH grams AS (
            SELECT lang, source, doc_id,

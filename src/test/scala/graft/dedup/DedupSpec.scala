@@ -738,4 +738,40 @@ class DedupSpec extends AnyFunSuite {
       wnUn.exceptAll(wnNoop).count() == 0,
       "a non-biting cap changed the winnow output")
   }
+
+  test("band-cap report surfaces exactly the buckets the Hamming " +
+    "band join silently drops (planted degenerate bucket)") {
+    // 30 identical texts = one degenerate sketch: all 4 chunk buckets
+    // hold 30 ids; plus 2 distinct texts that must NOT be reported
+    val flood = (0 until 30).map(i => (i.toLong, base)) ++ Seq(
+      (100L, docs.collect()(4).getString(1)),
+      (101L, docs.collect()(5).getString(1)))
+    val fl = flood.toDF("doc_id", "text")
+    val hashed = fl.select(col("doc_id"),
+      Dedup.simhash(graft.text.TextOps.tokens(lower(col("text"))))
+        .as("sh"))
+    val rep = Dedup.hammingBandCapReport(fl.select(col("doc_id"),
+        Dedup.simhash(graft.text.TextOps.tokens(lower(col("text"))))
+          .as("sh")),
+      "doc_id", "sh", maxBucketSize = 10).collect()
+    // exactly the 4 chunks of the flooded sketch, each n=30 with the
+    // C(30,2) suppressed-pair bound
+    assert(rep.length == 4)
+    assert(rep.forall(_.getAs[Long]("bucket_n") == 30L))
+    assert(rep.forall(_.getAs[Long]("pairs_suppressed") == 435L))
+    // consistency: the candidates join at the same cap finds NO pair
+    // among the flooded ids (they were dropped, which is exactly what
+    // the report said), and finds them again when the cap lifts
+    val capped = Dedup.hammingBandCandidates(hashed, "doc_id", "sh",
+      maxBucketSize = 10)
+    assert(capped.filter(col("doc_a") < 30 && col("doc_b") < 30)
+      .count() == 0)
+    val uncapped = Dedup.hammingBandCandidates(hashed, "doc_id", "sh",
+      maxBucketSize = Int.MaxValue)
+    assert(uncapped.filter(col("doc_a") < 30 && col("doc_b") < 30)
+      .count() == 435L)
+    // an above-cap report is empty (nothing silently dropped → no row)
+    assert(Dedup.hammingBandCapReport(hashed, "doc_id", "sh",
+      maxBucketSize = 1000).count() == 0)
+  }
 }
