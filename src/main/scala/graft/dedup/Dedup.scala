@@ -265,6 +265,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Hamming band join over ALIGNED collections of 64-bit sketches —
+    * the video/near-dup generalization: each id carries one sketch
+    * PER position (`byCol`, e.g. sampled-frame index), and candidates
+    * must share a chunk AT THE SAME position (frame 3 of clip A never
+    * buckets with frame 7 of clip B — temporal alignment is part of
+    * the blocking key, which also keeps buckets position-local and
+    * small). Emits one row per (position, id pair) with the true
+    * Hamming distance; the caller votes positions into a
+    * collection-level verdict (`Multimodal.m_vhash_pairs`: pairs with
+    * ≥ k matching frames). Same recall bound and bucket cap as
+    * `hammingBandCandidates`. */
+  def hammingBandCandidatesBy(hashed: DataFrame, idCol: String,
+      hashCol: String, byCol: String,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sh = hashed.select(col(byCol).as("by"), col(idCol).as("id"),
+      col(hashCol).as("sh"))
+    val chunked = sh.select(col("by"), col("id"), col("sh"),
+      posexplode(array((0 until 4).map { i =>
+        shiftrightunsigned(col("sh"), 16 * i).bitwiseAND(0xFFFFL)
+      }: _*)).as(Seq("chunk_idx", "chunk")))
+    val pruned = chunked
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("by", "chunk_idx", "chunk")))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val a = pruned.select(col("by"), col("chunk_idx"), col("chunk"),
+      col("id").as("doc_a"), col("sh").as("sh_a"))
+    val b = pruned.select(col("by"), col("chunk_idx"), col("chunk"),
+      col("id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("by", "chunk_idx", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("by").as(byCol), col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+  }
+
   /** Edit-distance (Levenshtein ≤ k) near-dup pairs within blocks —
     * the typo-level complement of the Jaccard family (catches
     * insert/delete/substitution drift that token-set measures dilute).

@@ -382,4 +382,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ham(1L, 2L) <= 6)
     assert(ham(1L, 3L) > 10)
   }
+
+  test("video near-dup: a re-encoded clip (one frame perturbed) " +
+    "meets the >=2-matching-frames vote; unrelated clips never do") {
+    import spark.implicits._
+    // docs 0..3 = 4 variants of clip 0 (variants 1..3 each perturb
+    // ONE frame); docs 40..43 = variants of clip 10; the two clips
+    // are unrelated (different virtual-id frame patterns)
+    val docs = (Seq(0L, 1L, 2L, 3L) ++ Seq(40L, 41L, 42L, 43L))
+      .toDF("doc_id")
+    val hashed = Multimodal.dhashBmp(Multimodal.vhashFramesInput(docs))
+      .select(expr("doc_id DIV 8").as("vid"),
+        pmod(col("doc_id"), lit(8)).cast("int").as("frame_idx"),
+        shiftleft(col("ph_lo"), 32).bitwiseOR(col("ph_hi")).as("vh"))
+    // within a clip every variant pair keeps ≥2 frames inside
+    // Hamming ≤3: each variant perturbs one frame, and a one-pixel
+    // perturb moves at most one bit of that frame's hash
+    val votes = graft.dedup.Dedup
+      .hammingBandCandidatesBy(hashed, "vid", "vh", "frame_idx")
+      .filter(col("hamming") <= 3)
+      .groupBy("doc_a", "doc_b")
+      .agg(countDistinct("frame_idx").as("n"))
+      .filter(col("n") >= 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // all C(4,2) intra-clip pairs for both clips, no cross-clip pair
+    val clip0 = for { a <- 0L to 3L; b <- (a + 1) to 3L } yield (a, b)
+    val clip10 = for { a <- 40L to 43L; b <- (a + 1) to 43L }
+      yield (a, b)
+    assert((clip0 ++ clip10).forall(votes.contains))
+    assert(votes.forall { case (a, b) => (a < 4) == (b < 4) },
+      "cross-clip pair voted in")
+    // frame alignment is part of the blocking key: a same-hash frame
+    // at DIFFERENT indices must not pair (plant: clip X frame 0 ==
+    // clip Y frame 1 by construction, all other frames unrelated)
+    val aligned = Seq(
+      (0L, 0, 0xABCDL), (0L, 1, 0x1111L), (0L, 2, 0x2222L),
+      (9L, 0, 0x3333L), (9L, 1, 0xABCDL), (9L, 2, 0x4444L))
+      .toDF("vid", "frame_idx", "vh")
+    assert(graft.dedup.Dedup
+      .hammingBandCandidatesBy(aligned, "vid", "vh", "frame_idx")
+      .filter(col("hamming") <= 3).count() == 0)
+  }
 }
