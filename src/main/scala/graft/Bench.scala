@@ -39,7 +39,16 @@ object Bench {
         f""""$name":{"s":$s%.3f,"rel_spread":$spread%.3f,"n":$n}"""
     }
 
+  /** 1-minute system load average — recorded at run start and end so
+    * a close record carries its own box-state evidence (r15 verdict:
+    * two rounds of close records needed "the box was different"
+    * annotations a reader could not check). */
+  def loadAvg(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
@@ -263,11 +272,15 @@ object Bench {
     // path; the default stays the driver contract (cwd/bench_full.json)
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_full.json")
+    // box-state evidence rides in the record itself (1-min loadavg at
+    // start and end): a reader can tell a contended run from a clean
+    // one without a re-run
+    val box = f""""load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadAvg())}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullOut),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm":true,"median_of":$reps,"dispersion":$dispersion,"cold_total_s":${fmt(coldTotal)},"n_queries":${results.size},"n_errs":$nErrs,"errs":$jErrs,"queries":${jmap(results)},"gates":$jfull,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm":true,"median_of":$reps,"dispersion":$dispersion,"cold_total_s":${fmt(coldTotal)},$box,"n_queries":${results.size},"n_errs":$nErrs,"errs":$jErrs,"queries":${jmap(results)},"gates":$jfull,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm":true,"median_of":$reps,"dispersion":$dispersion,"cold_total_s":${fmt(coldTotal)},"n_queries":${results.size},"n_errs":$nErrs,"errs":$jErrs,"queries":${jmap(hs)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm":true,"median_of":$reps,"dispersion":$dispersion,"cold_total_s":${fmt(coldTotal)},$box,"n_queries":${results.size},"n_errs":$nErrs,"errs":$jErrs,"queries":${jmap(hs)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -538,6 +538,64 @@ object Relational {
       Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
         ("p95", 19, 20), ("p99", 99, 100)))
 
+  /** FUSED table-profiling percentiles: grouped (a18) AND global
+    * (a17) percentiles from ONE data-sized (group, value) histogram
+    * shuffle — the a19 histogram-to-histogram pattern applied to the
+    * profiling pair. The staged grouped histogram feeds the per-group
+    * cumsum directly; the GLOBAL histogram is derived from it by a
+    * histogram-sized re-aggregation (sum counts over groups), never a
+    * second data scan. Calling a17 + a18 separately costs two full
+    * scans + two data-sized shuffles; this form costs one of each
+    * plus histogram-scale work.
+    *
+    * Output: one row per (scope, p) where scope is the group value or
+    * '__ALL__' for the global row — the shape a profiling report
+    * wants. The global path carries the same in-plan cardinality
+    * guard as `exactPercentiles` (its one cumsum partition is
+    * O(global distinct values) by the low-cardinality contract). */
+  def profilePercentiles(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[(String, Int, Int)],
+      maxDistinct: Long = 1L << 22): DataFrame = {
+    val hist = graft.io.Scratch.stageAndRelease(
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(groupCol).cast("string").as("g"),
+          col(valueCol).as("v"))
+        .agg(count(lit(1)).as("c")),
+      () => (), "prof_hist")
+    val grouped = percentilesFromHist(hist, ps)
+      .select(col("g").as("scope"), col("p"), col("value"))
+    // histogram-to-histogram: global counts = sum over groups
+    val ghist = hist.groupBy("v").agg(sum("c").as("c"))
+      .select(lit("__ALL__").as("g"), col("v"), col("c"))
+    // in-plan misuse guard riding the counts (z = 0 or a loud error;
+    // the exactPercentiles discipline — no extra data pass)
+    val guard = ghist.agg(count(lit(1)).as("nd"))
+      .select(expr("coalesce(CAST(assert_true(" +
+        s"nd <= ${maxDistinct}L, 'profilePercentiles: ' || nd || " +
+        s"' global distinct values exceeds the $maxDistinct bound " +
+        "of the value-histogram form — this column is not " +
+        "low-cardinality; use an approx sketch') AS BIGINT), 0L)")
+        .as("z"))
+    val global = percentilesFromHist(
+        ghist.crossJoin(broadcast(guard))
+          .select(col("g"), col("v"), (col("c") + col("z")).as("c")),
+        ps)
+      .select(col("g").as("scope"), col("p"), col("value"))
+    grouped.unionByName(global)
+  }
+
+  /** Gate: the fused profile — per-returnflag AND global exact
+    * p25..p99 of price cents from one staged histogram. */
+  private def a20ProfilePercentiles(s: SparkSession, d: String)
+      : DataFrame =
+    profilePercentiles(
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("v")),
+      "l_returnflag", "v",
+      Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
+        ("p95", 19, 20), ("p99", 99, 100)))
+
   /** Gate: 20-bucket histogram of l_extendedprice in exact cents.
     * The explicit round() matters: the column is a DOUBLE, and a bare
     * long cast truncates in Spark but rounds in DuckDB — x99.999…
@@ -554,6 +612,7 @@ object Relational {
     "f_histogram" -> fHistogram _,
     "a17_exact_percentiles" -> a17ExactPercentiles _,
     "a18_grouped_percentiles" -> a18GroupedPercentiles _,
+    "a20_profile_percentiles" -> a20ProfilePercentiles _,
     "a19_mad_outliers" -> a19MadOutliers _,
     "f_map_explode" -> mapExplode _,
     "f_gc_content_expr" -> gcContentExpr _,
@@ -661,6 +720,33 @@ object Relational {
          SELECT g AS l_returnflag, p, CAST(rank AS BIGINT) AS rank,
            min(v) AS value
          FROM ranked WHERE cum >= rank GROUP BY 1, 2, 3""",
+    "a20_profile_percentiles" ->
+      """WITH v AS (
+           SELECT l_returnflag AS g,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         hist AS (SELECT g, v, count(*) AS c FROM v GROUP BY 1, 2),
+         bh AS (
+           SELECT g, v, c FROM hist
+           UNION ALL
+           SELECT '__ALL__' AS g, v, sum(c) AS c FROM hist GROUP BY 2),
+         cum AS (
+           SELECT g, v,
+             sum(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+           FROM bh),
+         pcts(p, num, den) AS (VALUES ('p25', 1, 4), ('p50', 1, 2),
+           ('p75', 3, 4), ('p95', 19, 20), ('p99', 99, 100)),
+         ranked AS (
+           SELECT c.g, c.v, c.cum, p.p,
+             CAST((p.num * c.n + p.den - 1)
+               - (p.num * c.n + p.den - 1) % p.den AS BIGINT) / p.den
+               AS rank
+           FROM cum c, pcts p)
+         SELECT g AS scope, p, min(v) AS value
+         FROM ranked WHERE cum >= rank GROUP BY 1, 2""",
     "a17_exact_percentiles" ->
       """WITH v AS (
            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
