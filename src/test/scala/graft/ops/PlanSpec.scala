@@ -299,4 +299,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"),
       s"bin counting is not a hash aggregate:\n${p.take(3000)}")
   }
+
+  test("html doc extraction: exactly ONE shuffle (the per-doc " +
+    "reassembly), explode + regex stages all shuffle-free") {
+    val p = plan("s_warc_html_doc")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"html extraction grew extra shuffles:\n${p.take(3000)}")
+    val blocks = plan("s_warc_html_extract")
+    assert(!blocks.contains("Exchange hashpartitioning"),
+      s"per-block extraction must be shuffle-free:\n${blocks.take(3000)}")
+  }
+
+  test("band-cap report: one partial-aggregated shuffle, no window " +
+    "(strictly cheaper than the candidates join it audits)") {
+    val p = plan("d_band_cap_report")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"cap report grew extra shuffles:\n${p.take(3000)}")
+    assert(!p.contains("Window"),
+      s"cap report must aggregate, not window:\n${p.take(3000)}")
+    val ex = p.indexOf("Exchange hashpartitioning")
+    val partial = p.indexOf("HashAggregate", ex)
+    assert(partial > ex,
+      s"bucket counts must partial-aggregate map-side:\n${p.take(3000)}")
+  }
+
+  test("fused profile percentiles: the data-sized histogram is " +
+    "staged once; both branches read scratch parquet, not lineitem") {
+    val p = plan("a20_profile_percentiles")
+    // the union executes over the staged histogram: no lineitem scan
+    // survives in the serving plan (the one data scan happened at
+    // staging time inside Scratch)
+    assert(!p.contains("l_extendedprice"),
+      s"a20 is rescanning the data table:\n${p.take(3000)}")
+    assert(countOf(p, "Union") >= 1)
+  }
 }
