@@ -262,9 +262,30 @@ object Fixtures {
     "<p>See also our <a href=\"/more\">many more links</a> page.</p>",
     "</body></html>").mkString("\n")
 
-  /** WARC member for the HTML-extraction gates: warcinfo, two
+  /** Re-serve of page 1 with DIFFERENT chrome (other nav/footer
+    * links, other styling) around the SAME content blocks: raw bytes
+    * differ, extracted text is identical — the mirror-site case only
+    * the engine's own extraction can collapse to an exact dup. */
+  private val htmlPage1Mirror: String = Seq(
+    "<html><head><title>Widgets &amp; Gears</title>",
+    "<style>body { font: serif; }</style>",
+    "</head><body>",
+    "<nav><a href=\"/start\">Start</a> <a href=\"/cat\">Catalog</a>" +
+      "</nav>",
+    "<h1>Widgets &amp; Gears Catalog</h1>",
+    "<p>Our catalog lists forty distinct widget models with full " +
+      "specifications.</p>",
+    "<p>Each widget ships with a <a href=\"/w2\">warranty " +
+      "card</a> and a printed manual covering 3 &lt; 5 safety " +
+      "checks and &quot;quoted&quot; advice.</p>",
+    "<div>It&#39;s the gear section&nbsp;next, with plain text.</div>",
+    "<footer><a href=\"/imprint\">Imprint</a></footer>",
+    "</body></html>").mkString("\n")
+
+  /** WARC member for the HTML-extraction gates: warcinfo, three
     * `response` records carrying HTTP+HTML (the raw Common Crawl
-    * shape), one non-HTML response (dispatch must skip), one WET
+    * shape; the third a mirror of the first — same content, different
+    * chrome), one non-HTML response (dispatch must skip), one WET
     * conversion record (wrong type — skip). */
   val warcHtml: String = (
     warcRecLines("warcinfo", "urn:uuid:hwi-0001", "",
@@ -273,6 +294,11 @@ object Fixtures {
     warcRecLines("response", "urn:uuid:html-0001",
       "http://example.com/article", "2026-08-10T01:00:00Z",
       "application/http;msgtype=response", httpHtml(htmlPage1)) ++
+    warcRecLines("response", "urn:uuid:html-0003",
+      "http://mirror.example.net/article-copy",
+      "2026-08-10T04:00:00Z",
+      "application/http;msgtype=response",
+      httpHtml(htmlPage1Mirror)) ++
     warcRecLines("response", "urn:uuid:html-0002",
       "http://partners.example.org/dir", "2026-08-10T02:00:00Z",
       "application/http;msgtype=response", httpHtml(htmlPage2)) ++

@@ -193,9 +193,31 @@ object Html {
       Seq("record_id", "url"))
       .select("record_id", "url", "text", "n_blocks", "n_chars")
 
+  /** s_warc_html_curate: the s_warc_wet_curate analog off raw HTML
+    * bytes — extraction → host recovery → exact-dedup by text
+    * fingerprint (canonical min record_id). The fixture plants a
+    * MIRROR page (same content, different nav/footer/style): raw
+    * bytes differ, so only the engine's own extraction can make the
+    * dup exact — the fingerprint join collapses it, proving the
+    * "extraction unlocks dedup" chain under one oracle hash. */
+  private def sWarcHtmlCurate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = extractText(parsedHtmlResponses(s), "html",
+      Seq("record_id", "url"))
+      .withColumn("host",
+        regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
+      .withColumn("fp", md5(col("text")))
+    val wFp = Window.partitionBy("fp")
+    docs.withColumn("keep_id", min("record_id").over(wFp))
+      .filter(col("record_id") === col("keep_id"))
+      .select(col("record_id"), col("host"), col("n_blocks"),
+        col("n_chars"), col("fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_warc_html_extract" -> sWarcHtmlExtract _,
-    "s_warc_html_doc" -> sWarcHtmlDoc _)
+    "s_warc_html_doc" -> sWarcHtmlDoc _,
+    "s_warc_html_curate" -> sWarcHtmlCurate _)
 
   // ---- DuckDB oracles: the same regex chain, replayed ----
 
@@ -280,5 +302,22 @@ object Html {
          CAST(count(*) AS BIGINT) AS n_blocks,
          CAST(length(string_agg(text, chr(10) ORDER BY block_idx))
            AS BIGINT) AS n_chars
-       FROM blocks GROUP BY record_id, url""")
+       FROM blocks GROUP BY record_id, url""",
+    "s_warc_html_curate" ->
+      s"""WITH $blocksCte,
+       docs AS (
+         SELECT record_id, url,
+           string_agg(text, chr(10) ORDER BY block_idx) AS text,
+           CAST(count(*) AS BIGINT) AS n_blocks
+         FROM blocks GROUP BY record_id, url),
+       hh AS (
+         SELECT record_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           text, n_blocks, md5(text) AS fp
+         FROM docs),
+       k AS (SELECT *, min(record_id) OVER (PARTITION BY fp)
+               AS keep_id FROM hh)
+       SELECT record_id, host, n_blocks,
+         CAST(length(text) AS BIGINT) AS n_chars, fp
+       FROM k WHERE record_id = keep_id""")
 }

@@ -774,4 +774,32 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.hammingBandCapReport(hashed, "doc_id", "sh",
       maxBucketSize = 1000).count() == 0)
   }
+
+  test("minhash band-cap report mirrors the LSH join's pruning " +
+    "(planted signature flood)") {
+    // 25 identical texts flood every band bucket; 2 distinct texts
+    // stay below any cap
+    val flood = (0 until 25).map(i => (i.toLong, base)) ++ Seq(
+      (100L, docs.collect()(4).getString(1)),
+      (101L, docs.collect()(5).getString(1)))
+    val fl = flood.toDF("doc_id", "text")
+    val rep = Dedup.minhashBandCapReport(fl, "doc_id", "text",
+      numHashes = 16, bands = 4, maxBucketSize = 10).collect()
+    // all 4 bands of the flooded signature trip the cap at n=25
+    assert(rep.length == 4)
+    assert(rep.forall(_.getAs[Long]("bucket_n") == 25L))
+    assert(rep.forall(_.getAs[Long]("pairs_suppressed") == 300L))
+    // the capped join finds no flooded pair; uncapped finds all 300
+    val capped = Dedup.minhashCandidatePairs(fl, "doc_id", "text",
+      numHashes = 16, bands = 4, maxBucketSize = 10)
+    assert(capped.filter(col("doc_a") < 25 && col("doc_b") < 25)
+      .count() == 0)
+    val uncapped = Dedup.minhashCandidatePairs(fl, "doc_id", "text",
+      numHashes = 16, bands = 4, maxBucketSize = Int.MaxValue)
+    assert(uncapped.filter(col("doc_a") < 25 && col("doc_b") < 25)
+      .count() == 300L)
+    // above-cap: empty report
+    assert(Dedup.minhashBandCapReport(fl, "doc_id", "text",
+      maxBucketSize = 1000).count() == 0)
+  }
 }

@@ -84,10 +84,14 @@ class HtmlSpec extends AnyFunSuite {
       graft.io.Fixtures.warcHtml)
     val batch = graft.cli.CorpusBuild.fromWarc(spark, dir.toString)
     val rows = batch.collect()
-    // 1 conversion + 2 html responses; json response + warcinfo skip
-    assert(rows.length == 3)
+    // 1 conversion + 3 html responses; json response + warcinfo skip
+    assert(rows.length == 4)
     val bySource = rows.map(r =>
       r.getAs[String]("source") -> r.getAs[String]("text")).toMap
+    // the mirror page (same content blocks, different chrome)
+    // extracts to EXACTLY the original's text — the dedupable form
+    assert(bySource("http://mirror.example.net/article-copy") ==
+      bySource("http://example.com/article"))
     assert(bySource("http://example.com/article")
       .contains("Widgets & Gears Catalog"))
     // no markup survives ("3 < 5" from &lt; is DATA, not markup)

@@ -15,7 +15,10 @@ label="${1:-driver-records}"
 for f in bench_full.json LEAKCHECK.json COPYCHECK.json \
          BENCH_r*.json CORRECTNESS_r*.json BENCH_sf*.json \
          BENCH_sf*_AUDIT.md; do
-  [ -e "$f" ] && git add -- "$f"
+  # skip files the repo deliberately gitignores (e.g. COPYCHECK.json);
+  # the trailing true keeps a skipped last entry from tripping set -e
+  { [ -e "$f" ] && ! git check-ignore -q -- "$f" && git add -- "$f"; } \
+    || true
 done
 
 if git diff --cached --quiet; then
