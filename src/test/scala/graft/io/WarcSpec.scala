@@ -156,6 +156,25 @@ class WarcSpec extends AnyFunSuite {
       "The quick brown fox jumps over the lazy dog")
   }
 
+  test("STREAMING ingest reads compressed members too: warcStream " +
+    "over a .wet.gz file frames the same records as batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_warc_gz_stream")
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(dir.resolve("m0.wet.gz")))
+    gz.write(Fixtures.warc.getBytes("UTF-8")); gz.close()
+    val ckpt = Files.createTempDirectory("graft_wgz_ckpt").toString
+    val q = Readers.parseWarcRecords(
+        graft.streaming.Streams.warcStream(spark, dir.toString))
+      .writeStream.format("memory").queryName("wgz_stream")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.sql("SELECT * FROM wgz_stream").collect()
+    assert(rows.length == 7)
+    assert(rows.count(_.getAs[Boolean]("is_valid")) == 5)
+  }
+
   test("member-size guard fails loudly, not as an opaque OOM") {
     val e = intercept[org.apache.spark.SparkException] {
       Readers.parseWarcRecords(
