@@ -214,10 +214,31 @@ object Html {
         col("n_chars"), col("fp"))
   }
 
+  /** s_warc_html_quality: the tx_quality stage fed by the engine's
+    * OWN extraction — raw response bytes → framed → extracted →
+    * token/stopword/quality stats, the dispatch decision a curation
+    * pipeline makes right after extraction, under one oracle hash
+    * (the tx_quality formula replayed over the blocksCte docs). */
+  private def sWarcHtmlQuality(s: SparkSession, d: String): DataFrame = {
+    val docs = extractText(parsedHtmlResponses(s), "html",
+      Seq("record_id", "url"))
+    val tok = TextOps.tokens(col("text"))
+    val nTok = size(tok).cast("double")
+    val stopHits = size(filter(tok,
+      tk => tk.isin(TextOps.qualityStopwords.map(x => x: Any): _*)))
+    docs.select(
+      col("record_id"),
+      size(tok).as("n_tokens"),
+      round(stopHits / nTok, 4).as("stop_ratio"),
+      round(least(lit(1.0), nTok / 100.0) *
+        (lit(1.0) - stopHits / nTok), 4).as("quality"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_warc_html_extract" -> sWarcHtmlExtract _,
     "s_warc_html_doc" -> sWarcHtmlDoc _,
-    "s_warc_html_curate" -> sWarcHtmlCurate _)
+    "s_warc_html_curate" -> sWarcHtmlCurate _,
+    "s_warc_html_quality" -> sWarcHtmlQuality _)
 
   // ---- DuckDB oracles: the same regex chain, replayed ----
 
@@ -319,5 +340,25 @@ object Html {
                AS keep_id FROM hh)
        SELECT record_id, host, n_blocks,
          CAST(length(text) AS BIGINT) AS n_chars, fp
-       FROM k WHERE record_id = keep_id""")
+       FROM k WHERE record_id = keep_id""",
+    "s_warc_html_quality" ->
+      s"""WITH $blocksCte,
+       docs AS (
+         SELECT record_id,
+           string_agg(text, chr(10) ORDER BY block_idx) AS text
+         FROM blocks GROUP BY record_id, url),
+       toks AS (
+         SELECT record_id,
+           string_split_regex(trim(text), '\\s+') AS tok
+         FROM docs)
+       SELECT record_id,
+         CAST(len(tok) AS INT) AS n_tokens,
+         round(len(list_filter(tok, x -> x IN
+           ('the','a','of','and','in','to','is'))) * 1.0 / len(tok), 4)
+           AS stop_ratio,
+         round(least(1.0, len(tok) / 100.0) *
+           (1.0 - len(list_filter(tok, x -> x IN
+             ('the','a','of','and','in','to','is'))) * 1.0 / len(tok)),
+           4) AS quality
+       FROM toks""")
 }

@@ -34,7 +34,7 @@ object TextOps {
     "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "les", "des"),
     "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不"))
 
-  private val qualityStopwords =
+  private[graft] val qualityStopwords =
     Seq("the", "a", "of", "and", "in", "to", "is")
 
   /** Closed-form quality score in [0,1] (rounded to 4 — the rounding
