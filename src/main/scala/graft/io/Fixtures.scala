@@ -282,11 +282,50 @@ object Fixtures {
     "<footer><a href=\"/imprint\">Imprint</a></footer>",
     "</body></html>").mkString("\n")
 
-  /** WARC member for the HTML-extraction gates: warcinfo, three
+  /** Fourth serve of page 1's content with NUMERIC character
+    * references (`&#38;` decimal, `&#x22;` hex, `&#160;` for nbsp)
+    * where the original uses named entities, around yet another set
+    * of chrome: decoded text is identical, so the curate gate can
+    * only collapse it into page 1's fingerprint through the numeric
+    * reference decode path. */
+  private val htmlPage1NumEnt: String = Seq(
+    "<html><head><title>Widgets &#38; Gears</title>",
+    "</head><body>",
+    "<nav><a href=\"/n1\">Index</a></nav>",
+    "<h1>Widgets &#38; Gears Catalog</h1>",
+    "<p>Our catalog lists forty distinct widget models with full " +
+      "specifications.</p>",
+    "<p>Each widget ships with a <a href=\"/w3\">warranty " +
+      "card</a> and a printed manual covering 3 &#60; 5 safety " +
+      "checks and &#x22;quoted&#x22; advice.</p>",
+    "<div>It&#x27;s the gear section&#160;next, with plain text.</div>",
+    "<footer><a href=\"/colophon\">Colophon</a></footer>",
+    "</body></html>").mkString("\n")
+
+  /** Page behind an interim response + folded header (below). */
+  private val htmlPageFold: String = Seq(
+    "<html><head><title>Folded dispatch check</title></head><body>",
+    "<p>Interim responses and folded headers must not hide this " +
+      "prose from the extraction dispatch.</p>",
+    "</body></html>").mkString("\n")
+
+  /** HTTP payload with a leading `100 Continue` INTERIM block and an
+    * RFC 7230 obs-FOLDED Content-Type header — the two dispatch
+    * evasions the r16 review flagged; extraction must still find
+    * text/html. */
+  private val httpFolded: String =
+    "HTTP/1.1 100 Continue\r\n\r\n" +
+      "HTTP/1.1 200 OK\r\nServer: graft-test\r\n" +
+      "Content-Type: text/html;\r\n charset=UTF-8\r\n\r\n" +
+      htmlPageFold
+
+  /** WARC member for the HTML-extraction gates: warcinfo, five
     * `response` records carrying HTTP+HTML (the raw Common Crawl
-    * shape; the third a mirror of the first — same content, different
-    * chrome), one non-HTML response (dispatch must skip), one WET
-    * conversion record (wrong type — skip). */
+    * shape; the third a mirror of the first — same content,
+    * different chrome; the fourth the numeric-entity serve of the
+    * same content; the fifth behind an interim+folded header), one
+    * non-HTML response (dispatch must skip), one WET conversion
+    * record (wrong type — skip). */
   val warcHtml: String = (
     warcRecLines("warcinfo", "urn:uuid:hwi-0001", "",
       "2026-08-10T00:00:00Z", "application/warc-fields",
@@ -299,6 +338,14 @@ object Fixtures {
       "2026-08-10T04:00:00Z",
       "application/http;msgtype=response",
       httpHtml(htmlPage1Mirror)) ++
+    warcRecLines("response", "urn:uuid:html-0004",
+      "http://numents.example.org/article-ent",
+      "2026-08-10T05:00:00Z",
+      "application/http;msgtype=response",
+      httpHtml(htmlPage1NumEnt)) ++
+    warcRecLines("response", "urn:uuid:html-0005",
+      "http://folded.example.com/interim", "2026-08-10T06:00:00Z",
+      "application/http;msgtype=response", httpFolded) ++
     warcRecLines("response", "urn:uuid:html-0002",
       "http://partners.example.org/dir", "2026-08-10T02:00:00Z",
       "application/http;msgtype=response", httpHtml(htmlPage2)) ++
@@ -311,4 +358,103 @@ object Fixtures {
       "http://example.com/article", "2026-08-10T01:00:00Z",
       "text/plain", "already extracted text, not this gate's input")
   ).mkString("\r\n")
+
+  // ---- byte-faithful (mixed-charset) BINARY member ----
+
+  /** One record of the binary member fixture: payload as raw octets,
+    * optional extra WARC headers (revisit's Refers-To/Digest). */
+  final case class WarcBinRec(typ: String, id: String, uri: String,
+      date: String, ctype: String, extraHeaders: Seq[String],
+      payload: Array[Byte])
+
+  /** Shared page content (DECODED form) — served UTF-8 by one record
+    * and ISO-8859-1 by another, so the charset decode (not the raw
+    * bytes) is what makes them an exact pair. Chars ≤ U+00FF only so
+    * Latin-1 can carry it. */
+  val pageAccents: String = Seq(
+    "<html><head><title>Café guide</title></head><body>",
+    "<h1>Café à Montréal</h1>",
+    "<p>The café serves crêpes, pâtisserie and " +
+      "citron pressé every day of the week.</p>",
+    "<p>Entry is free and the saison runs long.</p>",
+    "</body></html>").mkString("\n")
+
+  /** Windows-1252 page: curly quotes / en-dash / € / ™ — the C1
+    * octet range a plain Latin-1 decode would leave as control
+    * codepoints. */
+  val pageCurly: String = Seq(
+    "<html><head><title>Quote digest</title></head><body>",
+    "<h1>What they said</h1>",
+    "<p>“Budgets aren’t the issue – throughput " +
+      "is,” the engineer said.</p>",
+    "<p>The Widget™ kit costs €49 and ships tomorrow.</p>",
+    "</body></html>").mkString("\n")
+
+  private def httpBytes(ctype: String,
+      body: Array[Byte]): Array[Byte] =
+    (s"HTTP/1.1 200 OK\r\nServer: graft-test\r\n" +
+      s"Content-Type: $ctype\r\n\r\n").getBytes("US-ASCII") ++ body
+
+  /** BMP response payload (image bytes inside a `response` record —
+    * the case a UTF-8 String round-trip silently corrupts). */
+  def bmpPayload: Array[Byte] =
+    graft.multimodal.Multimodal.bmpBytes(7L, 5, 4)
+
+  /** Records of the mixed member: warcinfo; the SAME page served
+    * UTF-8 and Latin-1; a Windows-1252 page; a binary BMP response;
+    * a `revisit` record (Common Crawl's unchanged-re-crawl marker,
+    * empty payload, digest pointing at the UTF-8 record). */
+  val warcMixedRecs: Seq[WarcBinRec] = Seq(
+    WarcBinRec("warcinfo", "urn:uuid:bwi-0001", "",
+      "2026-08-12T00:00:00Z", "application/warc-fields", Nil,
+      "software: graft-test".getBytes("US-ASCII")),
+    WarcBinRec("response", "urn:uuid:bin-utf8",
+      "http://utf8.example.com/cafe", "2026-08-12T01:00:00Z",
+      "application/http;msgtype=response", Nil,
+      httpBytes("text/html; charset=UTF-8",
+        pageAccents.getBytes("UTF-8"))),
+    WarcBinRec("response", "urn:uuid:bin-latin1",
+      "http://latin1.example.net/cafe-mirror", "2026-08-12T02:00:00Z",
+      "application/http;msgtype=response", Nil,
+      httpBytes("text/html; charset=ISO-8859-1",
+        pageAccents.getBytes("ISO-8859-1"))),
+    WarcBinRec("response", "urn:uuid:bin-win1252",
+      "http://quotes.example.org/digest", "2026-08-12T03:00:00Z",
+      "application/http;msgtype=response", Nil,
+      httpBytes("text/html; charset=windows-1252",
+        pageCurly.getBytes("windows-1252"))),
+    WarcBinRec("response", "urn:uuid:bin-bmp",
+      "http://img.example.com/logo.bmp", "2026-08-12T04:00:00Z",
+      "application/http;msgtype=response", Nil,
+      httpBytes("image/bmp", bmpPayload)),
+    WarcBinRec("revisit", "urn:uuid:bin-revisit",
+      "http://utf8.example.com/cafe", "2026-08-12T05:00:00Z",
+      "application/http;msgtype=revisit",
+      Seq("WARC-Refers-To: <urn:uuid:bin-utf8>",
+        "WARC-Payload-Digest: sha1:GRAFTFIXTUREDIGEST0001"),
+      Array.emptyByteArray))
+
+  /** The framed member OCTETS (CRLF framing, computed
+    * Content-Length, two-CRLF separators — same shape as `warc`,
+    * binary payloads). The Latin-1/Win-1252/BMP payloads make the
+    * member non-UTF-8: the byte-faithful parser must frame it
+    * octet-exactly where the String form mis-counts (WarcSpec pins
+    * both). */
+  def warcMixed: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    warcMixedRecs.foreach { r =>
+      val head = (Seq("WARC/1.0", s"WARC-Type: ${r.typ}",
+        s"WARC-Record-ID: <${r.id}>") ++
+        (if (r.uri.isEmpty) Seq.empty[String]
+         else Seq(s"WARC-Target-URI: ${r.uri}")) ++
+        Seq(s"WARC-Date: ${r.date}") ++ r.extraHeaders ++
+        Seq(s"Content-Type: ${r.ctype}",
+          s"Content-Length: ${r.payload.length}", "", ""))
+        .mkString("\r\n")
+      out.write(head.getBytes("US-ASCII"))
+      out.write(r.payload)
+      out.write("\r\n\r\n".getBytes("US-ASCII"))
+    }
+    out.toByteArray
+  }
 }

@@ -212,15 +212,33 @@ object SourceQueries {
     * (write-aside + move) so a concurrent Verify/Bench never scans a
     * half-written member. */
   private def sWarcGzParse(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_warc_gz_gate")
-    java.nio.file.Files.createDirectories(dir)
-    val f = dir.resolve("member0.wet.gz")
-    if (!java.nio.file.Files.exists(f)) {
-      val tmp = java.nio.file.Files.createTempFile("graft_wgz", ".tmp")
-      val gz = new java.util.zip.GZIPOutputStream(
-        java.nio.file.Files.newOutputStream(tmp))
+    val gzBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
       gz.write(Fixtures.warc.getBytes("UTF-8")); gz.close()
+      bos.toByteArray
+    }
+    Readers.readWarc(s, stageFixtureDir("graft_warc_gz_gate",
+      Fixtures.warc.getBytes("UTF-8"), "member0.wet.gz", gzBytes))
+  }
+
+  /** Stage fixture bytes as a one-member directory under tmp, the
+    * DIRECTORY name keyed by a hash of the fixture content — a
+    * fixture change re-stages automatically instead of leaving a
+    * stale member for the gate to read against a fresh oracle
+    * (r16 ADVICE). Staging is atomic (write-aside + move) so a
+    * concurrent Verify/Bench never scans a half-written member. */
+  private def stageFixtureDir(base: String, keyBytes: Array[Byte],
+      fileName: String, contents: Array[Byte]): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(keyBytes).map("%02x".format(_)).mkString.take(12)
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"$base-$key")
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve(fileName)
+    if (!java.nio.file.Files.exists(f)) {
+      val tmp = java.nio.file.Files.createTempFile("graft_stage", ".tmp")
+      java.nio.file.Files.write(tmp, contents)
       try java.nio.file.Files.move(tmp, f,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch { // another run staged it first — theirs is identical
@@ -228,13 +246,80 @@ object SourceQueries {
           java.nio.file.Files.deleteIfExists(tmp)
       }
     }
-    Readers.readWarc(s, dir.toString)
+    dir.toString
+  }
+
+  /** The mixed-charset BINARY member staged on disk, read through
+    * `readWarcBinary` (binaryFiles → byte cursor). */
+  private def warcMixedParsed(s: SparkSession): DataFrame =
+    Readers.readWarcBinary(s, stageFixtureDir("graft_warc_bin_gate",
+      Fixtures.warcMixed, "member0.warc", Fixtures.warcMixed))
+
+  /** s_warc_bin_parse: BYTE-FAITHFUL framing of the mixed member
+    * (UTF-8 + Latin-1 + Windows-1252 pages, a binary BMP response, a
+    * revisit record) — record metadata plus the payload's exact
+    * octets as hex, so one wrong byte anywhere hash-mismatches. The
+    * oracle replays the per-record components the member was framed
+    * FROM, so the check is the concat→frame round trip. */
+  private def sWarcBinParse(s: SparkSession, d: String): DataFrame =
+    warcMixedParsed(s)
+      .select(col("record_id"), col("warc_type"), col("url"),
+        col("content_type"), col("content_length"), col("is_valid"),
+        hex(col("payload")).as("payload_hex"),
+        length(col("payload")).cast("long").as("n_bytes"))
+
+  /** s_warc_charset_text: the charset-dispatch decode stage — HTTP
+    * Content-Type charset parameter → exact body octets →
+    * `Html.decodeBytes`. The oracle embeds the ORIGINAL page
+    * strings (never byte-encoded), so the gate verifies the whole
+    * encode→frame→dispatch→decode round trip recovers them. */
+  private def sWarcCharsetText(s: SparkSession, d: String): DataFrame = {
+    import graft.text.Html
+    val carrier = Html.httpCarrier(col("payload"))
+    warcMixedParsed(s)
+      .filter(col("warc_type") === "response" && col("is_valid") &&
+        col("content_type").startsWith("application/http"))
+      .withColumn("http_ct", Html.httpContentType(carrier))
+      .filter(col("http_ct").contains("text/html"))
+      .withColumn("charset", Html.charsetOf(col("http_ct")))
+      .withColumn("text", Html.decodeBytes(
+        Html.httpBodyBytes(Html.httpCarrier(col("payload"))),
+        col("charset")))
+      .select(col("record_id"), col("url"), col("charset"),
+        col("text"), length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** s_warc_bin_curate: charset decode UNLOCKS dedup — the same page
+    * served UTF-8 and Latin-1 has different raw bytes, so only the
+    * decode + the engine's own extraction can collapse the pair to
+    * one fingerprint (the binary-member analog of the mirror-page
+    * gate). */
+  private def sWarcBinCurate(s: SparkSession, d: String): DataFrame = {
+    import graft.text.Html
+    val docs = Html.extractText(
+      warcMixedParsed(s)
+        .filter(col("warc_type") === "response" && col("is_valid") &&
+          col("content_type").startsWith("application/http"))
+        .withColumn("http_ct",
+          Html.httpContentType(Html.httpCarrier(col("payload"))))
+        .filter(col("http_ct").contains("text/html"))
+        .withColumn("html", Html.httpBodyText(col("payload"))),
+      "html", Seq("record_id", "url"))
+      .withColumn("fp", md5(col("text")))
+    val wFp = Window.partitionBy("fp")
+    docs.withColumn("keep_id", min("record_id").over(wFp))
+      .filter(col("record_id") === col("keep_id"))
+      .select(col("record_id"), col("url"), col("n_blocks"),
+        col("n_chars"), col("fp"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_warc_parse" -> sWarcParse _,
     "s_warc_gz_parse" -> sWarcGzParse _,
     "s_warc_wet_curate" -> sWarcWetCurate _,
+    "s_warc_bin_parse" -> sWarcBinParse _,
+    "s_warc_charset_text" -> sWarcCharsetText _,
+    "s_warc_bin_curate" -> sWarcBinCurate _,
     "s15b_input_file_name" -> s15bInputFile _,
     "s15c_catalog_mtime" -> s15cCatalogMtime _,
     "s15d_catalog_dump" -> s15dCatalogDump _,
@@ -453,6 +538,71 @@ object SourceQueries {
 
   private def warcCte: String = warcCteFor(Seq(Fixtures.warc))
 
+  /** Binary-member framing oracle: the per-record components the
+    * member was CONCATENATED from, re-stated with the payload octets
+    * as hex — Spark's frame of the member must recover exactly these
+    * (the concat→frame round trip; DuckDB recomputes the byte
+    * length from the hex). */
+  private def warcBinParseOracle: String = {
+    val rows = Fixtures.warcMixedRecs.map { r =>
+      val uri = if (r.uri.isEmpty) "NULL" else lit1(r.uri)
+      val hexs = r.payload.map("%02X".format(_)).mkString
+      s"(${lit1(r.id)}, ${lit1(r.typ)}, $uri, ${lit1(r.ctype)}, " +
+        s"${r.payload.length}, true, '$hexs')"
+    }.mkString(",\n       ")
+    s"""WITH recs(record_id, warc_type, url, content_type,
+       content_length, is_valid, payload_hex) AS (VALUES $rows)
+     SELECT record_id, warc_type, url, content_type,
+       CAST(content_length AS BIGINT) AS content_length, is_valid,
+       payload_hex,
+       CAST(octet_length(from_hex(payload_hex)) AS BIGINT) AS n_bytes
+     FROM recs"""
+  }
+
+  /** Decoded rows the charset gate must produce: the ORIGINAL page
+    * strings (the oracle never sees the encoded bytes, so a correct
+    * result proves the encode→frame→dispatch→decode round trip). */
+  private def warcCharsetRows: Seq[(String, String, String, String)] =
+    Seq(
+      ("urn:uuid:bin-utf8", "http://utf8.example.com/cafe",
+        "utf-8", Fixtures.pageAccents),
+      ("urn:uuid:bin-latin1", "http://latin1.example.net/cafe-mirror",
+        "iso-8859-1", Fixtures.pageAccents),
+      ("urn:uuid:bin-win1252", "http://quotes.example.org/digest",
+        "windows-1252", Fixtures.pageCurly))
+
+  private def warcCharsetTextOracle: String = {
+    val rows = warcCharsetRows.map { case (id, url, cs, text) =>
+      s"(${lit1(id)}, ${lit1(url)}, ${lit1(cs)}, ${lit1(text)})"
+    }.mkString(",\n       ")
+    s"""WITH t(record_id, url, charset, text) AS (VALUES $rows)
+     SELECT record_id, url, charset, text,
+       CAST(length(text) AS BIGINT) AS n_chars FROM t"""
+  }
+
+  /** The extraction + exact-dedup chain replayed over the DECODED
+    * page literals (framing + decode covered by the two oracles
+    * above; this one proves decode unlocks the collapse). */
+  private def warcBinCurateOracle: String = {
+    val rows = warcCharsetRows.map { case (id, url, _, html) =>
+      s"(${lit1(id)}, ${lit1(url)}, ${lit1(html)})"
+    }.mkString(",\n       ")
+    s"""WITH body(record_id, url, html) AS (VALUES $rows),
+     ${graft.text.Html.extractionCtesFromBody},
+     docs AS (
+       SELECT record_id, url,
+         string_agg(text, chr(10) ORDER BY block_idx) AS text,
+         CAST(count(*) AS BIGINT) AS n_blocks
+       FROM blocks GROUP BY record_id, url),
+     hh AS (SELECT record_id, url, text, n_blocks, md5(text) AS fp
+            FROM docs),
+     k AS (SELECT *, min(record_id) OVER (PARTITION BY fp) AS keep_id
+           FROM hh)
+     SELECT record_id, url, n_blocks,
+       CAST(length(text) AS BIGINT) AS n_chars, fp
+     FROM k WHERE record_id = keep_id"""
+  }
+
   private def warcParseOracle: String =
     s"""WITH $warcCte
      SELECT * FROM w"""
@@ -491,6 +641,9 @@ object SourceQueries {
     // gz gate reads the SAME member through gzip: one framing truth
     "s_warc_gz_parse" -> warcParseOracle,
     "s_warc_wet_curate" -> warcCurateOracle,
+    "s_warc_bin_parse" -> warcBinParseOracle,
+    "s_warc_charset_text" -> warcCharsetTextOracle,
+    "s_warc_bin_curate" -> warcBinCurateOracle,
     "s4_rpkm_skip" -> rpkmOracle,
     "s7_seqkit_stats" -> seqkitOracle,
     "s13_idxstats_rpkm" -> idxstatsOracle,

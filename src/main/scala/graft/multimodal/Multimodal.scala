@@ -440,7 +440,7 @@ object Multimodal {
     * channel values of pixel (0,0) only — a one-pixel "re-encode
     * artifact" that leaves the image perceptually identical, used by
     * the phash gates to plant NEAR (not exact) duplicate images. */
-  private[multimodal] def bmpBytes(docId: Long, w: Int, h: Int,
+  private[graft] def bmpBytes(docId: Long, w: Int, h: Int,
       perturb: Int = 0)
       : Array[Byte] = {
     val stride = ((w * 3) + 3) / 4 * 4
