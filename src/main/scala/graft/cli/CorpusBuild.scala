@@ -58,8 +58,10 @@ object CorpusBuild {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (warcMode) runBatch(spark, fromWarc(spark, sfDir), whDir)
-    else run(spark, sfDir, whDir)
+    if (warcMode) {
+      val (batch, processed) = fromWarcFull(spark, sfDir)
+      runBatch(spark, batch, whDir, Some(processed))
+    } else run(spark, sfDir, whDir)
     spark.stop()
   }
 
@@ -78,50 +80,81 @@ object CorpusBuild {
     * not the corpus's. doc_id is the stable 64-bit hash of the WARC
     * record id, so re-reading the same member set yields the same
     * batch ids and the incremental `seen` gate works unchanged across
-    * re-crawl runs. One task per archive member (wholetext), which at
-    * Common Crawl's ~150 MB member sizing is the right scan
-    * parallelism for a 1000-executor read. */
-  def fromWarc(spark: SparkSession, warcDir: String): DataFrame = {
-    val parsed = graft.io.Readers.readWarc(spark, warcDir)
+    * re-crawl runs. One task per archive member (binary read, gzip
+    * decompressed in-stream), which at Common Crawl's ~150 MB member
+    * sizing is the right scan parallelism for a 1000-executor
+    * read. */
+  def fromWarc(spark: SparkSession, warcDir: String): DataFrame =
+    fromWarcFull(spark, warcDir)._1
+
+  /** 128-bit composite PROCESSED-ledger key: at real crawl scale
+    * (~3B records) a single 64-bit hash has >20% birthday odds of a
+    * collision SOMEWHERE, and a ledger collision silently drops a
+    * never-seen document forever. Two independent 64-bit hashes over
+    * different fields bound that to ~2^-128-scale. doc_id stays the
+    * 64-bit within-BATCH key (delta-sized, where the birthday term
+    * is negligible and a collision costs one doc one night, not
+    * forever). */
+  private def docUidCol =
+    concat_ws(":", hex(xxhash64(col("record_id"))),
+      hex(xxhash64(concat_ws("", col("url"),
+        col("warc_date").cast("string"))))).as("doc_uid")
+
+  /** `fromWarc` plus the FULL processed-key frame: the ledger keys of
+    * EVERY valid content-bearing record, not only those that
+    * produced batch text. That covers (a) `revisit` records — Common
+    * Crawl's unchanged-re-crawl markers, shipped precisely so
+    * consumers skip re-curating content the crawler already knows is
+    * unchanged (digest-trust boundary: the crawler's
+    * WARC-Payload-Digest is taken at its word; the referenced
+    * content was curated when its original `response`/`conversion`
+    * record appeared) — and (b) HTML responses whose blocks ALL
+    * prune away (link farms, chrome-only pages): with only batch
+    * keys in the ledger those were re-fetched, re-parsed and
+    * re-extracted as "fresh" every nightly cycle (r16 ADVICE). */
+  def fromWarcFull(spark: SparkSession,
+      warcDir: String): (DataFrame, DataFrame) = {
+    import graft.text.Html
+    val parsed = graft.io.Readers.readWarcBinary(spark, warcDir)
+    // WET conversion payloads are UTF-8 text by spec; the lenient
+    // decode keeps a stray mojibake byte from killing the batch
     val wet = parsed
       .filter(col("warc_type") === "conversion" && col("is_valid"))
       .select(col("record_id"), col("url"), col("warc_date"),
-        col("payload").as("text"))
-    val html = graft.text.Html.extractText(
+        call_function("make_valid_utf8", col("payload")).as("text"))
+    // response records: charset-aware decode (Content-Type charset
+    // param, UTF-8-validity sniff fallback) in front of the engine's
+    // own extraction — the byte-faithful production path
+    val html = Html.extractText(
         parsed
           .filter(col("warc_type") === "response" && col("is_valid") &&
             col("content_type").startsWith("application/http"))
           .withColumn("http_ct",
-            graft.text.Html.httpContentType(col("payload")))
+            Html.httpContentType(Html.httpCarrier(col("payload"))))
           .filter(col("http_ct").contains("text/html"))
-          .withColumn("html", graft.text.Html.httpBody(col("payload"))),
+          .withColumn("html", Html.httpBodyText(col("payload"))),
         "html", Seq("record_id", "url", "warc_date"))
       .select(col("record_id"), col("url"), col("warc_date"),
         col("text"))
-    wet.unionByName(html).select(
-        xxhash64(col("record_id")).as("doc_id"),
-        // 128-bit composite PROCESSED-ledger key: at real crawl scale
-        // (~3B records) a single 64-bit hash has >20% birthday odds
-        // of a collision SOMEWHERE, and a ledger collision silently
-        // drops a never-seen document forever. Two independent 64-bit
-        // hashes over different fields bound that to ~2^-128-scale.
-        // doc_id stays the 64-bit within-BATCH key (delta-sized, where
-        // the birthday term is negligible and a collision costs one
-        // doc one night, not forever).
-        concat_ws(":", hex(xxhash64(col("record_id"))),
-          hex(xxhash64(concat_ws("", col("url"),
-            col("warc_date").cast("string"))))).as("doc_uid"),
-        col("text"),
-        lit(null).cast("string").as("lang"),
-        col("url").as("source"),
-        length(col("text")).cast("long").as("n_chars"))
+    val batch = wet.unionByName(html).select(
+      xxhash64(col("record_id")).as("doc_id"),
+      docUidCol,
+      col("text"),
+      lit(null).cast("string").as("lang"),
+      col("url").as("source"),
+      length(col("text")).cast("long").as("n_chars"))
+    val processed = parsed
+      .filter(col("is_valid") &&
+        col("warc_type").isin("conversion", "response", "revisit"))
+      .select(xxhash64(col("record_id")).as("doc_id"), docUidCol)
+    (batch, processed)
   }
 
   /** One nightly cycle over an explicit batch frame — the shape a real
     * scheduler drives (tonight's crawl delta), and what the spec feeds
     * to exercise a genuine incremental second run. */
   def runBatch(spark: SparkSession, docs: DataFrame,
-      whDir: String): Unit = {
+      whDir: String, processedKeys: Option[DataFrame] = None): Unit = {
     val corpusPath = s"$whDir/corpus"
     val seenPath = s"$whDir/seen"
 
@@ -131,15 +164,60 @@ object CorpusBuild {
     //    `doc_uid` when the source provides one (fromWarc — the ledger
     //    lives for the crawl archive's lifetime, where 64 bits
     //    birthday-collide), else on doc_id (the curated-table path,
-    //    whose ids are assigned, not hashed).
-    val seenKey =
+    //    whose ids are assigned, not hashed). A PRE-doc_uid ledger
+    //    (doc_id column only) keeps its own key — appending doc_uid
+    //    files into it would leave a mixed-schema dir plain reads
+    //    resolve inconsistently (r16 ADVICE).
+    val wantKey =
       if (docs.columns.contains("doc_uid")) "doc_uid" else "doc_id"
-    val fresh = graft.ingest.Incremental.newRows(docs,
-      graft.ingest.Incremental.loadedKeys(spark, seenPath, seenKey),
+    val seenKey =
+      if (!graft.ingest.Incremental.pathExists(spark, seenPath)) wantKey
+      else {
+        val have =
+          spark.read.parquet(seenPath).schema.fieldNames.toSet
+        if (have.contains(wantKey)) wantKey
+        else if (have.contains("doc_id") &&
+          docs.columns.contains("doc_id")) {
+          println(s"[corpus] WARNING: seen ledger at $seenPath " +
+            s"predates the 128-bit key (no '$wantKey' column); " +
+            "keeping this ledger keyed on doc_id. Rewrite the " +
+            "ledger once to adopt doc_uid.")
+          "doc_id"
+        } else throw new IllegalArgumentException(
+          s"seen ledger at $seenPath has columns " +
+            s"[${have.mkString(", ")}] — none usable as the " +
+            s"incremental key for a batch with columns " +
+            s"[${docs.columns.mkString(", ")}]. The ledger schema " +
+            "changed (doc_id → doc_uid); rewrite or remove the " +
+            "ledger directory.")
+      }
+    val ledgerKeys =
+      graft.ingest.Incremental.loadedKeys(spark, seenPath, seenKey)
+    val fresh = graft.ingest.Incremental.newRows(docs, ledgerKeys,
       seenKey).persist()
+    // keys to MARK processed this cycle: the full valid-record set
+    // when the source provides one (fromWarcFull — revisits and
+    // no-text pages must not re-enter every night), else the batch
+    val marks = processedKeys match {
+      case Some(pk) => graft.ingest.Incremental.newRows(
+        pk.select(seenKey).distinct(), ledgerKeys, seenKey).persist()
+      case None => fresh.select(seenKey)
+    }
     val nFresh = fresh.count()
     if (nFresh == 0) {
-      println("[corpus] nothing new, store untouched")
+      // no curation to run, but no-content records (revisits,
+      // all-pruned pages) still enter the ledger so the next cycle
+      // skips their parse too
+      val nMarks =
+        if (processedKeys.isEmpty) 0L
+        else {
+          val c = marks.count()
+          if (c > 0) graft.io.Writers.appendTable(marks, seenPath)
+          c
+        }
+      println("[corpus] nothing new, store untouched" +
+        (if (nMarks > 0) s"; $nMarks no-content records marked" else ""))
+      processedKeys.foreach(_ => marks.unpersist())
       fresh.unpersist()
       return
     }
@@ -231,16 +309,29 @@ object CorpusBuild {
     // re-execute the whole DAG (and race the store snapshot); counted
     // from cache, write and report see the same batch exactly once
     val nCurated = sharded.count()
-    graft.io.Writers.appendTable(sharded, corpusPath, Seq("shard"))
+    if (nCurated > 0)
+      graft.io.Writers.appendTable(sharded, corpusPath, Seq("shard"))
 
-    // mark the WHOLE batch processed (survivors and drops alike)
-    graft.io.Writers.appendTable(fresh.select(seenKey), seenPath)
+    // mark the WHOLE batch processed (survivors and drops alike) —
+    // plus revisits/no-text records when the source supplied them
+    graft.io.Writers.appendTable(marks, seenPath)
+    processedKeys.foreach(_ => marks.unpersist())
     sharded.unpersist()
     scored.unpersist()
     canon.unpersist()
     fresh.unpersist()
     println(s"[corpus] ingested $nFresh docs, curated $nCurated into " +
       s"$nShards shards")
+
+    // a batch can legitimately curate to NOTHING (every doc below
+    // the quality floor or a store-dup); with no store yet there is
+    // nothing to check or manifest — the ledger still advanced, so
+    // the cycle completed
+    if (!storeExists && nCurated == 0) {
+      println("[corpus] batch curated to 0 docs and no store exists " +
+        "yet — skipping invariants/manifest")
+      return
+    }
 
     // 7. invariants — abort on violation, Pipeline style
     val store = spark.read.parquet(corpusPath)

@@ -39,6 +39,46 @@ class CorpusBuildSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$wh/seen").count() == seen)
   }
 
+  test("revisit + no-text records enter the seen ledger via " +
+    "fromWarcFull, so a second nightly cycle is a full no-op") {
+    val dir = Files.createTempDirectory("graft_cb_revisit")
+    Files.write(dir.resolve("m0.warc"), graft.io.Fixtures.warcMixed)
+    val wh = Files.createTempDirectory("graft_cb_revisit_wh").toString
+    val (batch, processed) = CorpusBuild.fromWarcFull(spark,
+      dir.toString)
+    CorpusBuild.runBatch(spark, batch, wh, Some(processed))
+    // ledger carries ALL 5 valid content records (3 html pages + the
+    // BMP response + the revisit), not just the text batch
+    val seen = spark.read.parquet(s"$wh/seen")
+    assert(seen.columns.toSeq == Seq("doc_uid"))
+    assert(seen.select("doc_uid").distinct().count() == 5)
+    // second cycle: EVERYTHING is pre-seen — no fresh docs, no new
+    // ledger rows (the no-content records do not re-append either)
+    val (batch2, processed2) = CorpusBuild.fromWarcFull(spark,
+      dir.toString)
+    CorpusBuild.runBatch(spark, batch2, wh, Some(processed2))
+    assert(spark.read.parquet(s"$wh/seen").count() == 5)
+  }
+
+  test("a pre-doc_uid seen ledger (doc_id column only) keeps doc_id " +
+    "keying with a warning instead of throwing or mixing schemas") {
+    val dir = Files.createTempDirectory("graft_cb_migr")
+    Files.write(dir.resolve("m0.warc"), graft.io.Fixtures.warcMixed)
+    val wh = Files.createTempDirectory("graft_cb_migr_wh").toString
+    val (batch, processed) = CorpusBuild.fromWarcFull(spark,
+      dir.toString)
+    // fabricate an old-schema ledger holding one of the batch ids
+    graft.io.Writers.appendTable(
+      batch.select("doc_id").orderBy("doc_id").limit(1), s"$wh/seen")
+    CorpusBuild.runBatch(spark, batch, wh, Some(processed)) // no throw
+    val seen = spark.read.parquet(s"$wh/seen")
+    // schema stayed doc_id-only — no mixed parquet dir
+    assert(seen.columns.toSeq == Seq("doc_id"))
+    // the pre-seen id was not re-marked; the other 4 records were
+    assert(seen.count() == 5)
+    assert(seen.distinct().count() == 5)
+  }
+
   test("incremental second batch: only genuinely new docs enter, " +
     "cross-batch dedup holds, invariants survive the append") {
     val wh = Files.createTempDirectory("graft_corpus_incr").toString

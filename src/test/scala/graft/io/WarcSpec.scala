@@ -186,6 +186,86 @@ class WarcSpec extends AnyFunSuite {
         _.getMessage.contains("maxMemberBytes")))
   }
 
+  test("mixed-charset binary member: byte-faithful framing is " +
+    "octet-exact; the UTF-8 String round-trip diverges (pin)") {
+    val recs = Readers.frameWarcMember(Fixtures.warcMixed,
+      1L << 30).toSeq
+    assert(recs.length == 6 && recs.forall(_.isValid))
+    val byId = recs.map(r => r.recordId -> r).toMap
+    // payload slices are the exact component octets the member was
+    // concatenated from — incl. the binary BMP body
+    Fixtures.warcMixedRecs.foreach { c =>
+      assert(java.util.Arrays.equals(byId(c.id).payload, c.payload),
+        c.id)
+    }
+    // the String path (wholetext decode + UTF-8 re-encode) replaces
+    // each invalid sequence (1 byte → 3), so the Content-Length cut
+    // drifts — the Latin-1 record's payload can no longer match
+    val mangled = new String(Fixtures.warcMixed,
+      java.nio.charset.StandardCharsets.UTF_8)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val viaString = Readers.frameWarcMember(mangled, 1L << 30).toSeq
+    val latin1 = viaString.find(_.recordId == "urn:uuid:bin-latin1")
+    assert(latin1.isEmpty || latin1.get.payload == null ||
+      !java.util.Arrays.equals(latin1.get.payload,
+        byId("urn:uuid:bin-latin1").payload))
+  }
+
+  test("readWarcBinary: revisit frames with an empty payload; " +
+    "fromWarcFull's processed frame covers revisits and non-text " +
+    "responses the batch skips") {
+    val dir = Files.createTempDirectory("graft_warc_bin")
+    Files.write(dir.resolve("m0.warc"), Fixtures.warcMixed)
+    val parsed = Readers.readWarcBinary(spark, dir.toString)
+    val rev = parsed.filter(col("warc_type") === "revisit").collect()
+    assert(rev.length == 1)
+    assert(rev(0).getAs[Array[Byte]]("payload").length == 0)
+    assert(rev(0).getAs[Boolean]("is_valid"))
+    val (batch, processed) =
+      graft.cli.CorpusBuild.fromWarcFull(spark, dir.toString)
+    // batch: the three charset pages (BMP response and revisit have
+    // no text; warcinfo is not content)
+    assert(batch.count() == 3)
+    // processed: ALL valid content-bearing records — 4 responses
+    // (3 html + bmp) + 1 revisit — so none re-enters a later cycle
+    assert(processed.count() == 5)
+    assert(processed.select("doc_uid").distinct().count() == 5)
+    // the two serves of the same page decode to identical text: the
+    // exact-dup pair the charset decode unlocks
+    val texts = batch.select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(texts("http://utf8.example.com/cafe") ==
+      texts("http://latin1.example.net/cafe-mirror"))
+    assert(texts("http://quotes.example.org/digest")
+      .contains("“Budgets aren’t the issue"))
+  }
+
+  test("binary BMP response round-trips bit-exact into the image " +
+    "decode path") {
+    val dir = Files.createTempDirectory("graft_warc_bmp")
+    Files.write(dir.resolve("m0.warc"), Fixtures.warcMixed)
+    val bmp = Readers.readWarcBinary(spark, dir.toString)
+      .filter(col("record_id") === "urn:uuid:bin-bmp")
+      .select(lit(7L).as("doc_id"),
+        graft.text.Html.httpBodyBytes(
+          graft.text.Html.httpCarrier(col("payload"))).as("bmp"))
+    val got = bmp.collect()(0).getAs[Array[Byte]]("bmp")
+    assert(java.util.Arrays.equals(got, Fixtures.bmpPayload))
+    val dec = graft.multimodal.Multimodal.decodeBmp(bmp).collect()(0)
+    assert(dec.getAs[Int]("width") == 5 &&
+      dec.getAs[Int]("height") == 4)
+  }
+
+  test("gzip binary members decode in-stream through readWarcBinary") {
+    val dir = Files.createTempDirectory("graft_warc_bin_gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(dir.resolve("m0.warc.gz")))
+    gz.write(Fixtures.warcMixed); gz.close()
+    val rows = Readers.readWarcBinary(spark, dir.toString).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getAs[Boolean]("is_valid")))
+  }
+
   test("readWarc over a directory of members + fromWarc batch shape") {
     val dir = Files.createTempDirectory("graft_warc")
     Files.writeString(dir.resolve("m0.warc"), Fixtures.warc)

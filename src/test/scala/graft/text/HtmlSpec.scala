@@ -65,6 +65,51 @@ class HtmlSpec extends AnyFunSuite {
     assert(m("raw") == ("plain, not http", ""))
   }
 
+  test("numeric character references decode: decimal, hex (both " +
+    "cases), nbsp normalization; out-of-range forms stay literal") {
+    val html = "<p>caf&#233; and caf&#xE9; and a&#160;b and " +
+      "it&#X27;s &#8212; also &#7; &#xD800; &#999999; stay</p>"
+    val texts = blocksOf(html).map(_.getAs[String]("text")).toSeq
+    assert(texts == Seq("café and café and a b and it's — also " +
+      "&#7; &#xD800; &#999999; stay"))
+  }
+
+  test("interim 1xx blocks are skipped and folded headers unfolded " +
+    "before Content-Type dispatch") {
+    val payload = "HTTP/1.1 100 Continue\r\n\r\n" +
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html;\r\n" +
+      " charset=UTF-8\r\nServer: x\r\n\r\n<p>real body</p>"
+    val row = Seq(Tuple1(payload)).toDF("payload")
+      .select(Html.httpContentType(col("payload")).as("ct"),
+        Html.httpBody(col("payload")).as("body"),
+        Html.charsetOf(Html.httpContentType(col("payload")))
+          .as("cs"))
+      .collect()(0)
+    assert(row.getAs[String]("ct") == "text/html; charset=UTF-8")
+    assert(row.getAs[String]("cs") == "utf-8")
+    assert(row.getAs[String]("body") == "<p>real body</p>")
+  }
+
+  test("decodeBytes: declared Latin-1 and Windows-1252 decode " +
+    "exactly; a mis-declared UTF-8 payload falls to the 1252 sniff") {
+    val latin1 = "résumé café".getBytes("ISO-8859-1")
+    val win = "it’s – “quoted” €9".getBytes("windows-1252")
+    val df = Seq(
+      ("a", latin1, "iso-8859-1"),
+      ("b", win, "windows-1252"),
+      ("c", "plain ascii".getBytes("US-ASCII"), ""),
+      // declared utf-8 but actually 1252 bytes → sniff fallback
+      ("d", "it’s fine".getBytes("windows-1252"), "utf-8"))
+      .toDF("k", "payload", "cs")
+      .select(col("k"),
+        Html.decodeBytes(col("payload"), col("cs")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(df("a") == "résumé café")
+    assert(df("b") == "it’s – “quoted” €9")
+    assert(df("c") == "plain ascii")
+    assert(df("d") == "it’s fine")
+  }
+
   test("extractText reassembles blocks in order with newline joins") {
     val html = "<h1>Head</h1><p>First para.</p><p>Second para.</p>"
     val doc = Html.extractText(
@@ -84,14 +129,21 @@ class HtmlSpec extends AnyFunSuite {
       graft.io.Fixtures.warcHtml)
     val batch = graft.cli.CorpusBuild.fromWarc(spark, dir.toString)
     val rows = batch.collect()
-    // 1 conversion + 3 html responses; json response + warcinfo skip
-    assert(rows.length == 4)
+    // 1 conversion + 5 html responses; json response + warcinfo skip
+    assert(rows.length == 6)
     val bySource = rows.map(r =>
       r.getAs[String]("source") -> r.getAs[String]("text")).toMap
     // the mirror page (same content blocks, different chrome)
     // extracts to EXACTLY the original's text — the dedupable form
     assert(bySource("http://mirror.example.net/article-copy") ==
       bySource("http://example.com/article"))
+    // the numeric-entity serve (&#38; / &#x22; / &#160;) decodes to
+    // the SAME text — the round-17 entity-decode collapse
+    assert(bySource("http://numents.example.org/article-ent") ==
+      bySource("http://example.com/article"))
+    // the interim+folded-header page still dispatched as text/html
+    assert(bySource("http://folded.example.com/interim")
+      .contains("must not hide this prose"))
     assert(bySource("http://example.com/article")
       .contains("Widgets & Gears Catalog"))
     // no markup survives ("3 < 5" from &lt; is DATA, not markup)
