@@ -47,8 +47,28 @@ object Bench {
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Box-state pre-flight: a contended box uniformly inflates every
+    * gate (~1.34× at load 3.4 in the r16 record) and pollutes the
+    * contract history with weather. Above the threshold the run
+    * warns LOUDLY; with SPARK_GRAFT_REQUIRE_IDLE set it aborts
+    * instead, so close protocols can refuse to measure on a busy
+    * box (r16 verdict ask #6). */
+  val IdleLoadThreshold = 1.0
+
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
+    if (loadStart > IdleLoadThreshold) {
+      System.err.println(
+        f"[bench] WARNING: load_avg_start=$loadStart%.2f > " +
+          f"$IdleLoadThreshold%.1f — contended box; timings will be " +
+          "uniformly inflated and the record is weather, not a " +
+          "contract. Set SPARK_GRAFT_REQUIRE_IDLE=1 to abort instead.")
+      if (sys.env.contains("SPARK_GRAFT_REQUIRE_IDLE")) {
+        System.err.println("[bench] aborting: SPARK_GRAFT_REQUIRE_IDLE" +
+          " is set and the box is not idle")
+        sys.exit(3)
+      }
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()

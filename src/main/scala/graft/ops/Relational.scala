@@ -562,7 +562,22 @@ object Relational {
           col(valueCol).as("v"))
         .agg(count(lit(1)).as("c")),
       () => (), "prof_hist")
-    val grouped = percentilesFromHist(hist, ps)
+    // '__ALL__' is the RESERVED scope label of the global rows; a
+    // group value equal to it would make grouped and global rows
+    // indistinguishable in the unioned output — guarded in-plan (the
+    // same riding-the-counts discipline as the cardinality guard:
+    // zero rows cost when clean, a loud error when not)
+    val sentinelGuard = hist
+      .agg(count(when(col("g") === "__ALL__", 1)).as("nbad"))
+      .select(expr("coalesce(CAST(assert_true(nbad = 0L, " +
+        "'profilePercentiles: ' || nbad || ' rows of the group " +
+        "column equal the reserved scope label __ALL__ — grouped " +
+        "and global output rows would be indistinguishable; rename " +
+        "those group values') AS BIGINT), 0L)").as("zg"))
+    val grouped = percentilesFromHist(
+        hist.crossJoin(broadcast(sentinelGuard))
+          .select(col("g"), col("v"), (col("c") + col("zg")).as("c")),
+        ps)
       .select(col("g").as("scope"), col("p"), col("value"))
     // histogram-to-histogram: global counts = sum over groups.
     // The scope label must be ATTRIBUTE-DERIVED (the w1Funnel /

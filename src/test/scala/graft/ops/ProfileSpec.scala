@@ -165,4 +165,20 @@ class ProfileSpec extends AnyFunSuite {
       ("a", 5L)), kNum = 1, kDen = 1)
     assert(m("a") == ((5L, 3L, 1L, 2L, 0.4)))
   }
+
+  test("fused profile: reserved-scope sentinel guard fires when a " +
+    "group value equals __ALL__; clean data is unaffected") {
+    val bad = Seq(("__ALL__", 1L), ("g2", 2L)).toDF("g", "v")
+    val e = intercept[Exception] {
+      Relational.profilePercentiles(bad, "g", "v",
+        Seq(("p50", 1, 2))).collect()
+    }
+    assert(e.getMessage.contains("__ALL__") ||
+      e.getCause != null && e.getCause.getMessage.contains("__ALL__"))
+    val ok = Seq(("a", 1L), ("a", 3L), ("b", 2L)).toDF("g", "v")
+    val rows = Relational.profilePercentiles(ok, "g", "v",
+      Seq(("p50", 1, 2))).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(rows == Map("a" -> 1L, "b" -> 2L, "__ALL__" -> 2L))
+  }
 }

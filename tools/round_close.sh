@@ -12,13 +12,47 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 label="${1:-driver-records}"
 
+# refuse to adopt a BENCH record measured on a contended box (the r16
+# contract number shipped at load 3.4 and read as a 40% regression
+# that was actually weather) unless explicitly annotated via
+# ROUND_CLOSE_FORCE_LOAD=1
+load_gate() {
+  python3 - "$1" <<'PY'
+import json, sys
+try:
+    rec = json.load(open(sys.argv[1]))
+except Exception:
+    sys.exit(0)  # unreadable → not this gate's concern
+load = rec.get("load_avg_start")
+if isinstance(load, (int, float)) and load > 1.5:
+    print(f"[round_close] {sys.argv[1]}: load_avg_start={load} > 1.5 "
+          "— contended-box record", file=sys.stderr)
+    sys.exit(1)
+PY
+}
+
 for f in bench_full.json LEAKCHECK.json COPYCHECK.json \
          BENCH_r*.json CORRECTNESS_r*.json BENCH_sf*.json \
          BENCH_sf*_AUDIT.md; do
   # skip files the repo deliberately gitignores (e.g. COPYCHECK.json);
   # the trailing true keeps a skipped last entry from tripping set -e
-  { [ -e "$f" ] && ! git check-ignore -q -- "$f" && git add -- "$f"; } \
-    || true
+  [ -e "$f" ] || continue
+  git check-ignore -q -- "$f" && continue
+  case "$f" in
+    BENCH_*.json|bench_full.json)
+      if ! load_gate "$f"; then
+        if [ "${ROUND_CLOSE_FORCE_LOAD:-}" = "1" ]; then
+          echo "[round_close] adopting $f anyway (ROUND_CLOSE_FORCE_LOAD=1)"
+        else
+          echo "[round_close] SKIPPING $f — re-run the bench on an idle" \
+               "box, or set ROUND_CLOSE_FORCE_LOAD=1 to adopt with this" \
+               "annotation"
+          continue
+        fi
+      fi
+      ;;
+  esac
+  git add -- "$f" || true
 done
 
 if git diff --cached --quiet; then
