@@ -246,7 +246,7 @@ object Similarity {
     * so query fan-out is nprobe lists, not the corpus. */
   /** (n_id, n_emb double[], n_norm) projection shared by the
     * centroid-based ops. */
-  private def prepare(corpus: DataFrame): DataFrame = corpus
+  private[sim] def prepare(corpus: DataFrame): DataFrame = corpus
     .select(col("vec_id").as("n_id"),
       asDouble(col("embedding")).as("n_emb"))
     .withColumn("n_norm", sqrt(dotD(col("n_emb"), col("n_emb"))))
@@ -256,8 +256,11 @@ object Similarity {
     * centroid side is broadcast-small (nlist rows) and hinted HERE —
     * at the use site where it is legally the build side — rather
     * than carrying a frame-level hint that would also reach joins
-    * where it is the preserved side (the r13 HintErrorLogger noise). */
-  private def rankByCentroid(df: DataFrame, centroids: DataFrame,
+    * where it is the preserved side (the r13 HintErrorLogger noise).
+    * Kept for the PROBE paths (c_rank ≤ nprobe needs actual ranks and
+    * runs on the broadcast-small query side); corpus-wide rank-1
+    * assignment goes through `nearestCentroid` below. */
+  private[sim] def rankByCentroid(df: DataFrame, centroids: DataFrame,
       idC: String, embC: String, normC: String): DataFrame = {
     val w = Window.partitionBy(idC)
       .orderBy(col("c_sim").desc, col("cid").asc)
@@ -268,6 +271,70 @@ object Similarity {
       .drop("c_emb", "c_norm", "c_sim")
   }
 
+  /** Rank-1 centroid ASSIGNMENT as a hash aggregate — the corpus-wide
+    * twin of `rankByCentroid(...).filter(c_rank === 1)`. The argmax
+    * over (c_sim desc, cid asc) is a `max(struct(c_sim, −cid, row))`
+    * aggregate: struct ordering realizes the exact same total order
+    * the window sorted by (Spark orders double NaN greatest on both
+    * paths, and cid is unique so the payload field never compares),
+    * but the aggregate partial-combines map-side — the shuffle carries
+    * ONE row per input id instead of sorting the full id×nlist
+    * candidate product (the assignCodes precedent: measured 3-4×
+    * cheaper across the PQ gate set). Output: (idC, embC, normC, cid
+    * [, c_emb when carryCentroid — lets residual consumers subtract
+    * the coarse codeword without a join back]). */
+  private[sim] def nearestCentroid(df: DataFrame, centroids: DataFrame,
+      idC: String, embC: String, normC: String,
+      carryCentroid: Boolean = false): DataFrame = {
+    val payload =
+      if (carryCentroid)
+        struct(col(embC), col(normC), col("c_emb"))
+      else struct(col(embC), col(normC))
+    val picked = df.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", dotD(col(embC), col("c_emb")) /
+        (col(normC) * col("c_norm")))
+      .groupBy(col(idC))
+      .agg(max(struct(col("c_sim"), (-col("cid")).as("nc"),
+        payload.as("row"))).as("best"))
+    val outCols = Seq(col(idC),
+      col(s"best.row.$embC").as(embC),
+      col(s"best.row.$normC").as(normC),
+      (-col("best.nc")).as("cid")) ++
+      (if (carryCentroid) Seq(col("best.row.c_emb").as("c_emb"))
+       else Nil)
+    picked.select(outCols: _*)
+  }
+
+  /** Element-wise decimal-exact mean of an array column as ONE
+    * aggregate (no posexplode, no (id, dim) shuffle): per dimension an
+    * `avg` over decimal(38,18) — the identical multiset of values the
+    * exploded groupBy(…, dim) form averaged, so the result is
+    * bit-identical — assembled back with `array`. The in-plan `size`
+    * guard fails loudly if a row's width disagrees with `dim` (the
+    * subRows divisibility discipline); ANSI element_at would throw on
+    * short rows, the guard also catches LONGER rows whose tail would
+    * otherwise silently drop. */
+  private def avgEmb(embC: String, dim: Int): Column = {
+    val guarded = when(size(col(embC)) === dim, col(embC))
+      .otherwise(raise_error(format_string(
+        s"centroid mean: embedding width %d != expected $dim",
+        size(col(embC)))))
+    array((0 until dim).map(i =>
+      avg(element_at(guarded, i + 1).cast("decimal(38,18)"))
+        .cast("double")): _*)
+  }
+
+  /** BOUNDED collect → LocalRelation pin (nlist / mSub×kCodes rows by
+    * construction — the fitCentroids/pqFitCodebooks sanction): each
+    * Lloyd iteration's accumulator is pinned so iteration k+1 never
+    * re-executes iteration k's lineage under its broadcast boundary,
+    * and the per-iteration plan stays one shallow aggregate. */
+  private def pinLocal(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** Deterministic Lloyd-refined coarse quantizer over a `prepare`d
     * corpus: seed `nlist` centroids from hash-ordered corpus rows (no
     * RNG state, no driver collect — a TakeOrdered of nlist rows stays
@@ -276,59 +343,51 @@ object Similarity {
     * element-wise mean, re-broadcast. Returns (cid, c_emb, c_norm),
     * broadcast-tagged. */
   private def fitCentroids(prepared: DataFrame, nlist: Int,
-      lloydIters: Int): DataFrame = {
+      lloydIters: Int, dim: Int = 64): DataFrame = {
     coarseFitRuns.incrementAndGet()
-    // no frame-level broadcast hints on the accumulated centroids:
-    // they are the PRESERVED left of the keep-previous left join below
-    // (where a hint is unsupported and logs), and every legal build
-    // site (rankByCentroid's cross join) hints locally instead
-    val seed = prepared
+    // EVERY iteration's accumulator is pinned as a LocalRelation
+    // (bounded: nlist rows by construction — the same sanction the
+    // final pin always had). Pinning per iteration keeps each Lloyd
+    // pass ONE shallow aggregate over `prepared` instead of a nested
+    // plan that re-executes every earlier pass under its broadcast
+    // boundaries (measured: the r16 form ran ~30 jobs per refit gate,
+    // most of them re-derivations). No frame-level broadcast hints:
+    // a LocalRelation's exact tiny stats auto-broadcast at every
+    // legal build site.
+    val seed = pinLocal(prepared
       .orderBy(xxhash64(col("n_id")), col("n_id"))
       .limit(nlist)
       .select(col("n_id").as("cid"), col("n_emb").as("c_emb"),
-        col("n_norm").as("c_norm"))
+        col("n_norm").as("c_norm")))
     val fitted = (1 to lloydIters).foldLeft(seed) { (cents, _) =>
-      val assigned = rankByCentroid(prepared, cents, "n_id", "n_emb",
-        "n_norm").filter(col("c_rank") === 1)
-      val means = assigned
-        .select(col("cid"), posexplode(col("n_emb")).as(Seq("dim", "v")))
-        .groupBy("cid", "dim")
+      // rank-1 assignment as a map-side-combining aggregate (see
+      // nearestCentroid) + the element-wise decimal mean as ONE
+      // aggregate (see avgEmb) — the pass costs one corpus scan and
+      // shuffles nlist×dim decimal partials, where the r16 form
+      // sorted the id×nlist window product and shuffled a corpus×dim
+      // posexplode twice.
+      val assigned = nearestCentroid(prepared, cents, "n_id", "n_emb",
+        "n_norm")
+      val means = assigned.groupBy("cid")
         // decimal(38,18) mean: exact addition → order-independent;
         // embedding components are O(1) so 20 integer digits never
         // overflow
-        .agg(avg(col("v").cast("decimal(38,18)")).cast("double").as("m"))
-        .groupBy("cid")
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s.getField("m")).as("new_emb"))
+        .agg(avgEmb("n_emb", dim).as("new_emb"))
       // an emptied list keeps its previous centroid (left + coalesce)
-      // so nlist is stable and cid stays the seed row's id; means is
-      // the nlist-row BUILD side, the only legal hint position here
-      cents.join(broadcast(means), Seq("cid"), "left")
+      // so nlist is stable and cid stays the seed row's id
+      pinLocal(cents.join(broadcast(means), Seq("cid"), "left")
         .select(col("cid"),
           coalesce(col("new_emb"), col("c_emb")).as("c_emb"))
-        .withColumn("c_norm", sqrt(dotD(col("c_emb"), col("c_emb"))))
+        .withColumn("c_norm", sqrt(dotD(col("c_emb"), col("c_emb")))))
     }
     // 6-dp quantized centroids (the pqFitCodebooks rounding contract):
     // centroid elements survive a decimal-text dump round-trip
     // losslessly, so the x_ann_ivf_assign oracle can re-derive every
     // list/probe assignment from the dumped centroids with identical
     // arithmetic; c_norm recomputes from the quantized vector.
-    val quantized = fitted.select(col("cid"),
+    pinLocal(fitted.select(col("cid"),
         transform(col("c_emb"), x => round(x, 6)).as("c_emb"))
-      .withColumn("c_norm", sqrt(dotD(col("c_emb"), col("c_emb"))))
-    // BOUNDED collect — nlist rows by construction (the pqFitCodebooks
-    // sanction): pin the fitted centroids as a LocalRelation so the
-    // nested Lloyd broadcast lineage does not re-execute under every
-    // downstream broadcast boundary (assignment join, probe ranking —
-    // the IVF family references the centroid frame 2-3 times each).
-    // NO frame-level broadcast hint on the returned relation: some
-    // consumers only SELECT it into a dump (no join above the hint →
-    // HintErrorLogger noise); join consumers hint locally, and a
-    // LocalRelation's exact tiny stats auto-broadcast regardless.
-    val cRows = quantized.collect()
-    prepared.sparkSession.createDataFrame(
-      java.util.Arrays.asList(cRows: _*), quantized.schema)
+      .withColumn("c_norm", sqrt(dotD(col("c_emb"), col("c_emb")))))
   }
 
   /** The two IVF join inputs — (corpus inverted lists keyed n_id→cid,
@@ -345,8 +404,8 @@ object Similarity {
       : (DataFrame, DataFrame, DataFrame) = {
     val prepared = prepare(corpus)
     val centroids = fitCentroids(prepared, nlist, lloydIters)
-    val lists = rankByCentroid(prepared, centroids, "n_id", "n_emb",
-      "n_norm").filter(col("c_rank") === 1).drop("c_rank")
+    val lists = nearestCentroid(prepared, centroids, "n_id", "n_emb",
+      "n_norm")
     val q = queries.select(col("vec_id").as("q_id"),
         asDouble(col("embedding")).as("q_emb"))
       .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb"))))
@@ -705,8 +764,8 @@ object Similarity {
       lloydIters: Int = 2): DataFrame = {
     val prepared = prepare(corpus)
     val centroids = fitCentroids(prepared, nlist, lloydIters)
-    val assigned = rankByCentroid(prepared, centroids, "n_id", "n_emb",
-      "n_norm").filter(col("c_rank") === 1)
+    val assigned = nearestCentroid(prepared, centroids, "n_id", "n_emb",
+      "n_norm")
       .select(col("n_id"), col("cid"), col("n_emb"), col("n_norm"))
     val a = assigned.select(col("cid"), col("n_id").as("id_a"),
       col("n_emb").as("emb_a"), col("n_norm").as("nrm_a"))
@@ -769,55 +828,47 @@ object Similarity {
     * encodes the full corpus with them; the encode path (`pqEncode`)
     * is the part that must and does run corpus-wide. */
   def pqFitCodebooks(corpus: DataFrame, mSub: Int = 8,
-      kCodes: Int = 16, lloydIters: Int = 2): DataFrame = {
+      kCodes: Int = 16, lloydIters: Int = 2, dim: Int = 64): DataFrame = {
     pqFitRuns.incrementAndGet()
-    val rows = subRows(prepare(corpus), mSub)
+    // the subvector rows feed the seed window + every Lloyd pass: at
+    // scale that lineage re-derives the (possibly residual) corpus per
+    // pass, so it is persisted for the duration of the fit and
+    // released before return (every consumer below is eager — pinned
+    // collects — so the cache is drained by then)
+    val rows = subRows(prepare(corpus), mSub).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wSeed = Window.partitionBy("sub")
       .orderBy(xxhash64(col("n_id")), col("n_id"))
-    // same hint discipline as fitCentroids: the codebook accumulator
-    // is the preserved left of the keep-previous join — hint at the
-    // legal build sites (assignCodes) instead
-    val seed = rows
+    // per-iteration LocalRelation pinning + aggregate means: the
+    // fitCentroids discipline (see there) applied per subspace; the
+    // accumulator is bounded at mSub × kCodes rows by construction
+    // (128 at the defaults).
+    val seed = pinLocal(rows
       .withColumn("rk", row_number().over(wSeed))
       .filter(col("rk") <= kCodes)
       .select(col("sub"), (col("rk") - 1).as("code"),
-        col("s_emb").as("c_emb"))
+        col("s_emb").as("c_emb")))
     val fitted = (1 to lloydIters).foldLeft(seed) { (cents, _) =>
       val assigned = assignCodes(rows, cents)
       val means = assigned
-        .select(col("sub"), col("code"),
-          posexplode(col("s_emb")).as(Seq("dim", "v")))
-        .groupBy("sub", "code", "dim")
-        .agg(avg(col("v").cast("decimal(38,18)")).cast("double").as("m"))
         .groupBy("sub", "code")
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s.getField("m")).as("new_emb"))
+        .agg(avgEmb("s_emb", dim / mSub).as("new_emb"))
       // an emptied code keeps its previous centroid, so the code book
       // stays dense and kCodes-stable; means is the build side
-      cents.join(broadcast(means), Seq("sub", "code"), "left")
+      pinLocal(cents.join(broadcast(means), Seq("sub", "code"), "left")
         .select(col("sub"), col("code"),
-          coalesce(col("new_emb"), col("c_emb")).as("c_emb"))
+          coalesce(col("new_emb"), col("c_emb")).as("c_emb")))
     }
     // THE codebook is 6-dp quantized (the embedNormalize rounding
     // contract): codeword elements survive a decimal-text round-trip
     // losslessly, so the dumped index and the live fit are the same
     // numbers and the conditioned oracle can replay ADC bit-for-bit.
-    val quantized = fitted.select(col("sub"), col("code"),
-      transform(col("c_emb"), x => round(x, 6)).as("c_emb"))
-    // BOUNDED collect — mSub × kCodes rows BY CONSTRUCTION (128 at the
-    // defaults; a few thousand at any production codebook), the same
-    // sanctioned class as the warehouse partition listing. Pinning the
-    // codebook as a LocalRelation matters: left lazy, the nested Lloyd
-    // broadcast lineage re-executes under EVERY downstream broadcast
-    // boundary (encode join, ADC LUT) — measured 3.5 s vs 0.7 s for
-    // the encode pass at bench scale. A production deployment persists
-    // codebooks as index metadata for exactly this reason.
-    // no frame-level hint (see fitCentroids): dump consumers have no
-    // join above it; join consumers hint locally
-    val cbRows = quantized.collect()
-    corpus.sparkSession.createDataFrame(
-      java.util.Arrays.asList(cbRows: _*), quantized.schema)
+    // Pinned like every iteration (the final pin is what downstream
+    // encode joins and ADC LUTs broadcast from).
+    val out = pinLocal(fitted.select(col("sub"), col("code"),
+      transform(col("c_emb"), x => round(x, 6)).as("c_emb")))
+    rows.unpersist()
+    out
   }
 
   /** Nearest-codeword assignment of (n_id, sub, s_emb) rows against a
@@ -1078,9 +1129,15 @@ object Similarity {
       lloydIters: Int = 2, mSub: Int = 8, kCodes: Int = 16): DataFrame = {
     val prepared = prepare(corpus)
     val cents = fitCentroids(prepared, nlist, lloydIters)
-    val lists = rankByCentroid(prepared, cents, "n_id", "n_emb",
-      "n_norm").filter(col("c_rank") === 1).select("n_id", "cid")
-    val res = residualCorpus(corpus, lists, cents)
+    // residuals in the SAME pass as the assignment: nearestCentroid
+    // carries the winning codeword (carryCentroid), so v − c(list(v))
+    // is a zip_with over the aggregate's own output — no join back
+    // through lists, no second broadcast of the centroid relation
+    val res = nearestCentroid(prepared, cents, "n_id", "n_emb",
+        "n_norm", carryCentroid = true)
+      .select(col("n_id").as("vec_id"),
+        zip_with(col("n_emb"), col("c_emb"), (v, c) => v - c)
+          .as("embedding"))
     val cb = pqFitCodebooks(res, mSub, kCodes, lloydIters)
     cb.select(lit("cb").as("kind"), col("sub"),
         col("code").cast("long").as("id"),
@@ -1097,8 +1154,8 @@ object Similarity {
       lloydIters: Int = 2): DataFrame = {
     val prepared = prepare(corpus)
     val cents = fitCentroids(prepared, nlist, lloydIters)
-    val lists = rankByCentroid(prepared, cents, "n_id", "n_emb",
-      "n_norm").filter(col("c_rank") === 1).select("n_id", "cid")
+    val lists = nearestCentroid(prepared, cents, "n_id", "n_emb",
+      "n_norm").select("n_id", "cid")
     val q = queries.select(col("vec_id").as("q_id"),
         asDouble(col("embedding")).as("q_emb"))
       .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb"))))
@@ -1274,8 +1331,8 @@ object Similarity {
     * stored list table, the index absorbs deltas without refitting. */
   def ivfAssignWithIndex(delta: DataFrame, assign: DataFrame): DataFrame = {
     val prepared = prepare(delta)
-    rankByCentroid(prepared, loadIvfCentroids(assign), "n_id", "n_emb",
-      "n_norm").filter(col("c_rank") === 1)
+    nearestCentroid(prepared, loadIvfCentroids(assign), "n_id",
+      "n_emb", "n_norm")
       .select(col("n_id"), col("cid"))
   }
 
@@ -1300,8 +1357,8 @@ object Similarity {
     val path = stagedIvf.computeIfAbsent(d, _ => {
       val prepared = prepare(t(s, d, "embeddings"))
       val centroids = fitCentroids(prepared, 16, 2)
-      val lists = rankByCentroid(prepared, centroids, "n_id", "n_emb",
-        "n_norm").filter(col("c_rank") === 1)
+      val lists = nearestCentroid(prepared, centroids, "n_id", "n_emb",
+        "n_norm")
         .select(lit("list").as("kind"), col("n_id").as("id"),
           col("cid"), lit(1).as("rk"),
           lit(null).cast("string").as("payload"))

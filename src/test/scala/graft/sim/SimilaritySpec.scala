@@ -558,4 +558,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mc < 1.0, "1-level (sign-only) quantization should visibly " +
       s"degrade recall on real data, got $mc")
   }
+
+  test("nearestCentroid aggregate == window rank-1 assignment " +
+    "(the r17 argmin rewrite: identical cid for every corpus row, " +
+    "identical carried embedding/norm)") {
+    val prepared = Similarity.prepare(t(spark, TestSpark.sf001, "embeddings"))
+    // an arbitrary deterministic centroid set (first 7 rows by hash
+    // order) — the equivalence must hold for ANY centroid relation
+    val cents = prepared
+      .orderBy(xxhash64(col("n_id")), col("n_id")).limit(7)
+      .select(col("n_id").as("cid"), col("n_emb").as("c_emb"),
+        col("n_norm").as("c_norm"))
+    val viaWindow = Similarity.rankByCentroid(prepared, cents,
+        "n_id", "n_emb", "n_norm")
+      .filter(col("c_rank") === 1)
+      .select(col("n_id"), col("cid"), col("n_emb"), col("n_norm"))
+    val viaAgg = Similarity.nearestCentroid(prepared, cents,
+        "n_id", "n_emb", "n_norm")
+      .select(col("n_id"), col("cid"), col("n_emb"), col("n_norm"))
+    assert(viaWindow.exceptAll(viaAgg).isEmpty &&
+      viaAgg.exceptAll(viaWindow).isEmpty,
+      "aggregate argmin diverged from the window rank-1 form")
+  }
 }
