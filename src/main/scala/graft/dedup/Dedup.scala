@@ -408,10 +408,19 @@ object Dedup {
 
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String] = Nil, n: Int = 3,
-      maxGramDf: Int = Int.MaxValue): DataFrame = {
+      maxGramDf: Int = Int.MaxValue): DataFrame =
+    jaccardPairsFromSized(
+      sizedGramsCapped(docs, idCol, textCol, blockCols.map(col),
+        blockCols, n, maxGramDf), blockCols)
+
+  /** The pair-join tail of `ngramJaccardPairs` over a PRE-BUILT sized
+    * gram table (block..., doc_id, n_grams, gram) — factored so
+    * multi-blocker gates can derive the gram table ONCE and feed it to
+    * the truth join, the prefix index, and the SNM verifier instead of
+    * re-tokenizing the corpus per consumer. */
+  private def jaccardPairsFromSized(sized: DataFrame,
+      blockCols: Seq[String]): DataFrame = {
     val bc = blockCols.map(col)
-    val sized = sizedGramsCapped(docs, idCol, textCol, bc, blockCols,
-      n, maxGramDf)
     val a = sized.select(bc ++ Seq(col("gram"), col("doc_id").as("doc_a"),
       col("n_grams").as("na")): _*)
     val b = sized.select(bc ++ Seq(col("gram"), col("doc_id").as("doc_b"),
@@ -543,7 +552,18 @@ object Dedup {
     * zero-overlap candidates emit jac = 0 (the window proposed them;
     * the verdict is the verifier's). */
   def snmPairs(docs0: DataFrame, idCol: String, textCol: String,
-      w: Int = 5, blockCols: Seq[String] = Nil, n: Int = 3): DataFrame = {
+      w: Int = 5, blockCols: Seq[String] = Nil, n: Int = 3): DataFrame =
+    snmPairsImpl(docs0, idCol, textCol, w, blockCols, n, None)
+
+  /** `snmPairs` with an optional PRE-BUILT sized gram table (the
+    * `sizedGrams` shape over the same docs/params) for the verify
+    * join — lets the blocking-comparison gates tokenize once. A
+    * null-text doc yields no gram rows either way (the explode drops
+    * null gram arrays), so pre-building over unfiltered docs is
+    * equivalent. */
+  private def snmPairsImpl(docs0: DataFrame, idCol: String,
+      textCol: String, w: Int, blockCols: Seq[String], n: Int,
+      gramsPre: Option[DataFrame]): DataFrame = {
     require(w >= 2, s"window w=$w must be >= 2")
     // NULL-text rows are excluded (the editDistancePairs convention) —
     // a NULL sort key would also rank differently per engine (Spark
@@ -571,8 +591,8 @@ object Dedup {
         col("cand.dist").as("dist")): _*)
     // verify: candidate-driven 3-gram Jaccard (gram sets distinct per
     // doc — the sizedGrams contract), zero-gram docs score 0
-    val grams = sizedGrams(docs, idCol, textCol, bc, n, "doc_id",
-      "n_grams")
+    val grams = gramsPre.getOrElse(
+      sizedGrams(docs, idCol, textCol, bc, n, "doc_id", "n_grams"))
     val gcnt = docs.select(bc :+ col(idCol).as("doc_id"): _*)
       .join(grams.select(bc ++ Seq(col("doc_id"),
         col("n_grams")): _*).distinct(), blockCols :+ "doc_id", "left")
@@ -679,6 +699,17 @@ object Dedup {
         tokenNgrams(TextOps.tokens(lower(col(textCol))), n)
           .as("grams"): _*)
       .select(bc :+ col("doc_id") :+ explode(col("grams")).as("gram"): _*)
+    prefixRankedFromExploded(exploded, t, blockCols)
+  }
+
+  /** `prefixRanked` over a PRE-BUILT (block..., doc_id, gram) exploded
+    * gram table (the sizedGrams rows — the extra n_grams column is
+    * simply not selected), so multi-blocker gates tokenize once. */
+  private def prefixRankedFromExploded(exploded0: DataFrame, t: Double,
+      blockCols: Seq[String]): DataFrame = {
+    val bc = blockCols.map(col)
+    val exploded = exploded0.select(bc :+ col("doc_id") :+
+      col("gram"): _*)
     // grams are distinct per doc → count per (block, gram) IS df
     val dfs = exploded.groupBy((blockCols :+ "gram").map(col): _*)
       .agg(count(lit(1)).as("df"))
@@ -1470,11 +1501,18 @@ object Dedup {
     * exercises, not saturates). */
   private def dBlockingQuality(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val truth = ngramJaccardPairs(docs, "doc_id", "text",
-      blockCols = Seq("lang", "source"), n = 3)
+    val blocks = Seq("lang", "source")
+    // ONE staged gram table feeds both the truth join and the SNM
+    // verifier (the dBlockingMethods sharing — tokenize the corpus
+    // once per gate, not once per consumer)
+    val grams = graft.io.Scratch.stageAndRelease(
+      sizedGrams(docs, "doc_id", "text", blocks.map(col), 3,
+        "doc_id", "n_grams"),
+      () => (), "d_blockq_grams")
+    val truth = jaccardPairsFromSized(grams, blocks)
       .filter(col("jac") >= 0.2)
-    val cand = snmPairs(docs, "doc_id", "text", w = 5,
-      blockCols = Seq("lang", "source"))
+    val cand = snmPairsImpl(docs, "doc_id", "text", 5, blocks, 3,
+      Some(grams))
     blockingQuality(truth, cand, Seq("lang", "source", "doc_a", "doc_b"))
   }
 
@@ -1497,20 +1535,31 @@ object Dedup {
   private def dBlockingMethods(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val blocks = Seq("lang", "source")
+    // the corpus is TOKENIZED ONCE: a staged (block..., doc_id,
+    // n_grams, gram) table feeds the brute-truth pair join, the
+    // prefix-filter index, and the SNM verifier — the r16 form
+    // re-derived the gram explode per consumer (3× the scan +
+    // tokenize + explode). The sketch blockers (minhash, simhash)
+    // hash raw text and cannot share it.
+    val grams = graft.io.Scratch.stageAndRelease(
+      sizedGrams(docs, "doc_id", "text", blocks.map(col), 3,
+        "doc_id", "n_grams"),
+      () => (), "d_blocking_grams")
     val truth = graft.io.Scratch.stageAndRelease(
-      ngramJaccardPairs(docs, "doc_id", "text", blockCols = blocks,
-        n = 3).filter(col("jac") >= 0.2).select("doc_a", "doc_b"),
+      jaccardPairsFromSized(grams, blocks)
+        .filter(col("jac") >= 0.2).select("doc_a", "doc_b"),
       () => (), "d_blocking_truth")
     val methods = Seq(
       "minhash_lsh" -> minhashCandidatePairs(docs, "doc_id", "text",
           numHashes = 16, bands = 4, maxBucketSize = Int.MaxValue)
         .select("doc_a", "doc_b"),
-      "prefix_filter" -> prefixFilterCandidates(docs, "doc_id", "text",
-          t = 0.2, blockCols = blocks).select("doc_a", "doc_b"),
+      "prefix_filter" -> candFromRanked(
+          prefixRankedFromExploded(grams, 0.2, blocks), blocks)
+        .select("doc_a", "doc_b"),
       "simhash_bands" -> simhashBandCandidates(docs, "doc_id", "text",
           maxBucketSize = Int.MaxValue).select("doc_a", "doc_b"),
-      "snm_w5" -> snmPairs(docs, "doc_id", "text", w = 5,
-          blockCols = blocks).select("doc_a", "doc_b"))
+      "snm_w5" -> snmPairsImpl(docs, "doc_id", "text", 5, blocks, 3,
+          Some(grams)).select("doc_a", "doc_b"))
     methods.map { case (name, cand) =>
       blockingQuality(truth, cand, Seq("doc_a", "doc_b"))
         .select(lit(name).as("method"), col("n_truth"), col("n_cand"),

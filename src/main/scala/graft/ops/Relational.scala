@@ -385,7 +385,12 @@ object Relational {
     // continuous double column gets a data-sized single partition;
     // fail loudly instead (the unifrac/drift guard discipline). The
     // grouped form (`groupedPercentiles`) partitions every window by
-    // the group key and needs no such bound.
+    // the group key and needs no such bound. (r17 note: deriving
+    // n/n_distinct as full-partition window aggregates over the
+    // cumsum — saving this second histogram derivation — MEASURED
+    // SLOWER (3.55 s → 3.88 s isolated): the unbounded-frame window
+    // buffers the whole single partition a second time, costing more
+    // than the extra aggregate pass. Deliberately left as-is.)
     val total = hist.agg(sum("c").as("n"),
         count(lit(1)).as("n_distinct"))
       .select(expr("n + coalesce(CAST(assert_true(" +
@@ -486,19 +491,32 @@ object Relational {
       .select(col("g"), col("value").as("med"))
     // deviation histogram FROM the value histogram: |v−med| folds
     // value rows pairwise (v below/above the median meet), counts
-    // add. NOT staged: its two consumers re-derive it from the
-    // staged hist with one broadcast join + histogram-sized agg each
-    // — cheaper than a second scratch write when values are near
-    // unique (prices) and the histogram is near data-sized
+    // add. Derived ONCE: the MAD (its p50) is computed by windows
+    // over this same frame — the identical rank-selection arithmetic
+    // percentilesFromHist applies (n and the running cum over the
+    // group partition, rank = (n + den − 1) div den with num=1/den=2,
+    // mad = min adev with cum ≥ rank), but as window columns riding
+    // the one exchange instead of a second full derivation of devHist
+    // + a broadcast join back (the r16 form computed devHist twice —
+    // each time re-reading the staged histogram and re-aggregating).
+    import org.apache.spark.sql.expressions.Window
+    val wG = Window.partitionBy("g")
     val devHist = hist.join(broadcast(med), "g")
       .groupBy(col("g"), col("med"),
         abs(col("v") - col("med")).as("adev"))
       .agg(sum("c").as("c"))
-    val mad = percentilesFromHist(
-        devHist.select(col("g"), col("adev").as("v"), col("c")),
-        Seq(("p50", 1, 2)))
-      .select(col("g"), col("value").as("mad"))
-    devHist.join(broadcast(mad), "g")
+    val withMad = devHist
+      .withColumn("cum", sum("c").over(wG.orderBy("adev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(wG))
+      // p50 rank in the exact integer form of percentilesFromHist:
+      // __a = 1·n + 2 − 1; rank = __a div 2, FP-free
+      .withColumn("__a", col("n") + 1)
+      .withColumn("rank",
+        ((col("__a") - pmod(col("__a"), lit(2))) / 2).cast("long"))
+      .withColumn("mad",
+        min(when(col("cum") >= col("rank"), col("adev"))).over(wG))
+    withMad
       .groupBy("g")
       .agg(sum("c").as("n"),
         min("med").as("median"), // constant per group
@@ -562,24 +580,13 @@ object Relational {
           col(valueCol).as("v"))
         .agg(count(lit(1)).as("c")),
       () => (), "prof_hist")
-    // '__ALL__' is the RESERVED scope label of the global rows; a
-    // group value equal to it would make grouped and global rows
-    // indistinguishable in the unioned output — guarded in-plan (the
-    // same riding-the-counts discipline as the cardinality guard:
-    // zero rows cost when clean, a loud error when not)
-    val sentinelGuard = hist
-      .agg(count(when(col("g") === "__ALL__", 1)).as("nbad"))
-      .select(expr("coalesce(CAST(assert_true(nbad = 0L, " +
-        "'profilePercentiles: ' || nbad || ' rows of the group " +
-        "column equal the reserved scope label __ALL__ — grouped " +
-        "and global output rows would be indistinguishable; rename " +
-        "those group values') AS BIGINT), 0L)").as("zg"))
-    val grouped = percentilesFromHist(
-        hist.crossJoin(broadcast(sentinelGuard))
-          .select(col("g"), col("v"), (col("c") + col("zg")).as("c")),
-        ps)
+    val grouped = percentilesFromHist(hist, ps)
       .select(col("g").as("scope"), col("p"), col("value"))
-    // histogram-to-histogram: global counts = sum over groups.
+    // histogram-to-histogram: global counts = sum over groups; the
+    // same aggregate ALSO counts rows whose group equals the reserved
+    // '__ALL__' scope label, so the sentinel guard no longer costs a
+    // separate read of the staged histogram (the r16 form aggregated
+    // `hist` one extra time just to produce zg).
     // The scope label must be ATTRIBUTE-DERIVED (the w1Funnel /
     // exactPercentiles idiom): a bare lit("__ALL__") constant-folds
     // through projection collapse into percentilesFromHist's window
@@ -587,20 +594,31 @@ object Relational {
     // round closed; concat_ws over a zero-length slice of `v` is the
     // same constant value without being foldable. The single global
     // partition itself is O(distinct values) by the guarded contract.
-    val ghist = hist.groupBy("v").agg(sum("c").as("c"))
+    val ghist = hist.groupBy("v")
+      .agg(sum("c").as("c"),
+        count(when(col("g") === "__ALL__", 1)).as("__nbad"))
       .select(
         concat_ws("", lit("__ALL__"),
           substring(col("v").cast("string"), 1, 0)).as("g"),
-        col("v"), col("c"))
-    // in-plan misuse guard riding the counts (z = 0 or a loud error;
-    // the exactPercentiles discipline — no extra data pass)
-    val guard = ghist.agg(count(lit(1)).as("nd"))
+        col("v"), col("c"), col("__nbad"))
+    // BOTH in-plan misuse guards (cardinality bound + reserved scope
+    // label) ride ONE histogram-sized aggregate over ghist; the union
+    // below evaluates every branch under the noop/materializing sink,
+    // so a violation still fails the whole query loudly. z = 0 or a
+    // loud error — the exactPercentiles discipline, no extra data
+    // pass over the staged histogram.
+    val guard = ghist.agg(count(lit(1)).as("nd"),
+        sum("__nbad").as("nbad"))
       .select(expr("coalesce(CAST(assert_true(" +
         s"nd <= ${maxDistinct}L, 'profilePercentiles: ' || nd || " +
         s"' global distinct values exceeds the $maxDistinct bound " +
         "of the value-histogram form — this column is not " +
-        "low-cardinality; use an approx sketch') AS BIGINT), 0L)")
-        .as("z"))
+        "low-cardinality; use an approx sketch') AS BIGINT), 0L) + " +
+        "coalesce(CAST(assert_true(coalesce(nbad, 0L) = 0L, " +
+        "'profilePercentiles: ' || nbad || ' rows of the group " +
+        "column equal the reserved scope label __ALL__ — grouped " +
+        "and global output rows would be indistinguishable; rename " +
+        "those group values') AS BIGINT), 0L)").as("z"))
     val global = percentilesFromHist(
         ghist.crossJoin(broadcast(guard))
           .select(col("g"), col("v"), (col("c") + col("z")).as("c")),

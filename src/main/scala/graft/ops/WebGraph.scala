@@ -94,41 +94,61 @@ object WebGraph {
     * `getPersistentRDDs` flat. */
   def pagerankExactReleasable(nodes: DataFrame, edges: DataFrame,
       iters: Int = Iters): (DataFrame, () => Unit) = {
+    val spark = nodes.sparkSession
+    // stage the (src, dst, m) list once: ten rounds re-join it, and
+    // the fixed-K loop must not re-derive the graph per round
+    val staged = edges.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // multipliers must be exact ON THE TRUE DEGREE: m · deg == L for
     // every edge, with deg recomputed from the edge list itself — a
     // reconstructed degree (L / m) can pass while the arithmetic
     // silently de-exacts (e.g. deg = 7 gives m = 2, reconstructed
-    // d = 10, and 10 divides L). Bounded: 1-row aggregate.
-    val trueDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val inexact = edges.join(trueDeg, "src")
+    // d = 10, and 10 divides L). Bounded: 1-row aggregate; this
+    // action ALSO materializes the persisted edge list (the separate
+    // staging count() the r16 form paid is folded into it).
+    val trueDeg = staged.groupBy("src").agg(count(lit(1)).as("deg"))
+    val inexact = staged.join(trueDeg, "src")
       .filter(col("m") * col("deg") =!= L)
       .agg(count(lit(1))).head.getLong(0)
     require(inexact == 0L,
       s"$inexact edges have m * out-degree != L=$L — a multiplier is " +
         "not exact; pagerank numerators would silently de-exact")
-    // stage the (src, dst, m) list once: ten rounds re-join it, and
-    // the fixed-K loop must not re-derive the graph per round
-    val staged = edges.persist(
+    // the node set is re-joined every round (teleport term for
+    // contribution-less nodes): persist it once too
+    val nodesP = nodes.select("node").persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    staged.count()
-    var scores = nodes.select(col("node"),
+    // per-round LINEAGE TRUNCATION (the mmrGreedy `truncated` shape):
+    // without it round k's logical plan nests all k−1 predecessors and
+    // Catalyst re-plans the whole tree every round — the r16 form's
+    // wall-clock was dominated by planning+scheduling a 10-round
+    // nested plan (event-log: most of the gate was inter-job gaps).
+    // Each round is referenced exactly once by the next, so shuffle
+    // files make the chain execute linearly — no per-round persist or
+    // materializing count is needed.
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    var scores = nodesP.select(col("node"),
       lit(new java.math.BigDecimal(1)).cast(dec38).as("n"))
     var bk = BigInt(1) // B^k
     for (_ <- 0 until iters) {
       val teleport = new java.math.BigDecimal((3 * L * bk).bigInteger)
+      // joins stay SHUFFLED (no broadcast hints): scores/contrib are
+      // node-scale on a real web graph — the standard distributed
+      // PageRank step — and at bench scale AQE picks the cheap
+      // strategy from runtime sizes anyway
       val contrib = staged
         .join(scores.withColumnRenamed("node", "src"), "src")
         .groupBy("dst")
         .agg(sum(col("m") * col("n")).as("s"))
-      scores = nodes
+      scores = truncated(nodesP
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) +
             lit(17) * coalesce(col("s"), lit(new java.math.BigDecimal(0))))
-            .cast(dec38).as("n"))
+            .cast(dec38).as("n")))
       bk *= B
     }
-    (scores, () => { staged.unpersist(); () })
+    (scores, () => { staged.unpersist(); nodesP.unpersist(); () })
   }
 
   /** K rounds of the exact-integer damped update. Returns
@@ -298,31 +318,41 @@ object WebGraph {
       maxHops: Int): (DataFrame, () => Unit) = {
     // lineage discipline (see kCoreReleasable): each hop references
     // the previous reach set twice (union + expansion join), so the
-    // reach set round-trips through a scratch parquet per hop — a
-    // constant-size scan plan at any hop count; only the edge list is
-    // persisted and released.
+    // reach set is lineage-truncated + persisted per hop — a
+    // constant-size plan at any hop count, without the per-hop
+    // scratch parquet round-trip the r16 form paid. Every hop's reach
+    // set stays persisted until release (the returned frame's per-hop
+    // count columns aggregate each of them), then the handle drops
+    // them all with the edge list.
+    val spark = edges.sparkSession
     val e = edges.select(col("src"), col("dst")).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count()
-    def cut(df: DataFrame, tag: String): DataFrame =
-      graft.io.Scratch.stageAndRelease(df, () => (), tag)
+    var staged = List.empty[DataFrame]
+    def cut(df: DataFrame): DataFrame = {
+      val t = spark.createDataFrame(df.rdd, df.schema).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t.count()
+      staged ::= t
+      t
+    }
     // h = 1: self ∪ out-neighbors (the graph may carry no self-loops;
     // the closed neighborhood always counts the node itself)
     var reach = cut(nodes.select(col("node"), col("node").as("r"))
       .union(e.select(col("src").as("node"), col("dst").as("r")))
-      .distinct(), "nf_reach_h1")
+      .distinct())
     var out = nodes.select("node")
     for (h <- 1 to maxHops) {
       if (h > 1)
         reach = cut(reach.union(
           reach.withColumnRenamed("r", "src").join(e, "src")
-            .select(col("node"), col("dst").as("r"))).distinct(),
-          s"nf_reach_h$h")
+            .select(col("node"), col("dst").as("r"))).distinct())
       // self is always reachable → every node appears: inner join
       out = out.join(
         reach.groupBy("node").agg(count(lit(1)).as(s"n$h")), "node")
     }
-    (out, () => { e.unpersist(); () })
+    val toRelease = staged
+    (out, () => { toRelease.foreach(_.unpersist()); e.unpersist(); () })
   }
 
   /** HyperBall (Boldi–Vigna) neighborhood function — the 100 TB scale
@@ -388,10 +418,15 @@ object WebGraph {
     // degree union), so carrying lineage multiplies the logical plan
     // ×4 per round — 4^R copies by round R (an OOM just STRINGIFYING
     // the plan for the cache name, before any data moves). Every
-    // round's alive set therefore round-trips through a scratch
-    // parquet (a constant-size scan plan, the production shape for
-    // iterative jobs); only the edge list is persisted, and the
-    // handle releases it.
+    // round's alive set is therefore lineage-TRUNCATED (the mmrGreedy
+    // `truncated` shape) and persisted+materialized, with the
+    // previous round released as soon as the next lands — a
+    // constant-size plan at any round count, without the scratch
+    // parquet write+read round-trip the r16 form paid per round
+    // (event-log: the 8-round gate ran ~48 jobs, half its wall-clock
+    // in write commits and footer reads of ≤ node-count-sized
+    // tables). The release handle drops the final round + edges.
+    val spark = und.sparkSession
     val edges = und.select(col("u"), col("v")).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count()
@@ -402,12 +437,19 @@ object WebGraph {
       e.select(col("u").as("node"))
         .union(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
-    def cut(df: DataFrame, tag: String): DataFrame =
-      graft.io.Scratch.stageAndRelease(df, () => (), tag)
-    var alive = cut(nodes.select("node"), "kcore_alive")
-    for (r <- 1 to rounds)
-      alive = cut(degrees(aliveEdges(alive))
-        .filter(col("deg") >= k).select("node"), s"kcore_alive_r$r")
+    def cut(df: DataFrame): DataFrame = {
+      val t = spark.createDataFrame(df.rdd, df.schema).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t.count() // materialize before the previous round is released
+      t
+    }
+    var alive = cut(nodes.select("node"))
+    for (r <- 1 to rounds) {
+      val next = cut(degrees(aliveEdges(alive))
+        .filter(col("deg") >= k).select("node"))
+      alive.unpersist()
+      alive = next
+    }
     val coreDeg = degrees(aliveEdges(alive))
     val out = nodes.select("node")
       .join(alive.withColumn("in_core", lit(1)), Seq("node"), "left")
@@ -415,7 +457,8 @@ object WebGraph {
       .select(col("node"),
         coalesce(col("in_core"), lit(0)).as("in_core"),
         coalesce(col("deg"), lit(0L)).as("core_deg"))
-    (out, () => { edges.unpersist(); () })
+    val lastAlive = alive
+    (out, () => { lastAlive.unpersist(); edges.unpersist(); () })
   }
 
   /** k-core gate fixture — the pagerank/triangle residue-class
