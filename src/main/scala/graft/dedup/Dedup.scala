@@ -780,7 +780,13 @@ object Dedup {
       n: Int = 3): DataFrame = {
     require(t > 0.0 && t <= 1.0, s"threshold t=$t must be in (0, 1]")
     val bc = blockCols.map(col)
-    val ranked = prefixRanked(docs, idCol, textCol, t, blockCols, n)
+    // the ranked per-doc gram table feeds THREE subtrees (the prefix
+    // candidate index and both verify sides) — staged once per
+    // execution so the df-aggregate + sorted-collect derivation runs
+    // one time, not three
+    val ranked = graft.io.Scratch.stageAndRelease(
+      prefixRanked(docs, idCol, textCol, t, blockCols, n),
+      () => (), "prefix_ranked")
     val cand = candFromRanked(ranked, blockCols)
     val ga = ranked.select(bc ++ Seq(col("doc_id").as("doc_a"),
       col("sorted_grams").as("ga"), col("n_grams").as("na")): _*)

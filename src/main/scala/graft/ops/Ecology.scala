@@ -106,7 +106,10 @@ object Ecology {
     * taxon-keyed self-join; samples with zero overlap still appear
     * (BC = 1) because the pair universe is the totals' own cross grid
     * (sample-count-sized, broadcast — not data-sized). */
-  def brayCurtis(ab: DataFrame): DataFrame = {
+  def brayCurtis(ab0: DataFrame): DataFrame = {
+    // ab feeds the totals and both self-join sides — staged once per
+    // execution (the unifrac/cooccurrence discipline)
+    val ab = graft.io.Scratch.stageAndRelease(ab0, () => (), "bray_ab")
     val totals = ab.groupBy("sample").agg(sum("n").as("n_tot"))
     val shared = ab.select(col("sample").as("sample_a"),
         col("taxon"), col("n").as("na"))
@@ -140,7 +143,10 @@ object Ecology {
     * 1 − 2|A∩B|/(|A|+|B|), the binary twins of Bray–Curtis (vegan's
     * `betadiver`). Same one taxon-keyed self-join + broadcast pair
     * grid; all counts exact longs, one 6-dp division per metric. */
-  def betaPresence(ab: DataFrame): DataFrame = {
+  def betaPresence(ab0: DataFrame): DataFrame = {
+    // same staging rationale as brayCurtis
+    val ab = graft.io.Scratch.stageAndRelease(
+      ab0.select("sample", "taxon"), () => (), "beta_ab")
     val rich = ab.groupBy("sample").agg(count(lit(1)).as("s_rich"))
     val shared = ab.select(col("sample").as("sample_a"), col("taxon"))
       .join(ab.select(col("sample").as("sample_b"), col("taxon")),
@@ -176,8 +182,16 @@ object Ecology {
     * analysis thresholds on. K bounds the pair universe at K²/2
     * regardless of corpus size; the per-sample pair expansion is
     * ≤ K²/2 rows per sample, map-side combined away. */
-  def cooccurrence(ab: DataFrame, k: Int): DataFrame = {
-    val nSamples = ab.select("sample").distinct().count()
+  def cooccurrence(ab0: DataFrame, k: Int): DataFrame = {
+    // the abundance table feeds three subtrees (sample count, top-K
+    // prevalence, presence rows) — staged once per execution; the
+    // sample count rides as a broadcast singleton instead of the
+    // r16 form's eager driver count() (one fewer full derivation AND
+    // no separate job at plan-construction time)
+    val ab = graft.io.Scratch.stageAndRelease(
+      ab0.select("sample", "taxon"), () => (), "cooccur_ab")
+    val nSamples = broadcast(
+      ab.agg(count_distinct(col("sample")).as("n_samples")))
     val top = ab.groupBy("taxon").agg(count(lit(1)).as("prev"))
       .orderBy(col("prev").desc, col("taxon")).limit(k)
     val pres = ab.join(broadcast(top.select("taxon")), "taxon")
@@ -195,14 +209,17 @@ object Ecology {
         col("prev").as("n_b"))))
       .filter(col("taxon_a") < col("taxon_b"))
     grid.join(broadcast(pairs), Seq("taxon_a", "taxon_b"), "left")
+      .crossJoin(nSamples)
       .select(col("taxon_a"), col("taxon_b"), col("n_a"), col("n_b"),
-        coalesce(col("n_both"), lit(0L)).as("n_both"))
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        col("n_samples"))
       .withColumn("jaccard",
         round(col("n_both").cast("double")
           / (col("n_a") + col("n_b") - col("n_both")), 6))
       .withColumn("lift",
-        round((col("n_both") * lit(nSamples)).cast("double")
+        round((col("n_both") * col("n_samples")).cast("double")
           / (col("n_a") * col("n_b")), 6))
+      .drop("n_samples")
   }
 
   /** Lineage depth of the synthesized part taxonomy (brand →
@@ -260,8 +277,15 @@ object Ecology {
     * Scale shape: the branch-keyed self-join is the only data-sized
     * shuffle; totals and the pair aggregate are sample-count-bounded
     * (broadcast), same as the other beta gates. */
-  def unifrac(bt: DataFrame, depth: Int = TreeDepth): DataFrame = {
+  def unifrac(bt0: DataFrame, depth: Int = TreeDepth): DataFrame = {
     val dec = "decimal(38,0)"
+    // the branch table feeds SIX subtrees below (both sides of the
+    // shared self-join, and the per-sample totals referenced by ta /
+    // tb / both grid sides) — staged once (Scratch, within this
+    // execution) so the join+explode+aggregate derivation runs one
+    // time instead of once per reference
+    val bt = graft.io.Scratch.stageAndRelease(bt0, () => (),
+      "unifrac_bt")
     // in-plan depth guard (no extra pass): Σ_branches n = depth · N
     // holds for any table `branchAbundance` built — a caller passing
     // a mismatched depth (or a non-branch table) would otherwise

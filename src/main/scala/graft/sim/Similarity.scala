@@ -286,23 +286,35 @@ object Similarity {
   private[sim] def nearestCentroid(df: DataFrame, centroids: DataFrame,
       idC: String, embC: String, normC: String,
       carryCentroid: Boolean = false): DataFrame = {
-    val payload =
+    import org.apache.spark.sql.GraftColumnBridge
+    // the centroid relation is a pinned LocalRelation at every call
+    // site (nlist rows by construction) — BOUNDED collect, the
+    // fitCentroids sanction. Embedding it in the per-row expression
+    // makes the assignment a pure scan-speed map: no join, no window
+    // sort, no aggregate. (The max(struct(c_sim, −cid, payload))
+    // aggregate tried first carried the row payload in a var-length
+    // buffer and fell out of the hash-aggregate fast path — the four
+    // IVF-assign gates measured ~25% SLOWER than the window form;
+    // see graft.functions.NearestCentroidIdx for the tie contract.)
+    val cRows = centroids.select(col("cid"), col("c_emb"),
+      col("c_norm")).collect()
+    val cids = cRows.map(_.getLong(0)).toSeq
+    val cembs = cRows.map(_.getSeq[Double](1)).toSeq
+    val cnorms = cRows.map(_.getDouble(2)).toSeq
+    val idx = GraftColumnBridge.column(
+      graft.functions.NearestCentroidIdx(
+        GraftColumnBridge.expression(col(embC)),
+        GraftColumnBridge.expression(col(normC)),
+        cids, cembs.map(_.toSeq), cnorms))
+    val base = df.withColumn("__cidx", idx)
+      .withColumn("cid",
+        element_at(typedLit(cids), col("__cidx") + 1))
+    val out =
       if (carryCentroid)
-        struct(col(embC), col(normC), col("c_emb"))
-      else struct(col(embC), col(normC))
-    val picked = df.crossJoin(broadcast(centroids))
-      .withColumn("c_sim", dotD(col(embC), col("c_emb")) /
-        (col(normC) * col("c_norm")))
-      .groupBy(col(idC))
-      .agg(max(struct(col("c_sim"), (-col("cid")).as("nc"),
-        payload.as("row"))).as("best"))
-    val outCols = Seq(col(idC),
-      col(s"best.row.$embC").as(embC),
-      col(s"best.row.$normC").as(normC),
-      (-col("best.nc")).as("cid")) ++
-      (if (carryCentroid) Seq(col("best.row.c_emb").as("c_emb"))
-       else Nil)
-    picked.select(outCols: _*)
+        base.withColumn("c_emb",
+          element_at(typedLit(cembs.map(_.toSeq)), col("__cidx") + 1))
+      else base
+    out.drop("__cidx")
   }
 
   /** Element-wise decimal-exact mean of an array column as ONE
@@ -612,9 +624,39 @@ object Similarity {
   }
 
   /** The shared greedy over a prepared shortlist
-    * (q_id, n_id, rel_micro, n_emb, n_norm) — see
-    * `mmrRerankReleasable` for the scale shape. */
+    * (q_id, n_id, rel_micro, n_emb, n_norm): the greedy is PER-QUERY
+    * LOCAL over a bounded shortlist (R ≤ 8 here; never corpus-sized),
+    * so it runs as ONE grouped aggregate — collect the ≤ R candidate
+    * structs per query, then `MmrGreedyPick` evaluates all k ranks in
+    * a single per-query pass (see the expression's arithmetic
+    * contract). One shuffle total, no per-rank persist/count/window
+    * round — the r16 k-round join formulation is kept below as
+    * `mmrGreedyJoins` (the equivalence pin in SimilaritySpec and the
+    * shape a shortlist too wide to collect per group would fall back
+    * to). Release handle is a no-op: nothing is cached. */
   private def mmrGreedy(sl0: DataFrame, k: Int, lambda10: Int)
+      : (DataFrame, () => Unit) = {
+    require(lambda10 >= 0 && lambda10 <= 10,
+      s"lambda10=$lambda10 must be in [0, 10]")
+    import org.apache.spark.sql.GraftColumnBridge
+    val collected = sl0.groupBy("q_id")
+      .agg(collect_list(struct(col("n_id"), col("rel_micro"),
+        col("n_emb"), col("n_norm"))).as("cand"))
+    val picks = GraftColumnBridge.column(graft.functions.MmrGreedyPick(
+      GraftColumnBridge.expression(col("cand")), k, lambda10))
+    val out = collected
+      .select(col("q_id"), explode(picks).as("pick"))
+      .select(col("q_id"), col("pick.rank").as("rank"),
+        col("pick.n_id").as("n_id"),
+        col("pick.mmr_score_e7").as("mmr_score_e7"))
+    (out, () => ())
+  }
+
+  /** The r16 k-round join/window formulation of the greedy — retained
+    * for the SimilaritySpec equivalence pin against `MmrGreedyPick`
+    * and as the documented fallback when the per-query candidate set
+    * is too wide to collect per group. */
+  private[sim] def mmrGreedyJoins(sl0: DataFrame, k: Int, lambda10: Int)
       : (DataFrame, () => Unit) = {
     require(lambda10 >= 0 && lambda10 <= 10,
       s"lambda10=$lambda10 must be in [0, 10]")

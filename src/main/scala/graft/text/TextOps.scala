@@ -116,6 +116,27 @@ object TextOps {
   def winnowFingerprints(docs: DataFrame, idCol: String,
       textCol: String, k: Int = 3, window: Int = 4): DataFrame = {
     require(k >= 1 && window >= 1, s"k=$k window=$window must be >= 1")
+    // winnowing is PER-DOCUMENT: the native one-pass expression
+    // (graft.functions.WinnowFps) computes the identical selection at
+    // scan speed — the relational form below it exploded every k-gram
+    // position, shuffled the corpus on doc_id for the sliding-window
+    // min, and paid a distinct shuffle (r17; equivalence pinned in
+    // TextOpsSpec against `winnowFingerprintsRelational`).
+    import org.apache.spark.sql.GraftColumnBridge
+    val fps = GraftColumnBridge.column(graft.functions.WinnowFps(
+      GraftColumnBridge.expression(tokens(lower(col(textCol)))),
+      k, window))
+    docs.select(col(idCol).as("doc_id"), explode(fps).as("fp"))
+      .select(col("doc_id"), col("fp.fp_pos").as("fp_pos"),
+        col("fp.fp_hash").as("fp_hash"))
+  }
+
+  /** The r16 relational formulation — retained for the TextOpsSpec
+    * equivalence pin against the native `WinnowFps` expression. */
+  private[text] def winnowFingerprintsRelational(docs: DataFrame,
+      idCol: String, textCol: String, k: Int = 3,
+      window: Int = 4): DataFrame = {
+    require(k >= 1 && window >= 1, s"k=$k window=$window must be >= 1")
     val tk = tokens(lower(col(textCol)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("p")
@@ -255,12 +276,22 @@ object TextOps {
             "(x, i) -> struct(x as w1, tok[i + 1] as w2))"))
           .as(Seq("pos", "bg")))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val uni = toks.select(explode(col("tok")).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    // unigram counts STAGED once (Scratch, within this execution):
+    // the table feeds both the V singleton and the per-bigram join,
+    // and its derivation is a data-sized explode+aggregate the r16
+    // form paid twice. The bigram-frequency attach is a window count
+    // over the bigram stream's own (w1, w2) partitioning — identical
+    // c2 per row (one row per bigram occurrence either way) without
+    // re-deriving the stream into a separate aggregate + join back.
+    val uni = graft.io.Scratch.stageAndRelease(
+      toks.select(explode(col("tok")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1")),
+      () => (), "lm_uni")
     val vocab = broadcast(uni.agg(count(lit(1)).as("v")))
-    val big = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val scored = bigrams
-      .join(big, Seq("w1", "w2"))
+      .withColumn("c2", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("w1", "w2")))
       .join(uni, Seq("w1"))
       .crossJoin(vocab)
       .withColumn("p", round((col("c2") + 1) /

@@ -580,4 +580,54 @@ class SimilaritySpec extends AnyFunSuite {
       viaAgg.exceptAll(viaWindow).isEmpty,
       "aggregate argmin diverged from the window rank-1 form")
   }
+
+  test("MmrGreedyPick expression == the k-round join greedy " +
+    "(the r17 single-aggregate rewrite: identical picks, ranks and " +
+    "integer scores on real data at several lambda values)") {
+    val corpus = t(spark, TestSpark.sf001, "embeddings")
+    val queries = corpus.filter(col("vec_id") < 10)
+    val q = broadcast(queries
+      .select(col("vec_id").as("q_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("q_emb"))
+      .withColumn("q_norm", sqrt(Similarity.dot(col("q_emb"), col("q_emb")))))
+    val c = corpus
+      .select(col("vec_id").as("n_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("n_emb"))
+      .withColumn("n_norm", sqrt(Similarity.dot(col("n_emb"), col("n_emb"))))
+    val wTop = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
+    val sl0 = c.crossJoin(q)
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", Similarity.dot(col("q_emb"), col("n_emb")) /
+        (col("q_norm") * col("n_norm")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 8)
+      .select(col("q_id"), col("n_id"),
+        (round(col("sim"), 6).cast("decimal(18,6)") * lit(1000000))
+          .cast("long").as("rel_micro"),
+        col("n_emb"), col("n_norm"))
+    for (lambda10 <- Seq(0, 7, 10)) {
+      val (viaJoins, rel1) = Similarity.mmrGreedyJoins(sl0, 5, lambda10)
+      val viaExprRows = {
+        import org.apache.spark.sql.GraftColumnBridge
+        val collected = sl0.groupBy("q_id")
+          .agg(collect_list(struct(col("n_id"), col("rel_micro"),
+            col("n_emb"), col("n_norm"))).as("cand"))
+        val picks = GraftColumnBridge.column(
+          graft.functions.MmrGreedyPick(
+            GraftColumnBridge.expression(col("cand")), 5, lambda10))
+        collected.select(col("q_id"), explode(picks).as("p"))
+          .select(col("q_id"), col("p.rank"), col("p.n_id"),
+            col("p.mmr_score_e7"))
+          .collect().map(_.toSeq).toSet
+      }
+      val joinRows = viaJoins
+        .select(col("q_id"), col("rank").cast("int"), col("n_id"),
+          col("mmr_score_e7"))
+        .collect().map(_.toSeq).toSet
+      rel1()
+      assert(joinRows == viaExprRows,
+        s"greedy divergence at lambda10=$lambda10")
+    }
+  }
 }

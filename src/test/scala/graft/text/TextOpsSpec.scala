@@ -616,4 +616,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out == Set(("L", "a", 6L, 1), ("L", "b", 2L, 2),
       ("M", "z", 1L, 1)))
   }
+
+  test("WinnowFps native expression == the relational winnowing " +
+    "formulation (r17 rewrite: identical (doc, pos, hash) selections " +
+    "on the real corpus and on edge-shaped fixtures)") {
+    val real = graft.Tables.t(spark, TestSpark.sf001, "documents")
+    val edge = Seq(
+      (1L, "a b c"),                 // exactly k tokens, sub-window
+      (2L, "x x x x x x x x"),       // all-equal grams (tie breaking)
+      (3L, ""),                      // empty
+      (4L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    for (docs <- Seq(real, edge); (k, w) <- Seq((3, 4), (2, 3))) {
+      val a = TextOps.winnowFingerprints(docs, "doc_id", "text", k, w)
+        .collect().map(_.toSeq).toSet
+      val b = TextOps.winnowFingerprintsRelational(
+          docs, "doc_id", "text", k, w)
+        .collect().map(_.toSeq).toSet
+      assert(a == b, s"winnow divergence at k=$k window=$w")
+    }
+  }
 }
