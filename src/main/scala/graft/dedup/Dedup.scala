@@ -125,6 +125,9 @@ object Dedup {
         "trailing hashes would silently drop out of every band, " +
         "weakening recall while est_jaccard still divides by numHashes")
     val banded = minhashBanded(docs, idCol, textCol, numHashes, bands)
+    // NOT staged (the ngramJaccardPairs A/B finding): the native
+    // signature is cheap per row — re-deriving both self-join sides
+    // beats writing the banded table out
     val pruned = banded
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -247,13 +250,25 @@ object Dedup {
         expr("bucket_n * (bucket_n - 1) DIV 2").as("pairs_suppressed"))
 
   def hammingBandCandidates(hashed: DataFrame, idCol: String,
-      hashCol: String, maxBucketSize: Int = 1000): DataFrame = {
+      hashCol: String, maxBucketSize: Int = 1000,
+      stageSketch: Boolean = false): DataFrame = {
     val chunked = hammingChunked(hashed, idCol, hashCol)
-    val pruned = chunked
+    // `stageSketch` (r17): when the upstream sketch is EXPENSIVE per
+    // row (a real image/audio decode), stage the pruned chunk table
+    // once so the self-join's a/b sides don't decode twice — measured
+    // a win exactly there and a LOSS for cheap sketches (SimHash:
+    // the write costs more than re-tokenizing; the perceptual pair
+    // gates pass true, the text gates keep the default)
+    val pruned0 = chunked
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("chunk_idx", "chunk")))
       .filter(col("bucket_n") <= maxBucketSize)
+    val pruned =
+      if (stageSketch)
+        graft.io.Scratch.stageAndRelease(pruned0, () => (),
+          "hamming_banded")
+      else pruned0
     val a = pruned.select(col("chunk_idx"), col("chunk"),
       col("id").as("doc_a"), col("sh").as("sh_a"))
     val b = pruned.select(col("chunk_idx"), col("chunk"),
@@ -278,18 +293,26 @@ object Dedup {
     * `hammingBandCandidates`. */
   def hammingBandCandidatesBy(hashed: DataFrame, idCol: String,
       hashCol: String, byCol: String,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      stageSketch: Boolean = false): DataFrame = {
     val sh = hashed.select(col(byCol).as("by"), col(idCol).as("id"),
       col(hashCol).as("sh"))
     val chunked = sh.select(col("by"), col("id"), col("sh"),
       posexplode(array((0 until 4).map { i =>
         shiftrightunsigned(col("sh"), 16 * i).bitwiseAND(0xFFFFL)
       }: _*)).as(Seq("chunk_idx", "chunk")))
-    val pruned = chunked
+    // stageSketch as in hammingBandCandidates (the video consumer's
+    // upstream is a per-frame BMP decode — it passes true)
+    val pruned0 = chunked
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("by", "chunk_idx", "chunk")))
       .filter(col("bucket_n") <= maxBucketSize)
+    val pruned =
+      if (stageSketch)
+        graft.io.Scratch.stageAndRelease(pruned0, () => (),
+          "hamming_banded_by")
+      else pruned0
     val a = pruned.select(col("by"), col("chunk_idx"), col("chunk"),
       col("id").as("doc_a"), col("sh").as("sh_a"))
     val b = pruned.select(col("by"), col("chunk_idx"), col("chunk"),
@@ -409,6 +432,10 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String] = Nil, n: Int = 3,
       maxGramDf: Int = Int.MaxValue): DataFrame =
+    // NOT staged: scratch-staging the exploded gram table measured
+    // SLOWER than letting both self-join sides re-tokenize (the gram
+    // explode is cheap native per-row work but its output is large —
+    // writing it costs more than deriving it twice; r17 A/B)
     jaccardPairsFromSized(
       sizedGramsCapped(docs, idCol, textCol, blockCols.map(col),
         blockCols, n, maxGramDf), blockCols)

@@ -1040,7 +1040,8 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"),
         shiftleft(col("ph_lo"), 32).bitwiseOR(col("ph_hi")).as("vh"))
     graft.dedup.Dedup
-      .hammingBandCandidatesBy(hashed, "doc_id", "vh", "frame_idx")
+      .hammingBandCandidatesBy(hashed, "doc_id", "vh", "frame_idx",
+        stageSketch = true)
       .filter(col("hamming") <= 3)
       .groupBy("doc_a", "doc_b")
       .agg(countDistinct("frame_idx").as("n_frames_matched"))
@@ -1124,7 +1125,8 @@ object Multimodal {
           .filter(col("doc_id") < 20000)))
       .withColumn("ph",
         shiftleft(col("ph_lo"), 32).bitwiseOR(col("ph_hi")))
-    graft.dedup.Dedup.hammingBandCandidates(hashed, "doc_id", "ph")
+    graft.dedup.Dedup.hammingBandCandidates(hashed, "doc_id", "ph",
+      stageSketch = true)
       .filter(col("hamming") <= 3)
   }
 
@@ -1164,7 +1166,8 @@ object Multimodal {
           .filter(col("doc_id") < 20000)))
       .withColumn("fp",
         shiftleft(col("fp_lo"), 32).bitwiseOR(col("fp_hi")))
-    graft.dedup.Dedup.hammingBandCandidates(hashed, "doc_id", "fp")
+    graft.dedup.Dedup.hammingBandCandidates(hashed, "doc_id", "fp",
+      stageSketch = true)
       .filter(col("hamming") <= 3)
   }
 

@@ -768,6 +768,10 @@ object Similarity {
       .select(col("vec_id").as("id"),
         asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", sqrt(dotD(col("emb"), col("emb"))))
+    // NOT staged (r17 A/B): writing the bucketed table (64-double
+    // arrays per row) measured far slower than re-deriving the
+    // sign-sketches on both self-join sides — array-heavy payloads
+    // make staging a loss even when the compute is nontrivial
     val bucketed = prepared.select(col("*"),
       posexplode(bucketsOf(col("emb"), planes))
         .as(Seq("table", "bucket")))
