@@ -807,13 +807,11 @@ object Dedup {
       n: Int = 3): DataFrame = {
     require(t > 0.0 && t <= 1.0, s"threshold t=$t must be in (0, 1]")
     val bc = blockCols.map(col)
-    // the ranked per-doc gram table feeds THREE subtrees (the prefix
-    // candidate index and both verify sides) — staged once per
-    // execution so the df-aggregate + sorted-collect derivation runs
-    // one time, not three
-    val ranked = graft.io.Scratch.stageAndRelease(
-      prefixRanked(docs, idCol, textCol, t, blockCols, n),
-      () => (), "prefix_ranked")
+    // NOT staged (r17 A/B): the ranked table's sorted_grams column is
+    // an array-heavy payload — writing it once measured slower than
+    // letting the three consuming subtrees re-derive it (the
+    // selfBucketPairs finding)
+    val ranked = prefixRanked(docs, idCol, textCol, t, blockCols, n)
     val cand = candFromRanked(ranked, blockCols)
     val ga = ranked.select(bc ++ Seq(col("doc_id").as("doc_a"),
       col("sorted_grams").as("ga"), col("n_grams").as("na")): _*)

@@ -926,13 +926,30 @@ object Similarity {
     * row_number window here would sort corpus×kCodes rows instead
     * (measured 3-4× slower across the PQ gate set). d2 is never NaN
     * (squared L2), so struct ordering has no NaN edge. */
-  private def assignCodes(rows: DataFrame, cents: DataFrame): DataFrame =
-    rows.join(broadcast(cents), Seq("sub"))
-      .withColumn("d2", sqDist(col("s_emb"), col("c_emb")))
-      .groupBy("n_id", "sub")
-      .agg(min(struct(col("d2"), col("code"), col("s_emb"))).as("best"))
-      .select(col("n_id"), col("sub"), col("best.code").as("code"),
-        col("best.s_emb").as("s_emb"))
+  private def assignCodes(rows: DataFrame, cents: DataFrame): DataFrame = {
+    // the codebook is a pinned LocalRelation at every encode site
+    // (mSub × kCodes rows by construction — bounded collect, the
+    // pqFitCodebooks sanction), so the assignment is a pure per-row
+    // expression: no broadcast join fan-out, no argmin aggregate
+    // whose min(struct(d2, code, s_emb)) buffer carried the subvector
+    // payload out of the hash-aggregate fast path (the
+    // NearestCentroidIdx finding applied to the code space; tie and
+    // fold contracts on graft.functions.NearestCodeIdx).
+    import org.apache.spark.sql.GraftColumnBridge
+    val bySub = cents.select(col("sub"), col("code"), col("c_emb"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    val subsL = bySub.map(_._1)
+    val codesL = bySub.map(_._2.map(_.getInt(1)).toSeq)
+    val cembsL = bySub.map(_._2.map(_.getSeq[Double](2).toSeq).toSeq)
+    val codeCol = GraftColumnBridge.column(
+      graft.functions.NearestCodeIdx(
+        GraftColumnBridge.expression(col("sub")),
+        GraftColumnBridge.expression(col("s_emb")),
+        subsL, codesL, cembsL))
+    rows.select(col("n_id"), col("sub"), codeCol.as("code"),
+      col("s_emb"))
+  }
 
   /** PQ-encode a corpus: (n_id, sub, code) — mSub small ints per
     * vector, the 8-byte-per-vector compressed representation that
