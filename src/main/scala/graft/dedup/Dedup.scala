@@ -1532,18 +1532,15 @@ object Dedup {
     * exercises, not saturates). */
   private def dBlockingQuality(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val blocks = Seq("lang", "source")
-    // ONE staged gram table feeds both the truth join and the SNM
-    // verifier (the dBlockingMethods sharing — tokenize the corpus
-    // once per gate, not once per consumer)
-    val grams = graft.io.Scratch.stageAndRelease(
-      sizedGrams(docs, "doc_id", "text", blocks.map(col), 3,
-        "doc_id", "n_grams"),
-      () => (), "d_blockq_grams")
-    val truth = jaccardPairsFromSized(grams, blocks)
+    // gram staging tried and REVERTED here (r17 close-run A/B: the
+    // gate regressed 2.04 → 2.62 s — with only TWO gram consumers the
+    // staged write costs more than the cheap re-tokenization; the
+    // 5-consumer dBlockingMethods keeps its staged table)
+    val truth = ngramJaccardPairs(docs, "doc_id", "text",
+      blockCols = Seq("lang", "source"), n = 3)
       .filter(col("jac") >= 0.2)
-    val cand = snmPairsImpl(docs, "doc_id", "text", 5, blocks, 3,
-      Some(grams))
+    val cand = snmPairs(docs, "doc_id", "text", w = 5,
+      blockCols = Seq("lang", "source"))
     blockingQuality(truth, cand, Seq("lang", "source", "doc_a", "doc_b"))
   }
 
