@@ -393,19 +393,26 @@ object Html {
     * `chr()` as the codepoint→char step and a hex-literal cast for
     * the hex form. */
   private def sqlDecodeNumeric(expr: String): String = {
+    // the U+0001/U+0002 markers are built with chr() instead of being
+    // embedded as raw literals: the SQL text stays printable (the
+    // SparkEntrySpec control-char guard — Verify's JSON escaper covers
+    // raw controls, but keeping the oracle text clean is the
+    // contract), while the runtime strings are identical
+    val m1 = "chr(1)"
+    val m2 = "chr(2)"
     val marked =
       s"""regexp_replace(regexp_replace(regexp_replace($expr,
-         ${sq("[" + M1 + M2 + "]")}, '', 'g'),
-         ${sq(DecEntityPat)}, ${sq(M1 + "d\\1" + M2)}, 'g'),
-         ${sq(HexEntityPat)}, ${sq(M1 + "x\\1" + M2)}, 'g')"""
-    val code = s"split_part(p, ${sq(M2)}, 1)"
+         ('[' || $m1 || $m2 || ']'), '', 'g'),
+         ${sq(DecEntityPat)}, ($m1 || ${sq("d\\1")} || $m2), 'g'),
+         ${sq(HexEntityPat)}, ($m1 || ${sq("x\\1")} || $m2), 'g')"""
+    val code = s"split_part(p, $m2, 1)"
     val digits = s"substr($code, 2)"
     val n = s"""(CASE WHEN starts_with($code, 'x')
        THEN CAST('0x' || $digits AS BIGINT)
        ELSE CAST($digits AS BIGINT) END)"""
     s"""array_to_string(list_transform(
-       string_split($marked, ${sq(M1)}),
-       p -> CASE WHEN strpos(p, ${sq(M2)}) = 0 THEN p
+       string_split($marked, $m1),
+       p -> CASE WHEN strpos(p, $m2) = 0 THEN p
          ELSE (CASE WHEN $n BETWEEN 32 AND 65535
                 AND NOT ($n BETWEEN 55296 AND 57343)
               THEN chr(CAST($n AS INT))
