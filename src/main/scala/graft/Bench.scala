@@ -121,9 +121,13 @@ object Bench {
           sys.error(s"SparkContext stopped before $name — aborting " +
             "the bench run (GC stall / executor removal?)")
         // noop write (not count): count() lets Catalyst prune the
-        // computed columns, timing a cheaper plan than the query builds
+        // computed columns, timing a cheaper plan than the query builds.
+        // Per-gate job description (guide: label your jobs) so event
+        // logs / the UI attribute every job to its gate.
+        spark.sparkContext.setJobDescription(s"gate:$name")
         val r = timeGate(name,
           () => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+        spark.sparkContext.setJobDescription(null)
         // progress to stderr (stdout stays the one-JSON-line contract)
         r.foreach(sec => System.err.println(f"[bench] $name%-24s $sec%8.2fs"))
         name -> r
