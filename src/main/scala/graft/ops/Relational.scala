@@ -367,9 +367,22 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val spark = values.sparkSession
     import spark.implicits._
-    val hist = values.filter(col(valueCol).isNotNull)
-      .groupBy(col(valueCol).as("v"))
-      .agg(count(lit(1)).as("c"))
+    // ONE data-sized pass (r18): `hist` is referenced by TWO subtrees
+    // below (the cumsum window and the total/cardinality guard), and
+    // no exchange reuse fires across them — the unstaged form scanned
+    // and shuffled the data twice. Staging the histogram (bounded at
+    // O(distinct values) ≤ maxDistinct rows by the guarded contract)
+    // makes the data pass happen exactly once; both consumers then
+    // read the small staged table — the madOutliers /
+    // profilePercentiles discipline. (The r17 alternative — deriving
+    // total as full-partition window aggregates over the cumsum —
+    // measured SLOWER: the unbounded-frame window buffers the single
+    // partition a second time.)
+    val hist = graft.io.Scratch.stageAndRelease(
+      values.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).as("v"))
+        .agg(count(lit(1)).as("c")),
+      () => (), "pct_hist")
     // the single global cumsum window below is bounded by O(distinct
     // values) BY CONTRACT (integer-valued / low-cardinality column) —
     // ENFORCED by the in-plan guard riding `total`; the
@@ -385,12 +398,9 @@ object Relational {
     // continuous double column gets a data-sized single partition;
     // fail loudly instead (the unifrac/drift guard discipline). The
     // grouped form (`groupedPercentiles`) partitions every window by
-    // the group key and needs no such bound. (r17 note: deriving
-    // n/n_distinct as full-partition window aggregates over the
-    // cumsum — saving this second histogram derivation — MEASURED
-    // SLOWER (3.55 s → 3.88 s isolated): the unbounded-frame window
-    // buffers the whole single partition a second time, costing more
-    // than the extra aggregate pass. Deliberately left as-is.)
+    // the group key and needs no such bound. Since r18 this aggregate
+    // reads the STAGED histogram, so it no longer costs a second
+    // data-sized derivation.
     val total = hist.agg(sum("c").as("n"),
         count(lit(1)).as("n_distinct"))
       .select(expr("n + coalesce(CAST(assert_true(" +

@@ -117,6 +117,16 @@ object WebGraph {
     // contribution-less nodes): persist it once too
     val nodesP = nodes.select("node").persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // WHICH nodes receive no contribution is a STATIC property of the
+    // graph, not of the round (r18): scores cover every node each
+    // round, so a dst receives a contribution iff it has ≥1 in-edge.
+    // Precompute the no-in-edge set ONCE and union its teleport-only
+    // rows per round, instead of left-joining the full node set
+    // against contrib every round — one data-sized shuffle join
+    // removed from each of the K rounds.
+    val noInP = nodesP.join(staged.select(col("dst").as("node"))
+        .distinct(), Seq("node"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-round LINEAGE TRUNCATION (the mmrGreedy `truncated` shape):
     // without it round k's logical plan nests all k−1 predecessors and
     // Catalyst re-plans the whole tree every round — the r16 form's
@@ -140,15 +150,22 @@ object WebGraph {
         .join(scores.withColumnRenamed("node", "src"), "src")
         .groupBy("dst")
         .agg(sum(col("m") * col("n")).as("s"))
-      scores = truncated(nodesP
-        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            lit(17) * coalesce(col("s"), lit(new java.math.BigDecimal(0))))
-            .cast(dec38).as("n")))
+      // every dst with an in-edge receives a contribution every round
+      // (scores cover all nodes), so contrib's key set == distinct
+      // dst; the teleport-only complement is the precomputed noInP —
+      // a union instead of the old per-round nodes ⟕ contrib join.
+      // Arithmetic identical: teleport + 17·s on the contrib branch,
+      // teleport (± 17·0) on the no-in-edge branch.
+      scores = truncated(
+        contrib.select(col("dst").as("node"),
+            (lit(teleport) + lit(17) * col("s")).cast(dec38).as("n"))
+          .unionByName(noInP.select(col("node"),
+            lit(teleport).cast(dec38).as("n"))))
       bk *= B
     }
-    (scores, () => { staged.unpersist(); nodesP.unpersist(); () })
+    (scores,
+      () => { staged.unpersist(); nodesP.unpersist(); noInP.unpersist()
+        () })
   }
 
   /** K rounds of the exact-integer damped update. Returns

@@ -42,7 +42,7 @@ object Similarity {
     * (`graft.functions.DotProduct`) — the HOF
     * aggregate(zip_with(...)) form walks the interpreted eval path per
     * element, which dominates O(queries × corpus × dim) ANN scoring. */
-  private def dotD(a: Column, b: Column): Column = {
+  private[sim] def dotD(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(graft.functions.DotProduct(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
@@ -89,7 +89,7 @@ object Similarity {
     * it into per-plane literal arrays (tables × bits × dim scalar
     * literals) makes the expression tree so large that analysis/
     * optimization dominates the query (~9s fixed overhead measured). */
-  private def bucketsOf(emb: Column,
+  private[sim] def bucketsOf(emb: Column,
       planes: Seq[Seq[Array[Double]]]): Column = {
     val tensor = typedLit(planes.map(_.map(_.toSeq)))
     transform(tensor, tablePlanes =>
@@ -775,18 +775,33 @@ object Similarity {
     val bucketed = prepared.select(col("*"),
       posexplode(bucketsOf(col("emb"), planes))
         .as(Seq("table", "bucket")))
+    // NARROW self-join payload (r18, guide §8 "shuffle keys, not
+    // payloads"): the bucket join only DECIDES which id pairs meet —
+    // it never needs the vectors. The r17 form shipped both 64-double
+    // embeddings through the bucket exchanges (tables × dim doubles
+    // per row, twice) and scored every bucket collision; this form
+    // joins on (table, bucket, id) alone, dedups the collision list
+    // to distinct id pairs (replacing the old groupBy-max over
+    // identical per-bucket scores), and re-attaches the two vectors
+    // by id join to score each surviving pair ONCE. Equivalent by
+    // construction: sim is a pure function of the pair's embeddings,
+    // so max(sim) over a pair's bucket collisions == the one score.
     val a = bucketed.select(col("table"), col("bucket"),
-      col("id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+      col("id").as("id_a"))
     val b = bucketed.select(col("table"), col("bucket"),
-      col("id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("table", "bucket"))
+      col("id").as("id_b"))
+    val pairs = a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim",
-        dotD(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
-      .groupBy("id_a", "id_b")
-      // unrounded: callers threshold on the exact cosine (matching an
-      // oracle that filters unrounded values) and round for output
-      .agg(max(col("sim")).as("cos_sim"))
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(prepared.select(col("id").as("id_a"),
+        col("emb").as("emb_a"), col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(prepared.select(col("id").as("id_b"),
+        col("emb").as("emb_b"), col("nrm").as("nrm_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dotD(col("emb_a"), col("emb_b")) /
+          (col("nrm_a") * col("nrm_b"))).as("cos_sim"))
   }
 
   /** SemDeDup-style semantic deduplication: cluster the corpus with

@@ -278,6 +278,32 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: every-2nd-round convergence check " +
+    "preserves the exact maxIter boundary (r18)") {
+    // a chain long enough to need several pointer-jumping rounds, so
+    // both the paired checks and the budget-boundary re-check run
+    val nodes = (0L to 16L).toDF("doc_id")
+    val chain = (0L to 15L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    def run(k: Int) = Dedup.connectedComponents(nodes, "doc_id",
+        chain, "doc_a", "doc_b", maxIter = k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // find the minimal budget that converges; below it the loop must
+    // throw (the old per-round semantics), at and above it the labels
+    // must be identical — EXACTLY one component rooted at 0
+    val minIter = (1 to 20).find { k =>
+      try { run(k); true }
+      catch { case _: IllegalArgumentException => false }
+    }.get
+    assert(minIter > 2, s"fixture too easy: converged at $minIter")
+    intercept[IllegalArgumentException] { run(minIter - 1) }
+    val atBoundary = run(minIter)
+    assert(atBoundary.values.toSet == Set(0L))
+    // extra idempotent rounds (odd AND even budgets past convergence)
+    // cannot move a label
+    assert(run(minIter + 1) == atBoundary)
+    assert(run(minIter + 2) == atBoundary)
+  }
+
   test("connected components: checkpointEvery cuts the lineage chain " +
     "and leaves the clustering unchanged") {
     val sc = spark.sparkContext

@@ -61,6 +61,37 @@ class SnmSpec extends AnyFunSuite {
     assert(r == ((3L, 26L, 2L, 0.666667, 0.076923)))
   }
 
+  test("blockingQuality: the r18 single-pass form keeps JOIN null " +
+    "semantics — null keys dedup within a side, never hit across") {
+    // truth: 2 distinct non-null keys + 1 null-keyed (twice → dedups);
+    // cand: 1 matching key, 1 non-matching, the SAME null key (which
+    // must NOT count as a hit: SQL join equality never matches NULL)
+    val truth = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (3L, 4L), (null, 9L), (null, 9L))
+      .toDF("doc_a", "doc_b")
+    val cand = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (5L, 6L), (null, 9L))
+      .toDF("doc_a", "doc_b")
+    val r = Dedup.blockingQuality(truth, cand, Seq("doc_a", "doc_b"))
+      .select("n_truth", "n_cand", "n_hit", "recall", "precision")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(r == ((3L, 3L, 1L, 0.333333, 0.333333)))
+  }
+
+  test("blockingQuality: empty sides yield zero counts and 0.0 " +
+    "ratios, not nulls") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val some = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r0 = Dedup.blockingQuality(empty, empty, Seq("doc_a", "doc_b"))
+      .select("n_truth", "n_cand", "n_hit", "recall", "precision")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(r0 == ((0L, 0L, 0L, 0.0, 0.0)))
+    val r1 = Dedup.blockingQuality(some, empty, Seq("doc_a", "doc_b"))
+      .select("n_truth", "n_cand", "n_hit", "recall", "precision")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(r1 == ((1L, 0L, 0L, 0.0, 0.0)))
+  }
+
   test("window widening recovers the missed pair") {
     val wide = Dedup.snmPairs(docs, "doc_id", "text", w = 6)
     assert(wide.filter(col("doc_a") === 2 && col("doc_b") === 3)

@@ -221,6 +221,42 @@ class SimilaritySpec extends AnyFunSuite {
         "its brute-force oracle")
   }
 
+  test("selfBucketPairs: the r18 narrow-join form (decide on keys, " +
+    "re-attach vectors by id) equals the payload-carrying original " +
+    "bit-for-bit") {
+    val corpus = t(spark, TestSpark.sf0001, "embeddings")
+      .filter(col("vec_id") < 400)
+    val got = Similarity.selfBucketPairs(corpus, tables = 8, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // the r17 formulation verbatim: both 64-double embeddings ride the
+    // bucket self-join; every bucket collision is scored and the
+    // per-pair max (of identical values) collapses duplicates
+    val planes = Similarity.hyperplanes(8, 4, 64)
+    val prepared = corpus
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .withColumn("nrm", sqrt(Similarity.dotD(col("emb"), col("emb"))))
+    val bucketed = prepared.select(col("*"),
+      posexplode(Similarity.bucketsOf(col("emb"), planes))
+        .as(Seq("table", "bucket")))
+    val a = bucketed.select(col("table"), col("bucket"),
+      col("id").as("id_a"), col("emb").as("emb_a"),
+      col("nrm").as("nrm_a"))
+    val b = bucketed.select(col("table"), col("bucket"),
+      col("id").as("id_b"), col("emb").as("emb_b"),
+      col("nrm").as("nrm_b"))
+    val want = a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.dotD(col("emb_a"), col("emb_b")) /
+        (col("nrm_a") * col("nrm_b")))
+      .groupBy("id_a", "id_b")
+      .agg(max(col("sim")).as("cos_sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == want)
+  }
+
   test("IVF assignment dump: every corpus vector in exactly one list, " +
     "every query probes exactly nprobe lists") {
     val asg = graft.SparkEntry.queries("x_ann_ivf_assign")(
