@@ -1192,26 +1192,23 @@ object Dedup {
     // strictly decreases iff any row changed — one cheap aggregation
     // per round instead of a next⋈prev comparison join, and it still
     // materializes `next` so the previous round can be released.
-    // CONVERGENCE CHECK EVERY 2nd ROUND (r18): the label-sum action is
-    // a full job barrier per round; since rounds past convergence are
-    // IDEMPOTENT (min-propagation + jumping of a fixed point returns
-    // the fixed point) and the sum is non-increasing (strictly
-    // decreasing iff any row changed), sum(k) == sum(k-2) proves no
-    // change in EITHER round — so checking every 2nd round halves the
-    // barriers and never changes the returned labels (at most one
-    // extra idempotent round runs before detection). The unchecked
-    // round's frame stays persisted until the pair's action
-    // materializes through it, then both predecessors are released.
-    // maxIter semantics are preserved EXACTLY: at the round budget a
-    // failed pair check re-checks the final round alone against its
-    // immediate predecessor (already materialized in cache — one
-    // cheap aggregate on the cached frame), which is the old
-    // per-round convergence test verbatim.
-    var lastSum = Dedup.labelSum(labels)
-    var converged = false
+    // CONVERGENCE CHECK EVERY 2nd ROUND — TRIED AND REVERTED (r18):
+    // checking sum(k) vs sum(k−2) every other round (idempotent extra
+    // rounds, exact maxIter boundary re-check) MEASURED SLOWER, not
+    // faster: per-gate job count went UP (d_dup_clusters 55 → 61
+    // jobs) and the isolated median-of-5 A/B regressed ~25%
+    // (d_dup_clusters 2.96 → 3.71 s, d_cluster_keep_best 3.73 →
+    // 4.65 s). Cause: `truncated` (.rdd) eagerly materializes each
+    // round's AQE stages regardless, so the per-round labelSum on the
+    // already-cached frame is nearly free — while an UNMATERIALIZED
+    // intermediate round is referenced three times by the next
+    // round's plan (prop, union, jump lookup) and its final stage
+    // re-executes per reference. The per-round action is not the
+    // barrier; it is what prevents triple re-execution.
+    var prevSum = Dedup.labelSum(labels)
+    var changed = true
     var it = 0
-    var unchecked: DataFrame = null // intermediate round awaiting check
-    while (!converged && it < maxIter) {
+    while (changed && it < maxIter) {
       val prev = labels
       // propagation: candidate(v) = min over {v} ∪ N(v) of label(·)
       val prop = sym.join(prev, col("src") === col("id"))
@@ -1239,28 +1236,15 @@ object Dedup {
           cp
         case _ => jumped
       }
-      it += 1
-      if (it % 2 == 0 || it == maxIter) {
-        val nextSum = Dedup.labelSum(next)
-        if (nextSum.compareTo(lastSum) == 0) converged = true
-        else if (it == maxIter && unchecked != null)
-          // budget boundary of a 2-round pair: the old form threw iff
-          // the FINAL round itself still changed — check exactly that
-          // (prev is this pair's intermediate round, materialized in
-          // cache by the action above)
-          converged = nextSum.compareTo(Dedup.labelSum(prev)) == 0
-        lastSum = nextSum
-        if (unchecked != null) { unchecked.unpersist(); unchecked = null }
-        prev.unpersist()
-      } else {
-        // unchecked round: no action — this round's work fuses into
-        // the next check's job; prev stays persisted until then
-        unchecked = prev
-      }
+      val nextSum = Dedup.labelSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
+      prev.unpersist()
       labels = next
+      it += 1
     }
     sym.unpersist()
-    require(converged,
+    require(!changed,
       s"connectedComponents: not converged after $maxIter rounds " +
         "(raise maxIter; with pointer jumping this bounds component " +
         "sizes near 2^maxIter)")

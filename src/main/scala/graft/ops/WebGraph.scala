@@ -454,6 +454,14 @@ object WebGraph {
       e.select(col("u").as("node"))
         .union(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
+    // (r18 note: materializing every 2nd round only — the
+    // connectedComponents every-2nd-check idea — was TRIED AND
+    // REVERTED: job count went UP (86 → 90; the CC gates' loop
+    // regressed ~25% isolated) because .rdd truncation materializes
+    // each round's AQE stages eagerly anyway, and an unmaterialized
+    // intermediate round is referenced twice (u-join, v-join) by the
+    // next round's plan — the per-round count is what prevents the
+    // double re-execution, not the barrier.)
     def cut(df: DataFrame): DataFrame = {
       val t = spark.createDataFrame(df.rdd, df.schema).persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

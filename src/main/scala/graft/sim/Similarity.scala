@@ -298,6 +298,16 @@ object Similarity {
     // see graft.functions.NearestCentroidIdx for the tie contract.)
     val cRows = centroids.select(col("cid"), col("c_emb"),
       col("c_norm")).collect()
+    // GUARD (r18, verdict ask): the centroid matrix is embedded in a
+    // per-row expression serialized to every task — linear in nlist.
+    // Bounded by construction today (nlist ≤ 64); a future caller
+    // passing an unbounded relation must fail loudly, not ship a
+    // multi-MB plan literal. At production nlist past this bound,
+    // assign via the broadcast-join form instead.
+    require(cRows.length <= 4096,
+      s"nearestCentroid: ${cRows.length} centroids exceeds the 4096 " +
+        "expression-embedding bound — use a broadcast-join assignment " +
+        "for larger nlist")
     val cids = cRows.map(_.getLong(0)).toSeq
     val cembs = cRows.map(_.getSeq[Double](1)).toSeq
     val cnorms = cRows.map(_.getDouble(2)).toSeq
@@ -343,6 +353,15 @@ object Similarity {
     * and the per-iteration plan stays one shallow aggregate. */
   private def pinLocal(df: DataFrame): DataFrame = {
     val rows = df.collect()
+    // GUARD (r18, verdict ask): the pin is sanctioned ONLY for
+    // codebook-sized relations (nlist / mSub×kCodes rows). A caller
+    // that routes a data-sized frame here would silently collect it
+    // to the driver — fail loudly instead. 65536 ≫ any shipped
+    // codebook (max today: 8×128) yet still driver-trivial.
+    require(rows.length <= 65536,
+      s"pinLocal: ${rows.length} rows exceeds the 65536 codebook " +
+        "bound — this pin is for centroid/codebook relations, not " +
+        "data-sized frames")
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)
   }
@@ -951,8 +970,14 @@ object Similarity {
     // NearestCentroidIdx finding applied to the code space; tie and
     // fold contracts on graft.functions.NearestCodeIdx).
     import org.apache.spark.sql.GraftColumnBridge
-    val bySub = cents.select(col("sub"), col("code"), col("c_emb"))
+    val cbRows = cents.select(col("sub"), col("code"), col("c_emb"))
       .collect()
+    // GUARD (r18): same expression-embedding bound as nearestCentroid
+    // — the codebook rides every task's serialized plan.
+    require(cbRows.length <= 65536,
+      s"assignCodes: ${cbRows.length} codebook rows exceeds the " +
+        "65536 expression-embedding bound")
+    val bySub = cbRows
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
     val subsL = bySub.map(_._1)
     val codesL = bySub.map(_._2.map(_.getInt(1)).toSeq)
